@@ -1,0 +1,258 @@
+"""K-Means as declarative DataFrame plans — the reference's entire surface.
+
+Reference: Hadoop MR Lloyd's K-Means —
+driver loop ``/root/reference/src/KMeans.java``, map-side assignment
+``/root/reference/src/MapReduceKMean/PointsMapper.java``, reduce-side mean
+``/root/reference/src/MapReduceKMean/PointsReducer.java``.
+
+Physical shape per iteration (what Catalyst plans from these expressions):
+``Scan parquet → Project (codegen'd argmin over a constant-folded centroid
+literal) → HashAggregate(partial) → Exchange hashpartitioning(cluster_id)
+→ HashAggregate(final)`` — exactly the reference's
+map → combine → shuffle → reduce pipeline (``KMeans.java:207-215``), with
+two deliberate fixes documented in SURVEY.md §2.1:
+
+- **R8 combiner weighting bug not replicated**: the reference's combiner
+  emits unweighted per-split means, so results depend on task split
+  boundaries; Spark's partial/final ``avg`` = sum+count is correctly
+  weighted.
+- **R3 determinism**: centroid init is ``ORDER BY md5(vec_id) LIMIT k``
+  instead of ``Random.nextInt`` rejection sampling
+  (``KMeans.java:66-74``) — reproducible and cross-engine checkable.
+
+Scale notes: the per-iteration shuffle carries only k×(d sums + count)
+after partial aggregation — independent of input row count, so the plan is
+scan-bound at 100 TB. Centroids travel as a plan literal (constant-folded,
+broadcast with the task binary), never via driver round-trips per task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.functions.hashing import stable_order_key
+from mapreducekmean_spark.functions.vector import (
+    argmin_index,
+    as_double_array,
+    centroid_literal,
+    sq_dist,
+)
+from mapreducekmean_spark.sources import load_table
+
+#: Fixture ground truth: embeddings carry labels 0..9 (FIXTURES.md).
+DEFAULT_K = 10
+
+#: Reference loop bounds: ``KMeans.java:199,201``.
+DEFAULT_TOL = 1e-3
+DEFAULT_MAX_ITER = 20
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the points table with the feature column cast to
+    ``array<double>`` once (R1 scan + R4 typed projection; the reference
+    re-parses the same strings at every hop — we parse exactly once)."""
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id", as_double_array("embedding").alias("emb"), "label"
+    )
+
+
+def deterministic_init(points: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """R3 — k initial centroids, reproducibly.
+
+    ``orderBy(md5(vec_id)).limit(k)`` plans as TakeOrderedAndProject — a
+    per-partition top-k plus a k-row driver merge, one distributed pass.
+    The reference needs two full single-threaded scans
+    (``KMeans.java:33-100``). Output: (cluster_id 0..k-1, vec_id, emb),
+    cluster index assigned in md5 order so DuckDB reproduces it exactly.
+    """
+    ordered = points.select(
+        "vec_id", "emb", stable_order_key("vec_id").alias("h")
+    ).orderBy("h", "vec_id").limit(k)
+    w = F.row_number().over(Window.orderBy("h", "vec_id"))
+    return ordered.select(
+        (w - F.lit(1)).cast("bigint").alias("cluster_id"), "vec_id", "emb"
+    )
+
+
+def collect_centroids(init_df: DataFrame) -> list[list[float]]:
+    """Collect the k-row init result into a driver-side list ordered by
+    cluster_id (R11 collect — k rows, never the data)."""
+    rows = init_df.select("cluster_id", "emb").orderBy("cluster_id").collect()
+    return [list(r["emb"]) for r in rows]
+
+
+def with_distances(points: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add ``dists: array<double>`` — squared L2 to every centroid.
+
+    R5+R6: the broadcast nested-loop of ``PointsMapper.java:59-81`` as one
+    whole-stage-codegen projection over a constant-folded literal.
+    """
+    lit = centroid_literal(centroids)
+    return points.withColumn(
+        "dists", F.transform(lit, lambda c: sq_dist(F.col("emb"), c))
+    )
+
+
+def assign(points: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """R6 — nearest-centroid assignment; first-wins tie-break mirrors the
+    strict ``<`` compare at ``PointsMapper.java:70-74``."""
+    return with_distances(points, centroids).withColumn(
+        "cluster_id", argmin_index(F.col("dists"))
+    )
+
+
+def centroid_update_wide(assigned: DataFrame, dim: int) -> DataFrame:
+    """R7-R9 — per-cluster mean as one partial+final HashAggregate.
+
+    One ``avg`` per dimension (d agg expressions over ``element_at``) keeps
+    the shuffle payload at k×(d+1) values regardless of input size — the
+    correctly-weighted version of the reference's combiner+reducer
+    (``PointsReducer.java:17-36``, ``KMeans.java:210``).
+    Output: (cluster_id, centroid array<double>, n).
+    """
+    aggs = [
+        F.avg(F.element_at("emb", i + 1)).alias(f"c{i}") for i in range(dim)
+    ]
+    wide = assigned.groupBy("cluster_id").agg(
+        *aggs, F.count("*").alias("n")
+    )
+    return wide.select(
+        "cluster_id",
+        F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
+        "n",
+    )
+
+
+def centroid_update_long(assigned: DataFrame, dim: int) -> DataFrame:
+    """Oracle-facing long format: (cluster_id, dim, val, n) with ``val``
+    rounded to 6 dp (cross-engine float-sum order tolerance, SURVEY §7)."""
+    wide = centroid_update_wide(assigned, dim)
+    return wide.select(
+        "cluster_id",
+        F.posexplode("centroid").alias("dim", "val_raw"),
+        "n",
+    ).select(
+        "cluster_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("val_raw", 6).alias("val"),
+        "n",
+    )
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """R9 count leg — (cluster_id, n)."""
+    return assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
+
+
+def wssse_per_cluster(assigned: DataFrame) -> DataFrame:
+    """Within-cluster sum of squared errors per cluster (model-quality
+    metric over the R6 distances), rounded for cross-engine hashing."""
+    return (
+        assigned.withColumn("min_dist", F.array_min("dists"))
+        .groupBy("cluster_id")
+        .agg(F.round(F.sum("min_dist"), 6).alias("wssse"), F.count("*").alias("n"))
+    )
+
+
+def convergence_delta(
+    new_wide: DataFrame, init_df: DataFrame, tol: float = DEFAULT_TOL
+) -> DataFrame:
+    """R13 — per-cluster Chebyshev (max per-coordinate abs) movement.
+
+    The reference tests **per-coordinate** absolute movement < tol
+    (``KMeans.java:102-111``), not Euclidean distance — preserved here.
+    Empty-cluster policy (``KMeans.java:129-144`` semantics): a cluster
+    absent from ``new_wide`` keeps its previous centroid → delta 0.
+    k-row join; Catalyst broadcasts it.
+    """
+    old = init_df.select("cluster_id", F.col("emb").alias("old_c"))
+    new = new_wide.select("cluster_id", F.col("centroid").alias("new_c"))
+    joined = old.join(new, "cluster_id", "left")
+    delta = F.when(
+        F.col("new_c").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.array_max(F.zip_with("old_c", "new_c", lambda a, b: F.abs(a - b)))
+    )
+    return joined.select(
+        "cluster_id",
+        F.round(delta, 6).alias("delta"),
+        (delta < F.lit(tol)).alias("converged"),
+    )
+
+
+@dataclass
+class LloydResult:
+    centroids: list[list[float]]
+    iterations: int
+    converged: bool
+    history: list[float]  # max per-coord movement per iteration
+
+
+def lloyd(
+    points: DataFrame,
+    k: int = DEFAULT_K,
+    max_iter: int = DEFAULT_MAX_ITER,
+    tol: float = DEFAULT_TOL,
+) -> LloydResult:
+    """R14 — the full iterative driver loop, Spark-first.
+
+    Structure mirrors ``KMeans.java:204-234``: one distributed job per
+    iteration (assignment + aggregation), k×d floats collected to the
+    driver, convergence = every coordinate of every centroid moved < tol
+    (``KMeans.java:102-111``). Differences (SURVEY §2.1): correctly
+    weighted partial aggregation (R8) and deterministic init (R3).
+    Empty clusters keep their previous centroid (``KMeans.java:129-144``).
+
+    ``points`` should be cached by the caller when iterating (the reference
+    re-reads its input file every iteration; we scan the cached DataFrame).
+    """
+    cents = collect_centroids(deterministic_init(points, k))
+    dim = len(cents[0])
+    history: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        wide = centroid_update_wide(assign(points, cents), dim)
+        got = {
+            int(r["cluster_id"]): list(r["centroid"])
+            for r in wide.collect()
+        }
+        new = [got.get(i, cents[i]) for i in range(k)]
+        move = max(
+            (
+                abs(a - b)
+                for old_c, new_c in zip(cents, new)
+                for a, b in zip(old_c, new_c)
+            ),
+            default=0.0,
+        )
+        history.append(move)
+        cents = new
+        if move < tol:
+            converged = True
+            break
+    return LloydResult(cents, it, converged, history)
+
+
+def lloyd_assignments(
+    spark: SparkSession, sf_dir: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """End-to-end: run Lloyd's to convergence, return final per-point
+    assignments + final centroids in long format (rows-only oracle —
+    iterative, not single-statement SQL)."""
+    pts = embeddings(spark, sf_dir).cache()
+    try:
+        result = lloyd(pts, k)
+        assigned = assign(pts, result.centroids)
+        return assigned.select(
+            "vec_id",
+            "cluster_id",
+            F.lit(result.iterations).alias("iterations"),
+            F.lit(result.converged).alias("converged"),
+        )
+    finally:
+        pts.unpersist()

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Replaces the reference's ``Configuration`` wiring
+(``/root/reference/src/KMeans.java:155-176``) with a real session: AQE on,
+shuffle parallelism sized to cores (not the 200 default), UTC session
+timezone (required for DuckDB-oracle timestamp parity), Arrow enabled for
+the Pandas-UDF slow path.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE + coalescePartitions lets the runtime right-size post-shuffle
+  partitions instead of hand-tuning ``spark.sql.shuffle.partitions``.
+- ``spark.sql.adaptive.skewJoin.enabled`` handles skewed join keys
+  (hot users in ``events``, hot buckets in LSH joins) without manual salting.
+- Locally we run one JVM (``local[N]``); the same plans run unchanged on a
+  cluster because nothing here assumes single-process execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as bigint nanos and convert in the
+        # loaders (sources/readers.py) — DuckDB truncates the same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

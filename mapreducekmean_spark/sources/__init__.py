@@ -1,0 +1,20 @@
+"""Sources: typed readers for the fixture tables and the reference-native
+points CSV format.
+
+The reference's only source is a line-oriented HDFS text scan of ``"x,y"``
+CSV points (``/root/reference/src/KMeans.java:214`` wires the input path;
+``/root/reference/src/MapReduceKMean/PointsMapper.java:59-63`` parses each
+line). Here the primary format is parquet (columnar, predicate pushdown,
+column pruning); :func:`read_points_csv` preserves exact reference-format
+parity with *safe* parsing instead of the reference's crash-on-malformed
+behavior (unguarded ``Double.parseDouble`` at ``PointsMapper.java:61-63``).
+"""
+
+from mapreducekmean_spark.sources.readers import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_points_csv,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "read_points_csv"]
