@@ -23,7 +23,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducekmean_spark.operators import events as ev
 from mapreducekmean_spark.operators import kmeans as km
+from mapreducekmean_spark.operators import relational as rel
+from mapreducekmean_spark.operators import text as tx
 
 K = km.DEFAULT_K
 DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
@@ -230,6 +233,283 @@ def _kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.lloyd_assignments(spark, sf_dir, K)
 
 
+# --- text analysis suite (documents table) -------------------------------
+
+_TOKS_CTE = (
+    "SELECT doc_id, text, n_chars AS n_chars_col, "
+    "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents"
+)
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(tx.documents(spark, sf_dir))
+
+
+_TEXT_STATS_SQL = f"""
+WITH t AS ({_TOKS_CTE})
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks), 6) AS avg_token_len,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+FROM t
+"""
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(tx.documents(spark, sf_dir))
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(tx.documents(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    arms = []
+    for i, lang in enumerate(sorted(tx.LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+        arms.append(
+            f"SELECT doc_id, '{lang}' AS lang, {i} AS rnk, "
+            f"len(list_filter(toks, x -> x IN ({markers}))) AS score FROM t"
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH t AS ({_TOKS_CTE}),
+s AS (
+  {union}
+)
+SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS lang_score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rnk ASC) = 1
+"""
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(tx.documents(spark, sf_dir))
+
+
+_QUALITY_SQL = f"""
+WITH t AS ({_TOKS_CTE}),
+c AS (
+  SELECT doc_id, n_chars_col,
+         len(toks) AS n_tok,
+         length(text) AS nch,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS avg_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_chars_col, alpha_chars, nch, ttr,
+         (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0 THEN 0.25 ELSE 0.0 END)
+       + least(ttr, 1.0) * 0.25
+       + (CAST(alpha_chars AS DOUBLE) / nch) * 0.25 AS score
+  FROM c
+)
+SELECT doc_id,
+       round(CAST(n_chars_col AS DOUBLE) / 1000, 6) AS len_kchars,
+       round(CAST(alpha_chars AS DOUBLE) / nch, 6) AS alpha_ratio,
+       round(ttr, 6) AS ttr,
+       round(score, 6) AS quality,
+       score >= 0.5 AS keep
+FROM s
+"""
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(tx.documents(spark, sf_dir))
+
+
+_FINGERPRINT_SQL = rf"""
+WITH t AS ({_TOKS_CTE})
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_full,
+       md5(array_to_string(toks[1:64], ' ')) AS fp_prefix64
+FROM t
+"""
+
+
+def _queries_text() -> list[Query]:
+    return [
+        Query("text_stats", _text_stats, _TEXT_STATS_SQL),
+        Query("token_count", _token_count, _TOKEN_COUNT_SQL),
+        Query("lang_id", _lang_id, _lang_id_sql()),
+        Query("quality_score", _quality_score, _QUALITY_SQL),
+        Query("doc_fingerprint", _fingerprint, _FINGERPRINT_SQL),
+    ]
+
+
+# --- events suite --------------------------------------------------------
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(ev.events(spark, sf_dir))
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN prev_us IS NULL OR us - prev_us > {ev.SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM s
+GROUP BY 1, 2
+"""
+
+
+def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_rollup(ev.events(spark, sf_dir))
+
+
+_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_funnel(ev.events(spark, sf_dir))
+
+
+_FUNNEL_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS first_s,
+       max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_s
+FROM events
+GROUP BY 1
+"""
+
+
+# --- relational suite (TPC-H-ish star schema) ----------------------------
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+         AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+_TOP_ORDERS_SQL = """
+SELECT l_orderkey,
+       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+_REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+_TOP_PER_CUSTOMER_SQL = """
+SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+_SEGMENT_COVERAGE_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+       CAST(sum(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+FROM (
+  SELECT c_mktsegment,
+         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+  FROM customer
+)
+GROUP BY 1
+"""
+
+
+def _queries_events_relational() -> list[Query]:
+    return [
+        Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
+        Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
+        Query("user_funnel", _user_funnel, _FUNNEL_SQL),
+        Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
+        Query("tpch_q3_top_orders", rel.top_unshipped_orders, _TOP_ORDERS_SQL),
+        Query("tpch_q5_regional_revenue", rel.regional_revenue, _REGIONAL_REVENUE_SQL),
+        Query("topk_per_group", rel.top_orders_per_customer, _TOP_PER_CUSTOMER_SQL),
+        Query("semi_anti_coverage", rel.segment_order_coverage, _SEGMENT_COVERAGE_SQL),
+    ]
+
+
 def _queries_core() -> list[Query]:
     return [
         Query("scan_points", _scan_points, _SCAN_POINTS_SQL),
@@ -247,6 +527,6 @@ def _queries_core() -> list[Query]:
 def registry() -> dict[str, Query]:
     """All declared queries, keyed by contract name."""
     out: dict[str, Query] = {}
-    for q in _queries_core():
+    for q in _queries_core() + _queries_text() + _queries_events_relational():
         out[q.name] = q
     return out

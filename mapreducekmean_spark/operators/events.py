@@ -1,0 +1,93 @@
+"""Event-stream (batch view) operators over the ``events`` table:
+sessionization and time-windowed aggregation.
+
+The reference is strictly batch-iterative with no time semantics
+(SURVEY.md §2.2: date/time + windows absent) — these are the engine's
+LLM-pipeline extensions. The streaming variants (same logic over
+``readStream`` with watermarks) live in ``mapreducekmean_spark.streaming``.
+
+Determinism: all time math is integer epoch-microseconds
+(``unix_micros`` ≙ DuckDB ``epoch_us``), so outputs are exact integers —
+no float hazard. Ordering ties are broken by ``event_id`` (unique).
+
+Scale: sessionize is one shuffle (hash by ``user_id``) + a linear
+window pass per user partition; AQE skew-join/partition-coalescing
+handles hot users. Windowed aggregation is partial+final HashAggregate —
+shuffle payload is one row per (window, type) regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.sources import load_table
+
+#: Session gap threshold: 30 minutes, in microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Classic lag+cumsum sessionization: a new session starts when the
+    gap since the user's previous event exceeds ``gap_us``.
+
+    Output: one row per (user_id, session_id) with event count, exact
+    duration in microseconds, and the session's event-type diversity.
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = ev.withColumn("us", us).withColumn(
+        "session_id", F.sum(new_sess).over(run).cast("bigint")
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+def hourly_rollup(ev: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count, exact cent-sum of
+    ``value``, distinct users. ``value`` is 2-decimal in the fixture, so
+    summing in integer cents keeps the aggregate exact cross-engine."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hour_s = F.unix_seconds(F.date_trunc("hour", "ts"))
+    return (
+        ev.groupBy(
+            hour_s.alias("hour_start_s"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def user_funnel(ev: DataFrame) -> DataFrame:
+    """Per-user conditional aggregation (the pivot shape as portable SQL):
+    event counts by type + first/last activity in epoch seconds."""
+    def n_of(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_of("signup").alias("n_signup"),
+        n_of("click").alias("n_click"),
+        n_of("view").alias("n_view"),
+        n_of("purchase").alias("n_purchase"),
+        n_of("error").alias("n_error"),
+        F.min(F.unix_seconds(F.date_trunc("second", "ts"))).alias("first_s"),
+        F.max(F.unix_seconds(F.date_trunc("second", "ts"))).alias("last_s"),
+    )

@@ -1,0 +1,175 @@
+"""Relational operator coverage over the TPC-H-ish star schema:
+scan → filter → project → join (broadcast + shuffle) → aggregate →
+window → sort → limit → semi/anti join.
+
+The reference has no relational surface beyond its one group-by mean
+(SURVEY.md §2.2) — this module is the engine's general-query coverage,
+shaped after public TPC-H queries (Q1/Q3/Q5 outlines) and graded against
+DuckDB oracles.
+
+Cross-engine exactness: every monetary aggregate is summed in integer
+cents/micro-units (fixture prices are 2-decimal; discounts/taxes
+2-decimal, so price*(1-disc) is exact in 10^-4 units and
+price*(1-disc)*(1+tax) in 10^-6 units) then divided back once — integer
+sums are order-independent, so Spark's partial/final aggregation and
+DuckDB agree to the bit, with no rounding slack needed.
+
+Scale notes:
+- ``region``/``nation``/small dims join via ``F.broadcast`` — no shuffle.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE picks
+  the strategy and coalesces partitions at runtime.
+- Aggregations are partial+final (map-side combine) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.sources import load_table
+
+
+def _cents(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+def _disc_price_e4(price: Column, disc: Column) -> Column:
+    """price*(1-disc) in exact 10^-4 currency units."""
+    return F.round(price * (1 - disc) * 10_000).cast("bigint")
+
+
+def _charge_e6(price: Column, disc: Column, tax: Column) -> Column:
+    """price*(1-disc)*(1+tax) in exact 10^-6 currency units."""
+    return F.round(price * (1 - disc) * (1 + tax) * 1_000_000).cast("bigint")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan + filter + 8-agg group-by (the heaviest
+    partial-aggregation path in the engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            (F.sum(_cents(price)).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(_disc_price_e4(price, disc)).cast("double") / 10_000).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(_charge_e6(price, disc, tax)).cast("double") / 1_000_000).alias(
+                "sum_charge"
+            ),
+            F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(_cents(price)).cast("double") / 100 / F.count("*"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_cents(disc)).cast("double") / 100 / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join + group-by + top-k sort.
+    ``customer`` is broadcast (small side); revenue ranked in exact
+    10^-4 units with orderkey tie-break so the limit is deterministic."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "inner"
+        ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.unix_seconds(F.date_trunc("second", "o_orderdate")).alias(
+            "o_orderdate_s"
+        ),
+        "o_orderpriority",
+    ).agg((F.sum(rev_e4).cast("double") / 10_000).alias("revenue"))
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(k)
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join across all six tables with
+    broadcast dims, revenue per nation (exact 10^-4 unit sums)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(rev_e4).cast("double") / 10_000).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def top_orders_per_customer(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Window top-k per group: each customer's k largest orders
+    (row_number with totalprice desc, orderkey tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def segment_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage: per market segment, customers with and
+    without any order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    )
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    a = with_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    b = without.groupBy("c_mktsegment").agg(F.count("*").alias("n_without"))
+    return (
+        a.join(b, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
