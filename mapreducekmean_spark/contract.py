@@ -23,9 +23,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducekmean_spark.operators import dedup as dd
 from mapreducekmean_spark.operators import events as ev
 from mapreducekmean_spark.operators import kmeans as km
 from mapreducekmean_spark.operators import relational as rel
+from mapreducekmean_spark.operators import similarity as sim
 from mapreducekmean_spark.operators import text as tx
 
 K = km.DEFAULT_K
@@ -497,6 +499,264 @@ GROUP BY 1
 """
 
 
+# --- dedup suite ---------------------------------------------------------
+
+_SHINGLE_CTES = """
+t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+s AS (SELECT doc_id, lang,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS sh
+      FROM t WHERE len(toks) >= 3)
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(tx.documents(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signature(tx.documents(spark, sf_dir))
+
+
+def _minhash_sig_sql() -> str:
+    mh = ",\n       ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(dd.N_HASHES)
+    )
+    return f"WITH {_SHINGLE_CTES}\nSELECT doc_id,\n       {mh}\nFROM s"
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_bands(tx.documents(spark, sf_dir))
+
+
+def _minhash_bands_sql() -> str:
+    mh = ",\n         ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(dd.N_HASHES)
+    )
+    arms = []
+    for b in range(dd.N_BANDS):
+        lo = b * dd.ROWS_PER_BAND
+        parts = " || '|' || ".join(
+            f"mh{lo + r}" for r in range(dd.ROWS_PER_BAND)
+        )
+        arms.append(f"WHEN {b} THEN md5({parts})")
+    case = "CASE b.band " + " ".join(arms) + " END"
+    return f"""
+WITH {_SHINGLE_CTES},
+sig AS (
+  SELECT doc_id,
+         {mh}
+  FROM s
+)
+SELECT doc_id, CAST(b.band AS BIGINT) AS band, {case} AS bucket
+FROM sig CROSS JOIN (SELECT unnest(range(0, {dd.N_BANDS})) AS band) b
+"""
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_candidate_pairs(tx.documents(spark, sf_dir))
+
+
+def _minhash_pairs_sql() -> str:
+    inner = _minhash_bands_sql()
+    return f"""
+WITH bands AS ({inner})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(tx.documents(spark, sf_dir))
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTES},
+ds AS (SELECT doc_id, lang, list_distinct(sh) AS sh FROM s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) + len(b.sh) AS tot
+  FROM ds a
+  JOIN ds b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           AND b.doc_id <= a.doc_id + 3
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+FROM pairs
+"""
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(tx.documents(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    hi = ", ".join(f"'{c}'" for c in dd.HI_NIBBLES)
+    bits = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substr(h, {b}, 1)"
+        f" IN ({hi}) THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
+        for b in range(1, dd.SIMHASH_BITS + 1)
+    )
+    band_len = dd.SIMHASH_BITS // 4
+    bands = ", ".join(
+        f"substr(simhash, {1 + i * band_len}, {band_len}) AS band{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+h AS (SELECT doc_id, list_transform(list_distinct(toks), x -> md5(x)) AS hs
+      FROM t WHERE len(toks) > 0),
+sigs AS (SELECT doc_id, {bits} AS simhash FROM h)
+SELECT doc_id, simhash, {bands} FROM sigs
+"""
+
+
+# --- similarity suite ----------------------------------------------------
+
+
+def _cos_expr(a: str, b: str, dim: int = DIM) -> str:
+    d = f"list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {dim} + 1), i -> {b}[i] * {b}[i])))"
+    return f"({d}) / (({na}) * ({nb}))"
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(spark, sf_dir)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH pts AS ({_PTS}),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts WHERE vec_id < {sim.N_QUERIES}),
+sims AS (
+  SELECT q.q_id, p.vec_id, {_cos_expr("q.q_emb", "p.emb")} AS sim_raw
+  FROM q JOIN pts p ON p.vec_id != q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, round(sim_raw, 6) AS sim
+FROM (
+  SELECT q_id, vec_id AS neighbor_id, sim_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+  FROM sims
+)
+WHERE rnk <= {sim.TOP_K}
+"""
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(spark, sf_dir)
+
+
+_ANN_IVF_SQL = f"""
+{_KM_CTES},
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts WHERE vec_id < {sim.N_QUERIES}),
+qd AS (
+  SELECT q.q_id, q.q_emb, c.cluster_id AS cell,
+         list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> (q.q_emb[i] - c.emb[i]) * (q.q_emb[i] - c.emb[i]))) AS dist
+  FROM q CROSS JOIN init c
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+    FROM qd
+  ) WHERE pr <= {sim.N_PROBE}
+),
+cands AS (
+  SELECT pr.q_id, pr.q_emb, a.vec_id, p.emb
+  FROM probes pr
+  JOIN assign a ON a.cluster_id = pr.cell
+  JOIN pts p USING (vec_id)
+  WHERE a.vec_id != pr.q_id
+),
+sims AS (
+  SELECT q_id, vec_id, {_cos_expr("q_emb", "emb")} AS sim_raw FROM cands
+)
+SELECT q_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, round(sim_raw, 6) AS sim
+FROM (
+  SELECT q_id, vec_id AS neighbor_id, sim_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+  FROM sims
+)
+WHERE rnk <= 3
+"""
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup(spark, sf_dir)
+
+
+_NEAR_DUP_SQL = f"""
+WITH pts AS ({_PTS}),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_expr("a.emb", "b.emb")} AS sim_raw
+  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim_raw, 6) AS sim
+FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU}
+"""
+
+
+def _hyperplane_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.hyperplane_signature(spark, sf_dir)
+
+
+def _hyperplane_sig_sql() -> str:
+    planes = sim.plane_constants()
+    lits = ", ".join(
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in planes
+    )
+    bits = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {DIM} + 1),"
+        f" i -> emb[i] * planes[{p + 1}][i])) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(sim.N_PLANES)
+    )
+    half = sim.N_PLANES // 2
+    return f"""
+WITH pts AS ({_PTS}),
+pl AS (SELECT vec_id, emb, CAST([{lits}] AS DOUBLE[][]) AS planes FROM pts),
+sigs AS (SELECT vec_id, {bits} AS sig FROM pl)
+SELECT vec_id, sig,
+       substr(sig, 1, {half}) AS band0,
+       substr(sig, {half + 1}, {half}) AS band1
+FROM sigs
+"""
+
+
+def _queries_dedup_similarity() -> list[Query]:
+    return [
+        Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL),
+        Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
+        Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
+        Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
+        Query("ngram_jaccard", _ngram_jaccard, _NGRAM_JACCARD_SQL),
+        Query("dedup_simhash", _simhash, _simhash_sql()),
+        Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
+        Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
+        Query("dedup_embedding", _embedding_near_dup, _NEAR_DUP_SQL),
+        Query("embedding_lsh_sig", _hyperplane_sig, _hyperplane_sig_sql()),
+    ]
+
+
 def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
@@ -527,6 +787,12 @@ def _queries_core() -> list[Query]:
 def registry() -> dict[str, Query]:
     """All declared queries, keyed by contract name."""
     out: dict[str, Query] = {}
-    for q in _queries_core() + _queries_text() + _queries_events_relational():
+    groups = (
+        _queries_core()
+        + _queries_text()
+        + _queries_events_relational()
+        + _queries_dedup_similarity()
+    )
+    for q in groups:
         out[q.name] = q
     return out

@@ -1,0 +1,201 @@
+"""Deduplication suite over ``documents`` (and embeddings) — the core
+LLM-pretraining-pipeline operators (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Everything is built from codegen'd higher-order functions and md5 hashing,
+so every stage is (a) Python-UDF-free and (b) exactly reproducible in the
+DuckDB oracles: MinHash signatures take the **lexicographic min of md5 hex
+strings** per seed (identical in both engines) instead of integer hashing,
+because Spark's and DuckDB's native hash functions differ.
+
+Scale design:
+- Exact dedup: hash-groupBy on a 32-byte digest — one shuffle keyed by
+  digest, partial-agg friendly, no skew (md5 is uniform).
+- MinHash LSH: per-row signature computation is a narrow projection; the
+  candidate-pair join shuffles on (band, bucket) — uniform md5 buckets, so
+  no hot keys; true-Jaccard verification runs only on bucket-collided
+  candidates, never all-pairs. This is the standard shingle→minhash→band→
+  bucket-join pipeline, O(n) instead of O(n²).
+- SimHash: fixed-width bit-vote projection + band-bucket join, same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.text import documents, tokens
+
+#: MinHash configuration: 8 permutations → 4 bands × 2 rows.
+N_HASHES = 8
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+#: SimHash: 32 bits (one per md5 hex nibble's high bit).
+SIMHASH_BITS = 32
+HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Whitespace-collapsed lowercase text — the exact-dup key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy on md5(normalized text): one group row
+    per distinct content, keeping the smallest doc_id as canonical."""
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined). Empty array when the document
+    has fewer than ``n`` tokens (mirrors the oracle's range() semantics —
+    Spark's ``sequence`` would count *down* for stop<start, so guard)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """Per-document MinHash signature: for seed i, the lexicographic min of
+    ``md5(i || ':' || shingle)`` over all shingles (string-min minhash —
+    same uniformity argument as integer minhash, cross-engine stable)."""
+    sh = shingles().alias("sh")
+    base = docs.select("doc_id", sh).filter(F.size("sh") > 0)
+
+    # NB: PySpark higher-order lambdas must take exactly one parameter here;
+    # a two-parameter lambda would receive the array index as its second
+    # argument (that's the (element, index) overload), silently shadowing
+    # any default-argument capture.
+    def mh(i: int):
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    return base.select("doc_id", *[mh(i) for i in range(N_HASHES)])
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """LSH banding: bucket = md5 of the concatenated band rows.
+    Output: (doc_id, band, bucket) — the join key space for candidates."""
+    sig = minhash_signature(docs)
+    rows = []
+    for b in range(N_BANDS):
+        parts = [
+            F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+        ]
+        rows.append(
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, bucket), deduped.
+    Shuffles on uniform md5 buckets — never all-pairs."""
+    bands = minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _jaccard(sa: Column, sb: Column) -> Column:
+    """Jaccard over distinct shingle sets, as pure array expressions."""
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_distinct(sa)) + F.size(F.array_distinct(sb)) - inter
+    return inter.cast("double") / union
+
+
+def ngram_jaccard_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
+    """True n-gram Jaccard over a deterministic blocking window (same
+    lang, doc_id within ``window``) — the verification stage a MinHash
+    pipeline runs on candidates, demonstrated on a non-empty block."""
+    base = docs.select(
+        "doc_id", "lang", F.array_distinct(shingles()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + window),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(_jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit b is the sign of the vote
+    sum where each token votes +1 if hex nibble b of its md5 has its high
+    bit set, else -1. Emitted as a '0'/'1' string (cross-engine exact) with
+    4 LSH band buckets for near-dup blocking."""
+    toks = F.array_distinct(tokens("text"))
+    hs = F.transform(toks, lambda t: F.md5(t))
+
+    # Single-parameter lambdas only — see the arity note in
+    # minhash_signature above.
+    def vote_bit(b: int):
+        return F.aggregate(
+            F.transform(
+                hs,
+                lambda h: F.when(
+                    F.substring(h, b, 1).isin(*HI_NIBBLES), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    bit_cols = []
+    for b in range(1, SIMHASH_BITS + 1):
+        vote = vote_bit(b)
+        bit_cols.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = F.concat(*bit_cols)
+    out = docs.select("doc_id", sig.alias("simhash")).filter(
+        F.size(toks) > 0
+    )
+    band_len = SIMHASH_BITS // 4
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.substring("simhash", 1 + i * band_len, band_len).alias(
+                f"band{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
+def documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents(spark, sf_dir)

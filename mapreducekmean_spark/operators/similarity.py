@@ -1,0 +1,199 @@
+"""Similarity search over the embeddings table: brute-force cosine top-k
+(the exactness baseline), IVF cell-probe ANN (the scale path), and
+deterministic random-hyperplane LSH for embedding near-dup detection.
+
+All distance math reuses the sequential-fold kernels from
+``functions/vector.py`` (bit-identical to the DuckDB oracles); the IVF
+coarse quantizer reuses the deterministic K-Means init
+(``operators/kmeans.py``), so even the ANN index is oracle-reproducible.
+
+Scale design:
+- Brute force is O(n·q): fine for a query batch against a broadcast side,
+  wrong as n grows — it exists as the recall-1.0 baseline.
+- IVF: points are bucketed once by nearest coarse centroid (narrow
+  projection over a constant-folded literal, like the K-Means assign);
+  each query probes ``nprobe`` cells, so the candidate join touches
+  ~nprobe/k of the data instead of all of it. At 100 TB the cell id
+  becomes a partition column and probing is partition pruning.
+- Hyperplane LSH: 16 deterministic md5-seeded sign projections per
+  vector → bucket join on uniform keys, O(n) near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.functions.vector import cosine_sim, dot
+from mapreducekmean_spark.operators import kmeans as km
+
+#: Number of query vectors (lowest vec_ids) in the demo top-k queries.
+N_QUERIES = 10
+TOP_K = 5
+#: IVF probe count.
+N_PROBE = 2
+#: Embedding near-dup cosine threshold (fixture embeddings are near-random;
+#: max pairwise cosine ≈ 0.48, so 0.35 yields a real-but-small pair set).
+NEAR_DUP_TAU = 0.35
+#: Hyperplane LSH signature width.
+N_PLANES = 16
+
+
+def _queries_and_points(spark: SparkSession, sf_dir: str):
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    qs = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return qs, pts
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query batch against every
+    point, rank per query (sim desc, neighbor tie-break). Recall-1.0
+    baseline for the ANN paths."""
+    qs, pts = _queries_and_points(spark, sf_dir)
+    joined = pts.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+    sim = cosine_sim(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    nprobe: int = N_PROBE,
+    ncells: int = km.DEFAULT_K,
+) -> DataFrame:
+    """IVF cell-probe ANN: coarse-quantize all points to their nearest
+    deterministic-init centroid, probe each query's ``nprobe`` nearest
+    cells, brute-force only within those cells."""
+    qs, pts = _queries_and_points(spark, sf_dir)
+    cents = km.collect_centroids(
+        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
+    )
+    bucketed = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    # query → nprobe nearest cells (same distance kernel, tiny side)
+    q_cells = km.assign(
+        qs.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
+        cents,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.posexplode(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("dists"),
+                        F.sequence(F.lit(0), F.lit(ncells - 1)),
+                        lambda d, i: F.struct(
+                            d.alias("dist"), i.cast("bigint").alias("cell")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("probe_rank", "cell_struct"),
+    ).select(
+        "q_id", "q_emb", F.col("cell_struct.cell").alias("cell")
+    )
+    cands = bucketed.join(F.broadcast(q_cells), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = cosine_sim(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, the correctness
+    baseline; the LSH path below is the scale variant)."""
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    a = pts.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = pts.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= tau)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def _plane(p: int, dim: int) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane: component d is +1 iff
+    the first hex char of md5('p:d') has its high bit set."""
+    comps = []
+    import hashlib
+
+    for d in range(dim):
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
+        comps.append(F.lit(1.0 if h in "89abcdef" else -1.0))
+    return F.array(*comps)
+
+
+def hyperplane_signature(
+    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit p is the
+    sign of emb·plane_p. Planes are md5-derived constants, so the oracle
+    can rebuild them; signature emitted as a '0'/'1' string plus 2 band
+    buckets for the near-dup join."""
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    bits = [
+        F.when(dot(F.col("emb"), _plane(p, dim)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in range(n_planes)
+    ]
+    sig = F.concat(*bits)
+    half = n_planes // 2
+    return pts.select(
+        "vec_id",
+        sig.alias("sig"),
+        F.substring(sig, 1, half).alias("band0"),
+        F.substring(sig, half + 1, half).alias("band1"),
+    )
+
+
+def plane_constants(n_planes: int = N_PLANES, dim: int = 64) -> list[list[float]]:
+    """The deterministic hyperplanes as plain floats (for oracles/tests)."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
+            row.append(1.0 if h in "89abcdef" else -1.0)
+        out.append(row)
+    return out
