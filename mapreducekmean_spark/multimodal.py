@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched ``mapInPandas``
+operators.
+
+The Spark-side machinery here is real and tested — schema, partitioning,
+UDF signatures, batch shapes. The *codec* step (actual JPEG/PNG/audio
+decode) is stubbed: the image/audio libraries are not in this container,
+so ``decode_payload`` raises ``NotImplementedError`` unless
+``fake_codec=True``, in which case a deterministic md5-derived fake
+"decode" stands in (same output schema as a real decoder would have).
+
+Scale notes: payloads stay in executor memory as Arrow binary columns and
+never pass through the driver; per-batch processing bounds peak memory by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; feature extraction is a
+narrow projection (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = (
+    "asset_id bigint, modality string, n_bytes bigint, "
+    "checksum string, features array<double>"
+)
+
+
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a deterministic multimodal fixture: document text encoded as
+    the binary payload (stand-in for real image/audio bytes), modality
+    round-robined, metadata synthesized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic md5-derived pseudo-features (the stub codec)."""
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[float]:
+    """STUB: real decoding needs PIL/libav, absent in this container."""
+    if not fake_codec:
+        raise NotImplementedError(
+            "real image/audio/video decode requires codec libraries "
+            "not present in this environment; pass fake_codec=True"
+        )
+    return _fake_decode(payload)
+
+
+def extract_features(assets: DataFrame, fake_codec: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (``mapInPandas``: Iterator[pd.DataFrame] → Iterator[pd.DataFrame],
+    one Arrow batch at a time — the multimodal hot-path shape)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(
+                        lambda p: 0 if p is None else len(p)
+                    ).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda p: hashlib.md5(p or b"").hexdigest()
+                    ),
+                    "features": payloads.map(
+                        lambda p: decode_payload(
+                            p or b"", "", fake_codec=fake_codec
+                        )
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(op, schema=_FEATURES_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "asset_id bigint, width int, height int, out_width int, out_height int"
+)
+
+
+def resize_plan(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning (aspect-preserving clamp) — pure metadata math kept
+    JVM-side; the pixel work would live in the stubbed codec."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(w, h).cast("double"),
+    )
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("out_width"),
+        F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("out_height"),
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling plan: one output row per selected frame index
+    (posexplode over a sequence — the decode of each frame is the stub)."""
+    vids = assets.filter(F.col("modality") == "video")
+    frames = F.sequence(
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+    )
+    return vids.select(
+        "asset_id", F.posexplode(frames).alias("pos", "frame_idx")
+    ).select("asset_id", "pos", "frame_idx")

@@ -26,6 +26,15 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Pandas-UDF/stateful operators are pickled by module reference, so
+    # executor Python workers must be able to import this package no
+    # matter the caller's cwd (on a cluster this is the --py-files path).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in worker_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{worker_pp}" if worker_pp else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,6 +49,7 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
         # timestamp type, so read as bigint nanos and convert in the
         # loaders (sources/readers.py) — DuckDB truncates the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

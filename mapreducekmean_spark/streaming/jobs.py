@@ -1,0 +1,165 @@
+"""Streaming jobs: model scoring, windowed aggregation, stateful sessions."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreducekmean_spark.functions.vector import as_double_array
+from mapreducekmean_spark.operators.events import SESSION_GAP_US
+from mapreducekmean_spark.operators.kmeans import (
+    assign,
+)
+from mapreducekmean_spark.sources import load_table
+
+
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """Spark's file stream source consumes *directories* (new files appear,
+    get picked up per micro-batch). The fixtures are single files, so stage
+    a per-table directory of symlinks under /tmp — in production this is
+    simply the landing directory the upstream writer appends to."""
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "mrkm_stream",
+        src.strip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_points_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (schema taken from a
+    batch read — streaming sources need an explicit schema)."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir, "embeddings"))
+        .where(F.col("vec_id").isNotNull())
+    )
+    return raw.select("vec_id", as_double_array("embedding").alias("emb"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same
+    nanos→micros timestamp restoration as the batch loader."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(
+        _stage_stream_dir(sf_dir, "events")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select(*batch.columns)
+
+
+def stream_assign(
+    points_stream: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Streaming model scoring: the same constant-folded nearest-centroid
+    projection as the batch path (``KMeansModel.transform`` analogue) —
+    stateless, so it runs identically per micro-batch."""
+    return assign(points_stream, centroids).select("vec_id", "cluster_id")
+
+
+def stream_hourly_counts(events_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation: 1-hour windows per event
+    type, tolerating 30 minutes of late data."""
+    return (
+        events_stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("hour_start_s"),
+            "event_type",
+            "n",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, n_events bigint, duration_us bigint"
+)
+_SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Per-user session accumulator: emits a session row whenever a gap
+    > SESSION_GAP_US closes one; the open session persists in state
+    across micro-batches (the applyInPandasWithState custom-operator
+    surface; logic mirrors the batch lag+cumsum operator)."""
+    (user_id,) = key
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(int(v) for v in pdf["us"])
+    times.sort()
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+    out = []
+    for us in times:
+        if start_us < 0:
+            start_us = last_us = us
+            n = 1
+            continue
+        if us - last_us > SESSION_GAP_US:
+            out.append((user_id, start_us, n, last_us - start_us))
+            start_us = last_us = us
+            n = 1
+        else:
+            last_us = us
+            n += 1
+    state.update((start_us, last_us, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start_us", "n_events", "duration_us"]
+    )
+
+
+def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``:
+    closed sessions are appended as they are detected; the open session
+    per user lives in the state store."""
+    with_us = events_stream.select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion against a memory sink
+    (synchronous; local test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

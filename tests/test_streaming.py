@@ -1,0 +1,192 @@
+"""Streaming surface tests: stateless scoring, watermarked windows, and
+stateful sessionization — each driven to completion through a memory sink
+and cross-checked against its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators import events as ev
+from mapreducekmean_spark.operators import kmeans as km
+from mapreducekmean_spark.streaming import (
+    read_events_stream,
+    read_points_stream,
+    stream_assign,
+    stream_hourly_counts,
+    stream_sessionize,
+)
+from mapreducekmean_spark.streaming.jobs import run_to_memory
+
+
+def test_stream_assign_matches_batch(spark, sf_small):
+    pts = km.embeddings(spark, sf_small)
+    cents = km.collect_centroids(km.deterministic_init(pts, 10))
+    batch = {
+        (r["vec_id"], r["cluster_id"])
+        for r in km.assign(pts, cents).select("vec_id", "cluster_id").collect()
+    }
+    stream = stream_assign(read_points_stream(spark, sf_small), cents)
+    run_to_memory(stream, "assign_out")
+    got = {
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.sql("SELECT * FROM assign_out").collect()
+    }
+    assert got == batch
+
+
+def test_stream_hourly_matches_batch(spark, sf_small):
+    agg = stream_hourly_counts(read_events_stream(spark, sf_small))
+    run_to_memory(agg, "hourly_out", output_mode="complete")
+    got = {
+        (r["hour_start_s"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    batch = {
+        (r["hour_start_s"], r["event_type"]): r["n"]
+        for r in ev.hourly_rollup(ev.events(spark, sf_small)).collect()
+    }
+    assert got == batch
+
+
+def test_stream_sessionize_closed_sessions(spark, sf_small):
+    """One micro-batch closes every session except each user's last open
+    one — the streamed output must equal batch sessions minus the final
+    session per user."""
+    out = stream_sessionize(read_events_stream(spark, sf_small))
+    run_to_memory(out, "sessions_out")
+    streamed = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch_sessions = ev.sessionize(ev.events(spark, sf_small))
+    w_last = F.max("session_id").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        )
+    )
+    closed = (
+        batch_sessions.withColumn("last_sess", w_last)
+        .filter(F.col("session_id") < F.col("last_sess"))
+        .collect()
+    )
+    # batch sessionize lacks start_us; compare (user, n_events, duration)
+    batch_set = {
+        (r["user_id"], r["n_events"], r["duration_us"]) for r in closed
+    }
+    stream_set = {(u, n, d) for (u, _s, n, d) in streamed}
+    assert stream_set == batch_set
+    assert len(streamed) == len(closed)
+
+
+def test_stream_sessionize_state_across_batches(spark, sf_small, tmp_path):
+    """Two micro-batches: a session spanning the batch boundary must be
+    stitched together by the state store, not split."""
+    ev_df = (
+        read_events_stream.__globals__["load_table"](spark, sf_small, "events")
+        .select("user_id", "ts", "event_id")
+        .orderBy("ts")
+    )
+    rows = ev_df.limit(200).collect()
+    half = len(rows) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+        ]
+    )
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [r["user_id"] for r in chunk],
+                "ts": pd.Series(
+                    [r["ts"] for r in chunk], dtype="datetime64[us]"
+                ),
+                "event_id": [r["event_id"] for r in chunk],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema),
+            src / f"part-{i}.parquet",
+        )
+    schema = "user_id bigint, ts timestamp, event_id bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = stream_sessionize(stream)
+    run_to_memory(out, "sessions_2b")
+    streamed = spark.sql("SELECT * FROM sessions_2b").collect()
+    # same closed-session multiset as a single batch over the same rows
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"]) for r in rows], schema
+    ).withColumn("event_type", F.lit("x"))
+    batch_sessions = ev.sessionize(batch_df)
+    from pyspark.sql import Window
+
+    closed = (
+        batch_sessions.withColumn(
+            "last_sess", F.max("session_id").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("session_id") < F.col("last_sess"))
+        .collect()
+    )
+    assert {(r["user_id"], r["n_events"], r["duration_us"]) for r in streamed} == {
+        (r["user_id"], r["n_events"], r["duration_us"]) for r in closed
+    }
+
+
+@pytest.mark.parametrize("mode", ["fake"])
+def test_multimodal_features(spark, sf_small, mode):
+    from mapreducekmean_spark import multimodal as mm
+
+    assets = mm.assets_from_documents(spark, sf_small)
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id",
+        "modality",
+        "payload",
+        "meta",
+    ]
+    feats = mm.extract_features(assets, fake_codec=True)
+    rows = feats.collect()
+    assert len(rows) == 500
+    r0 = next(r for r in rows if r["asset_id"] == 0)
+    assert len(r0["features"]) == mm.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in r0["features"])
+    # checksum matches the payload bytes deterministically
+    import hashlib
+
+    doc0 = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]["text"]
+    )
+    assert r0["checksum"] == hashlib.md5(doc0.encode()).hexdigest()
+    assert r0["n_bytes"] == len(doc0.encode())
+
+
+def test_multimodal_decode_stub_raises(spark, sf_small):
+    from mapreducekmean_spark import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"xx", "image", fake_codec=False)
+
+
+def test_multimodal_plans(spark, sf_small):
+    from mapreducekmean_spark import multimodal as mm
+
+    assets = mm.assets_from_documents(spark, sf_small)
+    rs = mm.resize_plan(assets, max_side=256).collect()
+    assert rs and all(
+        max(r["out_width"], r["out_height"]) <= 256 for r in rs
+    )
+    fs = mm.frame_sample_plan(assets, every_n=5).collect()
+    assert fs and all(r["frame_idx"] % 5 == 0 for r in fs)
