@@ -1,0 +1,66 @@
+"""Benchmark harness: run every declared contract query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full execution, no
+driver collection cost); one warmup pass of a light query absorbs JVM/
+codegen startup so the numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreducekmean_spark import get_spark  # noqa: E402
+from mapreducekmean_spark.contract import registry  # noqa: E402
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("bench")
+    reg = registry()
+
+    # warmup: touch every fixture table + codegen paths once
+    _materialize(reg["scan_points"].fn(spark, sf_dir))
+    _materialize(reg["filter_valid"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(reg):
+        t0 = time.perf_counter()
+        _materialize(reg[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_declared_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

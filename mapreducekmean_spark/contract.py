@@ -235,6 +235,14 @@ def _kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.lloyd_assignments(spark, sf_dir, K)
 
 
+def _kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference via seeded pyspark.ml KMeans (rows-only:
+    k-means|| RNG is not SQL-reproducible)."""
+    from mapreducekmean_spark.operators.mllib import mllib_assignments
+
+    return mllib_assignments(spark, sf_dir, K)
+
+
 # --- text analysis suite (documents table) -------------------------------
 
 _TOKS_CTE = (
@@ -781,6 +789,7 @@ def _queries_core() -> list[Query]:
         Query("wssse", _wssse, _WSSSE_SQL),
         Query("convergence_delta", _convergence_delta, _CONVERGENCE_SQL),
         Query("kmeans_full", _kmeans_full, None),
+        Query("kmeans_mllib", _kmeans_mllib, None),
     ]
 
 

@@ -1,0 +1,60 @@
+"""Physical-plan guardrails: the SURVEY §4 scale claims as assertions."""
+
+from __future__ import annotations
+
+from mapreducekmean_spark.contract import registry
+from mapreducekmean_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_wholestage_codegen,
+)
+
+REG = registry()
+
+
+def test_assign_nearest_is_shuffle_free(spark, sf_small):
+    """R6 assignment must be a pure projection over the scan: the centroid
+    literal is constant-folded, so there is no join and no exchange."""
+    df = REG["assign_nearest"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert has_wholestage_codegen(df)
+
+
+def test_centroid_update_single_shuffle(spark, sf_small):
+    """R7-R9: exactly one exchange (the groupBy on cluster_id), with
+    partial aggregation before it."""
+    df = REG["centroid_update"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+
+
+def test_q1_filter_pushdown(spark, sf_small):
+    """The shipdate predicate must reach the parquet scan."""
+    df = REG["tpch_q1_pricing"].fn(spark, sf_small)
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q3_broadcasts_dimension(spark, sf_small):
+    df = REG["tpch_q3_top_orders"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_small):
+    df = REG["tpch_q5_regional_revenue"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+
+
+def test_scan_points_prunes_columns(spark, sf_small):
+    """Column pruning: a 2-column projection must not read the whole
+    embeddings file schema (ReadSchema carries only what's needed)."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["scan_points"].fn(spark, sf_small).select("vec_id")
+    plan = formatted_plan(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("label" not in ln for ln in read)
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_small):
+    df = REG["cosine_topk"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
