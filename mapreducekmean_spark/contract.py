@@ -765,6 +765,87 @@ def _queries_dedup_similarity() -> list[Query]:
     ]
 
 
+# --- analytic suite (rollup/cube/set-ops/JSON/windows) -------------------
+
+_ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS BIGINT)
+         AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+_EVENTS_CUBE_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(round(value * 100) AS BIGINT) AS value_c, value
+  FROM events
+)
+SELECT event_type, hour_of_day,
+       CAST(2 * GROUPING(event_type) + GROUPING(hour_of_day) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(value_c) AS DOUBLE) / 100 AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM e
+GROUP BY CUBE (event_type, hour_of_day)
+"""
+
+_SET_OPS_SQL = """
+SELECT custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  UNION
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   EXCEPT
+   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+)
+"""
+
+_JSON_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e
+GROUP BY event_type
+"""
+
+_RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) / 100 AS running_spend,
+       CAST(date_diff('day',
+              CAST(lag(o_orderdate) OVER w AS DATE),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def _queries_analytic() -> list[Query]:
+    from mapreducekmean_spark.operators import analytic as an
+
+    return [
+        Query("orders_rollup", an.orders_rollup, _ORDERS_ROLLUP_SQL),
+        Query("events_cube", an.events_cube, _EVENTS_CUBE_SQL),
+        Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),
+        Query("events_json_stats", an.events_json_stats, _JSON_STATS_SQL),
+        Query("running_spend", an.running_spend, _RUNNING_SPEND_SQL),
+    ]
+
+
 def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
@@ -800,6 +881,7 @@ def registry() -> dict[str, Query]:
         _queries_core()
         + _queries_text()
         + _queries_events_relational()
+        + _queries_analytic()
         + _queries_dedup_similarity()
     )
     for q in groups:

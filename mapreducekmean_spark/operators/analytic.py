@@ -1,0 +1,152 @@
+"""Analytic operator coverage absent from the reference (SURVEY.md §2.2
+rows "Set ops", "Window functions", "Date/time fns", "Array/map/JSON
+fns", plus multi-dimensional GROUPING SETS): rollup, cube, set
+operations, JSON extraction, and running-window analytics over the
+TPC-H-ish fixtures.
+
+The reference has exactly one aggregation (the per-cluster mean,
+``/root/reference/src/MapReduceKMean/PointsReducer.java:17-36``) and no
+grouping-set / set-op / JSON / window surface anywhere in its three
+source files — these operators are the engine's general-analytics
+extension, each with an exact DuckDB oracle in ``contract.py``.
+
+Cross-engine exactness:
+- Money/value sums run in integer cents (``round(x*100)`` → BIGINT).
+  Fixture audit: every ``o_totalprice``/``value`` is within 4e-9 of an
+  integer cent count, so the rounding boundary is never in play and both
+  engines round identically.
+- ``GROUPING`` bits are computed explicitly (``2*grouping(a) +
+  grouping(b)``) instead of relying on engine-specific ``GROUPING_ID``
+  bit orders.
+- Window frames are fully ordered (date + unique key tie-break), and the
+  running sums are integer, so accumulation order cannot produce float
+  drift.
+
+Scale notes (100 TB design intent):
+- ``rollup``/``cube`` plan as a single Expand + partial/final
+  HashAggregate — one shuffle regardless of how many grouping sets, and
+  Expand's row multiplication happens *before* the partial aggregate, so
+  the shuffle payload stays one row per (group, set).
+- Set ops are hash aggregations/joins on the projected key only —
+  column-pruned to one BIGINT per row before any exchange.
+- ``from_json`` is a JVM-side codegen'd expression (no Python).
+- The running-spend window shuffles once on ``o_custkey``; skewed
+  customers are bounded by orders-per-customer, and AQE skew handling
+  covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.sources import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (o_orderpriority, o_orderstatus): detail rows, per-priority
+    subtotals, and the grand total in one pass.
+
+    gid disambiguates real NULL keys from super-aggregate rows:
+    0=detail, 1=priority subtotal, 3=grand total.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", _cents("o_totalprice")
+    )
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count("*").alias("n_orders"),
+        (F.sum("price_c").cast("double") / 100).alias("total_price"),
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, hour-of-day): all four grouping sets — per
+    (type, hour), per type, per hour, and grand total — one Expand +
+    one shuffle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("hour_of_day", F.hour("ts").cast("bigint"))
+        .withColumn("value_c", _cents("value"))
+    )
+    return ev.cube("event_type", "hour_of_day").agg(
+        (F.grouping("event_type") * 2 + F.grouping("hour_of_day"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count("*").alias("n"),
+        (F.sum("value_c").cast("double") / 100).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct semantics, matching ANSI):
+
+    (urgent-order custkeys ∩ finished-order custkeys)
+      ∪ (BUILDING-segment custkeys ∖ urgent-order custkeys)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = c.select(F.col("c_custkey").alias("custkey")).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        urgent.intersect(finished)
+        .union(building.subtract(urgent))
+        .distinct()
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (``props`` is a JSON object column): parse with
+    ``from_json`` (JVM codegen, no Python) and aggregate the extracted
+    integer per event type."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", "k INT").getField("k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+    )
+
+
+def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: sequence number, running spend
+    (integer-cent cumulative sum → exact), and days since the previous
+    order (lag). One shuffle on ``o_custkey``; frame fully ordered by
+    (o_orderdate, o_orderkey) so results are deterministic."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", _cents("o_totalprice")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        (F.sum("price_c").over(run).cast("double") / 100).alias(
+            "running_spend"
+        ),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        )
+        .cast("bigint")
+        .alias("gap_days"),
+    )

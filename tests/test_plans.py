@@ -58,3 +58,36 @@ def test_scan_points_prunes_columns(spark, sf_small):
 def test_cosine_topk_broadcasts_queries(spark, sf_small):
     df = REG["cosine_topk"].fn(spark, sf_small)
     assert has_broadcast_join(df)
+
+
+def test_rollup_single_shuffle(spark, sf_small):
+    """ROLLUP must plan as Expand + partial/final HashAggregate with ONE
+    exchange — not one shuffle per grouping set."""
+    df = REG["orders_rollup"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+    assert "Expand" in _plan(df)
+
+
+def test_cube_single_shuffle(spark, sf_small):
+    df = REG["events_cube"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+    assert "Expand" in _plan(df)
+
+
+def test_json_stats_stays_jvm_side(spark, sf_small):
+    """from_json is a codegen'd JVM expression — no Python evaluation
+    node may appear in the plan."""
+    plan = _plan(REG["events_json_stats"].fn(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_running_spend_single_shuffle(spark, sf_small):
+    """One hash-partition on o_custkey feeds both window functions."""
+    df = REG["running_spend"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+
+
+def _plan(df):
+    from mapreducekmean_spark.plans import formatted_plan
+
+    return formatted_plan(df)
