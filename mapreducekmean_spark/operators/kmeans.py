@@ -37,8 +37,7 @@ from mapreducekmean_spark.functions.hashing import stable_order_key
 from mapreducekmean_spark.functions.vector import (
     argmin_index,
     as_double_array,
-    centroid_literal,
-    sq_dist,
+    centroid_literal_sql,
 )
 from mapreducekmean_spark.sources import load_table
 
@@ -91,9 +90,17 @@ def with_distances(points: DataFrame, centroids: list[list[float]]) -> DataFrame
     R5+R6: the broadcast nested-loop of ``PointsMapper.java:59-81`` as one
     whole-stage-codegen projection over a constant-folded literal.
     """
-    lit = centroid_literal(centroids)
+    # Single parsed expression (one py4j call) — semantically identical to
+    # F.transform(lit, c -> sq_dist(emb, c)) but without per-lambda driver
+    # round trips; the sequential-fold order matches functions/vector.py.
+    lit_sql = centroid_literal_sql(centroids)
     return points.withColumn(
-        "dists", F.transform(lit, lambda c: sq_dist(F.col("emb"), c))
+        "dists",
+        F.expr(
+            f"transform({lit_sql}, c -> aggregate("
+            "zip_with(emb, c, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, v) -> acc + v))"
+        ),
     )
 
 
@@ -114,16 +121,15 @@ def centroid_update_wide(assigned: DataFrame, dim: int) -> DataFrame:
     (``PointsReducer.java:17-36``, ``KMeans.java:210``).
     Output: (cluster_id, centroid array<double>, n).
     """
-    aggs = [
-        F.avg(F.element_at("emb", i + 1)).alias(f"c{i}") for i in range(dim)
-    ]
-    wide = assigned.groupBy("cluster_id").agg(
-        *aggs, F.count("*").alias("n")
-    )
-    return wide.select(
-        "cluster_id",
-        F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
-        "n",
+    # One parsed array-of-avgs expression instead of d separate agg
+    # columns — identical aggregates, ~200 fewer py4j calls per plan.
+    mean_arr = F.expr(
+        "array("
+        + ",".join(f"avg(element_at(emb, {i + 1}))" for i in range(dim))
+        + ")"
+    ).alias("centroid")
+    return assigned.groupBy("cluster_id").agg(
+        mean_arr, F.count("*").alias("n")
     )
 
 
