@@ -16,5 +16,24 @@ from mapreducekmean_spark.sources.readers import (
     load_tables,
     read_points_csv,
 )
+from mapreducekmean_spark.sources.sinks import (
+    archive_iteration,
+    read_archive,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_points_csv,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_points_csv"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_points_csv",
+    "archive_iteration",
+    "read_archive",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_points_csv",
+]

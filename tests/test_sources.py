@@ -1,0 +1,106 @@
+"""Source/sink coverage: format round-trips, reference-native points CSV
+parity (safe vs strict parse), and the versioned iteration archive
+(SURVEY.md §2.1 R1, R10, R12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.sources import (
+    archive_iteration,
+    load_table,
+    read_archive,
+    read_points_csv,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_points_csv,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, sf_small, tmp_path):
+    src = load_table(spark, sf_small, "nation")
+    write_parquet(src, str(tmp_path / "nation_pq"))
+    back = spark.read.parquet(str(tmp_path / "nation_pq"))
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
+def test_csv_roundtrip_with_schema(spark, sf_small, tmp_path):
+    src = load_table(spark, sf_small, "region")
+    write_csv(src, str(tmp_path / "region_csv"))
+    back = spark.read.csv(
+        str(tmp_path / "region_csv"), header=True, schema=src.schema
+    )
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
+def test_json_roundtrip(spark, sf_small, tmp_path):
+    src = load_table(spark, sf_small, "supplier")
+    write_json(src, str(tmp_path / "supplier_json"))
+    back = spark.read.schema(src.schema).json(str(tmp_path / "supplier_json"))
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
+def test_points_csv_reference_format_roundtrip(spark, tmp_path):
+    """The sink writes the exact "x,y" line format the reference parses
+    (PointsMapper.java:61-63); the reader restores typed doubles."""
+    pts = spark.createDataFrame(
+        [Row(x=1.5, y=-2.25), Row(x=0.0, y=3.125)]
+    )
+    write_points_csv(pts, str(tmp_path / "pts"))
+    lines = {
+        r.value
+        for r in spark.read.text(str(tmp_path / "pts")).collect()
+    }
+    assert lines == {"1.5,-2.25", "0.0,3.125"}
+    back = read_points_csv(spark, str(tmp_path / "pts"))
+    assert _sorted_rows(back) == [(0.0, 3.125), (1.5, -2.25)]
+
+
+def test_points_csv_permissive_drops_malformed(spark, tmp_path):
+    """Engine policy (SURVEY.md §1.2): malformed lines become NULL and are
+    filtered, replacing the reference's crash-the-task semantics."""
+    p = tmp_path / "bad.csv"
+    p.write_text("1.0,2.0\nnot,numeric\n3.0\n,\n4.0,5.0\n")
+    got = _sorted_rows(read_points_csv(spark, str(p)))
+    assert got == [(1.0, 2.0), (4.0, 5.0)]
+
+
+def test_points_csv_strict_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1.0,2.0\nnot,numeric\n")
+    with pytest.raises(Exception):
+        read_points_csv(spark, str(p), strict=True).collect()
+
+
+def test_archive_partitioned_history(spark, sf_small, tmp_path):
+    """R12: per-iteration centroid history as iteration= partitions, with
+    partition pruning on read-back."""
+    from mapreducekmean_spark.operators import kmeans as km
+
+    pts = km.embeddings(spark, sf_small)
+    init = km.deterministic_init(pts, 4)
+    cents = km.collect_centroids(init)
+    arch = str(tmp_path / "archive")
+    for it in range(2):
+        wide = km.centroid_update_wide(km.assign(pts, cents), 64)
+        archive_iteration(wide, arch, it)
+        cents = [
+            list(r.centroid)
+            for r in wide.orderBy("cluster_id").collect()
+        ]
+    hist = read_archive(spark, arch)
+    assert set(
+        r.iteration for r in hist.select("iteration").distinct().collect()
+    ) == {0, 1}
+    one = hist.filter(F.col("iteration") == 1)
+    # partition pruning: the scan's partition filter mentions `iteration`
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "iteration" in plan
+    assert one.count() == 4
