@@ -765,6 +765,27 @@ def _queries_dedup_similarity() -> list[Query]:
     ]
 
 
+_PROMO_SQL = """
+WITH j AS (
+  SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)
+           AS month_start_s,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev_e4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT month_start_s,
+       CAST(sum(rev_e4) AS DOUBLE) / 10000 AS revenue,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+         / 10000 AS promo_revenue,
+       round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(rev_e4) AS DOUBLE), 6)
+         AS promo_share
+FROM j
+GROUP BY month_start_s
+"""
+
+
 # --- analytic suite (rollup/cube/set-ops/JSON/windows) -------------------
 
 _ORDERS_ROLLUP_SQL = """
@@ -854,6 +875,7 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
         Query("tpch_q3_top_orders", rel.top_unshipped_orders, _TOP_ORDERS_SQL),
         Query("tpch_q5_regional_revenue", rel.regional_revenue, _REGIONAL_REVENUE_SQL),
+        Query("tpch_q14_promo", rel.promo_revenue_share, _PROMO_SQL),
         Query("topk_per_group", rel.top_orders_per_customer, _TOP_PER_CUSTOMER_SQL),
         Query("semi_anti_coverage", rel.segment_order_coverage, _SEGMENT_COVERAGE_SQL),
     ]

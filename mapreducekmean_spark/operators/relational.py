@@ -134,6 +134,38 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dimension (lineitem⋈part, part broadcast)
+    with a conditional aggregate — monthly revenue, promo revenue, and
+    the promo share ratio. Sums run in exact 10^-4 units; the share is
+    one double division of two exact integers (cross-engine identical),
+    rounded at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("rev_e4", rev_e4)
+        .withColumn(
+            "month_start_s",
+            F.unix_seconds(F.date_trunc("month", "l_shipdate")),
+        )
+    )
+    promo_e4 = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(
+            F.lit(0)
+        )
+    )
+    total_e4 = F.sum("rev_e4")
+    return j.groupBy("month_start_s").agg(
+        (total_e4.cast("double") / 10_000).alias("revenue"),
+        (promo_e4.cast("double") / 10_000).alias("promo_revenue"),
+        F.round(
+            promo_e4.cast("double") / total_e4.cast("double"), 6
+        ).alias("promo_share"),
+    )
+
+
 def top_orders_per_customer(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
