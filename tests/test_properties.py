@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the engine's kernels against
+pure-Python reference implementations.
+
+The cross-engine exactness story (README, SURVEY §7) rests on every float
+reduction being a sequential left fold in index order — these properties
+pin that down bit-for-bit against a Python fold, which is the same IEEE
+double semantics. String kernels (shingles, normalization) are checked
+against naive implementations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.functions.vector import (
+    argmin_index,
+    centroid_literal_sql,
+    dot,
+    sq_dist,
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _seq_fold_sq_dist(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _seq_fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=16))
+def test_sq_dist_bit_exact_vs_python_fold(spark, pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    df = spark.createDataFrame([Row(a=a, b=b)])
+    got = df.select(sq_dist(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == _seq_fold_sq_dist(a, b)  # exact, no tolerance
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=16))
+def test_dot_bit_exact_vs_python_fold(spark, pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    df = spark.createDataFrame([Row(a=a, b=b)])
+    got = df.select(dot(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == _seq_fold_dot(a, b)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=12),
+)
+def test_argmin_first_wins(spark, dists):
+    """First-wins tie-break — the reference's strict-< loop
+    (PointsMapper.java:70-74)."""
+    df = spark.createDataFrame([Row(d=dists)])
+    got = df.select(argmin_index(F.col("d")).alias("i")).first()["i"]
+    assert got == dists.index(min(dists))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(finite, min_size=2, max_size=2), min_size=1, max_size=5
+    )
+)
+def test_centroid_literal_sql_roundtrips_doubles(spark, cents):
+    rows = spark.sql(
+        f"SELECT {centroid_literal_sql(cents)} AS c"
+    ).first()["c"]
+    assert [list(r) for r in rows] == [list(c) for c in cents]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=1, max_size=6), max_size=12))
+def test_shingles_match_naive(spark, toks):
+    """shingles() == naive 3-gram join over the engine's own tokens()."""
+    from mapreducekmean_spark.operators.dedup import shingles
+    from mapreducekmean_spark.operators.text import tokens
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([Row(text=text)])
+    got = df.select(shingles().alias("sh")).first()["sh"]
+    tok_list = df.select(tokens("text").alias("t")).first()["t"]
+    want = [
+        " ".join(tok_list[i : i + 3]) for i in range(len(tok_list) - 2)
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
+def test_cents_rounding_matches_python(spark, v):
+    """The integer-cent money kernel: Spark round(x*100) == Python's
+    round-half-up on the same double (used by every money aggregate)."""
+    df = spark.createDataFrame([Row(x=float(v))])
+    got = df.select(
+        F.round(F.col("x") * 100).cast("bigint").alias("c")
+    ).first()["c"]
+    want = math.floor(v * 100 + 0.5) if v >= 0 else -math.floor(-v * 100 + 0.5)
+    assert got == want
