@@ -856,9 +856,15 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def _queries_analytic() -> list[Query]:
+    from mapreducekmean_spark import sql as sqlmod
     from mapreducekmean_spark.operators import analytic as an
 
     return [
+        Query(
+            "sql_nation_balance",
+            sqlmod.sql_nation_balance,
+            sqlmod.PORTABLE_QUERIES["sql_nation_balance"],
+        ),
         Query("orders_rollup", an.orders_rollup, _ORDERS_ROLLUP_SQL),
         Query("events_cube", an.events_cube, _EVENTS_CUBE_SQL),
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),

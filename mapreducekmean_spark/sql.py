@@ -1,0 +1,57 @@
+"""The SQL entry point: fixture tables as temp views + portable-SQL query
+execution.
+
+The reference has no SQL surface at all (SURVEY.md §3.1: its "IR" is
+Hadoop ``Configuration`` strings); this module exposes the engine the way
+a warehouse user expects — register the catalog, run SQL, get a
+DataFrame. Catalyst treats ``spark.sql(...)`` and the DataFrame API
+identically (same logical plan space), so everything the plan guardrail
+tests pin (pushdown, broadcast, single-exchange aggregation) holds for
+SQL-entered queries too.
+
+``PORTABLE_QUERIES`` are written in the ANSI subset that Spark SQL and
+DuckDB share — the contract runs the *identical text* on both engines,
+the strongest cross-engine statement in the suite (no per-engine
+translation at all). Rules for staying in the subset: integer-cent money
+math (``CAST(round(x*100) AS BIGINT)``), no engine-specific functions,
+explicit casts on every aggregate output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducekmean_spark.sources import TABLES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (idempotent)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+#: Identical text runs on Spark and DuckDB (the oracle IS the query).
+PORTABLE_QUERIES: dict[str, str] = {
+    "sql_nation_balance": """
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_balance,
+       CAST(max(c_custkey) AS BIGINT) AS max_custkey
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(*) > 5
+""",
+}
+
+
+def sql_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer balance via the SQL entry point — the query
+    text doubles as its own DuckDB oracle."""
+    return run_sql(spark, sf_dir, PORTABLE_QUERIES["sql_nation_balance"])
