@@ -765,6 +765,17 @@ def _queries_dedup_similarity() -> list[Query]:
     ]
 
 
+_FORECAST_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
 _PROMO_SQL = """
 WITH j AS (
   SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)
@@ -881,7 +892,15 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
         Query("tpch_q3_top_orders", rel.top_unshipped_orders, _TOP_ORDERS_SQL),
         Query("tpch_q5_regional_revenue", rel.regional_revenue, _REGIONAL_REVENUE_SQL),
+        Query("tpch_q6_forecast", rel.forecast_revenue, _FORECAST_SQL),
         Query("tpch_q14_promo", rel.promo_revenue_share, _PROMO_SQL),
+        Query(
+            "events_hll_users",
+            lambda spark, sf_dir: ev.approx_user_counts(
+                ev.events(spark, sf_dir)
+            ),
+            None,  # rows-only: HLL sketch internals are engine-specific
+        ),
         Query("topk_per_group", rel.top_orders_per_customer, _TOP_PER_CUSTOMER_SQL),
         Query("semi_anti_coverage", rel.segment_order_coverage, _SEGMENT_COVERAGE_SQL),
     ]

@@ -91,3 +91,21 @@ def user_funnel(ev: DataFrame) -> DataFrame:
         F.min(F.unix_seconds(F.date_trunc("second", "ts"))).alias("first_s"),
         F.max(F.unix_seconds(F.date_trunc("second", "ts"))).alias("last_s"),
     )
+
+
+def approx_user_counts(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HLL++ sketch aggregation: per event type, approximate distinct
+    users alongside the exact count.
+
+    The 100 TB rationale: exact COUNT(DISTINCT) shuffles every distinct
+    key; ``approx_count_distinct`` carries a fixed-size HyperLogLog++
+    sketch through partial/final aggregation — constant shuffle payload
+    per group at any input size. Rows-only contract entry (sketch
+    internals are engine-specific); the accuracy bound is pinned by a
+    pytest invariant instead (|approx-exact|/exact well within 3·rsd).
+    """
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )

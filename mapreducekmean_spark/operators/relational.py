@@ -134,6 +134,29 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the purest pushdown case — scan with three
+    range predicates (all pushed to parquet) and a single exact-unit
+    aggregate. No join, no shuffle beyond the final single-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10_000
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev_e4).cast("double") / 10_000).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: fact⋈dimension (lineitem⋈part, part broadcast)
     with a conditional aggregate — monthly revenue, promo revenue, and

@@ -34,6 +34,14 @@ def test_q1_filter_pushdown(spark, sf_small):
     assert has_pushed_filters(df, "l_shipdate")
 
 
+def test_q6_all_predicates_pushed(spark, sf_small):
+    """Q6 is the pure-pushdown case: every range predicate must reach the
+    parquet scan."""
+    df = REG["tpch_q6_forecast"].fn(spark, sf_small)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filters(df, col), col
+
+
 def test_q3_broadcasts_dimension(spark, sf_small):
     df = REG["tpch_q3_top_orders"].fn(spark, sf_small)
     assert has_broadcast_join(df)
