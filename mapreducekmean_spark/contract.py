@@ -866,6 +866,29 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+_SAMPLE_STRAT_SQL = """
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rnk
+  FROM documents
+) WHERE rnk <= 20
+"""
+
+
 def _queries_analytic() -> list[Query]:
     from mapreducekmean_spark import sql as sqlmod
     from mapreducekmean_spark.operators import analytic as an
@@ -881,6 +904,8 @@ def _queries_analytic() -> list[Query]:
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),
         Query("events_json_stats", an.events_json_stats, _JSON_STATS_SQL),
         Query("running_spend", an.running_spend, _RUNNING_SPEND_SQL),
+        Query("events_pivot", an.events_pivot, _EVENTS_PIVOT_SQL),
+        Query("sample_stratified", an.sample_stratified, _SAMPLE_STRAT_SQL),
     ]
 
 

@@ -126,6 +126,47 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix via ``groupBy().pivot()``
+    with an explicit value list (explicit values keep the schema static —
+    at scale an implicit pivot needs an extra distinct pass first).
+    Absent combinations coalesce to 0, matching the oracle's
+    COUNT(CASE...) semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def sample_stratified(
+    spark: SparkSession, sf_dir: str, per_lang: int = 20
+) -> DataFrame:
+    """Deterministic stratified sampling: the ``per_lang``
+    smallest-md5-keyed documents of every language — the reproducible,
+    cross-engine version of ``df.sampleBy`` (same trick as the K-Means
+    init, SURVEY §2.1 R3). One shuffle on the stratum key; the per-group
+    top-k is a rank filter, not a sort of the whole stratum."""
+    from mapreducekmean_spark.functions.hashing import stable_order_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        stable_order_key("doc_id"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= per_lang)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
 def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order timeline: sequence number, running spend
     (integer-cent cumulative sum → exact), and days since the previous
