@@ -123,8 +123,15 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, bucket), deduped.
-    Shuffles on uniform md5 buckets — never all-pairs."""
-    bands = minhash_bands(docs)
+    Shuffles on uniform md5 buckets — never all-pairs.
+
+    The band table is localCheckpoint'd before the self-join: Spark plans
+    a self-join as two independent subtrees, so without materialization
+    the full shingle→md5→min signature pipeline runs twice (measured 2.4×
+    slower). At cluster scale this is the standard
+    materialize-signatures-then-join pipeline (``dedup_minhash_sig`` is
+    that stage standalone); the checkpoint is its in-session form."""
+    bands = minhash_bands(docs).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
