@@ -359,6 +359,27 @@ def _queries_text() -> list[Query]:
         Query("lang_id", _lang_id, _lang_id_sql()),
         Query("quality_score", _quality_score, _QUALITY_SQL),
         Query("doc_fingerprint", _fingerprint, _FINGERPRINT_SQL),
+        Query(
+            "text_redact",
+            lambda spark, sf_dir: tx.redact(tx.documents(spark, sf_dir)),
+            "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g')"
+            " AS redacted FROM documents",
+        ),
+        Query(
+            "dataset_split",
+            lambda spark, sf_dir: tx.dataset_split(
+                tx.documents(spark, sf_dir)
+            ),
+            """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        ),
     ]
 
 

@@ -164,3 +164,28 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_full"),
         F.md5(prefix).alias("fp_prefix64"),
     )
+
+
+def redact(docs: DataFrame) -> DataFrame:
+    """PII-style scrubbing: digit runs masked to '#'. The pattern is kept
+    to the regex subset where Spark (Java regex) and DuckDB (RE2) agree
+    exactly, so the transform is oracle-checkable; production patterns
+    (emails, phones) extend the same single-projection shape."""
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "#").alias("redacted"),
+    )
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment from the first hex char of
+    md5(doc_id): 0-b train (12/16), c-d val (2/16), e-f test (2/16).
+    Pure projection — no shuffle, no RNG, identical in any engine, and
+    stable when the corpus grows (a document's split never changes)."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", F.lit("train"))
+        .when(h <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))
