@@ -771,6 +771,37 @@ FROM sigs
 """
 
 
+def _ann_lsh_sql() -> str:
+    sig_sql = _hyperplane_sig_sql().strip()
+    return f"""
+WITH sigs AS ({sig_sql}),
+bands AS (
+  SELECT vec_id, 0 AS bi, band0 AS bv FROM sigs
+  UNION ALL
+  SELECT vec_id, 1 AS bi, band1 AS bv FROM sigs
+),
+qb AS (SELECT vec_id AS q_id, bi, bv FROM bands WHERE vec_id < {sim.N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.q_id, b.vec_id
+  FROM bands b JOIN qb ON b.bi = qb.bi AND b.bv = qb.bv
+  WHERE b.vec_id <> qb.q_id
+),
+pts AS ({_PTS}),
+scored AS (
+  SELECT c.q_id, c.vec_id, {_cos_expr("q.emb", "p.emb")} AS sim_raw
+  FROM cand c
+  JOIN pts p ON c.vec_id = p.vec_id
+  JOIN pts q ON c.q_id = q.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, rank, round(sim_raw, 6) AS sim
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY q_id ORDER BY sim_raw DESC, vec_id
+  ) AS BIGINT) AS rank FROM scored
+) WHERE rank <= {sim.TOP_K}
+"""
+
+
 def _queries_dedup_similarity() -> list[Query]:
     return [
         Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL),
@@ -781,6 +812,11 @@ def _queries_dedup_similarity() -> list[Query]:
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
         Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
+        Query(
+            "ann_lsh",
+            lambda spark, sf_dir: sim.ann_lsh_topk(spark, sf_dir),
+            _ann_lsh_sql(),
+        ),
         Query("dedup_embedding", _embedding_near_dup, _NEAR_DUP_SQL),
         Query("embedding_lsh_sig", _hyperplane_sig, _hyperplane_sig_sql()),
     ]

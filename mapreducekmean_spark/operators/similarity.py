@@ -196,6 +196,61 @@ def embedding_near_dup(
     return out.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
 
 
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the second scale variant alongside IVF:
+    candidates are points sharing at least one hyperplane-signature band
+    with the query, scored exactly, ranked per query.
+
+    Scale shape: the band table is O(n·bands) narrow rows with uniform
+    keys; the candidate join is an equi hash join on (band_idx, bucket)
+    against the broadcast query bands — work scales with bucket
+    occupancy, never n². Recall rises with more bands/planes; the
+    brute-force twin (``cosine_topk``) is the recall-1.0 baseline."""
+    qs, pts = _queries_and_points(spark, sf_dir)
+    sigs = hyperplane_signature(spark, sf_dir)
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"), F.col("band0").alias("bv")
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"), F.col("band1").alias("bv")
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    q_bands = bands.join(
+        qs.select("q_id"), bands.vec_id == F.col("q_id")
+    ).select("q_id", "bi", "bv")
+    cand = (
+        bands.join(F.broadcast(q_bands), ["bi", "bv"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    scored = cand.join(pts, "vec_id").join(F.broadcast(qs), "q_id")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "sim_raw", cosine_sim(F.col("q_emb"), F.col("emb"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
 def _plane(p: int, dim: int) -> Column:
     """Deterministic pseudo-random ±1 hyperplane: component d is +1 iff
     the first hex char of md5('p:d') has its high bit set."""

@@ -148,6 +148,20 @@ def stream_sessionize(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: drop retransmitted events by ``event_id``
+    within a 1-hour event-time watermark —
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by the lateness window instead
+    of growing with the stream (the scale requirement for dedup over an
+    unbounded source; the batch twin is ``dedup_exact``)."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -190,3 +190,29 @@ def test_multimodal_plans(spark, sf_small):
     )
     fs = mm.frame_sample_plan(assets, every_n=5).collect()
     assert fs and all(r["frame_idx"] % 5 == 0 for r in fs)
+
+
+def test_stream_dedup_drops_retransmissions(spark, sf_small, tmp_path):
+    """Every event staged twice (two file copies) must appear exactly once
+    after dropDuplicatesWithinWatermark on event_id."""
+    import os
+
+    from mapreducekmean_spark.sources import load_table
+    from mapreducekmean_spark.streaming.jobs import stream_dedup_events
+
+    src = os.path.abspath(f"{sf_small}/events.parquet")
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    os.symlink(src, d / "a.parquet")
+    os.symlink(src, d / "b.parquet")
+
+    raw_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(raw_schema).parquet(str(d))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    deduped = stream_dedup_events(raw)
+    run_to_memory(deduped, "dedup_out")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    want = load_table(spark, sf_small, "events").count()
+    assert got["n"] == got["d"] == want
