@@ -1,0 +1,102 @@
+"""Edge-case hardening: degenerate inputs the fixtures never produce —
+empty documents, unicode, NaN coordinates, k=1, single-point clusters."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_tokens_empty_and_unicode(spark):
+    from mapreducekmean_spark.operators.text import tokens
+
+    df = spark.createDataFrame(
+        [Row(text=""), Row(text="   "), Row(text="héllo wörld 123"), Row(text="a-b_c")]
+    )
+    got = [r.t for r in df.select(tokens("text").alias("t")).collect()]
+    assert got[0] == [] and got[1] == []
+    # ASCII-range tokenizer: accented chars split tokens (documented
+    # [a-z0-9]+ semantics, identical in the DuckDB oracle)
+    assert "123" in got[2]
+    assert got[3] == ["a", "b", "c"]
+
+
+def test_shingles_short_docs_empty(spark):
+    from mapreducekmean_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([Row(text="one two"), Row(text="one")])
+    got = [r.s for r in df.select(shingles().alias("s")).collect()]
+    assert got == [[], []]
+
+
+def test_exact_dedup_whitespace_case_insensitive(spark):
+    from mapreducekmean_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="different"),
+        ]
+    )
+    got = {
+        (r.keep_id, r.n_copies) for r in exact_dedup(df).collect()
+    }
+    assert (1, 2) in got and (3, 1) in got
+
+
+def test_points_csv_nan_rows_filtered(spark, tmp_path):
+    """'NaN' parses as a double NaN — the validity filter must drop it
+    (the reference would propagate it into every distance)."""
+    p = tmp_path / "nan.csv"
+    p.write_text("1.0,2.0\nNaN,3.0\n4.0,NaN\n5.0,6.0\n")
+    from mapreducekmean_spark.sources import read_points_csv
+
+    got = sorted(tuple(r) for r in read_points_csv(spark, str(p)).collect())
+    assert got == [(1.0, 2.0), (5.0, 6.0)]
+
+
+def test_lloyd_k1_converges(spark):
+    from mapreducekmean_spark.operators import kmeans as km
+
+    pts = spark.createDataFrame(
+        [Row(vec_id=i, emb=[float(i), 0.0]) for i in range(10)]
+    )
+    res = km.lloyd(pts, k=1)
+    assert res.converged
+    # single cluster centroid = global mean
+    assert abs(res.centroids[0][0] - 4.5) < 1e-12
+
+
+def test_lloyd_k_equals_n(spark):
+    """k == n points: every point its own cluster, converges iteration 1."""
+    from mapreducekmean_spark.operators import kmeans as km
+
+    pts = spark.createDataFrame(
+        [Row(vec_id=i, emb=[float(i) * 10, 1.0]) for i in range(4)]
+    )
+    res = km.lloyd(pts, k=4)
+    assert res.converged
+    xs = sorted(c[0] for c in res.centroids)
+    assert xs == [0.0, 10.0, 20.0, 30.0]
+
+
+def test_assign_nan_free_distances(spark):
+    """Distances over finite inputs are finite (no NaN leaks from the
+    fold)."""
+    from mapreducekmean_spark.operators import kmeans as km
+
+    pts = spark.createDataFrame([Row(vec_id=1, emb=[1e300, -1e300])])
+    out = km.with_distances(pts, [[0.0, 0.0]]).select(
+        F.element_at("dists", 1).alias("d")
+    ).first()
+    assert out.d == float("inf")  # overflow → inf, not NaN
+
+
+def test_salted_join_empty_small_side(spark):
+    from mapreducekmean_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([], "k int, w string")
+    assert salted_join(big, small, "k").count() == 0
+    assert salted_join(big, small, "k", how="left").count() == 1
