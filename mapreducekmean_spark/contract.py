@@ -961,6 +961,21 @@ def _queries_analytic() -> list[Query]:
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),
         Query("events_json_stats", an.events_json_stats, _JSON_STATS_SQL),
         Query("running_spend", an.running_spend, _RUNNING_SPEND_SQL),
+        Query(
+            "set_ops_bag",
+            an.customer_set_ops_bag,
+            """
+SELECT custkey, count(*) AS n FROM (
+  (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+   EXCEPT ALL
+   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  INTERSECT ALL
+  SELECT o_custkey FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+) GROUP BY custkey
+""",
+        ),
         Query("events_pivot", an.events_pivot, _EVENTS_PIVOT_SQL),
         Query("sample_stratified", an.sample_stratified, _SAMPLE_STRAT_SQL),
     ]

@@ -110,6 +110,28 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (ALL variants — duplicates preserved):
+    urgent-order custkeys EXCEPT ALL finished-order custkeys, then
+    INTERSECT ALL with BUILDING-segment custkeys replicated per order.
+    Output keeps multiplicity, aggregated to (custkey, n) so the result
+    is deterministic and compact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building_orders = o.join(
+        c.filter(F.col("c_mktsegment") == "BUILDING"),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("o_custkey").alias("custkey"))
+    bag = urgent.exceptAll(finished).intersectAll(building_orders)
+    return bag.groupBy("custkey").agg(F.count("*").alias("n"))
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (``props`` is a JSON object column): parse with
     ``from_json`` (JVM codegen, no Python) and aggregate the extracted

@@ -32,3 +32,25 @@ def test_hll_sketch_accuracy(spark, sf_oracle):
         assert r.exact_users > 0
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
         assert rel_err <= 0.06, (r.event_type, rel_err)
+
+
+def _recall_at_k(spark, sf_dir, name):
+    truth: dict = {}
+    for r in QUERIES["cosine_topk"].fn(spark, sf_dir).collect():
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in QUERIES[name].fn(spark, sf_dir).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+@pytest.mark.parametrize("name,floor", [("ann_ivf", 0.20), ("ann_lsh", 0.03)])
+def test_ann_recall_beats_random(spark, sf_oracle, name, floor):
+    """ANN recall@5 vs the brute-force ground truth. Fixture embeddings
+    are near-random (max pairwise cosine ~0.48), so absolute recall is
+    intrinsically modest — the invariant is that each index is an order
+    of magnitude above the random-candidate baseline (5/n ~ 0.0025), and
+    above a measured regression floor (ivf 0.34, lsh 0.06 at sf0.01)."""
+    rec = _recall_at_k(spark, sf_oracle, name)
+    assert rec >= floor, rec
