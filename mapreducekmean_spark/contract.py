@@ -908,6 +908,20 @@ FROM e
 GROUP BY event_type
 """
 
+_REVENUE_7D_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS DOUBLE) / 100 AS revenue_7d,
+       count(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+)
+"""
+
 _RUNNING_SPEND_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER w AS BIGINT) AS seq,
@@ -956,6 +970,14 @@ def _queries_analytic() -> list[Query]:
             sqlmod.sql_nation_balance,
             sqlmod.PORTABLE_QUERIES["sql_nation_balance"],
         ),
+        Query(
+            "sql_above_nation_avg",
+            lambda spark, sf_dir: sqlmod.run_sql(
+                spark, sf_dir, sqlmod.PORTABLE_QUERIES["sql_above_nation_avg"]
+            ),
+            sqlmod.PORTABLE_QUERIES["sql_above_nation_avg"],
+        ),
+        Query("revenue_7d_window", an.revenue_7d_window, _REVENUE_7D_SQL),
         Query("orders_rollup", an.orders_rollup, _ORDERS_ROLLUP_SQL),
         Query("events_cube", an.events_cube, _EVENTS_CUBE_SQL),
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),

@@ -189,6 +189,33 @@ def sample_stratified(
     )
 
 
+def revenue_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total order value within the
+    trailing 7 days of each order (value-based frame — unlike ROWS
+    frames, the result is independent of tie order by construction).
+    Time is integer epoch seconds; sums are integer cents — exact."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch_s = F.unix_seconds(F.date_trunc("second", "o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        o.withColumn("epoch_s", epoch_s)
+        .withColumn("price_c", _cents("o_totalprice"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "epoch_s",
+            (F.sum("price_c").over(w).cast("double") / 100).alias(
+                "revenue_7d"
+            ),
+            F.count("*").over(w).alias("n_orders_7d"),
+        )
+    )
+
+
 def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order timeline: sequence number, running spend
     (integer-cent cumulative sum → exact), and days since the previous

@@ -48,6 +48,19 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 HAVING count(*) > 5
 """,
+    # Correlated scalar subquery: customers above their own nation's
+    # average balance. The average is computed from identical integer
+    # cent sums on both engines, so the comparison is exact.
+    "sql_above_nation_avg": """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+  SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / count(*)
+  FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
 }
 
 
