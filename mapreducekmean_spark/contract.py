@@ -978,6 +978,21 @@ def _queries_analytic() -> list[Query]:
             sqlmod.PORTABLE_QUERIES["sql_above_nation_avg"],
         ),
         Query("revenue_7d_window", an.revenue_7d_window, _REVENUE_7D_SQL),
+        Query(
+            "customer_rank_stats",
+            an.customer_rank_stats,
+            """
+SELECT c_custkey, c_mktsegment,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (
+  PARTITION BY c_mktsegment
+  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey ASC
+)
+""",
+        ),
         Query("orders_rollup", an.orders_rollup, _ORDERS_ROLLUP_SQL),
         Query("events_cube", an.events_cube, _EVENTS_CUBE_SQL),
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),

@@ -189,6 +189,26 @@ def sample_stratified(
     )
 
 
+def customer_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite in one pass: dense_rank, percent_rank, and
+    ntile(4) over customers ranked by account balance within their market
+    segment. Fully ordered (cent-exact balance + custkey tie-break) so
+    every rank is deterministic; one shuffle on the segment key."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_c", _cents("c_acctbal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_c").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
 def revenue_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per customer, total order value within the
     trailing 7 days of each order (value-based frame — unlike ROWS
