@@ -64,8 +64,18 @@ def load_points(spark, path: str, fmt: str):
         )
     df = spark.read.parquet(path)
     emb = "embedding" if "embedding" in df.columns else "emb"
+    if emb not in df.columns:
+        raise SystemExit(
+            "parquet input needs an 'embedding' or 'emb' array column; "
+            f"found {df.columns}"
+        )
+    id_candidates = [
+        c for c in ("vec_id", "id", "doc_id") if c in df.columns
+    ] or [c for c in df.columns if c != emb]
+    if not id_candidates:
+        raise SystemExit("parquet input needs an id column besides the embedding")
     return df.select(
-        F.col(df.columns[0]).cast("bigint").alias("vec_id"),
+        F.col(id_candidates[0]).cast("bigint").alias("vec_id"),
         F.col(emb).cast("array<double>").alias("emb"),
     )
 
@@ -85,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         dim = dim_row["d"]
         cents = km.collect_centroids(km.deterministic_init(pts, args.k))
+        if len(cents) < args.k:
+            print(
+                f"k={args.k} exceeds the {len(cents)} valid input points",
+                file=sys.stderr,
+            )
+            return 1
         converged = False
         it = 0
         for it in range(1, args.max_iter + 1):

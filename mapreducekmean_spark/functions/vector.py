@@ -86,9 +86,20 @@ def centroid_literal_sql(centroids: Sequence[Sequence[float]]) -> str:
     round-trips doubles exactly and the SQL parser reads them back
     correctly rounded, so values are bit-identical to ``F.lit``.
     """
+    def lit(v: float) -> str:
+        v = float(v)
+        # repr(inf/nan) would emit `infD` → unresolved-column error; use
+        # the parseable cast forms (same values F.lit would produce).
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{v!r}D"
+
     inner = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
-        for c in centroids
+        "array(" + ",".join(lit(v) for v in c) + ")" for c in centroids
     )
     return f"array({inner})"
 

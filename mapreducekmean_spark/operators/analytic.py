@@ -43,8 +43,9 @@ from pyspark.sql import functions as F
 from mapreducekmean_spark.sources import load_table
 
 
-def _cents(col: str) -> F.Column:
-    return F.round(F.col(col) * 100).cast("bigint")
+# Shared integer-cent money kernel (the cross-engine exactness rule) —
+# single-sourced from the relational module.
+from mapreducekmean_spark.operators.relational import _cents  # noqa: E402
 
 
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +138,9 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json`` (JVM codegen, no Python) and aggregate the extracted
     integer per event type."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "k", F.from_json("props", "k INT").getField("k").cast("bigint")
+        # BIGINT, matching the oracle's CAST(... AS BIGINT): with 'k INT'
+        # a value >= 2^31 would become NULL only on the Spark side.
+        "k", F.from_json("props", "k BIGINT").getField("k")
     )
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),

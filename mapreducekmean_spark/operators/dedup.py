@@ -167,7 +167,10 @@ def ngram_jaccard_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
     # a's block or the next one, so the left side emits two block keys and
     # the join is a plain shuffle/broadcast hash join on (lang, blk) —
     # never the O(n²) nested loop the raw range predicate would plan.
-    blk = (F.col("doc_id") / window).cast("bigint")
+    # floor division (cast would truncate toward zero — wrong blocks for
+    # negative ids); fixture ids are small, so the double division is
+    # exact well past any realistic id range.
+    blk = F.floor(F.col("doc_id") / window).cast("bigint")
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

@@ -76,9 +76,12 @@ def read_points_csv(spark: SparkSession, path: str, strict: bool = False) -> Dat
     df = spark.read.csv(path, schema=POINTS_SCHEMA, mode=mode)
     if strict:
         return df
+    inf = float("inf")
     return df.filter(
         F.col("x").isNotNull()
         & F.col("y").isNotNull()
         & ~F.isnan("x")
         & ~F.isnan("y")
+        & (F.abs("x") != inf)
+        & (F.abs("y") != inf)
     )

@@ -24,10 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 from mapreducekmean_spark.sources import TABLES, load_table
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (idempotent)."""
+#: session id → sf_dir currently registered — avoids re-reading 10
+#: parquet schemas + 10 catalog calls on every query execution, while a
+#: *different* sf_dir for the same session still re-registers (views
+#: always reflect the last requested directory).
+_REGISTERED: dict[int, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every fixture table as a temp view (idempotent per
+    (session, sf_dir) unless ``force``)."""
+    if not force and _REGISTERED.get(id(spark)) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[id(spark)] = sf_dir
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -42,16 +42,10 @@ def test_cli_end_to_end(tmp_path):
 
     lines = sorted(
         ln
-        for p in out.glob("part-*.txt") or out.glob("part-*")
+        for p in out.iterdir()
+        if p.name.startswith("part-")
         for ln in p.read_text().splitlines()
     )
-    if not lines:  # text sink writes part-* without extension sometimes
-        lines = sorted(
-            ln
-            for p in out.iterdir()
-            if p.name.startswith("part-")
-            for ln in p.read_text().splitlines()
-        )
     assert len(lines) == 2
     cents = {}
     for ln in lines:

@@ -100,3 +100,61 @@ def test_salted_join_empty_small_side(spark):
     small = spark.createDataFrame([], "k int, w string")
     assert salted_join(big, small, "k").count() == 0
     assert salted_join(big, small, "k", how="left").count() == 1
+
+
+def test_centroid_literal_sql_nonfinite(spark):
+    """inf/nan centroid components must produce parseable literals, not
+    an unresolved `infD` column (regression: repr-based literal)."""
+    from mapreducekmean_spark.functions.vector import centroid_literal_sql
+
+    inf, nan = float("inf"), float("nan")
+    rows = spark.sql(
+        f"SELECT {centroid_literal_sql([[inf, -inf], [nan, 1.5]])} AS c"
+    ).first()["c"]
+    assert rows[0][0] == inf and rows[0][1] == -inf
+    assert rows[1][0] != rows[1][0] and rows[1][1] == 1.5
+
+
+def test_points_csv_infinity_filtered(spark, tmp_path):
+    p = tmp_path / "inf.csv"
+    p.write_text("1.0,2.0\nInfinity,3.0\n4.0,-Infinity\n5.0,6.0\n")
+    from mapreducekmean_spark.sources import read_points_csv
+
+    got = sorted(tuple(r) for r in read_points_csv(spark, str(p)).collect())
+    assert got == [(1.0, 2.0), (5.0, 6.0)]
+
+
+def test_ngram_block_key_negative_ids(spark):
+    """Blocked jaccard join must not drop in-window pairs for negative
+    doc_ids (regression: truncating cast vs floor division)."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=-4, lang="en", text="a b c d"),
+            Row(doc_id=-2, lang="en", text="a b c e"),
+            Row(doc_id=-1, lang="en", text="a b c f"),
+            Row(doc_id=1, lang="en", text="a b c g"),
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, window=3).collect()
+    }
+    want = {(-4, -2), (-4, -1), (-2, -1), (-2, 1), (-1, 1)}
+    assert pairs == want
+
+
+def test_cli_k_exceeds_points(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    src = tmp_path / "p.csv"
+    src.write_text("0,0\n1,1\n")
+    res = subprocess.run(
+        [_sys.executable, "-m", "mapreducekmean_spark", "5", str(src), str(tmp_path / "o")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 1
+    assert "exceeds" in res.stderr
