@@ -45,6 +45,9 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Custom Python data sources (sources/points_datasource.py) may
+        # implement pushFilters; the capability is config-gated.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as bigint nanos and convert in the
         # loaders (sources/readers.py) — DuckDB truncates the same way.

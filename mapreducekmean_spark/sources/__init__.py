@@ -16,6 +16,9 @@ from mapreducekmean_spark.sources.readers import (
     load_tables,
     read_points_csv,
 )
+from mapreducekmean_spark.sources.points_datasource import (
+    register as register_points_source,
+)
 from mapreducekmean_spark.sources.sinks import (
     archive_iteration,
     read_archive,
@@ -30,6 +33,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_points_csv",
+    "register_points_source",
     "archive_iteration",
     "read_archive",
     "write_csv",

@@ -104,3 +104,43 @@ def test_archive_partitioned_history(spark, sf_small, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "iteration" in plan
     assert one.count() == 4
+
+
+def test_points_datasource_reads_reference_format(spark, tmp_path):
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    p = tmp_path / "pts.csv"
+    p.write_text("1.0,2.0\nbad,line\n3.5,-4.25\nNaN,1.0\nInfinity,2.0\n")
+    df = spark.read.format("points").load(str(p))
+    assert sorted(tuple(r) for r in df.collect()) == [(1.0, 2.0), (3.5, -4.25)]
+
+
+def test_points_datasource_partitions_per_file(spark, tmp_path):
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.csv").write_text(f"{i}.0,{i}.0\n")
+    df = spark.read.format("points").load(str(d))
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3
+
+
+def test_points_datasource_filter_pushdown_correct(spark, tmp_path):
+    """Pushed x/y comparisons filter inside the reader; unsupported
+    predicates still apply post-scan — result equals the unpushed
+    filter either way."""
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    p = tmp_path / "pts.csv"
+    p.write_text("".join(f"{i}.0,{10 - i}.0\n" for i in range(10)))
+    df = spark.read.format("points").load(str(p))
+    got = sorted(
+        tuple(r)
+        for r in df.filter((F.col("x") > 3.0) & (F.col("y") >= 5.0)).collect()
+    )
+    assert got == [(4.0, 6.0), (5.0, 5.0)]
