@@ -979,6 +979,32 @@ def _queries_analytic() -> list[Query]:
         ),
         Query("revenue_7d_window", an.revenue_7d_window, _REVENUE_7D_SQL),
         Query(
+            "top_customer_per_nation",
+            an.top_customer_per_nation,
+            """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       max_by(c_custkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+         AS top_custkey,
+       CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS max_balance,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+        ),
+        Query(
+            "orders_list_per_customer",
+            an.orders_list_per_customer,
+            """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS orderkeys,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+        ),
+        Query(
             "customer_rank_stats",
             an.customer_rank_stats,
             """

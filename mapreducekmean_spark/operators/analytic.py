@@ -192,6 +192,44 @@ def sample_stratified(
     )
 
 
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/argmax aggregate: per nation, the customer holding the
+    largest balance. The ordering key is made unique (cent balance
+    composed with custkey) so the argmax is deterministic — max_by tie
+    semantics are engine-undefined otherwise."""
+    c = load_table(spark, sf_dir, "customer")
+    # unique ordering key: balance dominates, custkey breaks ties
+    ordk = _cents("c_acctbal") * 10_000_000 + F.col("c_custkey")
+    return (
+        c.withColumn("ordk", ordk)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", "ordk").alias("top_custkey"),
+            (F.max(_cents("c_acctbal")).cast("double") / 100).alias(
+                "max_balance"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "top_custkey",
+            "max_balance",
+            "n_customers",
+        )
+    )
+
+
+def orders_list_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg: per customer, the sorted list of their order keys.
+    collect_list order is nondeterministic under parallel aggregation —
+    sorting the result array restores cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def customer_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function suite in one pass: dense_rank, percent_rank, and
     ntile(4) over customers ranked by account balance within their market
