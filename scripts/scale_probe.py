@@ -1,0 +1,143 @@
+"""Scale probe: run the engine's hot paths on synthetic data 1-2 orders
+of magnitude beyond the fixtures, and report throughput.
+
+Generates (once, under /tmp):
+- ``embeddings_big``: N_VECS rows x 64-d float arrays (deterministic
+  sin-based values — no RNG, reproducible);
+- ``lineitem_big``: the sf0.1 lineitem replicated REPL times with
+  shifted keys (~600k * REPL rows).
+
+Then times the three scan-bound kernels the 100 TB design hinges on:
+nearest-centroid assignment + mean update (one Lloyd iteration), the
+Q1-shaped 8-aggregate group-by, and the Q6 pushdown scan-agg. Prints
+one JSON line; results are recorded in SCALE.md.
+
+Usage: python scripts/scale_probe.py [--vecs 1000000] [--repl 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark import get_spark
+from mapreducekmean_spark.operators import kmeans as km
+from mapreducekmean_spark.operators import relational as rel
+
+BASE = "/tmp/mrkm_scale"
+
+
+def ensure_embeddings(spark, n_vecs: int) -> str:
+    path = f"{BASE}/embeddings_{n_vecs}"
+    if not os.path.exists(path):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> sin(CAST(id * i AS DOUBLE)))"
+                ).alias("emb"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def ensure_lineitem(spark, sf_dir: str, repl: int) -> str:
+    path = f"{BASE}/lineitem_x{repl}"
+    if not os.path.exists(path):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (
+            li.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("rep") * 10_000_000,
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--repl", type=int, default=16)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-probe")
+    emb_path = ensure_embeddings(spark, args.vecs)
+    li_path = ensure_lineitem(spark, args.sf_dir, args.repl)
+
+    results: dict[str, dict] = {}
+
+    # 1) one Lloyd iteration (assignment + d-wide mean) on N_VECS x 64-d
+    pts = spark.read.parquet(emb_path).select(
+        "vec_id", F.col("emb").cast("array<double>").alias("emb")
+    )
+    cents = km.collect_centroids(km.deterministic_init(pts, 10))
+    t0 = time.perf_counter()
+    rows = km.centroid_update_wide(km.assign(pts, cents), 64).collect()
+    dt = time.perf_counter() - t0
+    results["lloyd_iteration"] = {
+        "rows": args.vecs,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(args.vecs / dt),
+        "clusters": len(rows),
+    }
+
+    # 2) Q1-shaped aggregate on replicated lineitem
+    li = spark.read.parquet(li_path)
+    n_li = li.count()
+    price, disc, tax = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    t0 = time.perf_counter()
+    li.withColumn("ship_ok", F.lit(True)).groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(price * (1 - disc)).alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.count("*").alias("n"),
+    ).collect()
+    dt = time.perf_counter() - t0
+    results["q1_aggregate"] = {
+        "rows": n_li,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_li / dt),
+    }
+
+    # 3) Q6 pushdown scan-agg (predicates reach the parquet scan)
+    t0 = time.perf_counter()
+    li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(price * disc).alias("rev"), F.count("*").alias("n")).collect()
+    dt = time.perf_counter() - t0
+    results["q6_scan_agg"] = {
+        "rows": n_li,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_li / dt),
+    }
+
+    print(json.dumps({"scale_probe": results}))
+
+
+if __name__ == "__main__":
+    main()
