@@ -802,9 +802,46 @@ FROM (
 """
 
 
+def _multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the real Arrow/mapInPandas path,
+    projected to the oracle-able columns (byte length + md5 checksum of
+    the binary payload; the md5-derived fake features stay covered by
+    pytest — the codec itself is stubbed, SURVEY §2.4)."""
+    from mapreducekmean_spark import multimodal as mm
+
+    feats = mm.extract_features(mm.assets_from_documents(spark, sf_dir))
+    return feats.select("asset_id", "modality", "n_bytes", "checksum")
+
+
 def _queries_dedup_similarity() -> list[Query]:
     return [
         Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL),
+        Query(
+            "dedup_apply",
+            lambda spark, sf_dir: dd.dedup_apply(
+                dd.documents_source(spark, sf_dir)
+            ),
+            r"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+""",
+        ),
+        Query(
+            "multimodal_checksums",
+            lambda spark, sf_dir: _multimodal_checksums(spark, sf_dir),
+            """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+        ),
         Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),

@@ -54,6 +54,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_apply(docs: DataFrame) -> DataFrame:
+    """The *apply* stage of exact dedup: the corpus with non-canonical
+    duplicates removed (left-semi join against the keep set — the second
+    half of the identify→apply pipeline every dedup run ends with).
+    One aggregation + one semi join, both keyed on uniform md5 values."""
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def shingles(col: str = "text", n: int = 3) -> Column:
     """Token n-gram shingles (space-joined). Empty array when the document
     has fewer than ``n`` tokens.

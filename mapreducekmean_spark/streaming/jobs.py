@@ -148,6 +148,42 @@ def stream_sessionize(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(
+    events_stream: DataFrame, within_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a preceding
+    view by the same user within ``within_minutes``. Both sides carry
+    event-time watermarks and the join condition bounds the time range,
+    so Spark can expire buffered state once the watermark passes — the
+    state-bounding requirement for stream-stream joins on unbounded
+    sources."""
+    views = (
+        events_stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        events_stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    cond = F.expr(
+        "v_user = b_user AND buy_ts >= view_ts "
+        f"AND buy_ts <= view_ts + interval {within_minutes} minutes"
+    )
+    return views.join(buys, cond).select(
+        "v_user", "view_id", "buy_id", "view_ts", "buy_ts"
+    )
+
+
 def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup: drop retransmitted events by ``event_id``
     within a 1-hour event-time watermark —

@@ -216,3 +216,40 @@ def test_stream_dedup_drops_retransmissions(spark, sf_small, tmp_path):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     want = load_table(spark, sf_small, "events").count()
     assert got["n"] == got["d"] == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small):
+    """Stream-stream interval join result must equal the identical batch
+    self-join (attribution of purchases to preceding views)."""
+    from mapreducekmean_spark.sources import load_table
+    from mapreducekmean_spark.streaming.jobs import stream_view_purchase_join
+
+    joined = stream_view_purchase_join(read_events_stream(spark, sf_small))
+    run_to_memory(joined, "vp_out")
+    got = {
+        (r.v_user, r.view_id, r.buy_id)
+        for r in spark.sql("SELECT * FROM vp_out").collect()
+    }
+
+    ev_batch = load_table(spark, sf_small, "events")
+    views = ev_batch.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev_batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    want = {
+        (r.v_user, r.view_id, r.buy_id)
+        for r in views.join(
+            buys,
+            F.expr(
+                "v_user = b_user AND buy_ts >= view_ts "
+                "AND buy_ts <= view_ts + interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
