@@ -158,3 +158,14 @@ def test_cli_k_exceeds_points(tmp_path):
     )
     assert res.returncode == 1
     assert "exceeds" in res.stderr
+
+
+def test_register_views_sf_switch(spark, sf_small, sf_oracle):
+    """The view-registration cache must re-register when the same session
+    asks for a different sf_dir (views always reflect the last request)."""
+    from mapreducekmean_spark.sql import run_sql
+
+    n_small = run_sql(spark, sf_small, "SELECT count(*) AS n FROM orders").first()["n"]
+    n_big = run_sql(spark, sf_oracle, "SELECT count(*) AS n FROM orders").first()["n"]
+    n_small2 = run_sql(spark, sf_small, "SELECT count(*) AS n FROM orders").first()["n"]
+    assert n_small == n_small2 and n_big > n_small
