@@ -140,3 +140,35 @@ def test_points_csv_safe_parse(spark, tmp_path):
     df = read_points_csv(spark, str(p))
     rows = sorted((r["x"], r["y"]) for r in df.collect())
     assert rows == [(1.0, 2.0), (3.5, 4.5), (5.0, 6.0)]
+
+
+GOLDEN_SF001 = os.path.join(
+    os.path.dirname(__file__), "golden", "kmeans_sf001.json"
+)
+
+
+def test_golden_centroids_sf001(spark, sf_oracle):
+    """Second golden at the driver's correctness scale factor (sf0.01):
+    protects the rows-only kmeans_full path against silent drift at the
+    exact size the driver exercises."""
+    pts = km.embeddings(spark, sf_oracle).cache()
+    try:
+        result = km.lloyd(pts, k=10)
+    finally:
+        pts.unpersist()
+    got = {
+        "iterations": result.iterations,
+        "converged": result.converged,
+        "centroids": [[round(v, 6) for v in c] for c in result.centroids],
+    }
+    if not os.path.exists(GOLDEN_SF001):
+        with open(GOLDEN_SF001, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        pytest.skip("golden file created; rerun to compare")
+    with open(GOLDEN_SF001) as f:
+        want = json.load(f)
+    assert got["iterations"] == want["iterations"]
+    assert got["converged"] == want["converged"]
+    for gc, wc in zip(got["centroids"], want["centroids"]):
+        for a, b in zip(gc, wc):
+            assert abs(a - b) <= 2e-6
