@@ -1016,6 +1016,20 @@ def _queries_analytic() -> list[Query]:
         ),
         Query("revenue_7d_window", an.revenue_7d_window, _REVENUE_7D_SQL),
         Query(
+            "events_asof_purchase",
+            an.events_asof_purchase,
+            """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+       b.event_id AS last_buy_id,
+       b.value AS last_buy_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON v.user_id = b.user_id AND b.ts <= v.ts
+""",
+        ),
+        Query(
             "top_customer_per_nation",
             an.top_customer_per_nation,
             """

@@ -192,6 +192,92 @@ def sample_stratified(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """AS-OF join (an operator Spark lacks natively): for each left row,
+    the right row with the greatest ``right_time`` <= ``left_time`` for
+    the same key — expressed as the scalable union→window pattern
+    instead of an inequality join:
+
+    union both sides tagged (right sorts before left at equal times, so
+    <= is inclusive) → one hash partition on the key → one sort by
+    (time, tag) → ``last(value, ignorenulls=True)`` over an unbounded
+    preceding frame carries the most recent right value onto every left
+    row. ONE shuffle + one sort, versus the O(n·m)-per-key nested loop
+    an inequality join plans; this is the standard at-scale formulation
+    (a sort-merge as-of). Left rows with no prior right row keep NULLs
+    (as-of LEFT semantics).
+    """
+    payload = [c for c in left.columns if c not in (on, left_time)]
+    lt = left.select(
+        on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *payload,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    rt = right.select(
+        on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+        *value_cols,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return (
+        lt.unionByName(rt)
+        .select(on, F.col("__t").alias(left_time), "__tag", *payload, *carried)
+        .where(F.col("__tag") == 1)
+        .drop("__tag")
+    )
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF demo on events: each view joined to the same user's most
+    recent purchase at-or-before it (fixture audit: no (user, ts)
+    duplicates at any sf, so the result is fully deterministic).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("view_us"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("buy_us"),
+        F.col("event_id").alias("last_buy_id"),
+        F.col("value").alias("last_buy_value"),
+    )
+    return asof_join(
+        views,
+        buys,
+        on="user_id",
+        left_time="view_us",
+        right_time="buy_us",
+        value_cols=["last_buy_id", "last_buy_value"],
+    )
+
+
 def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/argmax aggregate: per nation, the customer holding the
     largest balance. The ordering key is made unique (cent balance

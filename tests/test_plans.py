@@ -89,6 +89,15 @@ def test_json_stats_stays_jvm_side(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_asof_join_single_shuffle_no_nested_loop(spark, sf_small):
+    """The union-window as-of formulation must plan ONE hash exchange on
+    the key and NO nested-loop join (the naive inequality-join plan)."""
+    df = REG["events_asof_purchase"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert count_exchanges(df) == 1
+    assert "NestedLoop" not in plan
+
+
 def test_running_spend_single_shuffle(spark, sf_small):
     """One hash-partition on o_custkey feeds both window functions."""
     df = REG["running_spend"].fn(spark, sf_small)
