@@ -1072,6 +1072,26 @@ WINDOW w AS (
         ),
         Query("orders_rollup", an.orders_rollup, _ORDERS_ROLLUP_SQL),
         Query("events_cube", an.events_cube, _EVENTS_CUBE_SQL),
+        Query(
+            "events_time_rollup",
+            an.events_time_rollup,
+            """
+WITH e AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         user_id
+  FROM events
+)
+SELECT day_s, hour_s,
+       CAST(2 * GROUPING(day_s) + GROUPING(hour_s) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(value_c) AS DOUBLE) / 100 AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e
+GROUP BY ROLLUP (day_s, hour_s)
+""",
+        ),
         Query("set_ops_customers", an.customer_set_ops, _SET_OPS_SQL),
         Query("events_json_stats", an.events_json_stats, _JSON_STATS_SQL),
         Query("running_spend", an.running_spend, _RUNNING_SPEND_SQL),

@@ -87,6 +87,28 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: day and day+hour
+    aggregates (plus the grand total) in ONE pass via ROLLUP over two
+    truncations of the same timestamp — the continuous-aggregate shape a
+    time-series store maintains, planned as a single Expand + one
+    shuffle. Epoch-second keys, integer-cent sums: exact."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day_s", F.unix_seconds(F.date_trunc("day", "ts")))
+        .withColumn("hour_s", F.unix_seconds(F.date_trunc("hour", "ts")))
+        .withColumn("value_c", _cents("value"))
+    )
+    return ev.rollup("day_s", "hour_s").agg(
+        (F.grouping("day_s") * 2 + F.grouping("hour_s"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count("*").alias("n"),
+        (F.sum("value_c").cast("double") / 100).alias("sum_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION (distinct semantics, matching ANSI):
 
