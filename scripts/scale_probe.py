@@ -69,10 +69,37 @@ def ensure_lineitem(spark, sf_dir: str, repl: int) -> str:
     return path
 
 
+def ensure_events(spark, n_events: int) -> str:
+    """Synthetic event stream: 100k users, deterministic pseudo-random
+    types/timestamps (hash-derived, no RNG)."""
+    path = f"{BASE}/events_{n_events}"
+    if not os.path.exists(path):
+        (
+            spark.range(n_events)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.abs(F.hash(F.col("id"))) % 100_000).alias("user_id"),
+                F.element_at(
+                    F.expr("array('view','purchase','click')"),
+                    (F.abs(F.hash(F.col("id") + 7)) % 3 + 1).cast("int"),
+                ).alias("event_type"),
+                # ~30 days of microseconds, deterministic spread
+                (
+                    F.abs(F.hash(F.col("id") + 13)).cast("bigint")
+                    % (30 * 86400 * 1_000_000)
+                ).alias("us"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
     ap.add_argument("--repl", type=int, default=16)
+    ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -87,6 +114,10 @@ def main() -> None:
         "vec_id", F.col("emb").cast("array<double>").alias("emb")
     )
     cents = km.collect_centroids(km.deterministic_init(pts, 10))
+    # steady state: first execution pays one-time Janino codegen + JVM
+    # JIT warmup of the fold expressions (~3x at this size) — warm once,
+    # then time, matching bench.py's stated warmup policy.
+    km.centroid_update_wide(km.assign(pts, cents), 64).collect()
     t0 = time.perf_counter()
     rows = km.centroid_update_wide(km.assign(pts, cents), 64).collect()
     dt = time.perf_counter() - t0
@@ -134,6 +165,47 @@ def main() -> None:
         "rows": n_li,
         "sec": round(dt, 2),
         "rows_per_sec": int(n_li / dt),
+    }
+
+    # 4) window-heavy kernels on synthetic events (as-of + sessionize)
+    ev_path = ensure_events(spark, args.events)
+    ev = spark.read.parquet(ev_path)
+    n_ev = ev.count()
+
+    from mapreducekmean_spark.operators.analytic import asof_join
+    from mapreducekmean_spark.operators.events import sessionize
+
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("us").alias("view_us"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("us").alias("buy_us"),
+        F.col("event_id").alias("last_buy_id"),
+    )
+    t0 = time.perf_counter()
+    asof_join(
+        views, buys, "user_id", "view_us", "buy_us", ["last_buy_id"]
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    results["asof_join"] = {
+        "rows": n_ev,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_ev / dt),
+    }
+
+    t0 = time.perf_counter()
+    sessionize(
+        ev.select("user_id", "event_id", "event_type",
+                  F.timestamp_micros("us").alias("ts"))
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    results["sessionize"] = {
+        "rows": n_ev,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_ev / dt),
     }
 
     print(json.dumps({"scale_probe": results}))
