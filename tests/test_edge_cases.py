@@ -169,3 +169,43 @@ def test_register_views_sf_switch(spark, sf_small, sf_oracle):
     n_big = run_sql(spark, sf_oracle, "SELECT count(*) AS n FROM orders").first()["n"]
     n_small2 = run_sql(spark, sf_small, "SELECT count(*) AS n FROM orders").first()["n"]
     assert n_small == n_small2 and n_big > n_small
+
+
+def test_asof_join_semantics(spark):
+    """Generic as-of: latest right row at-or-before each left time,
+    inclusive boundary, NULLs when no prior right row exists."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.analytic import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lt=10, tag="a"),
+            Row(k=1, lt=20, tag="b"),
+            Row(k=1, lt=5, tag="c"),   # before any right row
+            Row(k=2, lt=10, tag="d"),  # key with no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=10, v="r10"),  # equal time -> inclusive
+            Row(k=1, rt=15, v="r15"),
+            Row(k=1, rt=8, v="r8"),
+        ]
+    )
+    got = {
+        r.tag: r.v
+        for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
+    }
+    assert got == {"a": "r10", "b": "r15", "c": None, "d": None}
+
+
+def test_asof_join_multiple_value_cols(spark):
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.analytic import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lt=100)])
+    right = spark.createDataFrame([Row(k=1, rt=50, a=7, b="x")])
+    r = asof_join(left, right, "k", "lt", "rt", ["a", "b"]).first()
+    assert (r.a, r.b) == (7, "x") and r.lt == 100
