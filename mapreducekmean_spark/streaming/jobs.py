@@ -198,6 +198,29 @@ def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Production file sink: append-mode parquet with a checkpoint
+    location. The checkpoint's offset log + file-sink manifest give
+    end-to-end exactly-once for file sources → file sinks: re-running
+    with the same checkpoint resumes from recorded offsets and never
+    rewrites committed batches (the streaming analogue of the
+    reference's archive-by-rename, minus the rename races). Synchronous
+    local-harness form — production would leave the query running."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -253,3 +253,37 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_parquet_sink_exactly_once(spark, sf_small, tmp_path):
+    """Checkpointed parquet sink: a re-run with the same checkpoint and
+    no new input commits no new rows (exactly-once restart semantics)."""
+    import os
+
+    from mapreducekmean_spark.sources import load_table
+    from mapreducekmean_spark.streaming.jobs import (
+        run_to_parquet,
+        stream_dedup_events,
+    )
+
+    src = os.path.abspath(f"{sf_small}/events.parquet")
+    d = tmp_path / "in"
+    d.mkdir()
+    os.symlink(src, d / "a.parquet")
+
+    raw_schema = spark.read.parquet(src).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = spark.readStream.schema(raw_schema).parquet(str(d))
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        run_to_parquet(stream_dedup_events(raw), out, ckpt)
+
+    run_once()
+    want = load_table(spark, sf_small, "events").count()
+    assert spark.read.parquet(out).count() == want
+    run_once()  # restart, same checkpoint, no new files
+    assert spark.read.parquet(out).count() == want
