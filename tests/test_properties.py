@@ -115,3 +115,38 @@ def test_cents_rounding_matches_python(spark, v):
     ).first()["c"]
     want = math.floor(v * 100 + 0.5) if v >= 0 else -math.floor(-v * 100 + 0.5)
     assert got == want
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_rows, asof_rows)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """asof_join == per-row brute force: the right row with the greatest
+    time <= left time for the same key (ties on right time impossible —
+    inputs deduplicated per (key, time))."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.analytic import asof_join
+
+    lrows = list({(k, t) for k, t in lrows})
+    rrows = list({(k, t) for k, t in rrows})
+    if not lrows:
+        return
+    left = spark.createDataFrame(
+        [Row(k=k, lt=t, lid=i) for i, (k, t) in enumerate(lrows)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, rt=t, v=f"v{k}_{t}") for k, t in rrows]
+    ) if rrows else spark.createDataFrame([], "k int, rt int, v string")
+    got = {
+        r.lid: r.v
+        for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, f"v{rk}_{rt}") for rk, rt in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
