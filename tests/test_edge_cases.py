@@ -209,3 +209,29 @@ def test_asof_join_multiple_value_cols(spark):
     right = spark.createDataFrame([Row(k=1, rt=50, a=7, b="x")])
     r = asof_join(left, right, "k", "lt", "rt", ["a", "b"]).first()
     assert (r.a, r.b) == (7, "x") and r.lt == 100
+
+
+def test_udtf_matches_hof_shingles(spark, sf_small):
+    """The Python UDTF off-ramp produces exactly the grams the
+    production higher-order-function path produces."""
+    from mapreducekmean_spark.functions.udtfs import register_udtfs
+    from mapreducekmean_spark.operators.dedup import shingles
+    from mapreducekmean_spark.operators.text import documents
+
+    register_udtfs(spark)
+    docs = documents(spark, sf_small).limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r.doc_id, r.pos, r.ngram)
+        for r in spark.sql(
+            "SELECT t.doc_id, g.pos, g.ngram "
+            "FROM udtf_docs t, LATERAL explode_ngrams(t.text, 3) g"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.pos, r.ngram)
+        for r in docs.select(
+            "doc_id", F.posexplode(shingles()).alias("pos", "ngram")
+        ).collect()
+    }
+    assert got == want and len(want) > 0
