@@ -150,3 +150,27 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
         cands = [(rt, f"v{rk}_{rt}") for rk, rt in rrows if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+join_rows = st.lists(st.integers(1, 4), min_size=0, max_size=10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(join_rows, join_rows)
+def test_salted_join_equals_plain_join(spark, big_keys, small_keys):
+    """salted_join is row-identical to the plain join for any key
+    multiset on either side (duplicates multiply, as in the plain join)."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=k, bid=i) for i, k in enumerate(big_keys)], "k int, bid int"
+    ) if big_keys else spark.createDataFrame([], "k int, bid int")
+    small = spark.createDataFrame(
+        [Row(k=k, sid=i) for i, k in enumerate(small_keys)], "k int, sid int"
+    ) if small_keys else spark.createDataFrame([], "k int, sid int")
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(big, small, "k", 4, how).collect()))
+        want = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == want, (how, got, want)
