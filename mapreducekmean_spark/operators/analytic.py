@@ -330,10 +330,15 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_list_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg: per customer, the sorted list of their order keys.
     collect_list order is nondeterministic under parallel aggregation —
-    sorting the result array restores cross-engine determinism."""
+    sorting the result array restores cross-engine determinism. The list
+    is serialized to a comma-joined string so external comparators that
+    hash row values (pandas-style) can handle it; the DuckDB oracle emits
+    the identical string via string_agg(... ORDER BY ...)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("o_orderkey"))
+        ).alias("orderkeys"),
         F.count("*").alias("n_orders"),
     )
 

@@ -22,8 +22,8 @@ TABLES = (
 
 
 #: Columns stored as parquet TIMESTAMP(NANOS). Spark reads them as bigint
-#: (``spark.sql.legacy.parquet.nanosAsLong``); we truncate nanos→micros the
-#: same way DuckDB's Python conversion does (floor), restoring TimestampType.
+#: (``spark.sql.legacy.parquet.nanosAsLong``); we floor nanos→micros the
+#: same way DuckDB's Python conversion does, restoring TimestampType.
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -37,14 +37,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan → Catalyst gets predicate pushdown + column pruning for
     free; this replaces the reference's whole-file text re-reads
     (``/root/reference/src/KMeans.java:54-58,214``).
+
+    The nanos conf is set here (runtime conf, idempotent) rather than at
+    session-build time so ANY SparkSession — including a vanilla one built
+    by an external harness — can read the TIMESTAMP(NANOS) fixtures.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Without this, reading events.parquet dies with PARQUET_TYPE_ILLEGAL:
+    # INT64 (TIMESTAMP(NANOS,false)) on sessions that didn't go through
+    # our session factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
+            # Exact integer floor-division (pmod keeps the remainder
+            # non-negative, so pre-epoch nanos floor like DuckDB's).
+            # float-based F.floor(col/1000) would lose precision: int64
+            # nanos exceed double's 2^53 exact range.
             df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+                ),
             )
     return df
 

@@ -19,30 +19,49 @@ explicit casts on every aggregate output.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreducekmean_spark.sources import TABLES, load_table
 
 
-#: session id → sf_dir currently registered — avoids re-reading 10
-#: parquet schemas + 10 catalog calls on every query execution, while a
+#: (session id, table) → sf_dir currently registered — avoids re-reading
+#: parquet schemas + catalog calls on every query execution, while a
 #: *different* sf_dir for the same session still re-registers (views
 #: always reflect the last requested directory).
-_REGISTERED: dict[int, str] = {}
+_REGISTERED: dict[tuple[int, str], str] = {}
 
 
-def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
-    """Register every fixture table as a temp view (idempotent per
-    (session, sf_dir) unless ``force``)."""
-    if not force and _REGISTERED.get(id(spark)) == sf_dir:
-        return
-    for name in TABLES:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    only: tuple[str, ...] | None = None,
+) -> None:
+    """Register fixture tables as temp views (idempotent per
+    (session, table, sf_dir) unless ``force``).
+
+    ``only`` restricts registration to the named tables — queries register
+    lazily (just what they reference), so one unreadable fixture can never
+    poison unrelated SQL.
+    """
+    for name in only if only is not None else TABLES:
+        if not force and _REGISTERED.get((id(spark), name)) == sf_dir:
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[id(spark)] = sf_dir
+        _REGISTERED[(id(spark), name)] = sf_dir
+
+
+def referenced_tables(query: str) -> tuple[str, ...]:
+    """Fixture tables a SQL text references (word-boundary match)."""
+    return tuple(
+        name for name in TABLES if re.search(rf"\b{name}\b", query)
+    )
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=referenced_tables(query))
     return spark.sql(query)
 
 

@@ -52,8 +52,10 @@ def compare_query(spark, sf_dir: str, query) -> list[str]:
 
     problems: list[str] = []
     if query.oracle is None:
-        if len(s_rows) < 0:  # rows-only: driver checks rows >= 0
-            problems.append("negative row count?!")
+        # rows-only: the driver only records the count, but a silently
+        # empty result should still fail the self-check.
+        if len(s_rows) == 0:
+            problems.append("rows-only query returned 0 rows")
         return problems
 
     con = duckdb_conn(sf_dir)
