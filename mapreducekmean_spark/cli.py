@@ -48,18 +48,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_points(spark, path: str, fmt: str):
     """Points as (vec_id, emb: array<double>). CSV points get a stable id
-    from their coordinates' order (row_number over (x, y)) — the
-    reference has no point ids at all, so any deterministic order works
-    for init reproducibility."""
+    from their content: xxhash64(x, y, dup_rank), where dup_rank is the
+    row_number within identical (x, y) groups — the reference has no
+    point ids at all, so any deterministic id works for init
+    reproducibility. The window partitions by (x, y), so this is a keyed
+    shuffle, never the single-partition global sort a bare
+    ``Window.orderBy`` would plan (rows inside one (x, y) group are
+    byte-identical, so their relative order can't affect the output).
+    Hash collisions would only merge two points' init-ordering keys —
+    ~n²/2⁶⁴, ignorable."""
     from pyspark.sql import Window
 
     if fmt == "csv":
         from mapreducekmean_spark.sources import read_points_csv
 
         pts = read_points_csv(spark, path)
-        w = Window.orderBy("x", "y")
+        dup = Window.partitionBy("x", "y").orderBy(F.lit(0))
         return pts.select(
-            F.row_number().over(w).cast("bigint").alias("vec_id"),
+            F.xxhash64("x", "y", F.row_number().over(dup)).alias("vec_id"),
             F.array("x", "y").cast("array<double>").alias("emb"),
         )
     df = spark.read.parquet(path)

@@ -558,12 +558,24 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signature(tx.documents(spark, sf_dir))
 
 
+#: mirrors dedup.minhash_signature: two md5s per shingle, sliced into
+#: eight 32-bit (8-hex-char) hash values — min per slice.
+_HASH_CTE = (
+    "h AS (SELECT doc_id,"
+    " list_transform(sh, x -> md5('0:' || x) || md5('1:' || x)) AS hs"
+    " FROM s)"
+)
+
+
 def _minhash_sig_sql() -> str:
     mh = ",\n       ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
+        f"list_min(list_transform(hs, h -> substr(h, {i * 8 + 1}, 8))) AS mh{i}"
         for i in range(dd.N_HASHES)
     )
-    return f"WITH {_SHINGLE_CTES}\nSELECT doc_id,\n       {mh}\nFROM s"
+    return (
+        f"WITH {_SHINGLE_CTES},\n{_HASH_CTE}\n"
+        f"SELECT doc_id,\n       {mh}\nFROM h"
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +584,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_bands_sql() -> str:
     mh = ",\n         ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS mh{i}"
+        f"list_min(list_transform(hs, h -> substr(h, {i * 8 + 1}, 8))) AS mh{i}"
         for i in range(dd.N_HASHES)
     )
     arms = []
@@ -585,10 +597,11 @@ def _minhash_bands_sql() -> str:
     case = "CASE b.band " + " ".join(arms) + " END"
     return f"""
 WITH {_SHINGLE_CTES},
+{_HASH_CTE},
 sig AS (
   SELECT doc_id,
          {mh}
-  FROM s
+  FROM h
 )
 SELECT doc_id, CAST(b.band AS BIGINT) AS band, {case} AS bucket
 FROM sig CROSS JOIN (SELECT unnest(range(0, {dd.N_BANDS})) AS band) b

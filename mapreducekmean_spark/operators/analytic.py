@@ -235,6 +235,13 @@ def asof_join(
     an inequality join plans; this is the standard at-scale formulation
     (a sort-merge as-of). Left rows with no prior right row keep NULLs
     (as-of LEFT semantics).
+
+    Duplicate (key, right_time) right rows: the sort ends with the value
+    columns themselves, so the winning duplicate is deterministic
+    (largest value tuple) on any engine and any partitioning. Note that
+    ``last(..., ignorenulls)`` is per-column — if duplicates contain
+    NULLs in some value columns, each column is carried from the last
+    row where *it* was non-null (the usual union→window as-of caveat).
     """
     payload = [c for c in left.columns if c not in (on, left_time)]
     lt = left.select(
@@ -259,7 +266,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__tag")
+        .orderBy(
+            "__t",
+            "__tag",
+            *[F.col(c).asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

@@ -90,23 +90,30 @@ def shingles(col: str = "text", n: int = 3) -> Column:
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
-    """Per-document MinHash signature: for seed i, the lexicographic min of
-    ``md5(i || ':' || shingle)`` over all shingles (string-min minhash —
-    same uniformity argument as integer minhash, cross-engine stable).
+    """Per-document MinHash signature: seed i's value is the lexicographic
+    min over all shingles of the i-th 8-hex-char (32-bit) slice of
+    ``md5('0:'||shingle) || md5('1:'||shingle)`` — "one permutation
+    hashing"-style: two md5s supply 256 bits, sliced into 8 independent
+    32-bit hash values per shingle. Hex-string min == numeric min (fixed
+    width, lowercase hex), and both engines produce identical md5 hex, so
+    the signature is cross-engine exact.
 
-    Physical shape: explode shingles → one codegen'd md5 projection per
-    seed → hash-aggregate ``min`` per doc. The per-shingle md5s run inside
-    whole-stage codegen and the mins are partial+final aggregated —
-    measured ~5× faster than the equivalent interpreted
-    ``transform``/``array_min`` higher-order expressions, with
-    value-identical output (min over a multiset of deterministic hashes).
+    Physical shape: explode shingles → TWO codegen'd md5s per shingle
+    (instead of the naive one-md5-per-seed = 8) → 8 cheap substrings →
+    hash-aggregate ``min`` per doc. md5 dominates the stage cost, so this
+    is ~4× less hashing for the same signature width; the narrower 8-char
+    min-agg values also shrink the partial-aggregate state.
     """
-    base = docs.select(
-        "doc_id", F.explode(shingles()).alias("sh")
+    base = docs.select("doc_id", F.explode(shingles()).alias("sh")).select(
+        "doc_id",
+        F.concat(
+            F.md5(F.concat(F.lit("0:"), F.col("sh"))),
+            F.md5(F.concat(F.lit("1:"), F.col("sh"))),
+        ).alias("h"),
     )
     return base.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            F.min(F.substring("h", i * 8 + 1, 8)).alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )

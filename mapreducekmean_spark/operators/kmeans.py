@@ -156,7 +156,14 @@ def cluster_sizes(assigned: DataFrame) -> DataFrame:
 
 def wssse_per_cluster(assigned: DataFrame) -> DataFrame:
     """Within-cluster sum of squared errors per cluster (model-quality
-    metric over the R6 distances), rounded for cross-engine hashing."""
+    metric over the R6 distances), rounded for cross-engine hashing.
+
+    Accepted tolerance: the 6-dp round sits on top of a float sum whose
+    partial/final accumulation order differs from a sequential engine's;
+    a sum landing within ~1e-16 relative of a 0.5e-6 rounding boundary
+    could flip the last digit vs the oracle. Never observed across all
+    fixture scales (the per-cluster sums are O(10²) with ~1e-13 absolute
+    error); if a future fixture trips it, compare with an epsilon."""
     return (
         assigned.withColumn("min_dist", F.array_min("dists"))
         .groupBy("cluster_id")
@@ -217,6 +224,11 @@ def lloyd(
     re-reads its input file every iteration; we scan the cached DataFrame).
     """
     cents = collect_centroids(deterministic_init(points, k))
+    if len(cents) < k:
+        raise ValueError(
+            f"k={k} exceeds the {len(cents)} distinct input points; "
+            f"reduce k or supply more points"
+        )
     dim = len(cents[0])
     history: list[float] = []
     converged = False

@@ -37,6 +37,10 @@ N_PROBE = 2
 NEAR_DUP_TAU = 0.35
 #: Hyperplane LSH signature width.
 N_PLANES = 16
+#: Driver-collect bound for the brute-force near-dup baseline: beyond
+#: this the broadcast contract is void and the LSH/IVF paths apply.
+#: 2M rows × 64 dims × 8 B ≈ 1 GiB broadcast — the practical ceiling.
+NEAR_DUP_MAX_ROWS = 2_000_000
 
 
 def _queries_and_points(spark: SparkSession, sf_dir: str):
@@ -154,6 +158,16 @@ def embedding_near_dup(
     import numpy as np
 
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    n = pts.count()
+    if n > NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup is the broadcast-contract brute-force "
+            f"baseline: the embedding table ({n} rows) exceeds the "
+            f"{NEAR_DUP_MAX_ROWS}-row driver-collect bound. At this scale "
+            f"use the O(n) paths instead: ann_lsh_topk / ivf_topk "
+            f"(candidate generation) or hyperplane_signature (LSH "
+            f"blocking for near-dup pairs)."
+        )
     local = sorted(pts.collect(), key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in local], dtype=np.int64)
     mat = np.array([r.emb for r in local], dtype=np.float64)

@@ -3,6 +3,7 @@ empty documents, unicode, NaN coordinates, k=1, single-point clusters."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -235,3 +236,13 @@ def test_udtf_matches_hof_shingles(spark, sf_small):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_embedding_near_dup_guards_driver_collect(spark, sf_small, monkeypatch):
+    """The brute-force near-dup baseline must refuse to collect tables
+    past its broadcast-contract bound and steer to the O(n) paths."""
+    import mapreducekmean_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "NEAR_DUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        sim.embedding_near_dup(spark, sf_small)
