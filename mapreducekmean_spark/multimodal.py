@@ -82,14 +82,93 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+try:  # runtime codec detection — PIL is optional in this container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+
+def _decode_image_rgb(payload: bytes):
+    """Decode image bytes to an HxWx3 uint8 RGB numpy array.
+
+    PIL handles any format it knows when installed; otherwise a
+    dependency-free binary-PPM (P6, maxval 255) decoder covers the
+    uncompressed case, so the real-bytes pipeline is exercisable even in
+    codec-less environments. Returns None when neither applies.
+    """
+    import io
+
+    import numpy as np
+
+    if _PILImage is not None:
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            pass  # fall through to the PPM parser / stub gate
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> pixels
+        # ('#' comment lines allowed between tokens)
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        w, h, maxval = tokens
+        if maxval != 255:
+            return None
+        pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+        return pix.reshape(h, w, 3)
+    return None
+
+
+def _image_features(rgb) -> list[float]:
+    """FEATURE_DIM deterministic stats from an HxWx3 uint8 array:
+    (h/4096, w/4096, mean R, mean G, mean B, min, max, std) — all in
+    [0, 1], rounded to 6 dp so results are platform-stable."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    flat = rgb.astype(np.float64) / 255.0
+    feats = [
+        h / 4096.0,
+        w / 4096.0,
+        float(flat[:, :, 0].mean()),
+        float(flat[:, :, 1].mean()),
+        float(flat[:, :, 2].mean()),
+        float(flat.min()),
+        float(flat.max()),
+        float(flat.std()),
+    ]
+    return [round(v, 6) for v in feats[:FEATURE_DIM]]
+
+
 def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[float]:
-    """STUB: real decoding needs PIL/libav, absent in this container."""
-    if not fake_codec:
-        raise NotImplementedError(
-            "real image/audio/video decode requires codec libraries "
-            "not present in this environment; pass fake_codec=True"
-        )
-    return _fake_decode(payload)
+    """Decode one payload to FEATURE_DIM features.
+
+    Real branch: images decode via PIL when installed, else via the
+    built-in binary-PPM parser. Everything else (compressed images
+    without PIL, audio, video) stays an honest capability gate: raises
+    unless ``fake_codec=True``, which substitutes the deterministic
+    md5-derived stand-in.
+    """
+    if fake_codec:
+        return _fake_decode(payload)
+    rgb = _decode_image_rgb(payload)
+    if rgb is not None:
+        return _image_features(rgb)
+    raise NotImplementedError(
+        "real decode for this payload requires codec libraries "
+        "(PIL/libav) not present in this environment; supported without "
+        "them: binary PPM (P6) images. Pass fake_codec=True for the "
+        "deterministic stand-in."
+    )
 
 
 def extract_features(assets: DataFrame, fake_codec: bool = True) -> DataFrame:

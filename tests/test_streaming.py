@@ -180,6 +180,55 @@ def test_multimodal_decode_stub_raises(spark, sf_small):
         mm.decode_payload(b"xx", "image", fake_codec=False)
 
 
+def _ppm_bytes(w: int, h: int, rgb_fn) -> bytes:
+    """Binary-PPM (P6) image with pixel (x, y) = rgb_fn(x, y)."""
+    body = bytes(
+        c for y in range(h) for x in range(w) for c in rgb_fn(x, y)
+    )
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + body
+
+
+def test_multimodal_real_decode_ppm(spark):
+    """The REAL (non-fake) decode branch over genuine image bytes,
+    end-to-end through the Arrow mapInPandas pipeline. Runs on either
+    codec path: PIL when installed, the built-in P6 parser otherwise —
+    both decode the same PPM to the same pixels, so the expected
+    features are identical and deterministic."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    # 4x2 image: left half pure red, right half pure blue
+    img = _ppm_bytes(
+        4, 2, lambda x, y: (255, 0, 0) if x < 2 else (0, 0, 255)
+    )
+    assets = spark.createDataFrame(
+        [
+            Row(
+                asset_id=1,
+                modality="image",
+                payload=bytearray(img),
+                meta=Row(width=4, height=2, sample_rate=None, n_frames=None),
+            )
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    row = mm.extract_features(assets, fake_codec=False).collect()[0]
+    assert row["features"] == [
+        round(2 / 4096, 6),   # h/4096
+        round(4 / 4096, 6),   # w/4096
+        0.5,                  # mean R: half the pixels are red
+        0.0,                  # mean G
+        0.5,                  # mean B
+        0.0,                  # min
+        1.0,                  # max
+        # std over all 24 channel values (8 ones, 16 zeros): sqrt(2)/3
+        round((2 / 9) ** 0.5, 6),
+    ]
+    # direct (non-Spark) call hits the same branch
+    assert mm.decode_payload(img, "image", fake_codec=False) == row["features"]
+
+
 def test_multimodal_plans(spark, sf_small):
     from mapreducekmean_spark import multimodal as mm
 
