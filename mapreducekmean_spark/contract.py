@@ -231,8 +231,106 @@ WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 
 
 def _kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R14 — full Lloyd's loop to convergence (rows-only: iterative)."""
+    """R14 — full Lloyd's loop to convergence, oracle-checked: the DuckDB
+    twin unrolls the iterative driver loop into ``max_iter`` generated CTE
+    stages (see ``_lloyd_oracle_sql``), so even the flagship iterative
+    operator gets a full value-hash comparison, not a rows-only pass."""
     return km.lloyd_assignments(spark, sf_dir, K)
+
+
+def _lloyd_oracle_sql(
+    k: int = K,
+    dim: int = DIM,
+    tol: float = km.DEFAULT_TOL,
+    max_iter: int = km.DEFAULT_MAX_ITER,
+) -> str:
+    """Lloyd's K-Means as one DuckDB statement: the Python driver loop of
+    ``operators/kmeans.py:lloyd`` unrolled into ``max_iter`` MATERIALIZED
+    CTE stages (DuckDB inlines plain CTEs, which would make the 20-stage
+    chain explode combinatorially; materialization evaluates each stage
+    once, like the Spark loop does).
+
+    Per stage n: assign every point to its nearest stage-(n-1) centroid
+    (same sequential-fold distance + first-wins ``array_position`` argmin
+    as the Spark side), take per-cluster per-dimension means, keep the
+    previous centroid for empty clusters, then carry a ``done`` flag once
+    the max per-coordinate movement drops below ``tol`` — after which
+    later stages pass state through unchanged, mirroring the loop's
+    ``break``. The output is all-integer/boolean (vec_id, cluster_id,
+    iterations, converged), so cross-engine float summation-order noise
+    (~1e-13) cannot flip the value hash unless an assignment or the
+    convergence test lands within that noise of an exact tie — accepted
+    (same class of risk as the r01-green ``assign_nearest``).
+    """
+    avgs = ", ".join(f"avg(emb[{d}])" for d in range(1, dim + 1))
+
+    def dists(cents_ref: str) -> str:
+        return (
+            f"list_transform(range(1, {k} + 1), i -> "
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"d -> (p.emb[d] - {cents_ref}[i][d]) * "
+            f"(p.emb[d] - {cents_ref}[i][d]))))"
+        )
+
+    parts = [
+        f"""
+pts AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s0 AS MATERIALIZED (
+  SELECT list(emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cents,
+         0 AS it, FALSE AS done
+  FROM (SELECT vec_id, emb FROM pts
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+)"""
+    ]
+    for n in range(1, max_iter + 1):
+        prev = f"s{n - 1}"
+        parts.append(
+            f"""
+u{n} AS MATERIALIZED (
+  SELECT cluster_id, [{avgs}] AS cent
+  FROM (
+    SELECT p.emb,
+           CAST(array_position(dists, list_min(dists)) - 1 AS BIGINT)
+             AS cluster_id
+    FROM (SELECT p.emb, {dists(f"{prev}.cents")} AS dists
+          FROM pts p, {prev}) p
+  )
+  GROUP BY cluster_id
+),
+n{n} AS MATERIALIZED (
+  SELECT list(coalesce(u{n}.cent, {prev}.cents[c.i]) ORDER BY c.i)
+           AS new_cents
+  FROM range(1, {k} + 1) c(i)
+  CROSS JOIN {prev}
+  LEFT JOIN u{n} ON u{n}.cluster_id = c.i - 1
+),
+s{n} AS MATERIALIZED (
+  SELECT CASE WHEN {prev}.done THEN {prev}.cents
+              ELSE n{n}.new_cents END AS cents,
+         CASE WHEN {prev}.done THEN {prev}.it ELSE {n} END AS it,
+         {prev}.done OR
+           list_max(list_transform(range(1, {k} + 1),
+             i -> list_max(list_transform(range(1, {dim} + 1),
+               d -> abs(n{n}.new_cents[i][d] - {prev}.cents[i][d]))))) < {tol}
+           AS done
+  FROM {prev}, n{n}
+)"""
+        )
+    final = f"s{max_iter}"
+    return f"""
+WITH {",".join(parts)}
+SELECT p.vec_id,
+       CAST(array_position(dists, list_min(dists)) - 1 AS BIGINT)
+         AS cluster_id,
+       CAST(iterations AS BIGINT) AS iterations,
+       converged
+FROM (
+  SELECT p.vec_id, {dists(f"{final}.cents")} AS dists,
+         {final}.it AS iterations, {final}.done AS converged
+  FROM pts p, {final}
+) p
+"""
 
 
 def _kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,7 +1259,7 @@ def _queries_core() -> list[Query]:
         Query("cluster_sizes", _cluster_sizes, _CLUSTER_SIZES_SQL),
         Query("wssse", _wssse, _WSSSE_SQL),
         Query("convergence_delta", _convergence_delta, _CONVERGENCE_SQL),
-        Query("kmeans_full", _kmeans_full, None),
+        Query("kmeans_full", _kmeans_full, _lloyd_oracle_sql()),
         Query("kmeans_mllib", _kmeans_mllib, None),
     ]
 
@@ -1196,6 +1294,8 @@ _CHECK_FIRST = (
     "sql_nation_balance",
     "sql_above_nation_avg",
     "orders_list_per_customer",
+    # oracle added in round 2 (was rows-only): unrolled-CTE Lloyd twin
+    "kmeans_full",
 )
 
 _CHECK_LAST = (

@@ -291,7 +291,7 @@ def lloyd_assignments(
         return assigned.select(
             "vec_id",
             "cluster_id",
-            F.lit(result.iterations).alias("iterations"),
+            F.lit(result.iterations).cast("bigint").alias("iterations"),
             F.lit(result.converged).alias("converged"),
         )
     finally:
