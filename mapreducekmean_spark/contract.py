@@ -1227,10 +1227,55 @@ SELECT custkey, count(*) AS n FROM (
     ]
 
 
+_RANGE_JOIN_SQL = f"""
+WITH b AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS buy_us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS view_us,
+         CAST(round(value * 100) AS BIGINT) AS view_cents
+  FROM events WHERE event_type = 'view'
+)
+SELECT b.purchase_id, b.user_id, b.buy_us,
+       count(*) AS n_views,
+       CAST(sum(v.view_cents) AS DOUBLE) / 100 AS view_value
+FROM b
+JOIN v ON b.user_id = v.user_id
+      AND v.view_us >= b.buy_us - {ev.RANGE_JOIN_WINDOW_US}
+      AND v.view_us <  b.buy_us
+GROUP BY b.purchase_id, b.user_id, b.buy_us
+"""
+
+_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM events
+GROUP BY event_type, bucket
+"""
+
+
 def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
         Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
+        Query(
+            "events_range_join",
+            lambda spark, sf_dir: ev.purchases_with_recent_views(
+                ev.events(spark, sf_dir)
+            ),
+            _RANGE_JOIN_SQL,
+        ),
+        Query(
+            "events_histogram",
+            lambda spark, sf_dir: ev.value_histogram(
+                ev.events(spark, sf_dir)
+            ),
+            _HISTOGRAM_SQL,
+        ),
         Query("user_funnel", _user_funnel, _FUNNEL_SQL),
         Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
         Query("tpch_q3_top_orders", rel.top_unshipped_orders, _TOP_ORDERS_SQL),
@@ -1296,6 +1341,9 @@ _CHECK_FIRST = (
     "orders_list_per_customer",
     # oracle added in round 2 (was rows-only): unrolled-CTE Lloyd twin
     "kmeans_full",
+    # new in round 2: bucketed range join + width-bucket histogram
+    "events_range_join",
+    "events_histogram",
 )
 
 _CHECK_LAST = (

