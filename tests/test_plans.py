@@ -104,6 +104,19 @@ def test_running_spend_single_shuffle(spark, sf_small):
     assert count_exchanges(df) == 1
 
 
+def test_range_join_is_equi_no_nested_loop(spark, sf_small):
+    """The bucketed range join must plan as an EQUI hash join on
+    (user_id, blk) with the interval as a residual filter — never the
+    nested-loop/cartesian plan a raw inequality join produces — and the
+    event_type filters must reach the parquet scans."""
+    df = REG["events_range_join"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
 def _plan(df):
     from mapreducekmean_spark.plans import formatted_plan
 
