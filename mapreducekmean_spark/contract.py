@@ -1257,6 +1257,30 @@ FROM events
 GROUP BY event_type, bucket
 """
 
+#: type-1 (inverted-CDF) quantiles — positional pick via integer index
+#: math, mirroring operators/events.py:value_quantiles exactly.
+_QUANTILES_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(round(value * 100) AS BIGINT),
+                                          event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_type,
+       max(n) AS n,
+       CAST(max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END) AS DOUBLE)
+         / 100 AS p50,
+       CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS DOUBLE)
+         / 100 AS p90,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS DOUBLE)
+         / 100 AS p99
+FROM r
+GROUP BY event_type
+"""
+
 
 def _queries_events_relational() -> list[Query]:
     return [
@@ -1275,6 +1299,13 @@ def _queries_events_relational() -> list[Query]:
                 ev.events(spark, sf_dir)
             ),
             _HISTOGRAM_SQL,
+        ),
+        Query(
+            "events_quantiles",
+            lambda spark, sf_dir: ev.value_quantiles(
+                ev.events(spark, sf_dir)
+            ),
+            _QUANTILES_SQL,
         ),
         Query("user_funnel", _user_funnel, _FUNNEL_SQL),
         Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
@@ -1341,9 +1372,11 @@ _CHECK_FIRST = (
     "orders_list_per_customer",
     # oracle added in round 2 (was rows-only): unrolled-CTE Lloyd twin
     "kmeans_full",
-    # new in round 2: bucketed range join + width-bucket histogram
+    # new in round 2: bucketed range join + width-bucket histogram +
+    # exact positional quantiles
     "events_range_join",
     "events_histogram",
+    "events_quantiles",
 )
 
 _CHECK_LAST = (

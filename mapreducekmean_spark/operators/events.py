@@ -158,6 +158,45 @@ def value_histogram(ev: DataFrame, bucket_width: float = 50.0) -> DataFrame:
     )
 
 
+def value_quantiles(ev: DataFrame) -> DataFrame:
+    """Exact per-group quantiles (p50/p90/p99 of ``value`` per event
+    type) using the type-1 (inverted-CDF) definition: the element at
+    1-based sorted position ``ceil(p·n)``.
+
+    Why not ``percentile``/``quantile_cont``: engines interpolate with
+    float arithmetic whose rounding isn't specified cross-engine; the
+    positional definition picks an *actual data value* via pure integer
+    index math, so results are exact. Ties in ``value`` are broken by
+    ``event_id`` for a total order (any tie-break yields the same
+    value, but a total order keeps the plan deterministic too).
+
+    Scale shape: one shuffle (hash by event_type) + per-partition sort
+    for the rank, then a partial+final conditional agg. At extreme
+    group cardinality the sketch path (``approx_percentile``) is the
+    scale alternative — engine-specific, hence not the oracle surface.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", cents.alias("cents"), "event_id")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count("*").over(cw).cast("bigint"))
+    )
+
+    def pick(num: int, den: int):
+        # value at 1-based position ceil(n·num/den), via integer math
+        pos = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        return F.max(F.when(F.col("rn") == pos, F.col("cents")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (pick(1, 2).cast("double") / 100).alias("p50"),
+        (pick(9, 10).cast("double") / 100).alias("p90"),
+        (pick(99, 100).cast("double") / 100).alias("p99"),
+    )
+
+
 def approx_user_counts(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch aggregation: per event type, approximate distinct
     users alongside the exact count.

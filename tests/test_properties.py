@@ -174,3 +174,58 @@ def test_salted_join_equals_plain_join(spark, big_keys, small_keys):
         got = sorted(map(tuple, salted_join(big, small, "k", 4, how).collect()))
         want = sorted(map(tuple, big.join(small, "k", how).collect()))
         assert got == want, (how, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),        # user
+            st.integers(0, 40),       # seconds offset
+            st.booleans(),            # purchase?
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_range_join_matches_bruteforce(spark, rows):
+    """The bucketed range-join decomposition == brute force over every
+    (purchase, view) pair: same-user views in [buy - W, buy), any
+    distribution of events across bucket boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.events import (
+        purchases_with_recent_views,
+    )
+
+    window_us = 10_000_000  # 10 s window → offsets straddle buckets
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=base + dt.timedelta(seconds=s),
+                user_id=u,
+                event_type="purchase" if is_p else "view",
+                value=1.0,
+            )
+            for i, (u, s, is_p) in enumerate(rows)
+        ]
+    )
+    got = {
+        r.purchase_id: r.n_views
+        for r in purchases_with_recent_views(ev, window_us).collect()
+    }
+    for i, (u, s, is_p) in enumerate(rows):
+        if not is_p:
+            continue
+        want = sum(
+            1
+            for (u2, s2, is_p2) in rows
+            if not is_p2
+            and u2 == u
+            and s - 10 <= s2 < s
+        )
+        assert got.get(i, 0) == want, (i, u, s, got.get(i), want)
