@@ -208,6 +208,32 @@ def main() -> None:
         "rows_per_sec": int(n_ev / dt),
     }
 
+    # 5) bucketed range join (purchases x trailing-24h same-user views)
+    from mapreducekmean_spark.operators.events import (
+        purchases_with_recent_views,
+    )
+
+    ev_ts = ev.select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("us").alias("ts"),
+        (F.abs(F.hash(F.col("event_id") + 31)) % 10_000 / 100.0).alias(
+            "value"
+        ),
+    )
+    purchases_with_recent_views(ev_ts).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    t0 = time.perf_counter()
+    purchases_with_recent_views(ev_ts).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    results["range_join"] = {
+        "rows": n_ev,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_ev / dt),
+    }
+
     print(json.dumps({"scale_probe": results}))
 
 
