@@ -1315,10 +1315,22 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q14_promo", rel.promo_revenue_share, _PROMO_SQL),
         Query(
             "events_hll_users",
-            lambda spark, sf_dir: ev.approx_user_counts(
+            lambda spark, sf_dir: ev.approx_user_counts_checked(
                 ev.events(spark, sf_dir)
             ),
-            None,  # rows-only: HLL sketch internals are engine-specific
+            # The raw HLL++ estimate is engine-specific, so the checked
+            # form is compared instead: exact columns + the sketch's
+            # accuracy verdict (DuckDB asserts it TRUE from the exact
+            # truth; the raw-estimate accuracy bound is additionally
+            # pinned by tests/test_contract.py::test_hll_sketch_accuracy).
+            """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
         ),
         Query("topk_per_group", rel.top_orders_per_customer, _TOP_PER_CUSTOMER_SQL),
         Query("semi_anti_coverage", rel.segment_order_coverage, _SEGMENT_COVERAGE_SQL),

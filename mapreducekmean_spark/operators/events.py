@@ -213,3 +213,26 @@ def approx_user_counts(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
+
+
+def approx_user_counts_checked(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """The oracle-facing form of ``approx_user_counts``: the raw HLL++
+    estimate is engine-specific (sketch internals differ), so instead of
+    emitting it, emit the sketch's accuracy VERDICT — whether the
+    estimate landed within 3·rsd of the exact count — alongside the
+    engine-agnostic exact columns. The DuckDB twin computes the exact
+    truth and asserts the verdict TRUE, turning the former rows-only
+    entry into a value-hash-checked claim: "the engine's sketch
+    satisfies its accuracy contract on this data". The sketch aggregate
+    still executes in full (same plan as the raw form)."""
+    base = approx_user_counts(ev, rsd)
+    tol = 3.0 * rsd
+    return base.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(tol) * F.col("exact_users")
+        ).alias("approx_ok"),
+    )

@@ -25,9 +25,16 @@ def test_oracle_match_sf001(spark, sf_oracle, name):
 
 
 def test_hll_sketch_accuracy(spark, sf_oracle):
-    """events_hll_users: HLL++ estimate within 3x the configured rsd of
-    the exact distinct count for every event type."""
-    df = QUERIES["events_hll_users"].fn(spark, sf_oracle)
+    """Raw HLL++ estimate within 3x the configured rsd of the exact
+    distinct count for every event type (the contract query emits the
+    boolean verdict of this same bound; here the raw estimate is
+    checked directly)."""
+    from mapreducekmean_spark.operators.events import (
+        approx_user_counts,
+        events,
+    )
+
+    df = approx_user_counts(events(spark, sf_oracle))
     for r in df.collect():
         assert r.exact_users > 0
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
