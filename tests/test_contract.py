@@ -61,3 +61,15 @@ def test_ann_recall_beats_random(spark, sf_oracle, name, floor):
     above a measured regression floor (ivf 0.34, lsh 0.06 at sf0.01)."""
     rec = _recall_at_k(spark, sf_oracle, name)
     assert rec >= floor, rec
+
+
+def test_registry_order_is_exact_permutation():
+    """_CHECK_FIRST/_CHECK_LAST must stay in sync with the query groups:
+    the audit-priority reorder yields every declared query exactly once,
+    with the priority block leading and the proven-green tail trailing."""
+    from mapreducekmean_spark import contract as c
+
+    names = list(registry())
+    assert len(names) == len(set(names))
+    assert names[: len(c._CHECK_FIRST)] == list(c._CHECK_FIRST)
+    assert names[-len(c._CHECK_LAST):] == list(c._CHECK_LAST)
