@@ -160,36 +160,44 @@ def value_histogram(ev: DataFrame, bucket_width: float = 50.0) -> DataFrame:
 
 def value_quantiles(ev: DataFrame) -> DataFrame:
     """Exact per-group quantiles (p50/p90/p99 of ``value`` per event
-    type) using the type-1 (inverted-CDF) definition: the element at
-    1-based sorted position ``ceil(p·n)``.
+    type) using the type-1 (inverted-CDF) definition: the smallest value
+    whose cumulative count reaches 1-based sorted position ``ceil(p·n)``.
 
     Why not ``percentile``/``quantile_cont``: engines interpolate with
     float arithmetic whose rounding isn't specified cross-engine; the
     positional definition picks an *actual data value* via pure integer
-    index math, so results are exact. Ties in ``value`` are broken by
-    ``event_id`` for a total order (any tie-break yields the same
-    value, but a total order keeps the plan deterministic too).
+    index math, so results are exact.
 
-    Scale shape: one shuffle (hash by event_type) + per-partition sort
-    for the rank, then a partial+final conditional agg. At extreme
-    group cardinality the sketch path (``approx_percentile``) is the
-    scale alternative — engine-specific, hence not the oracle surface.
+    Scale shape — histogram + cumulative sum, NOT a per-group sort: a
+    row_number over ``partitionBy(event_type)`` would sort entire groups
+    on single tasks (event_type has a handful of values — the textbook
+    low-cardinality-key window skew). Instead the heavy pass is a
+    partial+final count on (event_type, cents) — tens of thousands of
+    uniform keys — and the window's cumulative sum runs over that tiny
+    distinct-value table. Equivalent by construction: the element at
+    sorted position k is the smallest value with cumulative count ≥ k.
+    At extreme value cardinality the sketch path (``approx_percentile``)
+    is the alternative — engine-specific, hence not the oracle surface.
     """
     cents = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    cw = Window.partitionBy("event_type")
-    ranked = (
-        ev.select("event_type", cents.alias("cents"), "event_id")
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .withColumn("n", F.count("*").over(cw).cast("bigint"))
+    hist = ev.groupBy("event_type", cents.alias("cents")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
     )
 
     def pick(num: int, den: int):
-        # value at 1-based position ceil(n·num/den), via integer math
+        # smallest value at/after 1-based position ceil(n·num/den)
         pos = F.expr(f"(n * {num} + {den - 1}) div {den}")
-        return F.max(F.when(F.col("rn") == pos, F.col("cents")))
+        return F.min(F.when(F.col("cum") >= pos, F.col("cents")))
 
-    return ranked.groupBy("event_type").agg(
+    return cum.groupBy("event_type").agg(
         F.max("n").alias("n"),
         (pick(1, 2).cast("double") / 100).alias("p50"),
         (pick(9, 10).cast("double") / 100).alias("p90"),

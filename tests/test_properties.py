@@ -229,3 +229,39 @@ def test_range_join_matches_bruteforce(spark, rows):
             and s - 10 <= s2 < s
         )
         assert got.get(i, 0) == want, (i, u, s, got.get(i), want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 500)),  # (type, cents)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_value_quantiles_matches_sorted_pick(spark, rows):
+    """histogram+cumsum quantiles == type-1 positional pick from the
+    plain sorted list, for any multiset (duplicates, single rows)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.events import value_quantiles
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, event_type=f"t{t}", value=c / 100.0)
+            for i, (t, c) in enumerate(rows)
+        ]
+    )
+    got = {r.event_type: r for r in value_quantiles(ev).collect()}
+    by_type: dict = {}
+    for t, c in rows:
+        by_type.setdefault(f"t{t}", []).append(c)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = vals[math.ceil(p * n) - 1] / 100.0
+            assert got[t][col] == want, (t, col, got[t][col], want)
+        assert got[t].n == n
