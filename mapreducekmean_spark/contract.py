@@ -450,9 +450,49 @@ FROM t
 """
 
 
+#: winnowing (w=4 over 3-gram 8-hex md5 slices) — mirrors
+#: operators/text.py:winnow_fingerprint, including both short-document
+#: edges (0 grams → empty; 0 < grams < w → single whole-sequence window).
+_WINNOW_SQL = f"""
+WITH t AS ({_TOKS_CTE}),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS sh
+  FROM t
+),
+h AS (
+  SELECT doc_id, list_transform(sh, x -> substr(md5(x), 1, 8)) AS hs
+  FROM g
+),
+wdw AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []
+              WHEN len(hs) < 4 THEN [list_min(hs)]
+              ELSE list_transform(range(1, len(hs) - 2),
+                     i -> list_min(hs[i:i+3]))
+         END AS wins
+  FROM h
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(wins)), ',') AS fingerprints,
+       CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp
+FROM wdw
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
+        Query(
+            "doc_winnow",
+            lambda spark, sf_dir: tx.winnow_fingerprint(
+                tx.documents(spark, sf_dir)
+            ),
+            _WINNOW_SQL,
+        ),
         Query("token_count", _token_count, _TOKEN_COUNT_SQL),
         Query("lang_id", _lang_id, _lang_id_sql()),
         Query("quality_score", _quality_score, _QUALITY_SQL),
@@ -1385,10 +1425,11 @@ _CHECK_FIRST = (
     # oracle added in round 2 (was rows-only): unrolled-CTE Lloyd twin
     "kmeans_full",
     # new in round 2: bucketed range join + width-bucket histogram +
-    # exact positional quantiles
+    # exact positional quantiles + winnowing fingerprints
     "events_range_join",
     "events_histogram",
     "events_quantiles",
+    "doc_winnow",
 )
 
 _CHECK_LAST = (

@@ -189,3 +189,50 @@ def dataset_split(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+#: Winnowing parameters: k-gram size (reuses the dedup shingle n=3) and
+#: window width w — guarantee: any match of >= w + k - 1 consecutive
+#: tokens between two documents shares at least one fingerprint.
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprint(docs: DataFrame, w: int = WINNOW_WINDOW) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every token 3-gram (8-hex md5 slice — same cross-engine
+    hash family as MinHash), slide a window of ``w`` consecutive hashes,
+    keep each window's minimum, emit the distinct minima sorted and
+    serialized. Documents sharing long-enough token runs are guaranteed
+    overlapping fingerprints, at ~1/w the footprint of all k-gram hashes.
+
+    Pure narrow projection (higher-order expressions, no shuffle, no
+    UDF); the serialized string keeps the output scalar for value-hash
+    comparison. Fewer than w windows → fingerprint of all grams' min
+    (standard winnowing edge: the single window is the whole sequence
+    when 0 < len < w); no grams → empty fingerprint.
+    """
+    from mapreducekmean_spark.operators.dedup import shingles
+
+    grams = shingles()
+    expr = (
+        "CASE WHEN size(__h) = 0 THEN array()"
+        f" WHEN size(__h) < {w} THEN array(array_min(__h))"
+        f" ELSE transform(sequence(1, size(__h) - {w - 1}),"
+        f"   i -> array_min(slice(__h, i, {w}))) END"
+    )
+    return (
+        docs.withColumn(
+            "__h",
+            F.transform(grams, lambda s: F.substring(F.md5(s), 1, 8)),
+        )
+        .withColumn("__w", F.expr(expr))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.array_sort(F.array_distinct(F.col("__w")))
+            ).alias("fingerprints"),
+            F.size(F.array_distinct(F.col("__w"))).cast("bigint").alias(
+                "n_fp"
+            ),
+        )
+    )

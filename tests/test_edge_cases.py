@@ -246,3 +246,35 @@ def test_embedding_near_dup_guards_driver_collect(spark, sf_small, monkeypatch):
     monkeypatch.setattr(sim, "NEAR_DUP_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="ann_lsh_topk"):
         sim.embedding_near_dup(spark, sf_small)
+
+
+def test_winnow_fingerprint_edges(spark):
+    """Winnowing edges: 0 grams → empty fp; fewer grams than the window
+    → one whole-sequence min; enough grams → len-w+1 windows, distinct
+    sorted minima, guaranteed shared fp for shared long runs."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.text import winnow_fingerprint
+
+    long_a = "the quick brown fox jumps over the lazy dog again today"
+    long_b = "prefix words here " + long_a  # shares a long run with a
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=""),                 # 0 tokens
+            Row(doc_id=1, text="one two"),          # < 3 tokens: 0 grams
+            Row(doc_id=2, text="one two three"),    # 1 gram < w
+            Row(doc_id=3, text=long_a),
+            Row(doc_id=4, text=long_b),
+        ]
+    )
+    got = {r.doc_id: r for r in winnow_fingerprint(docs).collect()}
+    assert got[0].fingerprints == "" and got[0].n_fp == 0
+    assert got[1].fingerprints == "" and got[1].n_fp == 0
+    h123 = hashlib.md5(b"one two three").hexdigest()[:8]
+    assert got[2].fingerprints == h123 and got[2].n_fp == 1
+    assert got[3].n_fp >= 1
+    fps_a = set(got[3].fingerprints.split(","))
+    fps_b = set(got[4].fingerprints.split(","))
+    assert fps_a & fps_b, "long shared run must share a fingerprint"
