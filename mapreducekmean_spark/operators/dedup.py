@@ -180,6 +180,11 @@ def ngram_jaccard_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
     base = docs.select(
         "doc_id", "lang", F.array_distinct(shingles()).alias("sh")
     ).filter(F.size("sh") > 0)
+    # Self-join: Spark plans the two sides as independent subtrees, so
+    # the tokenize→shingle→distinct pipeline would run twice; localCheckpoint
+    # materializes it once (the same materialize-signatures-then-join
+    # pattern as minhash_candidate_pairs).
+    base = base.localCheckpoint()
     # Range-blocked join as an EQUI hash join: bucket doc_ids into
     # ``window``-sized blocks; a pair (a < b <= a+window) always lands in
     # a's block or the next one, so the left side emits two block keys and
