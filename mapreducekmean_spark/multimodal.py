@@ -108,23 +108,32 @@ def _decode_image_rgb(payload: bytes):
             pass  # fall through to the PPM parser / stub gate
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> pixels
-        # ('#' comment lines allowed between tokens)
-        pos, tokens = 2, []
-        while len(tokens) < 3:
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            tokens.append(int(payload[start:pos]))
-        w, h, maxval = tokens
-        if maxval != 255:
+        # ('#' comment lines allowed between tokens). Truncated/malformed
+        # payloads (b"P6" alone, comment without newline, short pixel data)
+        # raise ValueError/IndexError inside the parse — treat them as
+        # not-decodable so the caller's capability gate fires instead of a
+        # raw parse exception surfacing from executor tasks.
+        try:
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    pos = payload.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(payload[start:pos]))
+            w, h, maxval = tokens
+            if maxval != 255 or w <= 0 or h <= 0:
+                return None
+            pix = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h * 3, offset=pos + 1
+            )
+            return pix.reshape(h, w, 3)
+        except (ValueError, IndexError):
             return None
-        pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
-        return pix.reshape(h, w, 3)
     return None
 
 

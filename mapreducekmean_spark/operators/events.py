@@ -127,7 +127,7 @@ def purchases_with_recent_views(
         us.alias("buy_us"),
         F.explode(F.array(blk - 1, blk)).alias("blk"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
+    views = _finite_value(ev.filter(F.col("event_type") == "view")).select(
         "user_id",
         us.alias("view_us"),
         F.round(F.col("value") * 100).cast("bigint").alias("view_cents"),
@@ -143,15 +143,31 @@ def purchases_with_recent_views(
     )
 
 
+def _finite_value(ev: DataFrame) -> DataFrame:
+    """Guard numeric ``value`` paths against NULL/NaN rows: NaN casts to 0
+    in Spark but errors DuckDB's CAST, and NULLs sort NULLS FIRST in
+    Spark windows vs NULLS LAST in DuckDB — so both engines agree only on
+    the finite subset. Fixtures contain no such rows (the filter is free),
+    but the operators must not silently diverge on dirtier data."""
+    return ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
 def value_histogram(ev: DataFrame, bucket_width: float = 50.0) -> DataFrame:
     """Fixed-width histogram of ``value`` per event type (the
     ``width_bucket`` shape): bucket ordinal, count, and exact cent-sum.
     Pure partial+final HashAggregate — shuffle payload is one row per
     (type, bucket) at any scale."""
+    ev = _finite_value(ev)
     cents = F.round(F.col("value") * 100).cast("bigint")
     width_c = int(round(bucket_width * 100))
-    # fixture values are positive, so integer div == floor (exact)
-    bucket = F.expr(f"CAST(round(value * 100) AS BIGINT) div {width_c}")
+    # FLOOR division (cents - pmod is the largest multiple of width ≤
+    # cents), matching DuckDB's `//` on negative cents too — Spark's
+    # `div` truncates toward zero and would diverge below 0.
+    bucket = F.expr(
+        f"(CAST(round(value * 100) AS BIGINT)"
+        f" - pmod(CAST(round(value * 100) AS BIGINT), {width_c}))"
+        f" div {width_c}"
+    )
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
         (F.sum(cents).cast("double") / 100).alias("sum_value"),
@@ -179,6 +195,7 @@ def value_quantiles(ev: DataFrame) -> DataFrame:
     At extreme value cardinality the sketch path (``approx_percentile``)
     is the alternative — engine-specific, hence not the oracle surface.
     """
+    ev = _finite_value(ev)
     cents = F.round(F.col("value") * 100).cast("bigint")
     hist = ev.groupBy("event_type", cents.alias("cents")).agg(
         F.count("*").alias("cnt")

@@ -54,10 +54,17 @@ def register_views(
 
 
 def referenced_tables(query: str) -> tuple[str, ...]:
-    """Fixture tables a SQL text references (word-boundary match)."""
-    return tuple(
-        name for name in TABLES if re.search(rf"\b{name}\b", query)
+    """Fixture tables a SQL text references (case-insensitive word-boundary
+    match — SQL identifiers are case-insensitive, so ``FROM EVENTS`` must
+    register ``events``). Returns ALL tables when nothing matches: an
+    unrecognized spelling (quoted/qualified identifiers) must degrade to
+    the register-everything behavior, never to TABLE_OR_VIEW_NOT_FOUND."""
+    hits = tuple(
+        name
+        for name in TABLES
+        if re.search(rf"\b{name}\b", query, re.IGNORECASE)
     )
+    return hits if hits else tuple(TABLES)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -62,9 +62,22 @@ def compare_query(spark, sf_dir: str, query) -> list[str]:
     try:
         rel = con.sql(query.oracle)
         d_cols = rel.columns
+        d_types = [str(t).upper() for t in rel.types]
         d_rows = rel.fetchall()
     finally:
         con.close()
+
+    # The driver canonicalizes DuckDB results through pandas, where HUGEINT
+    # (e.g. sum(BIGINT)) and DECIMAL become float64/object and hash-mismatch
+    # Spark's int64 even when every value is identical (round-2 red row
+    # events_json_stats). fetchall() hides this — Python ints compare equal —
+    # so flag driver-unsafe oracle column types explicitly.
+    for c, t in zip(d_cols, d_types):
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+            problems.append(
+                f"oracle column {c!r} has driver-unsafe DuckDB type {t}; "
+                f"CAST it (e.g. AS BIGINT / AS DOUBLE) in the oracle SQL"
+            )
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")

@@ -278,3 +278,81 @@ def test_winnow_fingerprint_edges(spark):
     fps_a = set(got[3].fingerprints.split(","))
     fps_b = set(got[4].fingerprints.split(","))
     assert fps_a & fps_b, "long shared run must share a fingerprint"
+
+
+def test_ppm_malformed_payloads_hit_gate_not_parse_error():
+    """Truncated/malformed P6 payloads must fall through to the honest
+    NotImplementedError capability gate, never surface ValueError/
+    IndexError from the parser (ADVICE r2)."""
+    from mapreducekmean_spark import multimodal as mm
+
+    malformed = [
+        b"P6",                          # header magic alone
+        b"P6\n# comment with no newline",
+        b"P6\n4 2\n255\n\x00\x00",      # pixel data short of w*h*3
+        b"P6\nxx yy zz\n",              # non-integer tokens
+        b"P6\n-4 2\n255\n" + b"\x00" * 24,  # negative width
+        b"P6\n4 2\n65535\n" + b"\x00" * 48,  # 16-bit maxval unsupported
+    ]
+    for payload in malformed:
+        assert mm._decode_image_rgb(payload) is None
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(payload, "image", fake_codec=False)
+
+
+def test_referenced_tables_case_insensitive_with_fallback():
+    """SQL identifiers are case-insensitive; unrecognized spellings must
+    degrade to register-everything, not TABLE_OR_VIEW_NOT_FOUND
+    (ADVICE r2)."""
+    from mapreducekmean_spark.sources import TABLES
+    from mapreducekmean_spark.sql import referenced_tables
+
+    assert referenced_tables("SELECT * FROM EVENTS") == ("events",)
+    assert referenced_tables("select o_custkey from Orders") == ("orders",)
+    # nothing recognizable -> fall back to all tables
+    assert referenced_tables('SELECT 1 FROM "t"') == tuple(TABLES)
+
+
+def test_run_sql_uppercase_table(spark, sf_small):
+    from mapreducekmean_spark.sql import run_sql
+
+    n = run_sql(spark, sf_small, "SELECT count(*) AS n FROM NATION").collect()
+    assert n[0]["n"] == 25
+
+
+def test_value_paths_guard_null_nan(spark):
+    """value_histogram/value_quantiles/purchases_with_recent_views must
+    drop NULL/NaN `value` rows (cross-engine divergence guard, ADVICE
+    r2) and floor negative cents like DuckDB's // operator."""
+    import datetime
+
+    from mapreducekmean_spark.operators import events as ev
+
+    ts0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view",
+            ts=ts0, value=float("nan"), props="{}"),
+        Row(event_id=2, user_id=1, event_type="view",
+            ts=ts0, value=None, props="{}"),
+        Row(event_id=3, user_id=1, event_type="view",
+            ts=ts0, value=-25.0, props="{}"),
+        Row(event_id=4, user_id=1, event_type="view",
+            ts=ts0, value=10.0, props="{}"),
+        Row(event_id=5, user_id=1, event_type="purchase",
+            ts=ts0 + datetime.timedelta(hours=1), value=99.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    hist = {(r.event_type, r.bucket): r.n
+            for r in ev.value_histogram(df).collect()}
+    # NaN/NULL rows dropped; -25.00 -> cents -2500 -> floor(-2500/5000) = -1
+    assert hist == {("view", -1): 1, ("view", 0): 1, ("purchase", 1): 1}
+
+    q = {r.event_type: r for r in ev.value_quantiles(df).collect()}
+    assert q["view"].n == 2  # NaN and NULL excluded from the CDF
+    assert q["view"].p50 == -25.0 and q["view"].p99 == 10.0
+
+    rj = ev.purchases_with_recent_views(df).collect()
+    assert len(rj) == 1
+    # only the two finite-valued views join; -25.00 + 10.00 = -15.00
+    assert rj[0]["n_views"] == 2 and rj[0]["view_value"] == -15.0
