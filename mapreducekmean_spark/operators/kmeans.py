@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.functions.hashing import stable_order_key
@@ -71,9 +71,21 @@ def deterministic_init(points: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     ordered = points.select(
         "vec_id", "emb", stable_order_key("vec_id").alias("h")
     ).orderBy("h", "vec_id").limit(k)
-    w = F.row_number().over(Window.orderBy("h", "vec_id"))
-    return ordered.select(
-        (w - F.lit(1)).cast("bigint").alias("cluster_id"), "vec_id", "emb"
+    # The 0..k-1 cluster index is assigned driver-side over the k
+    # collected rows (an R11-style k-row collect — every consumer
+    # collects these centroids anyway, so job count is unchanged). The
+    # former partitionless row_number window produced the same result
+    # but tripped WindowExec's "No Partition Defined" scale warning on
+    # every kmeans job — noise aimed at unbounded inputs, and Catalyst
+    # constant-folds away any literal partition spec that would silence
+    # it. The returned LocalRelation broadcasts for free in downstream
+    # k-row joins (convergence_delta).
+    rows = ordered.collect()
+    spark = points.sparkSession
+    fields = {f.name: f.dataType.simpleString() for f in points.schema.fields}
+    return spark.createDataFrame(
+        [(i, r["vec_id"], list(r["emb"])) for i, r in enumerate(rows)],
+        f"cluster_id bigint, vec_id {fields['vec_id']}, emb {fields['emb']}",
     )
 
 
