@@ -128,6 +128,22 @@ def main() -> None:
         "clusters": len(rows),
     }
 
+    # 1b) the same iteration through the numpy-block loop path — what
+    # lloyd() actually runs per iteration (treeReduce of k×(d+1) partial
+    # aggregates over cached numpy blocks; zero per-iteration planning)
+    blocks = km._numpy_blocks(pts).cache()
+    blocks.count()
+    km._iterate(blocks, cents, 10, 1, 0.0)  # warm
+    t0 = time.perf_counter()
+    km._iterate(blocks, cents, 10, 1, 0.0)  # tol=0 -> exactly 1 iteration
+    dt = time.perf_counter() - t0
+    blocks.unpersist()
+    results["lloyd_iteration_block_loop"] = {
+        "rows": args.vecs,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(args.vecs / dt),
+    }
+
     # 2) Q1-shaped aggregate on replicated lineitem
     li = spark.read.parquet(li_path)
     n_li = li.count()
