@@ -761,6 +761,43 @@ JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 """
 
 
+def _dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_verified_dedup(tx.documents(spark, sf_dir))
+
+
+def _dedup_verify_sql() -> str:
+    """End-to-end pipeline oracle: LSH candidates (the dedup_minhash_pairs
+    SQL, nested) → true Jaccard on those pairs → threshold → per-doc
+    keep/drop verdict with canonical."""
+    return f"""
+WITH cand AS ({_minhash_pairs_sql()}),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+s2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                AS sh
+       FROM t2 WHERE len(toks) >= 3),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+               / (len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+               6) AS jaccard
+  FROM cand c
+  JOIN s2 a ON a.doc_id = c.doc_a
+  JOIN s2 b ON b.doc_id = c.doc_b
+),
+dups AS (
+  SELECT doc_b AS doc_id, CAST(min(doc_a) AS BIGINT) AS dup_of
+  FROM scored WHERE jaccard >= {dd.VERIFY_THRESHOLD}
+  GROUP BY doc_b
+)
+SELECT d.doc_id, dups.doc_id IS NULL AS kept, dups.dup_of
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+"""
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(tx.documents(spark, sf_dir))
 
@@ -996,6 +1033,7 @@ FROM documents
         Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
+        Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
         Query("ngram_jaccard", _ngram_jaccard, _NGRAM_JACCARD_SQL),
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
@@ -1407,6 +1445,8 @@ def _queries_core() -> list[Query]:
 _CHECK_FIRST = (
     # red in round 2 (oracle HUGEINT-vs-BIGINT typing), cast fixed this round
     "events_json_stats",
+    # new in round 3: end-to-end LSH-candidates -> true-Jaccard -> verdict
+    "dedup_verify",
     # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
     # pinned by pytest oracle twins, but rotated to the front so every
     # declared query has round-fresh driver evidence

@@ -217,6 +217,65 @@ def ngram_jaccard_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
     )
 
 
+#: Verification threshold for the end-to-end MinHash pipeline: a
+#: candidate pair is a confirmed duplicate when its true shingle-set
+#: Jaccard reaches this value.
+VERIFY_THRESHOLD = 0.5
+
+
+def minhash_verified_dedup(
+    docs: DataFrame, threshold: float = VERIFY_THRESHOLD
+) -> DataFrame:
+    """The complete MinHash dedup pipeline a pretraining run executes,
+    end-to-end: LSH candidate pairs → true n-gram Jaccard scored on
+    exactly those candidates → threshold filter → per-document verdict.
+
+    Output: one row per document — ``(doc_id, kept, dup_of)``. A
+    document is dropped (``kept = false``) when it is the higher id of
+    any verified pair; ``dup_of`` is the smallest verified lower-id
+    partner (its canonical). This pairwise keep-lowest policy is
+    deterministic and needs no iterative connected-components pass; the
+    trade-off (a chain a~b, b~c with a≁c still drops both b and c) is
+    the standard one-pass dedup semantics.
+
+    Scale shape: candidates come from the banded bucket join (uniform
+    md5 keys, never all-pairs); true Jaccard runs only on that candidate
+    set via two hash joins back to the once-materialized distinct-shingle
+    table; the verdict is a left join of the (small) drop list onto the
+    corpus keyed by doc_id.
+    """
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles()).alias("sh")
+    ).localCheckpoint()
+    cand = minhash_candidate_pairs(docs)
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+    dup_of = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup_of, "doc_id", "left")
+        .select("doc_id", F.col("dup_of").isNull().alias("kept"), "dup_of")
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over distinct tokens: bit b is the sign of the vote
     sum where each token votes +1 if hex nibble b of its md5 has its high

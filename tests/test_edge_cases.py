@@ -356,3 +356,33 @@ def test_value_paths_guard_null_nan(spark):
     assert len(rj) == 1
     # only the two finite-valued views join; -25.00 + 10.00 = -15.00
     assert rj[0]["n_views"] == 2 and rj[0]["view_value"] == -15.0
+
+
+def test_minhash_verified_dedup_semantics(spark):
+    """End-to-end pipeline policy: verified high-Jaccard pairs drop the
+    higher id with the smallest partner as canonical; low-Jaccard
+    bucket-collisions survive verification; shingle-less docs are kept."""
+    from mapreducekmean_spark.operators.dedup import minhash_verified_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the quiet green meadow beside the old stone bridge"
+    )
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="s"),
+        # near-identical: one word changed -> high true Jaccard
+        Row(doc_id=2, text=base.replace("quiet", "silent"), lang="en", source="s"),
+        # identical again: chains 1~2, 1~3, 2~3
+        Row(doc_id=3, text=base, lang="en", source="s"),
+        Row(doc_id=4, text="completely unrelated words about spark engines "
+                           "and parquet files in a data lake", lang="en", source="s"),
+        Row(doc_id=5, text="too short", lang="en", source="s"),  # no shingles
+    ]
+    docs = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in minhash_verified_dedup(docs).collect()}
+    assert len(got) == 5
+    assert got[1].kept and got[1].dup_of is None
+    assert not got[2].kept and got[2].dup_of == 1
+    assert not got[3].kept and got[3].dup_of == 1
+    assert got[4].kept
+    assert got[5].kept
