@@ -93,6 +93,32 @@ FROM embeddings
 """
 
 
+def _points_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 byte-format parity, driver-visible: the reference-native
+    ``"x,y"`` CSV (staged deterministically from the embeddings fixture,
+    8 files → 8 InputPartitions) read through the custom ``points``
+    DataSource with a pushed ``x >= 0`` filter (``pushFilters`` applies
+    it inside the reader). repr() round-trips doubles exactly, so the
+    text-format scan hash-matches the parquet oracle."""
+    from mapreducekmean_spark.sources import (
+        register_points_source,
+        stage_points_csv,
+    )
+
+    register_points_source(spark)
+    path = stage_points_csv(sf_dir)
+    df = spark.read.format("points").load(path)
+    return df.filter(F.col("x") >= 0)
+
+
+_POINTS_CSV_SCAN_SQL = """
+SELECT CAST(embedding[1] AS DOUBLE) AS x,
+       CAST(embedding[2] AS DOUBLE) AS y
+FROM embeddings
+WHERE CAST(embedding[1] AS DOUBLE) >= 0
+"""
+
+
 def _sample_init_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 — deterministic k-row init sample (md5 order)."""
     return km.deterministic_init(km.embeddings(spark, sf_dir), K).select(
@@ -1422,6 +1448,7 @@ GROUP BY event_type
 def _queries_core() -> list[Query]:
     return [
         Query("scan_points", _scan_points, _SCAN_POINTS_SQL),
+        Query("points_csv_scan", _points_csv_scan, _POINTS_CSV_SCAN_SQL),
         Query("filter_valid", _filter_valid, _FILTER_VALID_SQL),
         Query("sample_init_det", _sample_init_det, _SAMPLE_INIT_SQL),
         Query("assign_nearest", _assign_nearest, _ASSIGN_SQL),
@@ -1445,8 +1472,10 @@ def _queries_core() -> list[Query]:
 _CHECK_FIRST = (
     # red in round 2 (oracle HUGEINT-vs-BIGINT typing), cast fixed this round
     "events_json_stats",
-    # new in round 3: end-to-end LSH-candidates -> true-Jaccard -> verdict
+    # new in round 3: end-to-end LSH-candidates -> true-Jaccard -> verdict,
+    # and the reference-native CSV format through the custom DataSource
     "dedup_verify",
+    "points_csv_scan",
     # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
     # pinned by pytest oracle twins, but rotated to the front so every
     # declared query has round-fresh driver evidence

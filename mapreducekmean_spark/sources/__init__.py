@@ -15,6 +15,7 @@ from mapreducekmean_spark.sources.readers import (
     load_table,
     load_tables,
     read_points_csv,
+    stage_points_csv,
 )
 from mapreducekmean_spark.sources.points_datasource import (
     register as register_points_source,

@@ -69,6 +69,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def stage_points_csv(sf_dir: str, n_files: int = 8) -> str:
+    """Stage the embeddings fixture's first two dimensions as a
+    reference-native ``"x,y"`` CSV directory (idempotent per sf_dir,
+    under /tmp), so declared queries can exercise the custom ``points``
+    DataSource end-to-end against a DuckDB oracle over the same parquet.
+
+    ``repr(float)`` is the shortest exact representation, so the
+    text→float round trip reproduces the parquet doubles bit-exactly.
+    ``n_files`` contiguous slices make the scan genuinely partitioned
+    (one ``InputPartition`` per file).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), "mrkm_points_csv", tag)
+    done = os.path.join(out_dir, "_done")
+    if os.path.exists(done):
+        return out_dir
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    embs = tbl.column("embedding").to_pylist()
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = max(1, (len(embs) + n_files - 1) // n_files)
+    for i in range(0, max(len(embs), 1), chunk):
+        part = embs[i : i + chunk]
+        tmp = os.path.join(out_dir, f".part-{i // chunk:05d}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for e in part:
+                fh.write(f"{e[0]!r},{e[1]!r}\n")
+        os.replace(tmp, os.path.join(out_dir, f"part-{i // chunk:05d}.csv"))
+    with open(done, "w", encoding="utf-8"):
+        pass
+    return out_dir
+
+
 POINTS_SCHEMA = T.StructType(
     [
         T.StructField("x", T.DoubleType(), True),
