@@ -509,9 +509,77 @@ FROM wdw
 """
 
 
+_WORD_COUNT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM t GROUP BY token
+"""
+
+_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+c AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*) AS n
+  FROM b GROUP BY bg
+)
+SELECT w1, w2, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+_CORPUS_STATS_SQL = r"""
+WITH base AS (
+  SELECT lang, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS content_hash,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+)
+SELECT lang, source,
+       CAST(2 * GROUPING(lang) + GROUPING(source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT content_hash) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM base
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
+        Query(
+            "word_count",
+            lambda spark, sf_dir: tx.word_count(tx.documents(spark, sf_dir)),
+            _WORD_COUNT_SQL,
+        ),
+        Query(
+            "bigram_lm",
+            lambda spark, sf_dir: tx.bigram_lm(tx.documents(spark, sf_dir)),
+            _BIGRAM_LM_SQL,
+        ),
+        Query(
+            "corpus_stats",
+            lambda spark, sf_dir: tx.corpus_stats(tx.documents(spark, sf_dir)),
+            _CORPUS_STATS_SQL,
+        ),
         Query(
             "doc_winnow",
             lambda spark, sf_dir: tx.winnow_fingerprint(
@@ -1473,9 +1541,13 @@ _CHECK_FIRST = (
     # red in round 2 (oracle HUGEINT-vs-BIGINT typing), cast fixed this round
     "events_json_stats",
     # new in round 3: end-to-end LSH-candidates -> true-Jaccard -> verdict,
-    # and the reference-native CSV format through the custom DataSource
+    # the reference-native CSV format through the custom DataSource, and
+    # the corpus-level text suite (word_count / bigram LM / rollup stats)
     "dedup_verify",
     "points_csv_scan",
+    "word_count",
+    "bigram_lm",
+    "corpus_stats",
     # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
     # pinned by pytest oracle twins, but rotated to the front so every
     # declared query has round-fresh driver evidence

@@ -8,9 +8,12 @@ no Python UDFs) and every one has an exact DuckDB oracle: tokenization is
 ``regexp_extract_all`` with identical patterns in both engines, hashing is
 md5 (identical hex output), and ratio outputs are rounded to 6 dp.
 
-Scale: every operator here is a narrow per-row projection — no shuffle at
-all — so they run scan-bound over 100 TB and compose freely with the
-dedup/similarity stages that do shuffle.
+Scale: the per-document operators are narrow per-row projections — no
+shuffle at all — so they run scan-bound over 100 TB and compose freely
+with the dedup/similarity stages. The corpus-level operators
+(``word_count``, ``bigram_lm``, ``corpus_stats``) shuffle once each on
+uniform keys (token / bigram / md5 content hash) with map-side partial
+aggregation absorbing stopword-style skew.
 """
 
 from __future__ import annotations
@@ -189,6 +192,90 @@ def dataset_split(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+def word_count(docs: DataFrame) -> DataFrame:
+    """THE MapReduce workload, Spark-first — corpus term frequencies:
+    per token, total occurrences and document frequency. The reference
+    engine's own framework (Hadoop MR) ships this as its hello-world;
+    here it is one explode + one partial/final HashAggregate.
+
+    Scale shape: the shuffle is keyed by token; stopword skew is
+    absorbed by map-side partial aggregation (each task emits one row
+    per distinct token, so even 'the' contributes ~n_tasks rows to the
+    exchange, not n_occurrences). Document frequency rides the same
+    shuffle as a distinct-count over (token, doc_id).
+    """
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return t.groupBy("token").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+def bigram_lm(docs: DataFrame) -> DataFrame:
+    """Bigram language-model table: count of each (w1, w2) pair and the
+    conditional probability p(w2|w1) — the n-gram-LM statistic quality
+    and perplexity filters build on.
+
+    Two aggregations: bigram counts (explode of the 2-gram shingle
+    chain), then the per-w1 normalizer as a window sum over the already
+    tiny distinct-bigram table (vocabulary-sized, uniformly keyed — the
+    heavy explode never passes through the window). The division is the
+    same IEEE double op in both engines; rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    from mapreducekmean_spark.operators.dedup import shingles
+
+    bg = docs.select(F.explode(shingles("text", n=2)).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count("*").alias("n")).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        "n",
+    )
+    total = F.sum("n").over(Window.partitionBy("w1"))
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(
+            F.col("n").cast("double") / total.cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-health rollup per (lang, source) with subtotals and a
+    grand total: document count, total token volume, distinct-content
+    count, and the exact-duplicate ratio — the dataset-card numbers a
+    pretraining corpus ships with.
+
+    One rollup aggregation; the distinct-content count rides the same
+    shuffle keyed by the uniform md5 content hash. ``gid`` is computed
+    explicitly (2·grouping(lang)+grouping(source)) so both engines
+    label subtotal rows identically.
+    """
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = docs.select(
+        "lang",
+        "source",
+        F.md5(norm).alias("content_hash"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    n_docs = F.count("*")
+    n_distinct = F.countDistinct("content_hash").cast("bigint")
+    return base.rollup("lang", "source").agg(
+        (
+            F.grouping("lang") * 2 + F.grouping("source")
+        ).cast("bigint").alias("gid"),
+        n_docs.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_ratio"),
+    )
 
 
 #: Winnowing parameters: k-gram size (reuses the dedup shingle n=3) and
