@@ -89,7 +89,9 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """Per-document MinHash signature: seed i's value is the lexicographic
     min over all shingles of the i-th 8-hex-char (32-bit) slice of
     ``md5('0:'||shingle) || md5('1:'||shingle)`` — "one permutation
@@ -103,8 +105,16 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     hash-aggregate ``min`` per doc. md5 dominates the stage cost, so this
     is ~4× less hashing for the same signature width; the narrower 8-char
     min-agg values also shrink the partial-aggregate state.
+
+    ``shingled`` (optional): a pre-materialized (doc_id, sh) table —
+    pipelines that already built one (e.g. the verification stage) pass
+    it so the tokenize→shingle pass runs once. A distinct-shingle table
+    is equally valid input: ``min`` is duplicate-insensitive, so the
+    signature is identical.
     """
-    base = docs.select("doc_id", F.explode(shingles()).alias("sh")).select(
+    if shingled is None:
+        shingled = docs.select("doc_id", shingles().alias("sh"))
+    base = shingled.select("doc_id", F.explode("sh").alias("sh")).select(
         "doc_id",
         F.concat(
             F.md5(F.concat(F.lit("0:"), F.col("sh"))),
@@ -119,10 +129,12 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(
+    docs: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """LSH banding: bucket = md5 of the concatenated band rows.
     Output: (doc_id, band, bucket) — the join key space for candidates."""
-    sig = minhash_signature(docs)
+    sig = minhash_signature(docs, shingled)
     rows = []
     for b in range(N_BANDS):
         parts = [
@@ -139,7 +151,9 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, bucket), deduped.
     Shuffles on uniform md5 buckets — never all-pairs.
 
@@ -149,7 +163,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     slower). At cluster scale this is the standard
     materialize-signatures-then-join pipeline (``dedup_minhash_sig`` is
     that stage standalone); the checkpoint is its in-session form."""
-    bands = minhash_bands(docs).localCheckpoint()
+    bands = minhash_bands(docs, shingled).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -247,7 +261,10 @@ def minhash_verified_dedup(
     sh = docs.select(
         "doc_id", F.array_distinct(shingles()).alias("sh")
     ).localCheckpoint()
-    cand = minhash_candidate_pairs(docs)
+    # the signature stage reuses the materialized distinct-shingle table
+    # (min is duplicate-insensitive), so tokenize→shingle runs ONCE for
+    # candidates and verification alike
+    cand = minhash_candidate_pairs(docs, shingled=sh)
     scored = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
