@@ -39,4 +39,7 @@ class ExplodeNgrams:
 
 def register_udtfs(spark) -> None:
     """Idempotently register the UDTF surface for SQL use."""
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(spark)  # ExplodeNgrams pickles by reference
     spark.udtf.register("explode_ngrams", ExplodeNgrams)

@@ -299,6 +299,12 @@ def extract_features(assets: DataFrame, fake_codec: bool = True) -> DataFrame:
                 }
             )
 
+    # `op` closes over module-level decode_payload (pickled by
+    # reference) — ship the package so workers can import it even when
+    # the driver found it via sys.path only
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
     return assets.mapInPandas(op, schema=_FEATURES_SCHEMA)
 
 

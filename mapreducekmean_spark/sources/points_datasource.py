@@ -134,4 +134,14 @@ def register(spark) -> None:
     """Idempotently register the source: afterwards
     ``spark.read.format("points").load(path)`` works anywhere in the
     session."""
+    from mapreducekmean_spark.shipping import ship_package
+
+    # the DataSource class is pickled by reference — workers must be able
+    # to import this module even when the driver found it via sys.path
+    ship_package(spark)
+    # a reader that implements pushFilters is REJECTED (not degraded)
+    # when this conf is off, and vanilla external sessions default it
+    # off — set it here like the nanos conf in load_table, so the
+    # source works on any session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PointsDataSource)

@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # INT64 (TIMESTAMP(NANOS,false)) on sessions that didn't go through
     # our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same external-session hardening for the Python-worker side: any
+    # downstream operator that pickles module references (datasource,
+    # mapInPandas, UDTF) needs the package importable on workers.
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -136,6 +136,9 @@ def stream_sessionize(events_stream: DataFrame) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``:
     closed sessions are appended as they are detected; the open session
     per user lives in the state store."""
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(events_stream.sparkSession)  # _session_fn pickles by ref
     with_us = events_stream.select(
         "user_id", F.unix_micros("ts").alias("us")
     )
