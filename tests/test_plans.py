@@ -121,3 +121,46 @@ def _plan(df):
     from mapreducekmean_spark.plans import formatted_plan
 
     return formatted_plan(df)
+
+
+def test_word_count_partial_agg_before_both_exchanges(spark, sf_small):
+    """The canonical MR workload: map-side partial aggregation must sit
+    below the token-keyed exchange (stopword skew absorbed at the
+    mappers), and the whole plan is exactly the two agg exchanges."""
+    df = REG["word_count"].fn(spark, sf_small)
+    assert count_exchanges(df) == 2
+    plan = _plan(df)
+    # two partial/final HashAggregate pairs, no sort-based fallback
+    assert plan.count("HashAggregate") >= 4
+    assert "SortAggregate" not in plan
+
+
+def test_bigram_lm_window_over_distinct_bigrams(spark, sf_small):
+    """The per-w1 normalizer window must consume the aggregated
+    distinct-bigram table, not the raw explode: the Generate sits below
+    the aggregation exchange."""
+    plan = _plan(REG["bigram_lm"].fn(spark, sf_small))
+    assert "Generate" in plan and "Window" in plan
+    gen = plan.index("Generate")
+    win = plan.index("Window")
+    # formatted_plan prints top-down: the window appears above (before)
+    # the explode in the operator listing
+    assert win < gen
+
+
+def test_points_csv_scan_pushes_filter_no_exchange(spark, sf_small):
+    """The custom Python DataSource path: zero exchanges (pure
+    partitioned scan) and the numeric predicate accepted by
+    pushFilters."""
+    df = REG["points_csv_scan"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert "BatchScan points" in _plan(df)
+
+
+def test_dedup_verify_no_nested_loop_all_hash_joins(spark, sf_small):
+    """End-to-end dedup composition: every join is a hash join (the
+    candidate set joins back to the materialized shingle table), never
+    a nested loop over the corpus."""
+    plan = _plan(REG["dedup_verify"].fn(spark, sf_small))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
