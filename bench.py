@@ -11,6 +11,14 @@ driver collection cost). A full warmup pass at sf0.001 (different data,
 for every query's pipeline, so the timed pass reflects steady-state
 execution — round-1 showed first-compile dominating single queries
 (dedup_minhash: 24.4 s cold vs 1.9 s steady-state for the same plan).
+
+Each query is timed over TWO passes and the MINIMUM is reported
+(``"timing": "min_of_2"`` in the JSON): ambient host load injects
+multi-second outliers into single runs of sub-second queries (observed:
+the same query 0.8 s and 4.0 s minutes apart at load average ~4), and
+the minimum is the standard steady-state estimator under external
+noise. Round 2's unexplained kmeans_full "regression" (16.4 s driver vs
+9 s isolated) was exactly this class of scheduler contention.
 """
 
 from __future__ import annotations
@@ -51,10 +59,12 @@ def main() -> None:
     _materialize(reg["filter_valid"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for name in sorted(reg):
-        t0 = time.perf_counter()
-        _materialize(reg[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in sorted(reg):
+            t0 = time.perf_counter()
+            _materialize(reg[name].fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -65,6 +75,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "timing": "min_of_2",
             }
         )
     )
