@@ -265,3 +265,53 @@ def test_value_quantiles_matches_sorted_pick(spark, rows):
             want = vals[math.ceil(p * n) - 1] / 100.0
             assert got[t][col] == want, (t, col, got[t][col], want)
         assert got[t].n == n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_bigram_lm_is_a_probability_table(spark, docs):
+    """Invariants of the bigram LM over arbitrary tiny corpora: for every
+    w1, the conditional probabilities sum to 1 (within 6-dp rounding of
+    each term), and total bigram mass equals the corpus bigram count."""
+    from mapreducekmean_spark.operators.text import bigram_lm, tokens
+
+    df = spark.createDataFrame([Row(text=t) for t in docs])
+    rows = bigram_lm(df).collect()
+    n_bigrams = sum(
+        max(len(t.split()), 0) - 1
+        for t in [" ".join(x.lower().split()) for x in docs]
+        if len(t.split()) >= 2
+    )
+    assert sum(r.n for r in rows) == n_bigrams
+    by_w1: dict = {}
+    for r in rows:
+        by_w1.setdefault(r.w1, []).append(r)
+    for w1, grp in by_w1.items():
+        assert abs(sum(r.p for r in grp) - 1.0) <= 5e-6 * len(grp), w1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="xy z9", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_word_count_mass_conservation(spark, docs):
+    """sum of per-token counts == total token occurrences; n_docs never
+    exceeds the corpus size or the token's total count."""
+    from mapreducekmean_spark.operators.text import word_count, tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    rows = word_count(df).collect()
+    total_tokens = sum(len(t.lower().split()) for t in docs)
+    assert sum(r.n for r in rows) == total_tokens
+    for r in rows:
+        assert 1 <= r.n_docs <= min(len(docs), r.n)
