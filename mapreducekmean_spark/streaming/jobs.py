@@ -201,6 +201,32 @@ def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+
+
+def stream_word_count(docs_stream: DataFrame) -> DataFrame:
+    """Streaming word count — the canonical unbounded-aggregation demo of
+    the reference's own framework, as Structured Streaming: running
+    per-token totals maintained incrementally across micro-batches
+    (update/complete output). Identical logic to the batch
+    ``operators.text.word_count`` minus document frequency (per-doc
+    distinct state is unbounded per token; the streaming form keeps the
+    counter state that partial aggregation bounds).
+    """
+    from mapreducekmean_spark.operators.text import tokens
+
+    return (
+        docs_stream.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame, path: str, checkpoint: str
 ) -> None:

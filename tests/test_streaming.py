@@ -412,3 +412,25 @@ def test_wav_malformed_payloads_hit_gate():
         assert mm._decode_audio_wav(payload) is None
         with _pytest.raises(NotImplementedError):
             mm.decode_payload(payload, "audio", fake_codec=False)
+
+
+def test_stream_word_count_matches_batch(spark, sf_small):
+    """The streaming running word count converges to exactly the batch
+    term frequencies once the source is drained (complete output)."""
+    from mapreducekmean_spark.operators.text import documents, word_count
+    from mapreducekmean_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_word_count,
+    )
+
+    batch = {
+        (r["token"], r["n"])
+        for r in word_count(documents(spark, sf_small)).collect()
+    }
+    stream = stream_word_count(read_documents_stream(spark, sf_small))
+    run_to_memory(stream, "wc_out", output_mode="complete")
+    got = {
+        (r["token"], r["n"])
+        for r in spark.sql("SELECT token, n FROM wc_out").collect()
+    }
+    assert got == batch and len(got) > 0
