@@ -892,6 +892,58 @@ FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.duplicate_clusters(tx.documents(spark, sf_dir))
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected-components oracle: the same verified edge list, closed
+    transitively with a recursive CTE (UNION dedup guarantees the
+    fixpoint), min-reachable id per node = the cluster canonical. An
+    iterative Spark operator checked exactly by a recursive SQL twin."""
+    return f"""
+WITH RECURSIVE
+cand AS ({_minhash_pairs_sql()}),
+t3 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+s3 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                AS sh
+       FROM t3 WHERE len(toks) >= 3),
+edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN s3 a ON a.doc_id = c.doc_a
+  JOIN s3 b ON b.doc_id = c.doc_b
+  WHERE round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+              6) >= {dd.VERIFY_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+labels AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src),
+sized AS (
+  SELECT doc_id, rep,
+         CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+  FROM labels
+)
+SELECT d.doc_id,
+       COALESCE(s.rep, d.doc_id) AS rep,
+       COALESCE(s.cluster_size, 1) AS cluster_size
+FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+"""
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(tx.documents(spark, sf_dir))
 
@@ -1128,6 +1180,7 @@ FROM documents
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
         Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
+        Query("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
         Query("ngram_jaccard", _ngram_jaccard, _NGRAM_JACCARD_SQL),
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
@@ -1544,6 +1597,7 @@ _CHECK_FIRST = (
     # the reference-native CSV format through the custom DataSource, and
     # the corpus-level text suite (word_count / bigram LM / rollup stats)
     "dedup_verify",
+    "dedup_clusters",
     "points_csv_scan",
     "word_count",
     "bigram_lm",

@@ -258,12 +258,29 @@ def minhash_verified_dedup(
     table; the verdict is a left join of the (small) drop list onto the
     corpus keyed by doc_id.
     """
+    dup_of = (
+        verified_pairs(docs, threshold)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup_of, "doc_id", "left")
+        .select("doc_id", F.col("dup_of").isNull().alias("kept"), "dup_of")
+    )
+
+
+def verified_pairs(
+    docs: DataFrame, threshold: float = VERIFY_THRESHOLD
+) -> DataFrame:
+    """The verified-duplicate edge list: LSH candidates scored by true
+    Jaccard, thresholded. Shared plumbing for the verdict
+    (``minhash_verified_dedup``) and cluster (``duplicate_clusters``)
+    outputs."""
     sh = docs.select(
         "doc_id", F.array_distinct(shingles()).alias("sh")
     ).localCheckpoint()
-    # the signature stage reuses the materialized distinct-shingle table
-    # (min is duplicate-insensitive), so tokenize→shingle runs ONCE for
-    # candidates and verification alike
     cand = minhash_candidate_pairs(docs, shingled=sh)
     scored = (
         cand.join(
@@ -280,17 +297,89 @@ def minhash_verified_dedup(
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
     )
-    dup_of = (
-        scored.filter(F.col("jaccard") >= threshold)
-        .groupBy("doc_b")
-        .agg(F.min("doc_a").alias("dup_of"))
-        .withColumnRenamed("doc_b", "doc_id")
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = VERIFY_THRESHOLD, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over the verified-duplicate graph: every
+    document labeled with the smallest doc_id reachable through verified
+    pairs (its canonical), plus the component size. The full-closure
+    upgrade of ``minhash_verified_dedup``'s one-pass pairwise policy —
+    a chain a~b, b~c now lands all three in cluster min(a).
+
+    Iterative min-label propagation: per round, each node's label drops
+    to the min over itself and its neighbors' labels; converged when no
+    label changes. Rounds needed = graph diameter (near-dup components
+    are shallow — pairs and small chains — so a handful of rounds; the
+    loop stops on a fixpoint, ``max_iter`` is a safety bound). Each
+    round is one join + one aggregate on the *edge list* (candidates
+    only — the corpus never re-enters the loop), and the edge table is
+    localCheckpoint'd once; this is the standard distributed CC recipe
+    where a driver-side union-find would not scale.
+    """
+    edges = verified_pairs(docs, threshold).select("doc_a", "doc_b")
+    # symmetric adjacency, materialized once for the iteration
+    adj = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
     )
-    return (
+    labels = (
+        adj.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            adj.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("rep").alias("nrep")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nrep").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "rep", F.coalesce("nmin", F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    members = labels.join(sizes, "rep")
+    # singletons: documents in no verified pair form their own cluster
+    singles = (
         docs.select("doc_id")
-        .join(dup_of, "doc_id", "left")
-        .select("doc_id", F.col("dup_of").isNull().alias("kept"), "dup_of")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("rep"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+        )
     )
+    return members.select("doc_id", "rep", "cluster_size").union(singles)
 
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -386,3 +386,29 @@ def test_minhash_verified_dedup_semantics(spark):
     assert not got[3].kept and got[3].dup_of == 1
     assert got[4].kept
     assert got[5].kept
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Connected components over verified pairs: the near-identical
+    trio lands in ONE cluster labeled by the smallest id; unrelated and
+    shingle-less docs are singletons."""
+    from mapreducekmean_spark.operators.dedup import duplicate_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the quiet green meadow beside the old stone bridge"
+    )
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="s"),
+        Row(doc_id=2, text=base.replace("quiet", "silent"), lang="en", source="s"),
+        Row(doc_id=3, text=base, lang="en", source="s"),
+        Row(doc_id=4, text="completely unrelated words about spark engines "
+                           "and parquet files in a data lake", lang="en", source="s"),
+        Row(doc_id=5, text="too short", lang="en", source="s"),
+    ]
+    got = {
+        r.doc_id: (r.rep, r.cluster_size)
+        for r in duplicate_clusters(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1) and got[5] == (5, 1)
