@@ -347,24 +347,24 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nrep").alias("nmin"))
         )
-        new_labels = (
+        # one materialized pass per round: the new label and a did-it-drop
+        # flag ride the same localCheckpoint, so the fixpoint test is a
+        # filter over already-materialized rows, not a second join job
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     "rep", F.coalesce("nmin", F.col("rep"))
                 ).alias("rep"),
+                (F.coalesce("nmin", F.col("rep")) < F.col("rep")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").limit(1).count()
+        labels = stepped.drop("chg")
         if changed == 0:
             break
     sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
