@@ -1226,6 +1226,63 @@ FROM j
 GROUP BY month_start_s
 """
 
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1994-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue_lost,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_lost DESC, c_custkey ASC
+LIMIT 20
+"""
+
+#: quantities are integer-valued doubles <= 50, so their sums are exactly
+#: representable in any accumulation order — the HAVING and the BIGINT
+#: cast are cross-engine exact.
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)
+         AS o_orderdate_s,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100
+         AS o_totalprice,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
 
 # --- analytic suite (rollup/cube/set-ops/JSON/windows) -------------------
 
@@ -1542,6 +1599,10 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q5_regional_revenue", rel.regional_revenue, _REGIONAL_REVENUE_SQL),
         Query("tpch_q6_forecast", rel.forecast_revenue, _FORECAST_SQL),
         Query("tpch_q14_promo", rel.promo_revenue_share, _PROMO_SQL),
+        Query("tpch_q4_priority", rel.order_priority_check, _Q4_SQL),
+        Query("tpch_q10_returns", rel.top_return_customers, _Q10_SQL),
+        Query("tpch_q18_large_orders", rel.large_quantity_orders, _Q18_SQL),
+        Query("tpch_q19_brackets", rel.bracketed_revenue, _Q19_SQL),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(
@@ -1602,6 +1663,10 @@ _CHECK_FIRST = (
     "word_count",
     "bigram_lm",
     "corpus_stats",
+    "tpch_q4_priority",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q19_brackets",
     # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
     # pinned by pytest oracle twins, but rotated to the front so every
     # declared query has round-fresh driver evidence
@@ -1621,6 +1686,10 @@ _CHECK_FIRST = (
 _CHECK_LAST = (
     # value-hash green in round 2 (CORRECTNESS_r02.json) AND covered by
     # pytest oracle twins -- safest entries to land past any driver cutoff
+    # (kmeans_mllib is rows-only by design, so a driver row adds least)
+    "kmeans_mllib",
+    "running_spend",
+    "customer_rank_stats",
     "cosine_topk",
     "ann_ivf",
     "ann_lsh",

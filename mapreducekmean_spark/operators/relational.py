@@ -189,6 +189,111 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi join — orders from one quarter
+    having at least one line item shipped more than 60 days after the
+    order date (the fixture lacks l_commitdate, so late shipping stands
+    in for the commit/receipt comparison), counted per priority.
+
+    The semi join keys on l_orderkey (equi, shuffled) with the date
+    comparison as a residual — never a nested loop."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def top_return_customers(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — fact⋈fact
+    shuffle join (lineitem⋈orders) plus broadcast dims, exact 10^-4
+    unit sums, deterministic top-k (revenue desc, custkey asc)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(rev_e4).cast("double") / 10_000).alias("revenue_lost"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.orderBy(
+        F.col("revenue_lost").desc(), F.col("c_custkey").asc()
+    ).limit(k)
+
+
+def large_quantity_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 150.0
+) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-semi-join — orders whose total
+    line quantity exceeds the threshold, joined back to customers. The
+    HAVING aggregate runs partial+final on l_orderkey; only qualifying
+    keys (a small set) reach the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    j = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.unix_seconds(F.date_trunc("second", "o_orderdate")).alias(
+            "o_orderdate_s"
+        ),
+        (_cents(F.col("o_totalprice")).cast("double") / 100).alias(
+            "o_totalprice"
+        ),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+    )
+
+
+def bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets over
+    lineitem⋈part (part broadcast) — the OR-of-ANDs predicate shape
+    that exercises CNF conversion / partial pushdown, summed in exact
+    10^-4 units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bracket = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#34") & size.between(1, 35) & qty.between(20, 40))
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    return j.filter(bracket).agg(
+        (F.sum(rev_e4).cast("double") / 10_000).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def top_orders_per_customer(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
