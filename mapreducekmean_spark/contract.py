@@ -1367,6 +1367,22 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week_s) AS cohort_s FROM w GROUP BY user_id
+)
+SELECT cohort_s, week_s,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users,
+       (week_s - cohort_s) // (7 * 86400) AS week_offset
+FROM w JOIN first ON w.user_id = first.user_id
+GROUP BY cohort_s, week_s
+"""
+
 _EVENTS_PIVOT_SQL = """
 SELECT user_id,
        count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
@@ -1594,6 +1610,13 @@ def _queries_events_relational() -> list[Query]:
             _QUANTILES_SQL,
         ),
         Query("user_funnel", _user_funnel, _FUNNEL_SQL),
+        Query(
+            "user_retention_cohorts",
+            lambda spark, sf_dir: ev.user_retention_cohorts(
+                ev.events(spark, sf_dir)
+            ),
+            _RETENTION_SQL,
+        ),
         Query("tpch_q1_pricing", rel.pricing_summary, _PRICING_SQL),
         Query("tpch_q3_top_orders", rel.top_unshipped_orders, _TOP_ORDERS_SQL),
         Query("tpch_q5_regional_revenue", rel.regional_revenue, _REGIONAL_REVENUE_SQL),
@@ -1667,6 +1690,7 @@ _CHECK_FIRST = (
     "tpch_q10_returns",
     "tpch_q18_large_orders",
     "tpch_q19_brackets",
+    "user_retention_cohorts",
     # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
     # pinned by pytest oracle twins, but rotated to the front so every
     # declared query has round-fresh driver evidence

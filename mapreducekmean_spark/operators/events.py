@@ -222,6 +222,31 @@ def value_quantiles(ev: DataFrame) -> DataFrame:
     )
 
 
+def user_retention_cohorts(ev: DataFrame) -> DataFrame:
+    """Classic retention matrix: users grouped by first-seen week
+    (cohort), counted per subsequent activity week with the week offset.
+
+    Two aggregations: first-seen per user (partial+final min on
+    user_id), broadcast-joined back (the cohort table is one row per
+    user — at true scale it stays a shuffle join on user_id, which AQE
+    picks automatically), then distinct users per (cohort, activity)
+    week pair. Week truncation is ISO-Monday in both engines; all time
+    math in epoch seconds."""
+    week_s = F.unix_seconds(F.date_trunc("week", "ts"))
+    first = ev.groupBy("user_id").agg(F.min(week_s).alias("cohort_s"))
+    j = ev.select("user_id", week_s.alias("week_s")).join(first, "user_id")
+    return (
+        j.groupBy("cohort_s", "week_s")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .withColumn(
+            # integer div: offsets are non-negative multiples of a week
+            # (cohort is the min), so div == floor == DuckDB's //
+            "week_offset",
+            F.expr(f"(week_s - cohort_s) div {7 * 86400}"),
+        )
+    )
+
+
 def approx_user_counts(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch aggregation: per event type, approximate distinct
     users alongside the exact count.
