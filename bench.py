@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreducekmean_spark import get_spark  # noqa: E402
 from mapreducekmean_spark.contract import registry  # noqa: E402
+from mapreducekmean_spark.functions.mat import (  # noqa: E402
+    clear_persistent_rdds,
+)
 
 
 def _materialize(df) -> None:
@@ -58,6 +61,15 @@ def main() -> None:
     _materialize(reg["scan_points"].fn(spark, sf_dir))
     _materialize(reg["filter_valid"].fn(spark, sf_dir))
 
+    # each declared query rebuilds its plan from the parquet sources, so
+    # any persisted blocks left behind (localCheckpoint'd self-join /
+    # iteration state) are dead weight — free them OUTSIDE the timed
+    # window so one query's leftovers can't tax the next one's shuffles
+    # (round-3's minhash-family "regression" was exactly this: block-
+    # manager pressure from the CC query's checkpoints landing on
+    # whichever queries ran next in registry order)
+    clear_persistent_rdds(spark)
+
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in sorted(reg):
@@ -65,6 +77,7 @@ def main() -> None:
             _materialize(reg[name].fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            clear_persistent_rdds(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -116,6 +116,8 @@ SELECT CAST(embedding[1] AS DOUBLE) AS x,
        CAST(embedding[2] AS DOUBLE) AS y
 FROM embeddings
 WHERE CAST(embedding[1] AS DOUBLE) >= 0
+  AND isfinite(CAST(embedding[1] AS DOUBLE))
+  AND isfinite(CAST(embedding[2] AS DOUBLE))
 """
 
 
@@ -136,7 +138,7 @@ def _assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5+R6 — nearest-centroid assignment against the deterministic init
     centroids (broadcast nested loop + argmin, PointsMapper.java:59-81)."""
     pts = km.embeddings(spark, sf_dir)
-    cents = km.collect_centroids(km.deterministic_init(pts, K))
+    cents = km.init_centroids(spark, sf_dir, K)
     return km.assign(pts, cents).select("vec_id", "cluster_id")
 
 
@@ -149,7 +151,7 @@ SELECT vec_id, cluster_id FROM assign
 def _centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7-R9 — one Lloyd's update step: per-cluster per-dimension mean."""
     pts = km.embeddings(spark, sf_dir)
-    cents = km.collect_centroids(km.deterministic_init(pts, K))
+    cents = km.init_centroids(spark, sf_dir, K)
     return km.centroid_update_long(km.assign(pts, cents), DIM)
 
 
@@ -169,7 +171,7 @@ GROUP BY 1, 2
 def _cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 count leg."""
     pts = km.embeddings(spark, sf_dir)
-    cents = km.collect_centroids(km.deterministic_init(pts, K))
+    cents = km.init_centroids(spark, sf_dir, K)
     return km.cluster_sizes(km.assign(pts, cents))
 
 
@@ -182,7 +184,7 @@ SELECT cluster_id, count(*) AS n FROM assign GROUP BY 1
 def _wssse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cluster sum of squared errors (R6 distances, summed)."""
     pts = km.embeddings(spark, sf_dir)
-    cents = km.collect_centroids(km.deterministic_init(pts, K))
+    cents = km.init_centroids(spark, sf_dir, K)
     return km.wssse_per_cluster(km.assign(pts, cents))
 
 
@@ -196,8 +198,8 @@ FROM assign GROUP BY 1
 def _convergence_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 — per-cluster Chebyshev movement after one update step."""
     pts = km.embeddings(spark, sf_dir)
-    init = km.deterministic_init(pts, K)
-    cents = km.collect_centroids(init)
+    init = km.init_df(spark, sf_dir, K)
+    cents = km.init_centroids(spark, sf_dir, K)
     new_wide = km.centroid_update_wide(km.assign(pts, cents), DIM)
     return km.convergence_delta(new_wide, init, km.DEFAULT_TOL)
 
@@ -1675,43 +1677,10 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # red in round 2 (oracle HUGEINT-vs-BIGINT typing), cast fixed this round
-    "events_json_stats",
-    # new in round 3: end-to-end LSH-candidates -> true-Jaccard -> verdict,
-    # the reference-native CSV format through the custom DataSource, and
-    # the corpus-level text suite (word_count / bigram LM / rollup stats)
-    "dedup_verify",
-    "dedup_clusters",
-    "points_csv_scan",
-    "word_count",
-    "bigram_lm",
-    "corpus_stats",
-    "tpch_q4_priority",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q19_brackets",
-    "user_retention_cohorts",
-    # past round 2's 50-entry cap -> no r02 driver row; green in round 1 and
-    # pinned by pytest oracle twins, but rotated to the front so every
-    # declared query has round-fresh driver evidence
-    "sample_init_det",
-    "text_redact",
-    "token_count",
-    "doc_fingerprint",
-    "dataset_split",
-    "quality_score",
-    "lang_id",
-    "text_stats",
-    "sample_stratified",
-    "set_ops_customers",
-    "set_ops_bag",
-)
-
-_CHECK_LAST = (
-    # value-hash green in round 2 (CORRECTNESS_r02.json) AND covered by
-    # pytest oracle twins -- safest entries to land past any driver cutoff
-    # (kmeans_mllib is rows-only by design, so a driver row adds least)
-    "kmeans_mllib",
+    # round-4 rotation: these 22 queries' last driver rows date from
+    # round 2 (they sat past round 3's 50-entry cap); round 3 touched
+    # shared plumbing (sources/readers.py worker paths, shingle
+    # materialization), so they come first for round-fresh evidence
     "running_spend",
     "customer_rank_stats",
     "cosine_topk",
@@ -1734,6 +1703,67 @@ _CHECK_LAST = (
     "sql_above_nation_avg",
     "orders_list_per_customer",
     "multimodal_checksums",
+)
+
+_CHECK_LAST = (
+    # all value-hash green in round 3 (CORRECTNESS_r03.json) AND covered
+    # by pytest oracle twins. Ordered so the queries whose code round 4
+    # touched (connected-components rewrite, shared init memo, CSV
+    # staging fingerprint, checkpoint cleanup) land INSIDE a 50-entry
+    # driver cap, and the untouched round-1-era triple-greens land past
+    # it (safest to ship on prior evidence).
+    "dedup_clusters",
+    "points_csv_scan",
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "kmeans_full",
+    "sample_init_det",
+    "dedup_minhash_sig",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_verify",
+    "word_count",
+    "bigram_lm",
+    "corpus_stats",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q4_priority",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q19_brackets",
+    # ---- round-4-untouched, triple-green: past-cap is lowest-risk ----
+    "scan_points",
+    "doc_winnow",
+    "events_range_join",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "dedup_exact",
+    "dedup_apply",
+    "text_redact",
+    "token_count",
+    "doc_fingerprint",
+    "dataset_split",
+    "quality_score",
+    "lang_id",
+    "text_stats",
+    "sample_stratified",
+    "set_ops_customers",
+    "set_ops_bag",
+    # rows-only by design (seeded MLlib RNG): a driver row adds least
+    "kmeans_mllib",
 )
 
 

@@ -300,26 +300,39 @@ def verified_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
-def duplicate_clusters(
-    docs: DataFrame, threshold: float = VERIFY_THRESHOLD, max_iter: int = 50
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
-    """Connected components over the verified-duplicate graph: every
-    document labeled with the smallest doc_id reachable through verified
-    pairs (its canonical), plus the component size. The full-closure
-    upgrade of ``minhash_verified_dedup``'s one-pass pairwise policy —
-    a chain a~b, b~c now lands all three in cluster min(a).
+    """Connected components over an undirected (doc_a, doc_b) edge list:
+    every node labeled with the smallest node id reachable from it.
+    Output: (doc_id, rep) — one row per node that appears in any edge.
 
-    Iterative min-label propagation: per round, each node's label drops
-    to the min over itself and its neighbors' labels; converged when no
-    label changes. Rounds needed = graph diameter (near-dup components
-    are shallow — pairs and small chains — so a handful of rounds; the
-    loop stops on a fixpoint, ``max_iter`` is a safety bound). Each
-    round is one join + one aggregate on the *edge list* (candidates
-    only — the corpus never re-enters the loop), and the edge table is
-    localCheckpoint'd once; this is the standard distributed CC recipe
-    where a driver-side union-find would not scale.
+    Min-label propagation **with pointer jumping**: per round, (1) each
+    node's label drops to the min over its neighbors' labels, then (2)
+    each node shortcuts to its label's label (``rep = rep[rep]``, the
+    PRAM-CC shortcut). Step 1 alone needs diameter-many rounds — fine
+    for shallow near-dup components, degenerate for a long chain; the
+    shortcut doubles the distance already-propagated information travels,
+    so convergence is O(log diameter) (a 10M-node path converges in ~25
+    rounds instead of 10M). Each round is two hash joins + one aggregate
+    on the *label/edge tables only* — the corpus never enters the loop —
+    which is the join-based cousin of large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Per round the superseded previous label table's checkpoint blocks are
+    freed explicitly (``functions/mat.py``): only the newest label state
+    stays materialized, so the loop's block-manager footprint is O(nodes),
+    not O(nodes × rounds). Raises ``RuntimeError`` if the fixpoint is not
+    reached within ``max_iter`` rounds — a silent non-converged return
+    would hand back non-minimal labels with no signal.
     """
-    edges = verified_pairs(docs, threshold).select("doc_a", "doc_b")
+    from mapreducekmean_spark.functions.mat import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    spark = edges.sparkSession
+    before_all = persistent_rdd_ids(spark)
     # symmetric adjacency, materialized once for the iteration
     adj = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -336,6 +349,9 @@ def duplicate_clusters(
         .select("doc_id", F.col("doc_id").alias("rep"))
         .localCheckpoint()
     )
+    setup_ids = persistent_rdd_ids(spark) - before_all
+    prev_ids: set[int] = set()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             adj.join(
@@ -347,26 +363,69 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nrep").alias("nmin"))
         )
-        # one materialized pass per round: the new label and a did-it-drop
-        # flag ride the same localCheckpoint, so the fixpoint test is a
-        # filter over already-materialized rows, not a second join job
+        dropped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("rep").alias("orig"),
+            F.least("rep", F.coalesce("nmin", F.col("rep"))).alias("rep"),
+        )
+        # pointer jump: rep -> rep[rep]. Labels are always node ids, so
+        # every rep has a row in the label table; least() keeps the jump
+        # monotone. The new label and a did-it-drop flag ride the same
+        # localCheckpoint, so the fixpoint test is a filter over already-
+        # materialized rows, not a second join job.
+        jump = labels.select(
+            F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
+        )
+        before = persistent_rdd_ids(spark)
         stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
+            dropped.join(jump, "rep", "left")
             .select(
                 "doc_id",
-                F.least(
-                    "rep", F.coalesce("nmin", F.col("rep"))
-                ).alias("rep"),
-                (F.coalesce("nmin", F.col("rep")) < F.col("rep")).alias(
-                    "chg"
+                "orig",
+                F.least("rep", F.coalesce("rep2", F.col("rep"))).alias(
+                    "rep"
                 ),
+            )
+            .select(
+                "doc_id",
+                "rep",
+                (F.col("rep") < F.col("orig")).alias("chg"),
             )
             .localCheckpoint()
         )
+        new_ids = persistent_rdd_ids(spark) - before
         changed = stepped.filter("chg").limit(1).count()
+        # previous round's label blocks are superseded -> free them now
+        unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         labels = stepped.drop("chg")
         if changed == 0:
+            converged = True
             break
+    # adjacency + initial labels are dead once the loop exits (the final
+    # stepped checkpoint's lineage is truncated, nothing re-reads them)
+    unpersist_rdd_ids(spark, setup_ids)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds; raise max_iter (labels would be non-minimal)"
+        )
+    return labels
+
+
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = VERIFY_THRESHOLD, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over the verified-duplicate graph: every
+    document labeled with the smallest doc_id reachable through verified
+    pairs (its canonical), plus the component size. The full-closure
+    upgrade of ``minhash_verified_dedup``'s one-pass pairwise policy —
+    a chain a~b, b~c now lands all three in cluster min(a). The CC loop
+    itself (pointer-jumping min-label propagation, O(log diameter)
+    rounds) is ``connected_components``.
+    """
+    edges = verified_pairs(docs, threshold).select("doc_a", "doc_b")
+    labels = connected_components(edges, max_iter)
     sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     members = labels.join(sizes, "rep")
     # singletons: documents in no verified pair form their own cluster

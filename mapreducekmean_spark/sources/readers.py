@@ -91,14 +91,20 @@ def stage_points_csv(sf_dir: str, n_files: int = 8) -> str:
 
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    # content fingerprint in the staging dir name: two fixture dirs that
+    # share a basename, or a regenerated fixture at the same path, get
+    # fresh staging instead of silently reusing stale CSV bytes
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{st.st_mtime_ns}"
+    )
     out_dir = os.path.join(tempfile.gettempdir(), "mrkm_points_csv", tag)
     done = os.path.join(out_dir, "_done")
     if os.path.exists(done):
         return out_dir
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    )
+    tbl = pq.read_table(src, columns=["embedding"])
     embs = tbl.column("embedding").to_pylist()
     os.makedirs(out_dir, exist_ok=True)
     chunk = max(1, (len(embs) + n_files - 1) // n_files)

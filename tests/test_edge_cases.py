@@ -412,3 +412,31 @@ def test_duplicate_clusters_transitive_closure(spark):
     }
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
     assert got[4] == (4, 1) and got[5] == (5, 1)
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter robustness: a 200-node path graph (diameter 199) must
+    converge in O(log diameter) rounds via pointer jumping — max_iter=12
+    would take 199 rounds under plain min-label propagation."""
+    from mapreducekmean_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(199)]
+    )
+    labels = connected_components(edges, max_iter=12).collect()
+    assert len(labels) == 200
+    assert all(r.rep == 0 for r in labels)
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """A silent non-converged return would hand back non-minimal labels;
+    the loop must raise instead when max_iter is exhausted."""
+    import pytest as _pytest
+
+    from mapreducekmean_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(30)]
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=1)
