@@ -369,6 +369,25 @@ def _kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_assignments(spark, sf_dir, K)
 
 
+def _kmeans_mllib_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality verdict for the MLlib path (see
+    ``operators.mllib.mllib_verdict``): exact row/label-range counts plus
+    a wide-margin WSSSE-ratio boolean vs the oracle-checked Lloyd
+    optimum — turns the one RNG-bound rows-only query into a
+    value-hash-checkable row."""
+    from mapreducekmean_spark.operators.mllib import mllib_verdict
+
+    return mllib_verdict(spark, sf_dir, K)
+
+
+_MLLIB_VERDICT_SQL = """
+SELECT CAST(count(*) AS BIGINT)  AS n_points,
+       CAST(count(*) AS BIGINT)  AS labels_in_range,
+       TRUE                      AS wssse_ratio_ok
+FROM embeddings
+"""
+
+
 # --- text analysis suite (documents table) -------------------------------
 
 _TOKS_CTE = (
@@ -1665,6 +1684,7 @@ def _queries_core() -> list[Query]:
         Query("convergence_delta", _convergence_delta, _CONVERGENCE_SQL),
         Query("kmeans_full", _kmeans_full, _lloyd_oracle_sql()),
         Query("kmeans_mllib", _kmeans_mllib, None),
+        Query("kmeans_mllib_verdict", _kmeans_mllib_verdict, _MLLIB_VERDICT_SQL),
     ]
 
 

@@ -58,6 +58,75 @@ def mllib_assignments(
     )
 
 
+def mllib_verdict(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = km.DEFAULT_K,
+    seed: int = 42,
+    ratio_band: float = 1.5,
+) -> DataFrame:
+    """Deterministic derived check for the seeded-RNG MLlib path.
+
+    ``kmeans_mllib`` itself can't have a value-hash oracle (k-means||
+    init RNG is not SQL-reproducible), so this query turns its quality
+    into a deterministic verdict row instead: fit MLlib, score BOTH
+    centroid sets with the same oracle-checked distance kernel
+    (``operators.kmeans.assign`` — the R6 argmin), and compare the
+    within-cluster sums of squares. Measured ratio at fixture scales is
+    0.998-1.012 (the two Lloyd variants find equally good local optima;
+    label *partitions* differ — majority-mapping purity is only ~0.26 —
+    which is why quality, not agreement, is the stable invariant).
+    ``ratio_band`` 1.5 leaves ~50× margin over observed variation while
+    still failing loudly if the MLlib wiring ever degrades to a garbage
+    model. All other columns are exact (row count, label-range count),
+    so DuckDB pins them from the table and the booleans as constants.
+    """
+    pts = km.embeddings(spark, sf_dir).cache()
+    try:
+        lloyd_res = km.lloyd(
+            pts, k, init_cents=km.init_centroids(spark, sf_dir, k)
+        )
+        m_cents = mllib_centroids(spark, sf_dir, k, seed)
+        la = km.assign(pts, lloyd_res.centroids).select(
+            "vec_id", F.array_min("dists").alias("lloyd_d")
+        )
+        ma = km.assign(pts, m_cents).select(
+            "vec_id",
+            F.col("cluster_id").alias("mllib_cid"),
+            F.array_min("dists").alias("mllib_d"),
+        )
+        agg = (
+            la.join(ma, "vec_id")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.sum(
+                    F.when(
+                        F.col("mllib_cid").between(0, k - 1), 1
+                    ).otherwise(0)
+                ).alias("labels_in_range"),
+                F.sum("lloyd_d").alias("wssse_lloyd"),
+                F.sum("mllib_d").alias("wssse_mllib"),
+            )
+            .select(
+                "n_points",
+                F.col("labels_in_range").cast("bigint").alias(
+                    "labels_in_range"
+                ),
+                (
+                    (F.col("wssse_mllib") <= F.col("wssse_lloyd") * ratio_band)
+                    & (F.col("wssse_lloyd") <= F.col("wssse_mllib") * ratio_band)
+                ).alias("wssse_ratio_ok"),
+            )
+        )
+        # single row — materialize before the cache is released
+        rows = agg.collect()
+    finally:
+        pts.unpersist()
+    return spark.createDataFrame(
+        rows, "n_points bigint, labels_in_range bigint, wssse_ratio_ok boolean"
+    )
+
+
 def mllib_centroids(
     spark: SparkSession, sf_dir: str, k: int = km.DEFAULT_K, seed: int = 42
 ) -> list[list[float]]:

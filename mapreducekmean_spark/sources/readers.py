@@ -21,9 +21,14 @@ TABLES = (
 )
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS). Spark reads them as bigint
-#: (``spark.sql.legacy.parquet.nanosAsLong``); we floor nanos→micros the
-#: same way DuckDB's Python conversion does, restoring TimestampType.
+#: Timestamp columns whose physical parquet type has varied across fixture
+#: generations: TIMESTAMP(NANOS) (read as bigint via
+#: ``spark.sql.legacy.parquet.nanosAsLong``, floored nanos→micros the same
+#: way DuckDB's Python conversion does) or timezone-less TIMESTAMP(MICROS)
+#: (read as TIMESTAMP_NTZ under Spark's parquet NTZ inference). Both are
+#: normalized to TimestampType at UTC so downstream epoch math
+#: (``unix_micros``, ``date_trunc``) is engine-exact vs DuckDB's naive
+#: ``epoch_us``.
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -56,7 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "timestamp_ntz":
+            # Wall-clock micros reinterpreted as UTC — identical epoch
+            # integers to DuckDB's naive-timestamp epoch_us. The session
+            # factory pins spark.sql.session.timeZone=UTC (session.py);
+            # pin it here too so external sessions cast identically.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint":
             # Exact integer floor-division (pmod keeps the remainder
             # non-negative, so pre-epoch nanos floor like DuckDB's).
             # float-based F.floor(col/1000) would lose precision: int64

@@ -51,16 +51,32 @@ def read_points_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with the same
-    nanos→micros timestamp restoration as the batch loader."""
+    """File-source stream over the events parquet with the same timestamp
+    normalization as the batch loader (nanos-as-bigint → micros, or
+    NTZ → UTC instant — see ``sources/readers.py``)."""
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(raw_schema).parquet(
         _stage_stream_dir(sf_dir, "events")
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_event_ts(raw)
     return raw.select(*batch.columns)
+
+
+def normalize_event_ts(raw: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column across fixture generations exactly
+    like the batch loader: bigint nanos → floored micros TimestampType;
+    TIMESTAMP_NTZ → TimestampType at UTC (watermarks and ``unix_micros``
+    both require an instant type)."""
+    dtype = dict(raw.dtypes).get(col)
+    if dtype == "bigint":
+        return raw.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")),
+        )
+    if dtype == "timestamp_ntz":
+        return raw.withColumn(col, F.col(col).cast("timestamp"))
+    return raw
 
 
 def stream_assign(

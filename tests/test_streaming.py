@@ -255,10 +255,12 @@ def test_stream_dedup_drops_retransmissions(spark, sf_small, tmp_path):
     os.symlink(src, d / "a.parquet")
     os.symlink(src, d / "b.parquet")
 
+    from mapreducekmean_spark.streaming.jobs import normalize_event_ts
+
     raw_schema = spark.read.parquet(src).schema
-    raw = spark.readStream.schema(raw_schema).parquet(str(d))
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(str(d))
+    )
 
     deduped = stream_dedup_events(raw)
     run_to_memory(deduped, "dedup_out")
@@ -323,12 +325,12 @@ def test_stream_parquet_sink_exactly_once(spark, sf_small, tmp_path):
     raw_schema = spark.read.parquet(src).schema
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
+    from mapreducekmean_spark.streaming.jobs import normalize_event_ts
+
     def run_once():
-        raw = spark.readStream.schema(raw_schema).parquet(str(d))
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        raw = normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(str(d))
+        )
         run_to_parquet(stream_dedup_events(raw), out, ckpt)
 
     run_once()
