@@ -136,7 +136,54 @@ def _decode_image_rgb(payload: bytes):
             return pix.reshape(h, w, 3)
         except (ValueError, IndexError):
             return None
+    if payload[:2] == b"BM":
+        return _decode_bmp_rgb(payload)
     return None
+
+
+def _decode_bmp_rgb(payload: bytes):
+    """Decode an uncompressed (BI_RGB) 24- or 32-bit BMP to HxWx3 uint8
+    RGB — the third dependency-free codec branch (after binary-PPM and
+    RIFF/WAVE PCM). Pixel rows are BGR(A), padded to 4-byte boundaries,
+    bottom-up unless height is negative. Compressed (RLE/bitfield),
+    paletted, or truncated payloads return None so the caller's
+    capability gate fires."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        (data_offset,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — not handled
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        _planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0 or bpp not in (24, 32) or width <= 0:
+            return None
+        flip = height > 0  # positive height = bottom-up row order
+        height = abs(height)
+        if height == 0:
+            return None
+        bytes_pp = bpp // 8
+        row_stride = (width * bytes_pp + 3) & ~3
+        need = data_offset + row_stride * height
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_stride * height,
+            offset=data_offset,
+        ).reshape(height, row_stride)
+        pix = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+        rgb = pix[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+        if flip:
+            rgb = rgb[::-1]
+        return np.ascontiguousarray(rgb)
+    except (ValueError, IndexError, struct.error):
+        return None
 
 
 def _image_features(rgb) -> list[float]:

@@ -17,6 +17,10 @@ This is the Spark-4 idiomatic form of the reference's only connector
   SURVEY.md §1.2) instead of the reference's task-killing
   ``NumberFormatException``; NaN/±Inf coordinates are treated as
   malformed, matching ``read_points_csv``'s validity filter.
+- **Sink half**: ``df.write.format("points").mode(...).save(path)``
+  emits the reference's exact ``"x,y"`` line format with
+  task-temp + commit-rename atomicity (``PointsWriter``) — full
+  source/sink parity with ``KMeans.java:214-215``.
 
 The vectorized parquet path (``sources/readers.py``) remains the
 production format; this source exists for byte-format parity and as the
@@ -32,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -39,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -118,6 +124,79 @@ class PointsReader(DataSourceReader):
                     yield (x, y)
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    final_name: str
+    rows: int
+
+
+class PointsWriter(DataSourceWriter):
+    """Sink half of the source — emits the reference's exact ``"x,y"``
+    line format (the byte layout ``PointsReducer.java:32-33`` consumes
+    and ``KMeans.java:214-215`` wires as job I/O).
+
+    Task-temp + driver-commit rename gives the same all-or-nothing
+    visibility as Hadoop's FileOutputCommitter: each task writes
+    ``.part-*.tmp`` (invisible to the reader, which skips dotfiles) and
+    only ``commit()`` renames the full set into place; ``abort()``
+    removes the temps. ``repr(float)`` round-trips doubles bit-exactly,
+    so write → read is lossless (round-trip pytest in
+    tests/test_sources.py).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("points sink requires a path")
+        self._path = path
+        self._overwrite = overwrite
+        # per-job suffix (driver-side, pickled to every task): append jobs
+        # into a non-empty directory must not reuse part-NNNNN names from
+        # an earlier job — that would silently overwrite committed data
+        self._job = uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        final = f"part-{pid:05d}-{self._job}.csv"
+        tmp = os.path.join(self._path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{float(row[0])!r},{float(row[1])!r}\n")
+                n += 1
+        if n == 0:  # empty partition -> no part file (not 1000s of 0-byte files)
+            os.remove(tmp)
+            return _FileCommit(tmp_path="", final_name="", rows=0)
+        return _FileCommit(tmp_path=tmp, final_name=final, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if not f.startswith("."):
+                    os.remove(os.path.join(self._path, f))
+        for m in messages:
+            if m is not None and m.tmp_path:
+                os.replace(m.tmp_path, os.path.join(self._path, m.final_name))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PointsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -128,6 +207,13 @@ class PointsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PointsReader:
         return PointsReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> PointsWriter:
+        if len(schema.fields) != 2:
+            raise ValueError(
+                f"points sink expects 2 columns (x, y); got {len(schema.fields)}"
+            )
+        return PointsWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -300,6 +300,40 @@ def test_ppm_malformed_payloads_hit_gate_not_parse_error():
             mm.decode_payload(payload, "image", fake_codec=False)
 
 
+def test_bmp_malformed_payloads_hit_gate_not_parse_error():
+    """Unsupported/truncated BMP payloads must fall through to the
+    capability gate like the PPM/WAV branches, never surface a parse
+    exception."""
+    import struct
+
+    from mapreducekmean_spark import multimodal as mm
+
+    def bmp_hdr(w, h, bpp, compression, body):
+        off = 54
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                len(body), 0, 0, 0, 0,
+            )
+            + body
+        )
+
+    malformed = [
+        b"BM",                                   # magic alone
+        b"BM" + b"\x00" * 20,                    # shorter than any header
+        bmp_hdr(2, 2, 24, 1, b"\x00" * 16),      # RLE8-compressed
+        bmp_hdr(2, 2, 8, 0, b"\x00" * 8),        # paletted 8-bit
+        bmp_hdr(4, 4, 24, 0, b"\x00" * 8),       # pixel data truncated
+        bmp_hdr(-3, 2, 24, 0, b"\x00" * 24),     # negative width
+        bmp_hdr(3, 0, 24, 0, b""),               # zero height
+    ]
+    for payload in malformed:
+        assert mm._decode_image_rgb(payload) is None
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(payload, "image", fake_codec=False)
+
+
 def test_referenced_tables_case_insensitive_with_fallback():
     """SQL identifiers are case-insensitive; unrecognized spellings must
     degrade to register-everything, not TABLE_OR_VIEW_NOT_FOUND

@@ -144,3 +144,52 @@ def test_points_datasource_filter_pushdown_correct(spark, tmp_path):
         for r in df.filter((F.col("x") > 3.0) & (F.col("y") >= 5.0)).collect()
     )
     assert got == [(4.0, 6.0), (5.0, 5.0)]
+
+
+def test_points_datasource_writer_roundtrip(spark, sf_small, tmp_path):
+    """Sink half: write the embeddings 2-d projection through the points
+    sink, read it back through the points source, and hash-match the
+    parquet-path original — bit-exact (repr round-trip)."""
+    from mapreducekmean_spark.operators.kmeans import embeddings
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    pts = embeddings(spark, sf_small).select(
+        F.element_at("emb", 1).alias("x"), F.element_at("emb", 2).alias("y")
+    )
+    out = str(tmp_path / "pts_out")
+    pts.write.format("points").mode("append").save(out)
+    back = spark.read.format("points").load(out)
+    want = sorted(tuple(r) for r in pts.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == want and len(got) == 500
+
+
+def test_points_datasource_writer_overwrite_replaces(spark, tmp_path):
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "ow")
+    df1 = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "x double, y double")
+    df2 = spark.createDataFrame([(9.0, 9.0)], "x double, y double")
+    df1.write.format("points").mode("append").save(out)
+    df2.write.format("points").mode("overwrite").save(out)
+    got = sorted(tuple(r) for r in spark.read.format("points").load(out).collect())
+    assert got == [(9.0, 9.0)]
+
+
+def test_points_datasource_writer_append_accumulates(spark, tmp_path):
+    """Two append jobs into the same directory must both survive (per-job
+    part-file suffix prevents name collisions)."""
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "app")
+    spark.createDataFrame([(1.0, 1.0)], "x double, y double").write.format(
+        "points"
+    ).mode("append").save(out)
+    spark.createDataFrame([(2.0, 2.0)], "x double, y double").write.format(
+        "points"
+    ).mode("append").save(out)
+    got = sorted(tuple(r) for r in spark.read.format("points").load(out).collect())
+    assert got == [(1.0, 1.0), (2.0, 2.0)]

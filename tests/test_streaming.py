@@ -229,6 +229,66 @@ def test_multimodal_real_decode_ppm(spark):
     assert mm.decode_payload(img, "image", fake_codec=False) == row["features"]
 
 
+def _bmp_bytes(w: int, h: int, rgb_fn, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Uncompressed BI_RGB BMP with pixel (x, y) = rgb_fn(x, y); rows
+    BGR(A), 4-byte padded, bottom-up unless top_down."""
+    import struct
+
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = b"".join(
+            bytes(
+                (rgb_fn(x, y)[2], rgb_fn(x, y)[1], rgb_fn(x, y)[0])
+                + ((255,) if bpp == 32 else ())
+            )
+            for x in range(w)
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    body = b"".join(rows)
+    data_offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (h if not top_down else -h), 1, bpp,
+        0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def test_multimodal_real_decode_bmp(spark):
+    """The third real codec branch: 24-bit bottom-up BMP with row padding
+    must decode to the same pixels (and so the same features) as the
+    equivalent PPM — through the full Arrow mapInPandas pipeline."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    # width 3 -> 9 pixel bytes/row + 3 pad bytes: exercises the stride
+    rgb_fn = lambda x, y: (255, 0, 0) if x < 2 else (0, 0, 255)  # noqa: E731
+    bmp = _bmp_bytes(3, 2, rgb_fn)
+    ppm = _ppm_bytes(3, 2, rgb_fn)
+    assets = spark.createDataFrame(
+        [
+            Row(
+                asset_id=1,
+                modality="image",
+                payload=bytearray(bmp),
+                meta=Row(width=3, height=2, sample_rate=None, n_frames=None),
+            )
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    row = mm.extract_features(assets, fake_codec=False).collect()[0]
+    assert row["features"] == mm.decode_payload(ppm, "image", fake_codec=False)
+    # 32-bit top-down variant decodes to identical pixels (alpha dropped)
+    bmp32 = _bmp_bytes(3, 2, rgb_fn, bpp=32, top_down=True)
+    assert (
+        mm.decode_payload(bmp32, "image", fake_codec=False) == row["features"]
+    )
+
+
 def test_multimodal_plans(spark, sf_small):
     from mapreducekmean_spark import multimodal as mm
 
