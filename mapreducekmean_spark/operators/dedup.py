@@ -301,7 +301,7 @@ def verified_pairs(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, stats: dict | None = None
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) edge list:
     every node labeled with the smallest node id reachable from it.
@@ -324,7 +324,9 @@ def connected_components(
     stays materialized, so the loop's block-manager footprint is O(nodes),
     not O(nodes × rounds). Raises ``RuntimeError`` if the fixpoint is not
     reached within ``max_iter`` rounds — a silent non-converged return
-    would hand back non-minimal labels with no signal.
+    would hand back non-minimal labels with no signal. Pass ``stats={}``
+    to receive the executed round count (scale probes assert the
+    O(log diameter) bound from it).
     """
     from mapreducekmean_spark.functions.mat import (
         persistent_rdd_ids,
@@ -352,7 +354,8 @@ def connected_components(
     setup_ids = persistent_rdd_ids(spark) - before_all
     prev_ids: set[int] = set()
     converged = False
-    for _ in range(max_iter):
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         neighbor_min = (
             adj.join(
                 labels.select(
@@ -405,6 +408,8 @@ def connected_components(
     # adjacency + initial labels are dead once the loop exits (the final
     # stepped checkpoint's lineage is truncated, nothing re-reads them)
     unpersist_rdd_ids(spark, setup_ids)
+    if stats is not None:  # round count, for scale probes / diagnostics
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_iter} "

@@ -95,19 +95,241 @@ def ensure_events(spark, n_events: int) -> str:
     return path
 
 
+def ensure_events_zipf(spark, n_events: int, a: float = 1.2) -> str:
+    """Synthetic event stream with a genuinely Zipf-distributed user_id
+    (numpy ``zipf(a)`` folded into 100k users, seeded → deterministic):
+    the head user holds a few percent of ALL events — the hot-key join
+    regime the AQE skew-join claim is about. Other columns derive from
+    event_id exactly like ``ensure_events``."""
+    path = f"{BASE}/events_zipf{a}_{n_events}"
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7)
+        users = (rng.zipf(a, n_events) - 1) % 100_000
+        os.makedirs(path, exist_ok=True)
+        ids = np.arange(n_events, dtype=np.int64)
+        pq.write_table(
+            pa.table(
+                {"event_id": ids, "user_id": users.astype(np.int64)}
+            ),
+            f"{path}/part-0.parquet",
+        )
+    return path
+
+
+def probe_skew(spark, results: dict, n_events: int) -> None:
+    """The user-keyed kernels under key skew.
+
+    Sessionize and as-of are LINEAR per key (sort + one window pass), so
+    they get the brutal case: true zipf(1.2) folded to 100k users — the
+    head user alone holds ~18% of all events in one partition.
+
+    The trailing-24h range join is different in kind: its OUTPUT is
+    O(views_k × purchases_k) per key, so a 1.8M-event hot user makes the
+    correct answer itself ~10^10 pairs — no partitioning strategy fixes
+    semantic blowup (observed: the zipf(1.2) variant ran >40 min before
+    being killed; the fix at 100 TB is a per-key cap or rollup upstream,
+    not a join strategy). It gets the bounded-hot-key regime instead:
+    10 users each holding ~1% of all events (~1000× the uniform
+    per-user share), which stresses the join's (user, time-bucket) key
+    skew while the answer stays linear-sized.
+    """
+    zpath = ensure_events_zipf(spark, n_events)
+    base = spark.read.parquet(zpath)
+    n_ev = base.count()
+    top = (
+        base.groupBy("user_id").count().orderBy(F.desc("count")).limit(1)
+    ).collect()[0]
+
+    def with_cols(users_df):
+        return users_df.select(
+            "event_id",
+            "user_id",
+            F.element_at(
+                F.expr("array('view','purchase','click')"),
+                (F.abs(F.hash(F.col("event_id") + 7)) % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (
+                F.abs(F.hash(F.col("event_id") + 13)).cast("bigint")
+                % (30 * 86400 * 1_000_000)
+            ).alias("us"),
+        )
+
+    ev = with_cols(base)
+
+    from mapreducekmean_spark.operators.analytic import asof_join
+    from mapreducekmean_spark.operators.events import (
+        purchases_with_recent_views,
+        sessionize,
+    )
+
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("us").alias("view_us"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("us").alias("buy_us"),
+        F.col("event_id").alias("last_buy_id"),
+    )
+    t0 = time.perf_counter()
+    asof_join(
+        views, buys, "user_id", "view_us", "buy_us", ["last_buy_id"]
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    results["asof_join_zipf"] = {
+        "rows": n_ev,
+        "hot_user_share": round(top["count"] / n_ev, 4),
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_ev / dt),
+    }
+
+    ev_ts = ev.select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros("us").alias("ts"),
+    )
+    t0 = time.perf_counter()
+    sessionize(ev_ts).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    results["sessionize_zipf"] = {
+        "rows": n_ev,
+        "hot_user_share": round(top["count"] / n_ev, 4),
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_ev / dt),
+    }
+
+    # bounded-hot-key regime for the range join: events where
+    # hash%100==0 are rerouted to one of 10 hot users (~1% of ALL
+    # events each), the rest stay uniform over 100k users
+    hot = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.when(
+            F.abs(F.hash(F.col("id") + 3)) % 10 == 0,
+            F.abs(F.hash(F.col("id") + 5)) % 10,
+        )
+        .otherwise(F.abs(F.hash(F.col("id"))) % 100_000 + 10)
+        .alias("user_id"),
+    )
+    ev_hot = with_cols(hot).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros("us").alias("ts"),
+        (F.abs(F.hash(F.col("event_id") + 31)) % 10_000 / 100.0).alias(
+            "value"
+        ),
+    )
+    purchases_with_recent_views(ev_hot).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    t0 = time.perf_counter()
+    purchases_with_recent_views(ev_hot).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    results["range_join_hotkeys"] = {
+        "rows": n_events,
+        "hot_users": 10,
+        "hot_share_each": 0.01,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_events / dt),
+    }
+
+
+def probe_cc(spark, results: dict, n_edges: int) -> None:
+    """Connected components, two regimes measured separately (a mixed
+    graph makes every round pay the big graph's cost for the small
+    component's rounds):
+
+    - throughput: ≥10M edges of shallow 5-node stars — the realistic
+      near-dup cluster shape; converges in a handful of rounds, so this
+      row measures per-round join/aggregate cost at volume.
+    - diameter: one 200k-node pure path (diameter ~200k) — the
+      pathological chain; tiny per round, so this row isolates the
+      pointer-jumping round bound (O(log diameter), ~18 rounds, where
+      plain min-label propagation would need ~200k).
+    """
+    from mapreducekmean_spark.operators.dedup import connected_components
+
+    n_star = int(n_edges / 0.8)
+    stars = (
+        spark.range(n_star)
+        .where(F.col("id") % 5 != 0)
+        .select(
+            F.col("id").alias("doc_a"),
+            ((F.col("id") / 5).cast("bigint") * 5).alias("doc_b"),
+        )
+    )
+    n = stars.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    labels = connected_components(stars, max_iter=40, stats=stats)
+    n_comp = labels.select("rep").distinct().count()
+    dt = time.perf_counter() - t0
+    results["cc_throughput_stars"] = {
+        "edges": n,
+        "rounds": stats["rounds"],
+        "components": n_comp,
+        "sec": round(dt, 2),
+        "edges_per_sec": int(n / dt),
+    }
+
+    path_nodes = 200_000
+    chain = spark.range(path_nodes - 1).select(
+        F.col("id").alias("doc_a"),
+        (F.col("id") + 1).alias("doc_b"),
+    )
+    stats = {}
+    t0 = time.perf_counter()
+    labels = connected_components(chain, max_iter=40, stats=stats)
+    n_comp = labels.select("rep").distinct().count()
+    dt = time.perf_counter() - t0
+    results["cc_diameter_path"] = {
+        "edges": path_nodes - 1,
+        "path_diameter": path_nodes - 1,
+        "rounds": stats["rounds"],
+        "components": n_comp,
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
     ap.add_argument("--repl", type=int, default=16)
     ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--cc-edges", type=int, default=10_000_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma list: core,events,skew,cc (default: all)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else {
+        "core", "events", "skew", "cc",
+    }
+    if not only <= {"core", "events", "skew", "cc"}:
+        raise SystemExit(f"unknown --only {only}")
 
     spark = get_spark("scale-probe")
+    results: dict[str, dict] = {}
+    if "core" in only:
+        probe_core(spark, results, args)
+    if "events" in only:
+        probe_events(spark, results, args)
+    if "skew" in only:
+        probe_skew(spark, results, args.events)
+    if "cc" in only:
+        probe_cc(spark, results, args.cc_edges)
+    print(json.dumps({"scale_probe": results}))
+
+
+def probe_core(spark, results: dict, args) -> None:
     emb_path = ensure_embeddings(spark, args.vecs)
     li_path = ensure_lineitem(spark, args.sf_dir, args.repl)
-
-    results: dict[str, dict] = {}
 
     # 1) one Lloyd iteration (assignment + d-wide mean) on N_VECS x 64-d
     pts = spark.read.parquet(emb_path).select(
@@ -183,6 +405,8 @@ def main() -> None:
         "rows_per_sec": int(n_li / dt),
     }
 
+
+def probe_events(spark, results: dict, args) -> None:
     # 4) window-heavy kernels on synthetic events (as-of + sessionize)
     ev_path = ensure_events(spark, args.events)
     ev = spark.read.parquet(ev_path)
@@ -249,8 +473,6 @@ def main() -> None:
         "sec": round(dt, 2),
         "rows_per_sec": int(n_ev / dt),
     }
-
-    print(json.dumps({"scale_probe": results}))
 
 
 if __name__ == "__main__":

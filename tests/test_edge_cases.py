@@ -457,9 +457,13 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [Row(doc_a=i, doc_b=i + 1) for i in range(199)]
     )
-    labels = connected_components(edges, max_iter=12).collect()
+    stats: dict = {}
+    labels = connected_components(edges, max_iter=12, stats=stats).collect()
     assert len(labels) == 200
     assert all(r.rep == 0 for r in labels)
+    # the executed round count itself stays logarithmic (+1 no-change
+    # confirmation round), not linear in the 199-edge diameter
+    assert stats["rounds"] <= 12
 
 
 def test_connected_components_raises_on_round_exhaustion(spark):
