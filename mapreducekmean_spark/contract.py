@@ -1291,6 +1291,31 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
 JOIN customer ON o_custkey = c_custkey
 """
 
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+  GROUP BY c_custkey
+) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM POLISHED%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size ASC
+"""
+
 _Q19_SQL = """
 SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
                      AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
@@ -1647,6 +1672,8 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q10_returns", rel.top_return_customers, _Q10_SQL),
         Query("tpch_q18_large_orders", rel.large_quantity_orders, _Q18_SQL),
         Query("tpch_q19_brackets", rel.bracketed_revenue, _Q19_SQL),
+        Query("tpch_q13_custdist", rel.customer_order_distribution, _Q13_SQL),
+        Query("tpch_q16_supplier_cnt", rel.supplier_part_counts, _Q16_SQL),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(

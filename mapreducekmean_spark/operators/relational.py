@@ -333,3 +333,63 @@ def segment_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_without", F.lit(0)).alias("n_without"),
         )
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    The load-bearing detail is the LEFT OUTER join with the predicate
+    *inside* the join (orders restricted to non-urgent priorities):
+    customers whose only orders are urgent must surface with count 0,
+    which a post-join filter would destroy. Two aggregation levels:
+    count qualifying orders per customer, then count customers per
+    order-count bucket. Pure counts — cross-engine exact with no
+    rounding. Scale: the join shuffles on custkey; both aggregations are
+    partial+final on small key domains.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1-")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a brand/type slice and (via LEFT ANTI join) every supplier
+    in bad standing (negative account balance — standing in for Q16's
+    complaints subquery). The anti join replaces NOT IN with its
+    null-safe, shuffle-friendly plan; count(DISTINCT) runs as Spark's
+    two-phase distinct aggregate. Pure counts — cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM POLISHED")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    good = li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+    j = good.join(part, good.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            F.col("p_size").asc(),
+        )
+    )
