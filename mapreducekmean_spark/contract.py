@@ -965,6 +965,100 @@ FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
 """
 
 
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducekmean_spark.operators.pipeline import corpus_clean_table
+
+    return corpus_clean_table(spark, sf_dir)
+
+
+def _corpus_clean_sql() -> str:
+    """Composed-pipeline oracle: the quality→exact-dedup→MinHash-verify
+    stage chain (operators/pipeline.py) as one CTE cascade, each stage
+    reading only the previous stage's survivors."""
+    mh = ",\n              ".join(
+        f"list_min(list_transform(hs, h -> substr(h, {i * 8 + 1}, 8))) AS mh{i}"
+        for i in range(dd.N_HASHES)
+    )
+    arms = []
+    for b in range(dd.N_BANDS):
+        lo = b * dd.ROWS_PER_BAND
+        parts = " || '|' || ".join(
+            f"mh{lo + r}" for r in range(dd.ROWS_PER_BAND)
+        )
+        arms.append(f"WHEN {b} THEN md5({parts})")
+    case = "CASE b.band " + " ".join(arms) + " END"
+    return rf"""
+WITH
+tq AS (SELECT doc_id, text,
+              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+qc AS (SELECT doc_id, text,
+              len(toks) AS n_tok,
+              length(text) AS nch,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS alpha_chars,
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / len(toks) AS avg_tok,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       FROM tq),
+qs AS (SELECT doc_id, text,
+              (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0 THEN 0.25 ELSE 0.0 END)
+            + least(ttr, 1.0) * 0.25
+            + (CAST(alpha_chars AS DOUBLE) / nch) * 0.25 AS score
+       FROM qc),
+s1 AS (SELECT doc_id, text FROM qs WHERE score >= 0.5),
+ek AS (SELECT doc_id, text,
+              doc_id = min(doc_id) OVER (PARTITION BY
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                AS exact_keep
+       FROM s1),
+s2 AS (SELECT doc_id, text FROM ek WHERE exact_keep),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM s2),
+sg AS (SELECT doc_id,
+              list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       FROM t2 WHERE len(toks) >= 3),
+h AS (SELECT doc_id,
+             list_transform(sh, x -> md5('0:' || x) || md5('1:' || x)) AS hs
+      FROM sg),
+sig AS (SELECT doc_id,
+              {mh}
+        FROM h),
+bands AS (SELECT doc_id, CAST(b.band AS BIGINT) AS band, {case} AS bucket
+          FROM sig
+          CROSS JOIN (SELECT unnest(range(0, {dd.N_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sg),
+dups AS (SELECT doc_b AS doc_id, CAST(min(doc_a) AS BIGINT) AS dup_of
+         FROM (SELECT c.doc_a, c.doc_b,
+                      round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                            / (len(a.sh) + len(b.sh)
+                               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                            6) AS jaccard
+               FROM cand c
+               JOIN ds a ON a.doc_id = c.doc_a
+               JOIN ds b ON b.doc_id = c.doc_b)
+         WHERE jaccard >= {dd.VERIFY_THRESHOLD}
+         GROUP BY doc_b)
+SELECT d.doc_id,
+       round(qs.score, 6) AS quality,
+       qs.score >= 0.5 AS q_pass,
+       COALESCE(ek.exact_keep, FALSE) AS exact_keep,
+       (s2.doc_id IS NOT NULL AND dups.doc_id IS NULL) AS kept,
+       dups.dup_of
+FROM documents d
+JOIN qs ON d.doc_id = qs.doc_id
+LEFT JOIN ek ON d.doc_id = ek.doc_id
+LEFT JOIN s2 ON d.doc_id = s2.doc_id
+LEFT JOIN dups ON d.doc_id = dups.doc_id
+"""
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(tx.documents(spark, sf_dir))
 
@@ -1202,6 +1296,7 @@ FROM documents
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
         Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
         Query("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
+        Query("corpus_clean", _corpus_clean, _corpus_clean_sql()),
         Query("ngram_jaccard", _ngram_jaccard, _NGRAM_JACCARD_SQL),
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
