@@ -243,6 +243,90 @@ def stream_word_count(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+class StreamingKMeans:
+    """Mini-batch K-Means over a point stream — the reference's
+    algorithm (``/root/reference/src/KMeans.java``) continued onto
+    unbounded input, via ``foreachBatch``.
+
+    Per micro-batch: assign each point to its nearest current centroid
+    with the SAME oracle-checked kernel as the batch path
+    (``operators.kmeans.assign`` — broadcast literal, codegen'd argmin),
+    aggregate per-cluster (sum, count) — one exchange of k×(d+1) values
+    — and fold into the running model with count-weighted means and an
+    optional decay factor (the classic streaming/mini-batch update rule;
+    ``decay=1`` is the cumulative mean, ``decay<1`` forgets old batches
+    exponentially — the same semantics MLlib's DStream-era
+    StreamingKMeans exposed, rebuilt on Structured Streaming).
+
+    State is k×(d+1) floats on the driver — the executor side is
+    stateless per batch, so the operator scales exactly like one Lloyd
+    iteration per micro-batch. Deterministic given batch order (the
+    file-source tests pin order with maxFilesPerTrigger=1).
+
+    Exactness anchor (tested): processing ALL data as one batch from
+    init C₀ yields precisely ``centroid_update`` of the batch path —
+    the streaming operator IS the Lloyd step, fed incrementally.
+    """
+
+    def __init__(self, centroids: list[list[float]], decay: float = 1.0):
+        if not centroids:
+            raise ValueError("need at least one initial centroid")
+        if not 0.0 < decay <= 1.0:
+            raise ValueError(f"decay must be in (0, 1], got {decay}")
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.weights = [0.0] * len(centroids)
+        self.decay = decay
+        self.n_batches = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch into the model (the foreachBatch body)."""
+        from mapreducekmean_spark.operators.kmeans import assign
+
+        dim = len(self.centroids[0])
+        sums = F.expr(
+            "array("
+            + ",".join(f"sum(element_at(emb, {i + 1}))" for i in range(dim))
+            + ")"
+        ).alias("s")
+        rows = (
+            assign(batch_df, self.centroids)
+            .groupBy("cluster_id")
+            .agg(sums, F.count("*").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            j = int(r["cluster_id"])
+            w_old = self.weights[j] * self.decay
+            n_b = float(r["n"])
+            tot = w_old + n_b
+            c = self.centroids[j]
+            self.centroids[j] = [
+                (c[d] * w_old + float(r["s"][d])) / tot for d in range(dim)
+            ]
+            self.weights[j] = tot
+        # clusters with no points this batch keep their centroid (the
+        # reference's empty-cluster policy, KMeans.java:129-144) but
+        # still decay their weight so they stay adoptable
+        seen = {int(r["cluster_id"]) for r in rows}
+        for j in range(len(self.centroids)):
+            if j not in seen:
+                self.weights[j] *= self.decay
+        self.n_batches += 1
+
+    def run(self, points_stream: DataFrame) -> None:
+        """Drive the stream to completion (synchronous local harness;
+        production leaves the query running)."""
+        q = (
+            points_stream.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: self.update(df, bid))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def run_to_parquet(
     stream_df: DataFrame, path: str, checkpoint: str
 ) -> None:

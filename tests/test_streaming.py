@@ -301,6 +301,74 @@ def test_multimodal_plans(spark, sf_small):
     assert fs and all(r["frame_idx"] % 5 == 0 for r in fs)
 
 
+def test_streaming_kmeans_one_batch_equals_lloyd_step(spark, sf_small):
+    """Exactness anchor: all data in ONE micro-batch from init C0 must
+    reproduce the oracle-checked batch centroid_update exactly — the
+    streaming operator is the Lloyd step, fed incrementally."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.streaming.jobs import (
+        StreamingKMeans,
+        read_points_stream,
+    )
+
+    c0 = km.init_centroids(spark, sf_small, 10)
+    model = StreamingKMeans(c0)
+    model.run(read_points_stream(spark, sf_small))
+    assert model.n_batches == 1
+
+    pts = km.embeddings(spark, sf_small)
+    want = {
+        int(r["cluster_id"]): (list(r["centroid"]), r["n"])
+        for r in km.centroid_update_wide(km.assign(pts, c0), 64).collect()
+    }
+    for j, (c, w) in enumerate(zip(model.centroids, model.weights)):
+        if j in want:
+            wc, wn = want[j]
+            assert w == wn
+            assert all(abs(a - b) < 1e-9 for a, b in zip(c, wc))
+        else:  # empty cluster keeps its initial centroid, weight 0
+            assert w == 0.0 and c == list(map(float, c0[j]))
+
+
+def test_streaming_kmeans_multi_batch_deterministic(spark, sf_small, tmp_path):
+    """Multi-batch run (one file per trigger): weights sum to n, two
+    identical runs produce identical models, and decay<1 discounts old
+    batches (weights strictly below the cumulative run's)."""
+    import os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.streaming.jobs import StreamingKMeans
+
+    pts = km.embeddings(spark, sf_small)
+    n = pts.count()
+    src = tmp_path / "pts_stream"
+    # 4 deterministic slices staged as separate files = 4 micro-batches
+    pts.withColumn("part", F.col("vec_id") % 4).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(str(src))
+    schema = "vec_id bigint, emb array<double>, label bigint"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/part=*")
+        )
+
+    c0 = km.init_centroids(spark, sf_small, 10)
+    m1, m2 = StreamingKMeans(c0), StreamingKMeans(c0)
+    m1.run(stream())
+    m2.run(stream())
+    assert m1.n_batches >= 2
+    assert sum(m1.weights) == n
+    assert m1.centroids == m2.centroids and m1.weights == m2.weights
+
+    m3 = StreamingKMeans(c0, decay=0.5)
+    m3.run(stream())
+    assert sum(m3.weights) < sum(m1.weights)
+    assert all(len(c) == 64 for c in m3.centroids)
+
+
 def test_stream_dedup_drops_retransmissions(spark, sf_small, tmp_path):
     """Every event staged twice (two file copies) must appear exactly once
     after dropDuplicatesWithinWatermark on event_id."""
