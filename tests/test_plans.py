@@ -164,3 +164,33 @@ def test_dedup_verify_no_nested_loop_all_hash_joins(spark, sf_small):
     plan = _plan(REG["dedup_verify"].fn(spark, sf_small))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+
+
+def test_q13_in_join_predicate_pushed_left_outer(spark, sf_small):
+    """Q13's load-bearing shape: the priority predicate lives INSIDE the
+    LEFT OUTER join yet must still reach the orders parquet scan as a
+    pushed filter; customer prunes to its join column."""
+    df = REG["tpch_q13_custdist"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "LeftOuter" in plan
+    assert has_pushed_filters(df, "o_orderpriority")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q16_anti_join_and_distinct_agg(spark, sf_small):
+    """Q16's NOT-IN must plan as an anti hash join (null-safe, shuffle-
+    friendly), with the negative-balance predicate pushed to the
+    supplier scan; no nested loop anywhere."""
+    df = REG["tpch_q16_supplier_cnt"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert has_pushed_filters(df, "s_acctbal")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_corpus_clean_no_nested_loop(spark, sf_small):
+    """The composed cleaning pipeline must stay hash-join/window shaped
+    end-to-end — no nested loop or cartesian anywhere in the cascade."""
+    plan = _plan(REG["corpus_clean"].fn(spark, sf_small))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
