@@ -48,19 +48,18 @@ def corpus_clean(
         "doc_id", "quality", F.col("keep").alias("q_pass")
     )
     stage1 = docs.join(q.filter("q_pass").select("doc_id"), "doc_id")
+    # materialize the quality+exact stage once: it is referenced from
+    # several downstream subtrees (the near-dup stage's shingle table,
+    # candidate join, and verdict join, plus the audit assembly), and
+    # each reference would otherwise re-run the tokenize+window plan
     ek = stage1.withColumn(
         "content_hash", F.md5(dd.normalized_text())
     ).withColumn(
         "exact_keep",
         F.col("doc_id")
         == F.min("doc_id").over(Window.partitionBy("content_hash")),
-    )
-    # materialize the survivor set once: the near-dup stage references it
-    # from several subtrees (shingle table, candidate join, verdict join),
-    # and each reference would otherwise re-run the quality+window plan
-    stage2 = (
-        ek.filter("exact_keep").select(*docs.columns).localCheckpoint()
-    )
+    ).localCheckpoint()
+    stage2 = ek.filter("exact_keep").select(*docs.columns)
     verdict = dd.minhash_verified_dedup(stage2, threshold).select(
         "doc_id", F.col("kept").alias("near_kept"), "dup_of"
     )
