@@ -11,9 +11,14 @@ Determinism: all time math is integer epoch-microseconds
 no float hazard. Ordering ties are broken by ``event_id`` (unique).
 
 Scale: sessionize is one shuffle (hash by ``user_id``) + a linear
-window pass per user partition; AQE skew-join/partition-coalescing
-handles hot users. Windowed aggregation is partial+final HashAggregate —
-shuffle payload is one row per (window, type) regardless of input size.
+window pass per user partition — per-key work is linear, so skew
+degrades gracefully (measured, SCALE.md r4: 868k rows/s with a
+zipf(1.2) head user holding 18% of 10M events; as-of 1.6M rows/s same
+data). The bucketed range join diffuses hot users across (user,
+time-bucket) composite keys — the measured skew relief; AQE skew-join
+is the backstop for skew the key design can't spread. Windowed
+aggregation is partial+final HashAggregate — shuffle payload is one
+row per (window, type) regardless of input size.
 """
 
 from __future__ import annotations
