@@ -238,6 +238,34 @@ def probe_skew(spark, results: dict, n_events: int) -> None:
     }
 
 
+def probe_corpus(spark, results: dict, repl: int = 20) -> None:
+    """The flagship cleaning pipeline at ``repl``× the sf0.1 documents
+    table (doc_ids shifted per replica, so every replica's contents are
+    exact duplicates of the original — the near-dup stage gets real
+    work: each content group collapses to one survivor)."""
+    from mapreducekmean_spark.operators.pipeline import corpus_clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = docs.count()
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    n = n_base * repl
+    corpus_clean(big).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    out = corpus_clean(big)
+    kept = out.filter("kept").count()
+    dt = time.perf_counter() - t0
+    results["corpus_clean"] = {
+        "docs": n,
+        "kept": kept,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+
 def probe_cc(spark, results: dict, n_edges: int) -> None:
     """Connected components, two regimes measured separately (a mixed
     graph makes every round pay the big graph's cost for the small
@@ -305,13 +333,12 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default="",
-        help="comma list: core,events,skew,cc (default: all)",
+        help="comma list: core,events,skew,cc,corpus (default: all)",
     )
     args = ap.parse_args()
-    only = set(args.only.split(",")) if args.only else {
-        "core", "events", "skew", "cc",
-    }
-    if not only <= {"core", "events", "skew", "cc"}:
+    groups = {"core", "events", "skew", "cc", "corpus"}
+    only = set(args.only.split(",")) if args.only else groups
+    if not only <= groups:
         raise SystemExit(f"unknown --only {only}")
 
     spark = get_spark("scale-probe")
@@ -324,6 +351,8 @@ def main() -> None:
         probe_skew(spark, results, args.events)
     if "cc" in only:
         probe_cc(spark, results, args.cc_edges)
+    if "corpus" in only:
+        probe_corpus(spark, results)
     print(json.dumps({"scale_probe": results}))
 
 
