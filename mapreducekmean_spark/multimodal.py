@@ -362,7 +362,8 @@ _RESIZE_SCHEMA = (
 
 def resize_plan(assets: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning (aspect-preserving clamp) — pure metadata math kept
-    JVM-side; the pixel work would live in the stubbed codec."""
+    JVM-side; ``resize_images`` is the real pixel path for decodable
+    formats."""
     w, h = F.col("meta.width"), F.col("meta.height")
     scale = F.least(
         F.lit(1.0),
@@ -374,6 +375,83 @@ def resize_plan(assets: DataFrame, max_side: int = 256) -> DataFrame:
         h.alias("height"),
         F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("out_width"),
         F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("out_height"),
+    )
+
+
+_RESIZED_SCHEMA = (
+    "asset_id bigint, in_width int, in_height int, "
+    "out_width int, out_height int, ok boolean, out_payload binary"
+)
+
+
+def _resize_rgb(rgb, max_side: int):
+    """Aspect-preserving clamp to ``max_side`` via nearest-neighbor
+    index sampling — deterministic, dependency-free, and exact for the
+    integer grid (the decode-side twin of ``resize_plan``'s metadata
+    math)."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    scale = min(1.0, float(max_side) / max(h, w))
+    oh = max(1, int(round(h * scale)))
+    ow = max(1, int(round(w * scale)))
+    ys = np.minimum((np.arange(oh) * (h / oh)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(ow) * (w / ow)).astype(np.int64), w - 1)
+    return rgb[ys][:, xs]
+
+
+def _encode_ppm(rgb) -> bytes:
+    """Serialize HxWx3 uint8 RGB as binary PPM (P6) — the same format
+    the decode branch reads, so resize output round-trips through the
+    pipeline's own codec."""
+    h, w = rgb.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def resize_images(
+    assets: DataFrame, max_side: int = 256, fake_codec: bool = False
+) -> DataFrame:
+    """REAL image resizing over binary payloads (Arrow-batched
+    ``mapInPandas``): decode (PIL / PPM / BMP branches), nearest-neighbor
+    clamp to ``max_side``, re-encode as P6 bytes. Payloads that no real
+    codec branch can decode yield ``ok = false`` with NULL output (the
+    honest per-row form of the capability gate) unless ``fake_codec``,
+    which passes the original bytes through with the planned dimensions.
+    Payload bytes never pass the driver; peak memory is one Arrow batch
+    per task."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "in_width": [], "in_height": [],
+                "out_width": [], "out_height": [], "ok": [],
+                "out_payload": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rgb = _decode_image_rgb(bytes(payload or b""))
+                if rgb is None:
+                    ok, iw, ih, ow, oh, pay = False, None, None, None, None, None
+                    if fake_codec:
+                        ok, pay = True, bytes(payload or b"")
+                else:
+                    small = _resize_rgb(rgb, max_side)
+                    ih, iw = rgb.shape[:2]
+                    oh, ow = small.shape[:2]
+                    ok, pay = True, _encode_ppm(small)
+                out["asset_id"].append(aid)
+                out["in_width"].append(iw)
+                out["in_height"].append(ih)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["ok"].append(ok)
+                out["out_payload"].append(pay)
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        op, schema=_RESIZED_SCHEMA
     )
 
 

@@ -289,6 +289,39 @@ def test_multimodal_real_decode_bmp(spark):
     )
 
 
+def test_multimodal_real_resize_roundtrip(spark):
+    """resize_images must decode, resample, and re-encode real bytes:
+    output PPM decodes to the clamped dimensions with pixel content
+    preserved (uniform-color regions stay uniform under nearest
+    neighbor); undecodable payloads yield ok=false rows."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    big = _ppm_bytes(8, 4, lambda x, y: (255, 0, 0) if x < 4 else (0, 0, 255))
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="image", payload=bytearray(big),
+                meta=Row(width=8, height=4, sample_rate=None, n_frames=None)),
+            Row(asset_id=2, modality="image", payload=bytearray(b"JUNK"),
+                meta=Row(width=1, height=1, sample_rate=None, n_frames=None)),
+            Row(asset_id=3, modality="audio", payload=bytearray(b"x"),
+                meta=Row(width=None, height=None, sample_rate=1, n_frames=None)),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in mm.resize_images(assets, max_side=4).collect()}
+    assert set(rows) == {1, 2}  # audio rows filtered out
+    r1 = rows[1]
+    assert r1["ok"] and (r1["in_width"], r1["in_height"]) == (8, 4)
+    assert (r1["out_width"], r1["out_height"]) == (4, 2)
+    rgb = mm._decode_image_rgb(bytes(r1["out_payload"]))
+    assert rgb.shape == (2, 4, 3)
+    # left half red, right half blue survives the downsample
+    assert (rgb[:, :2] == [255, 0, 0]).all() and (rgb[:, 2:] == [0, 0, 255]).all()
+    assert rows[2]["ok"] is False and rows[2]["out_payload"] is None
+
+
 def test_multimodal_plans(spark, sf_small):
     from mapreducekmean_spark import multimodal as mm
 
