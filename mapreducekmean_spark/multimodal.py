@@ -5,11 +5,14 @@ operators.
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signatures, batch shapes. The *codec* step is real for the
 uncompressed formats a dependency-free parser can cover — binary-PPM
-(P6) images (PIL when installed) and RIFF/WAVE PCM audio — and an
-honest capability gate for everything else (compressed images/audio,
-video): ``decode_payload`` raises ``NotImplementedError`` unless
-``fake_codec=True``, in which case a deterministic md5-derived fake
-"decode" stands in (same output schema as a real decoder would have).
+(P6) and BI_RGB BMP images (PIL when installed widens this), RIFF/WAVE
+PCM audio, and YUV4MPEG2 (Y4M) video frames — with real resize
+(``resize_images``) and frame sampling (``frame_sample``) over them,
+and an honest capability gate for everything else (compressed
+images/audio/video): ``decode_payload`` raises ``NotImplementedError``
+unless ``fake_codec=True``, in which case a deterministic md5-derived
+fake "decode" stands in (same output schema as a real decoder would
+have); the batch operators use per-row ``ok``/NULL gates instead.
 
 Scale notes: payloads stay in executor memory as Arrow binary columns and
 never pass through the driver; per-batch processing bounds peak memory by
@@ -457,7 +460,8 @@ def resize_images(
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame-sampling plan: one output row per selected frame index
-    (posexplode over a sequence — the decode of each frame is the stub)."""
+    (posexplode over a sequence — metadata only; ``frame_sample`` is the
+    real pixel path for Y4M payloads)."""
     vids = assets.filter(F.col("modality") == "video")
     frames = F.sequence(
         F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
@@ -465,3 +469,140 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:
     return vids.select(
         "asset_id", F.posexplode(frames).alias("pos", "frame_idx")
     ).select("asset_id", "pos", "frame_idx")
+
+
+def _decode_y4m_frames(payload: bytes):
+    """Decode an uncompressed YUV4MPEG2 (Y4M) stream to a list of HxWx3
+    uint8 RGB frames — the video analogue of the PPM/BMP/WAV branches.
+
+    Stdlib-only parse of the C420 (default) and C444 chroma layouts:
+    ``YUV4MPEG2 W<w> H<h> ...`` header line, then per frame a ``FRAME``
+    marker line followed by raw planes (Y full-res; U,V half-res each
+    dimension for 420, full-res for 444). YUV→RGB is BT.601 full-range
+    in float64 with final clip+round — deterministic in numpy. Any
+    other layout, a malformed header, or truncated planes returns None
+    so the caller's capability gate fires.
+    """
+    import numpy as np
+
+    try:
+        if not payload.startswith(b"YUV4MPEG2"):
+            return None
+        nl = payload.index(b"\n")
+        params = payload[:nl].split()[1:]
+        w = h = None
+        fmt = "420"
+        for p in params:
+            if p[:1] == b"W":
+                w = int(p[1:])
+            elif p[:1] == b"H":
+                h = int(p[1:])
+            elif p[:1] == b"C":
+                fmt = p[1:].decode("ascii", "replace")
+        if not w or not h or w <= 0 or h <= 0:
+            return None
+        if fmt.startswith("420"):
+            if w % 2 or h % 2:
+                return None
+            cw, ch = w // 2, h // 2
+        elif fmt.startswith("444"):
+            cw, ch = w, h
+        else:
+            return None
+        y_sz, c_sz = w * h, cw * ch
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos : pos + 5] != b"FRAME":
+                return None
+            pos = fnl + 1
+            need = y_sz + 2 * c_sz
+            if pos + need > len(payload):
+                return None
+            y = np.frombuffer(payload, np.uint8, y_sz, pos).reshape(h, w)
+            u = np.frombuffer(
+                payload, np.uint8, c_sz, pos + y_sz
+            ).reshape(ch, cw)
+            v = np.frombuffer(
+                payload, np.uint8, c_sz, pos + y_sz + c_sz
+            ).reshape(ch, cw)
+            pos += need
+            if (ch, cw) != (h, w):  # upsample 420 chroma by replication
+                u = u.repeat(2, 0).repeat(2, 1)
+                v = v.repeat(2, 0).repeat(2, 1)
+            yf = y.astype(np.float64)
+            uf = u.astype(np.float64) - 128.0
+            vf = v.astype(np.float64) - 128.0
+            rgb = np.stack(
+                [
+                    yf + 1.402 * vf,
+                    yf - 0.344136 * uf - 0.714136 * vf,
+                    yf + 1.772 * uf,
+                ],
+                axis=-1,
+            )
+            frames.append(
+                np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            )
+        return frames or None
+    except (ValueError, IndexError):
+        return None
+
+
+_FRAMES_SCHEMA = (
+    "asset_id bigint, frame_idx int, width int, height int, "
+    "ok boolean, frame_payload binary"
+)
+
+
+def frame_sample(
+    assets: DataFrame, every_n: int = 5, fake_codec: bool = False
+) -> DataFrame:
+    """REAL video frame sampling (Arrow-batched ``mapInPandas``): decode
+    Y4M payloads, keep every ``every_n``-th frame, emit each as P6 bytes
+    ready for the image pipeline (decode → features / resize composes).
+    Undecodable payloads yield one ``ok = false`` row (per-row gate);
+    ``fake_codec`` emits the planned frame indices with NULL payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "frame_idx": [], "width": [],
+                "height": [], "ok": [], "frame_payload": [],
+            }
+
+            def emit(aid, idx, w, h, ok, pay):
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ok"].append(ok)
+                out["frame_payload"].append(pay)
+
+            for aid, payload, nf in zip(
+                pdf["asset_id"], pdf["payload"],
+                pdf["meta"].map(lambda m: m["n_frames"] if m else None),
+            ):
+                frames = _decode_y4m_frames(bytes(payload or b""))
+                if frames is None:
+                    if fake_codec:
+                        for idx in range(0, int(nf or 0), every_n):
+                            emit(aid, idx, None, None, True, None)
+                    else:
+                        emit(aid, None, None, None, False, None)
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx]
+                    emit(
+                        aid, idx, f.shape[1], f.shape[0], True,
+                        _encode_ppm(f),
+                    )
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        op, schema=_FRAMES_SCHEMA
+    )

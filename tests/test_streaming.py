@@ -322,6 +322,65 @@ def test_multimodal_real_resize_roundtrip(spark):
     assert rows[2]["ok"] is False and rows[2]["out_payload"] is None
 
 
+def _y4m_bytes(w: int, h: int, colors) -> bytes:
+    """C444 Y4M stream with one solid-gray frame per entry of ``colors``
+    (each a Y luma byte; U=V=128 keeps RGB == (Y, Y, Y) exactly)."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+    frames = b"".join(
+        b"FRAME\n"
+        + bytes([y]) * (w * h)          # Y plane
+        + b"\x80" * (w * h) * 2          # U, V planes at 128
+        for y in colors
+    )
+    return head + frames
+
+
+def test_multimodal_real_frame_sample_y4m(spark):
+    """The real video branch: a 5-frame Y4M sampled every 2 frames must
+    yield frames 0, 2, 4 as decodable PPM payloads with the correct
+    solid color; undecodable video payloads yield ok=false rows."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    vid = _y4m_bytes(4, 2, [10, 60, 110, 160, 210])
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=7, modality="video", payload=bytearray(vid),
+                meta=Row(width=4, height=2, sample_rate=None, n_frames=5)),
+            Row(asset_id=8, modality="video", payload=bytearray(b"AVI?"),
+                meta=Row(width=1, height=1, sample_rate=None, n_frames=3)),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    rows = mm.frame_sample(assets, every_n=2).collect()
+    good = sorted(
+        (r for r in rows if r["asset_id"] == 7), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in good] == [0, 2, 4]
+    assert all(r["ok"] and (r["width"], r["height"]) == (4, 2) for r in good)
+    for r, y in zip(good, [10, 110, 210]):
+        rgb = mm._decode_image_rgb(bytes(r["frame_payload"]))
+        assert rgb.shape == (2, 4, 3) and (rgb == y).all()
+    bad = [r for r in rows if r["asset_id"] == 8]
+    assert len(bad) == 1 and bad[0]["ok"] is False
+
+
+def test_y4m_malformed_payloads_hit_gate():
+    from mapreducekmean_spark import multimodal as mm
+
+    malformed = [
+        b"YUV4MPEG2",                               # header alone
+        b"YUV4MPEG2 W4 H2 C999\nFRAME\n" + b"\x00" * 24,  # unknown layout
+        b"YUV4MPEG2 W4 H2 C444\nNOPE\n",            # bad frame marker
+        b"YUV4MPEG2 W4 H2 C444\nFRAME\n\x00\x00",   # truncated planes
+        b"YUV4MPEG2 W3 H3 C420\nFRAME\n" + b"\x00" * 32,  # odd dims for 420
+        b"YUV4MPEG2 H2 C444\nFRAME\n",              # missing width
+    ]
+    for payload in malformed:
+        assert mm._decode_y4m_frames(payload) is None
+
+
 def test_multimodal_plans(spark, sf_small):
     from mapreducekmean_spark import multimodal as mm
 
