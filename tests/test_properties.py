@@ -315,3 +315,32 @@ def test_word_count_mass_conservation(spark, docs):
     assert sum(r.n for r in rows) == total_tokens
     for r in rows:
         assert 1 <= r.n_docs <= min(len(docs), r.n)
+
+
+any_finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(any_finite, any_finite), min_size=1, max_size=20))
+def test_points_writer_roundtrip_bit_exact(spark, tmp_path_factory, pts):
+    """The points sink's repr() serialization must round-trip ANY finite
+    double bit-exactly through write -> read (subnormals, extreme
+    exponents, -0.0 included — Python repr is shortest-exact and the
+    reader parses with float())."""
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    out = str(tmp_path_factory.mktemp("pts_prop"))
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b)) for a, b in pts], "x double, y double"
+    )
+    df.write.format("points").mode("overwrite").save(out)
+    got = sorted(
+        (r["x"], r["y"])
+        for r in spark.read.format("points").load(out).collect()
+    )
+    want = sorted((float(a), float(b)) for a, b in pts)
+    # compare via repr to make -0.0 vs 0.0 and exact bits observable
+    assert [tuple(map(repr, p)) for p in got] == [
+        tuple(map(repr, p)) for p in want
+    ]
