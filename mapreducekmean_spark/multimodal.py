@@ -301,9 +301,10 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
     """Decode one payload to FEATURE_DIM features.
 
     Real branches: images decode via PIL when installed, else via the
-    built-in binary-PPM parser; audio decodes via the built-in RIFF/WAVE
-    PCM parser. Everything else (compressed images without PIL,
-    compressed audio, video) stays an honest capability gate: raises
+    built-in binary-PPM and uncompressed-BMP parsers; audio decodes via
+    the built-in RIFF/WAVE PCM parser (video frames have their own
+    operator, ``frame_sample``, over Y4M). Everything else (compressed
+    formats without PIL/libav) stays an honest capability gate: raises
     unless ``fake_codec=True``, which substitutes the deterministic
     md5-derived stand-in.
     """
@@ -318,8 +319,9 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
     raise NotImplementedError(
         "real decode for this payload requires codec libraries "
         "(PIL/libav) not present in this environment; supported without "
-        "them: binary PPM (P6) images and RIFF/WAVE PCM audio. Pass "
-        "fake_codec=True for the deterministic stand-in."
+        "them: binary PPM (P6) and uncompressed BI_RGB BMP images, "
+        "RIFF/WAVE PCM audio, and (via frame_sample) YUV4MPEG2 video. "
+        "Pass fake_codec=True for the deterministic stand-in."
     )
 
 
@@ -392,12 +394,17 @@ def _resize_rgb(rgb, max_side: int):
     index sampling — deterministic, dependency-free, and exact for the
     integer grid (the decode-side twin of ``resize_plan``'s metadata
     math)."""
+    import math
+
     import numpy as np
 
     h, w = rgb.shape[:2]
     scale = min(1.0, float(max_side) / max(h, w))
-    oh = max(1, int(round(h * scale)))
-    ow = max(1, int(round(w * scale)))
+    # HALF_UP rounding (floor(x + 0.5)) to agree exactly with
+    # resize_plan's F.round — Python round() is half-to-even and would
+    # disagree on every dimension landing exactly on .5
+    oh = max(1, int(math.floor(h * scale + 0.5)))
+    ow = max(1, int(math.floor(w * scale + 0.5)))
     ys = np.minimum((np.arange(oh) * (h / oh)).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(ow) * (w / ow)).astype(np.int64), w - 1)
     return rgb[ys][:, xs]
@@ -586,10 +593,13 @@ def frame_sample(
             ):
                 frames = _decode_y4m_frames(bytes(payload or b""))
                 if frames is None:
-                    if fake_codec:
-                        for idx in range(0, int(nf or 0), every_n):
+                    planned = int(nf) if nf is not None else 0
+                    if fake_codec and planned > 0:
+                        for idx in range(0, planned, every_n):
                             emit(aid, idx, None, None, True, None)
                     else:
+                        # always at least one row per asset: silent
+                        # disappearance would break per-asset accounting
                         emit(aid, None, None, None, False, None)
                     continue
                 for idx in range(0, len(frames), every_n):

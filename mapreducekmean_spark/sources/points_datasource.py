@@ -136,13 +136,19 @@ class PointsWriter(DataSourceWriter):
     line format (the byte layout ``PointsReducer.java:32-33`` consumes
     and ``KMeans.java:214-215`` wires as job I/O).
 
-    Task-temp + driver-commit rename gives the same all-or-nothing
-    visibility as Hadoop's FileOutputCommitter: each task writes
-    ``.part-*.tmp`` (invisible to the reader, which skips dotfiles) and
-    only ``commit()`` renames the full set into place; ``abort()``
-    removes the temps. ``repr(float)`` round-trips doubles bit-exactly,
-    so write → read is lossless (round-trip pytest in
-    tests/test_sources.py).
+    Task-temp + driver-commit rename, FileOutputCommitter-style: each
+    task writes ``.part-*.tmp`` (invisible to the reader, which skips
+    dot/underscore names) and only ``commit()`` renames the full set
+    into place; ``abort()`` removes the temps. In overwrite mode the
+    new files are renamed into place BEFORE old part files are removed,
+    so a mid-commit failure can leave a mixed directory but never
+    destroys the old data without the new data being present (same
+    guarantee class as Hadoop's committer — rename-then-cleanup, not
+    atomic swap). Non-finite coordinates are rejected loudly at write
+    time (the paired reader drops non-finite rows as malformed, so
+    accepting them would make a round trip silently lossy);
+    ``repr(float)`` round-trips every finite double bit-exactly
+    (round-trip + hypothesis pytest in tests/).
     """
 
     def __init__(self, options: dict, overwrite: bool):
@@ -159,6 +165,7 @@ class PointsWriter(DataSourceWriter):
         self._job = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _FileCommit:
+        import math
         import os
         import uuid
 
@@ -171,7 +178,15 @@ class PointsWriter(DataSourceWriter):
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(f"{float(row[0])!r},{float(row[1])!r}\n")
+                x, y = float(row[0]), float(row[1])
+                if not (math.isfinite(x) and math.isfinite(y)):
+                    raise ValueError(
+                        f"points sink rejects non-finite coordinates "
+                        f"({x!r}, {y!r}): the points reader drops them as "
+                        "malformed, so writing them would silently lose "
+                        "rows on read-back"
+                    )
+                fh.write(f"{x!r},{y!r}\n")
                 n += 1
         if n == 0:  # empty partition -> no part file (not 1000s of 0-byte files)
             os.remove(tmp)
@@ -181,13 +196,26 @@ class PointsWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
-        if self._overwrite:
-            for f in os.listdir(self._path):
-                if not f.startswith("."):
-                    os.remove(os.path.join(self._path, f))
+        # rename the new files into place FIRST: old data is only
+        # removed once every new part file is visible, so a mid-commit
+        # crash can duplicate (mixed old+new) but never lose data
+        new_names = set()
         for m in messages:
             if m is not None and m.tmp_path:
                 os.replace(m.tmp_path, os.path.join(self._path, m.final_name))
+                new_names.add(m.final_name)
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                p = os.path.join(self._path, f)
+                # only regular visible part files are this sink's to
+                # delete: skip dot/underscore names (reader-invisible,
+                # e.g. _spark_metadata) and subdirectories
+                if (
+                    f not in new_names
+                    and not f.startswith((".", "_"))
+                    and os.path.isfile(p)
+                ):
+                    os.remove(p)
 
     def abort(self, messages) -> None:
         import os

@@ -64,11 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dtype = dict(df.dtypes).get(col)
         if dtype == "timestamp_ntz":
             # Wall-clock micros reinterpreted as UTC — identical epoch
-            # integers to DuckDB's naive-timestamp epoch_us. The session
-            # factory pins spark.sql.session.timeZone=UTC (session.py);
-            # pin it here too so external sessions cast identically.
+            # integers to DuckDB's naive-timestamp epoch_us.
+            # to_utc_timestamp(col, 'UTC') is session-timezone-INDEPENDENT
+            # (a bare cast to timestamp interprets the wall clock in the
+            # session zone). The session pin below is still deliberate:
+            # every downstream wall-clock bucketing op (date_trunc,
+            # window) is oracle-defined in UTC, so a session that reads
+            # these fixtures through the engine adopts the engine's
+            # documented UTC time semantics (session.py sets the same).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
         elif dtype == "bigint":
             # Exact integer floor-division (pmod keeps the remainder
             # non-negative, so pre-epoch nanos floor like DuckDB's).

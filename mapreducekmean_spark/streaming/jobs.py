@@ -67,7 +67,9 @@ def normalize_event_ts(raw: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the event-time column across fixture generations exactly
     like the batch loader: bigint nanos → floored micros TimestampType;
     TIMESTAMP_NTZ → TimestampType at UTC (watermarks and ``unix_micros``
-    both require an instant type)."""
+    both require an instant type). ``to_utc_timestamp(col, 'UTC')`` is
+    session-timezone-independent, so streamed epochs match the batch
+    loader's on any session."""
     dtype = dict(raw.dtypes).get(col)
     if dtype == "bigint":
         return raw.withColumn(
@@ -75,7 +77,7 @@ def normalize_event_ts(raw: DataFrame, col: str = "ts") -> DataFrame:
             F.timestamp_micros(F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")),
         )
     if dtype == "timestamp_ntz":
-        return raw.withColumn(col, F.col(col).cast("timestamp"))
+        return raw.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return raw
 
 

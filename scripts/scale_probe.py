@@ -202,9 +202,9 @@ def probe_skew(spark, results: dict, n_events: int) -> None:
         "rows_per_sec": int(n_ev / dt),
     }
 
-    # bounded-hot-key regime for the range join: events where
-    # hash%100==0 are rerouted to one of 10 hot users (~1% of ALL
-    # events each), the rest stay uniform over 100k users
+    # bounded-hot-key regime for the range join: 10% of events
+    # (hash%10==0) are rerouted across 10 hot users — ~1% of ALL events
+    # per hot user — the rest stay uniform over 100k users
     hot = spark.range(n_events).select(
         F.col("id").alias("event_id"),
         F.when(
@@ -238,14 +238,14 @@ def probe_skew(spark, results: dict, n_events: int) -> None:
     }
 
 
-def probe_corpus(spark, results: dict, repl: int = 20) -> None:
-    """The flagship cleaning pipeline at ``repl``× the sf0.1 documents
-    table (doc_ids shifted per replica, so every replica's contents are
-    exact duplicates of the original — the near-dup stage gets real
-    work: each content group collapses to one survivor)."""
+def probe_corpus(spark, results: dict, sf_dir: str, repl: int = 20) -> None:
+    """The flagship cleaning pipeline at ``repl``× the ``sf_dir``
+    documents table (doc_ids shifted per replica, so every replica's
+    contents are exact duplicates of the original — the near-dup stage
+    gets real work: each content group collapses to one survivor)."""
     from mapreducekmean_spark.operators.pipeline import corpus_clean
 
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = docs.count()
     big = (
         docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
@@ -352,7 +352,7 @@ def main() -> None:
     if "cc" in only:
         probe_cc(spark, results, args.cc_edges)
     if "corpus" in only:
-        probe_corpus(spark, results)
+        probe_corpus(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

@@ -193,3 +193,46 @@ def test_points_datasource_writer_append_accumulates(spark, tmp_path):
     ).mode("append").save(out)
     got = sorted(tuple(r) for r in spark.read.format("points").load(out).collect())
     assert got == [(1.0, 1.0), (2.0, 2.0)]
+
+
+def test_points_datasource_writer_overwrite_spares_dirs_and_meta(
+    spark, tmp_path
+):
+    """Overwrite cleanup must only remove this sink's visible part
+    files: subdirectories and underscore/dot names survive, and the new
+    data is renamed into place before any old file is removed."""
+    import os
+
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    out = tmp_path / "ow2"
+    out.mkdir()
+    (out / "_spark_metadata").mkdir()
+    (out / "_SUCCESS").write_text("")
+    (out / "old-part.csv").write_text("1.0,1.0\n")
+    spark.createDataFrame([(9.0, 9.0)], "x double, y double").write.format(
+        "points"
+    ).mode("overwrite").save(str(out))
+    names = set(os.listdir(out))
+    assert "_spark_metadata" in names and "_SUCCESS" in names
+    assert "old-part.csv" not in names
+    got = [tuple(r) for r in spark.read.format("points").load(str(out)).collect()]
+    assert got == [(9.0, 9.0)]
+
+
+def test_points_datasource_writer_rejects_non_finite(spark, tmp_path):
+    """Non-finite coordinates must fail the write loudly — the reader
+    drops them as malformed, so accepting them would make the round
+    trip silently lossy."""
+    import pytest as _pytest
+
+    from mapreducekmean_spark.sources.points_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "nf")
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0)], "x double, y double"
+    )
+    with _pytest.raises(Exception, match="non-finite"):
+        df.write.format("points").mode("append").save(out)

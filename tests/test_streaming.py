@@ -656,3 +656,40 @@ def test_stream_word_count_matches_batch(spark, sf_small):
         for r in spark.sql("SELECT token, n FROM wc_out").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_multimodal_resize_dims_agree_with_plan(spark):
+    """The pixel path and the metadata plan must round .5 dimensions
+    identically (HALF_UP): a 10x5 image clamped to max_side=5 is 5x3 in
+    BOTH, not 5x3 vs 5x2."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    img = _ppm_bytes(10, 5, lambda x, y: (7, 7, 7))
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, modality="image", payload=bytearray(img),
+             meta=Row(width=10, height=5, sample_rate=None, n_frames=None))],
+        mm.ASSET_SCHEMA,
+    )
+    plan = mm.resize_plan(assets, max_side=5).collect()[0]
+    real = mm.resize_images(assets, max_side=5).collect()[0]
+    assert (plan["out_width"], plan["out_height"]) == (5, 3)
+    assert (real["out_width"], real["out_height"]) == (5, 3)
+
+
+def test_frame_sample_fake_codec_null_nframes_keeps_asset(spark):
+    """fake_codec with a NULL n_frames must still emit one ok=false row
+    instead of silently dropping the asset."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark import multimodal as mm
+
+    assets = spark.createDataFrame(
+        [Row(asset_id=9, modality="video", payload=bytearray(b"???"),
+             meta=Row(width=None, height=None, sample_rate=None,
+                      n_frames=None))],
+        mm.ASSET_SCHEMA,
+    )
+    rows = mm.frame_sample(assets, every_n=2, fake_codec=True).collect()
+    assert len(rows) == 1 and rows[0]["ok"] is False
