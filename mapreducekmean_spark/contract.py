@@ -562,6 +562,30 @@ SELECT w1, w2, n,
 FROM c
 """
 
+_DOC_LM_COVERAGE_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+pd AS (SELECT doc_id, bg, count(*) AS n_in_doc FROM b GROUP BY doc_id, bg),
+c AS (SELECT bg, sum(n_in_doc) AS n_corpus FROM pd GROUP BY bg)
+SELECT pd.doc_id,
+       CAST(sum(pd.n_in_doc) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       round(CAST(sum(pd.n_in_doc * c.n_corpus) AS DOUBLE)
+             / sum(pd.n_in_doc), 6) AS avg_corpus_freq,
+       round(CAST(sum(CASE WHEN c.n_corpus = pd.n_in_doc
+                           THEN pd.n_in_doc ELSE 0 END) AS DOUBLE)
+             / sum(pd.n_in_doc), 6) AS novel_ratio
+FROM pd JOIN c USING (bg)
+GROUP BY pd.doc_id
+"""
+
 _CORPUS_STATS_SQL = r"""
 WITH base AS (
   SELECT lang, source,
@@ -600,6 +624,13 @@ def _queries_text() -> list[Query]:
             "corpus_stats",
             lambda spark, sf_dir: tx.corpus_stats(tx.documents(spark, sf_dir)),
             _CORPUS_STATS_SQL,
+        ),
+        Query(
+            "doc_lm_coverage",
+            lambda spark, sf_dir: tx.doc_lm_coverage(
+                tx.documents(spark, sf_dir)
+            ),
+            _DOC_LM_COVERAGE_SQL,
         ),
         Query(
             "doc_winnow",

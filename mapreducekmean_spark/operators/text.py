@@ -278,6 +278,57 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_lm_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document language-model coverage/novelty against the corpus
+    bigram table — the repetition-and-novelty quality signal a
+    perplexity filter approximates, in exact integer/rational arithmetic
+    (transcendental log() is NOT cross-engine bit-stable, so the signal
+    is built from counts: mean corpus frequency of the document's
+    bigrams, and the fraction of its bigrams that occur nowhere else).
+
+    Output per doc: n_bigrams, n_distinct_bigrams, avg_corpus_freq
+    (mean over bigram INSTANCES of each bigram's corpus count, 6 dp),
+    novel_ratio (fraction of instances whose corpus count equals their
+    within-document count — i.e. no other document uses them, 6 dp).
+
+    Scale shape: one explode per side, corpus counts via partial+final
+    aggregate on uniform bigram keys, one hash join back on the same
+    keys, one per-doc aggregate. Stopword-style hot bigrams are absorbed
+    by partial aggregation on the counting side; the join side carries
+    one row per (doc, distinct bigram).
+    """
+    from mapreducekmean_spark.operators.dedup import shingles
+
+    per_doc = (
+        docs.select("doc_id", F.explode(shingles("text", n=2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n_in_doc"))
+    )
+    corpus = per_doc.groupBy("bg").agg(F.sum("n_in_doc").alias("n_corpus"))
+    j = per_doc.join(corpus, "bg")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("n_in_doc").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+            F.round(
+                F.sum(F.col("n_in_doc") * F.col("n_corpus")).cast("double")
+                / F.sum("n_in_doc"),
+                6,
+            ).alias("avg_corpus_freq"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_corpus") == F.col("n_in_doc"), F.col("n_in_doc")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("n_in_doc"),
+                6,
+            ).alias("novel_ratio"),
+        )
+    )
+
+
 #: Winnowing parameters: k-gram size (reuses the dedup shingle n=3) and
 #: window width w — guarantee: any match of >= w + k - 1 consecutive
 #: tokens between two documents shares at least one fingerprint.
