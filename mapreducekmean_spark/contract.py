@@ -1417,6 +1417,23 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
 JOIN customer ON o_custkey = c_custkey
 """
 
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(rev_e4 AS DOUBLE) / 10000 AS total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+"""
+
 _Q13_SQL = """
 SELECT c_count, count(*) AS custdist
 FROM (
@@ -1800,6 +1817,7 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q19_brackets", rel.bracketed_revenue, _Q19_SQL),
         Query("tpch_q13_custdist", rel.customer_order_distribution, _Q13_SQL),
         Query("tpch_q16_supplier_cnt", rel.supplier_part_counts, _Q16_SQL),
+        Query("tpch_q15_top_supplier", rel.top_revenue_suppliers, _Q15_SQL),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(

@@ -393,3 +393,32 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").asc(),
         )
     )
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over a ship-date window,
+    then the supplier(s) whose revenue EQUALS the maximum — the
+    aggregate-joined-against-its-own-max shape (Q15's revenue view +
+    scalar subquery). Revenue sums in exact 10^-4 units; the max
+    comparison is integer-exact, so ties are deterministic. Scale: one
+    partial+final aggregate on l_suppkey; the 1-row max broadcasts back
+    over the (small) per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev_e4).alias("rev_e4")
+    )
+    best = per_supp.agg(F.max("rev_e4").alias("best_e4"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(best), F.col("rev_e4") == F.col("best_e4"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4").cast("double") / 10_000).alias("total_revenue"),
+        )
+    )
