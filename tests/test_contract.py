@@ -73,3 +73,32 @@ def test_registry_order_is_exact_permutation():
     assert len(names) == len(set(names))
     assert names[: len(c._CHECK_FIRST)] == list(c._CHECK_FIRST)
     assert names[-len(c._CHECK_LAST):] == list(c._CHECK_LAST)
+
+
+def test_rotation_covers_stale_queries():
+    """Registry-order rotation invariant: external drivers check only the
+    FIRST 50 registry entries, so every declared query that has no row in
+    the LATEST driver correctness artifact (= stale evidence) must sit
+    inside that window. This test fails at the start of a new round if
+    the rotation in contract._CHECK_FIRST/_CHECK_LAST wasn't refreshed
+    against the new CORRECTNESS_r*.json — re-rotate before shipping."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not arts:
+        return  # no driver artifact yet (fresh clone) — nothing to pin
+    latest = json.load(open(arts[-1]))
+    names = list(registry())
+    stale = [n for n in names if n not in latest]
+    cap = 50
+    if len(stale) > cap:  # more stale than slots: rotation can't cover all
+        stale = stale[:cap]
+    misplaced = [n for n in stale if names.index(n) >= cap]
+    assert not misplaced, (
+        f"queries with no row in {os.path.basename(arts[-1])} sit past the "
+        f"driver's {cap}-entry check window: {misplaced}; rotate them into "
+        "_CHECK_FIRST in contract.py"
+    )
