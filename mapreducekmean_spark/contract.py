@@ -1868,64 +1868,11 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # round-4 rotation: these 22 queries' last driver rows date from
-    # round 2 (they sat past round 3's 50-entry cap); round 3 touched
-    # shared plumbing (sources/readers.py worker paths, shingle
-    # materialization), so they come first for round-fresh evidence
-    "running_spend",
-    "customer_rank_stats",
-    "cosine_topk",
-    "ann_ivf",
-    "ann_lsh",
-    "dedup_embedding",
-    "embedding_lsh_sig",
-    "ngram_jaccard",
-    "dedup_simhash",
-    "filter_valid",
-    "events_sessionize",
-    "events_hourly",
-    "user_funnel",
-    "events_asof_purchase",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    "multimodal_checksums",
-)
-
-_CHECK_LAST = (
-    # all value-hash green in round 3 (CORRECTNESS_r03.json) AND covered
-    # by pytest oracle twins. Ordered so the queries whose code round 4
-    # touched (connected-components rewrite, shared init memo, CSV
-    # staging fingerprint, checkpoint cleanup) land INSIDE a 50-entry
-    # driver cap, and the untouched round-1-era triple-greens land past
-    # it (safest to ship on prior evidence).
-    "dedup_clusters",
-    "points_csv_scan",
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "kmeans_full",
-    "sample_init_det",
-    "dedup_minhash_sig",
-    "dedup_minhash",
-    "dedup_minhash_pairs",
-    "dedup_verify",
-    "word_count",
-    "bigram_lm",
-    "corpus_stats",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q4_priority",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q19_brackets",
-    # ---- round-4-untouched, triple-green: past-cap is lowest-risk ----
+    # round-5 rotation: these 28 queries' last driver rows date from
+    # round 3 (they sat past round 4's 50-entry cap, see
+    # CORRECTNESS_r04.json); they come first for round-fresh evidence.
+    # kmeans_mllib is rows-only by design but rotates in with the rest
+    # so even its weaker check is at most one round old.
     "scan_points",
     "doc_winnow",
     "events_range_join",
@@ -1953,8 +1900,67 @@ _CHECK_LAST = (
     "sample_stratified",
     "set_ops_customers",
     "set_ops_bag",
-    # rows-only by design (seeded MLlib RNG): a driver row adds least
     "kmeans_mllib",
+)
+
+_CHECK_LAST = (
+    # all 50 value-hash green on round-4 code (CORRECTNESS_r04.json) AND
+    # covered by pytest oracle twins. Ordered so the queries whose code
+    # round 5 touched (kmeans mapInArrow block build, multimodal PIL
+    # decode, relational Q15 timestamp boundaries, shared reader
+    # timezone pinning) land nearest the driver's 50-entry cap, and the
+    # round-5-untouched fresh greens land past it (safest to ship on
+    # one-round-old evidence).
+    "kmeans_full",
+    "kmeans_mllib_verdict",
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "sample_init_det",
+    "multimodal_checksums",
+    "tpch_q15_top_supplier",
+    "points_csv_scan",
+    "filter_valid",
+    "dedup_embedding",
+    "ann_ivf",
+    "cosine_topk",
+    "ann_lsh",
+    "embedding_lsh_sig",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_verify",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "corpus_clean",
+    "doc_lm_coverage",
+    "word_count",
+    "bigram_lm",
+    "corpus_stats",
+    "running_spend",
+    "customer_rank_stats",
+    "events_sessionize",
+    "events_hourly",
+    "user_funnel",
+    "events_asof_purchase",
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "sql_nation_balance",
+    "sql_above_nation_avg",
+    "orders_list_per_customer",
+    "tpch_q4_priority",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q19_brackets",
 )
 
 
