@@ -381,9 +381,19 @@ def probe_core(spark, results: dict, args) -> None:
 
     # 1b) the same iteration through the numpy-block loop path — what
     # lloyd() actually runs per iteration (treeReduce of k×(d+1) partial
-    # aggregates over cached numpy blocks; zero per-iteration planning)
+    # aggregates over cached numpy blocks; zero per-iteration planning).
+    # The one-time block build is timed separately: it is the only pass
+    # that touches every input row from Python, so its cost model (Arrow
+    # batches vs per-row pickling) dominates lloyd()'s fixed overhead.
+    t0 = time.perf_counter()
     blocks = km._numpy_blocks(pts).cache()
     blocks.count()
+    dt = time.perf_counter() - t0
+    results["lloyd_block_build"] = {
+        "rows": args.vecs,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(args.vecs / dt),
+    }
     km._iterate(blocks, cents, 10, 1, 0.0)  # warm
     t0 = time.perf_counter()
     km._iterate(blocks, cents, 10, 1, 0.0)  # tol=0 -> exactly 1 iteration
