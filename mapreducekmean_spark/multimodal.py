@@ -3,13 +3,14 @@ payloads with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
-UDF signatures, batch shapes. The *codec* step is real for the
-uncompressed formats a dependency-free parser can cover — binary-PPM
-(P6) and BI_RGB BMP images (PIL when installed widens this), RIFF/WAVE
-PCM audio, and YUV4MPEG2 (Y4M) video frames — with real resize
-(``resize_images``) and frame sampling (``frame_sample``) over them,
-and an honest capability gate for everything else (compressed
-images/audio/video): ``decode_payload`` raises ``NotImplementedError``
+UDF signatures, batch shapes. The *codec* step is real for the formats a
+dependency-free parser can cover — binary-PPM (P6), BI_RGB BMP, and
+8-bit PNG images (stdlib zlib inflate + scanline unfilter; PIL when
+installed widens this to JPEG/WebP/…), RIFF/WAVE PCM audio, and
+YUV4MPEG2 (Y4M) video frames — with real resize (``resize_images``) and
+frame sampling (``frame_sample``) over them, and an honest capability
+gate for everything else (JPEG without PIL, compressed audio/video):
+``decode_payload`` raises ``NotImplementedError``
 unless ``fake_codec=True``, in which case a deterministic md5-derived
 fake "decode" stands in (same output schema as a real decoder would
 have); the batch operators use per-row ``ok``/NULL gates instead.
@@ -141,7 +142,121 @@ def _decode_image_rgb(payload: bytes):
             return None
     if payload[:2] == b"BM":
         return _decode_bmp_rgb(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_rgb(payload)
     return None
+
+
+def _decode_png_rgb(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG to HxWx3 uint8 RGB using only
+    the stdlib (``zlib``) — the first *compressed* format the
+    dependency-free codec set covers. Handles color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) and all five scanline
+    filters (None/Sub/Up/Average/Paeth). 16-bit, interlaced, or
+    malformed payloads return None so the caller's capability gate (or
+    PIL, when installed) takes over. The Sub/Average/Paeth unfilter is a
+    per-byte Python loop — correct everywhere, fast enough for
+    fixture-scale tests; PIL's C path is preferred automatically when
+    present (it is tried first in ``_decode_image_rgb``)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos = 8
+        ihdr = None
+        palette = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            if len(body) < length:
+                return None
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                if color not in (0, 2, 3, 4, 6):
+                    return None
+                ihdr = (w, h, color)
+            elif ctype == b"PLTE":
+                pal = np.frombuffer(body, dtype=np.uint8)
+                if pal.size % 3:
+                    return None
+                palette = pal.reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, color = ihdr
+        if w <= 0 or h <= 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        recon = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        rpos = 0
+        for y in range(h):
+            f = raw[rpos]
+            rpos += 1
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=rpos
+            ).copy()
+            rpos += stride
+            if f == 0:
+                pass
+            elif f == 2:  # Up — reconstruction is mod 256, uint8 wraps
+                line += prev
+            elif f in (1, 3, 4):  # Sub/Average/Paeth: true scan dependency
+                ln = line.astype(np.int32)
+                pr = prev.astype(np.int32)
+                out = np.empty(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = out[i - channels] if i >= channels else 0
+                    b = pr[i]
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = pr[i - channels] if i >= channels else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (
+                            b if pb <= pc else c
+                        )
+                    out[i] = (ln[i] + pred) & 0xFF
+                line = out.astype(np.uint8)
+            else:
+                return None
+            recon[y] = line
+            prev = recon[y]
+        px = recon.reshape(h, w, channels)
+        if color == 2:
+            rgb = px
+        elif color == 6:
+            rgb = px[:, :, :3]
+        elif color in (0, 4):
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        else:  # palette
+            if palette is None or int(px.max()) >= palette.shape[0]:
+                return None
+            rgb = palette[px[:, :, 0]]
+        return np.ascontiguousarray(rgb)
+    except (ValueError, IndexError, struct.error, zlib.error):
+        return None
 
 
 def _decode_bmp_rgb(payload: bytes):
@@ -161,6 +276,8 @@ def _decode_bmp_rgb(payload: bytes):
         (data_offset,) = struct.unpack_from("<I", payload, 10)
         (hdr_size,) = struct.unpack_from("<I", payload, 14)
         if hdr_size < 40:  # BITMAPCOREHEADER etc. — not handled
+            return None
+        if data_offset < 14 + hdr_size:  # pixel data can't overlap headers
             return None
         width, height = struct.unpack_from("<ii", payload, 18)
         _planes, bpp = struct.unpack_from("<HH", payload, 26)
@@ -301,12 +418,12 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
     """Decode one payload to FEATURE_DIM features.
 
     Real branches: images decode via PIL when installed, else via the
-    built-in binary-PPM and uncompressed-BMP parsers; audio decodes via
-    the built-in RIFF/WAVE PCM parser (video frames have their own
-    operator, ``frame_sample``, over Y4M). Everything else (compressed
-    formats without PIL/libav) stays an honest capability gate: raises
-    unless ``fake_codec=True``, which substitutes the deterministic
-    md5-derived stand-in.
+    built-in binary-PPM, uncompressed-BMP, and 8-bit PNG parsers; audio
+    decodes via the built-in RIFF/WAVE PCM parser (video frames have
+    their own operator, ``frame_sample``, over Y4M). Everything else
+    (JPEG/compressed formats without PIL/libav) stays an honest
+    capability gate: raises unless ``fake_codec=True``, which
+    substitutes the deterministic md5-derived stand-in.
     """
     if fake_codec:
         return _fake_decode(payload)
@@ -319,9 +436,10 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
     raise NotImplementedError(
         "real decode for this payload requires codec libraries "
         "(PIL/libav) not present in this environment; supported without "
-        "them: binary PPM (P6) and uncompressed BI_RGB BMP images, "
-        "RIFF/WAVE PCM audio, and (via frame_sample) YUV4MPEG2 video. "
-        "Pass fake_codec=True for the deterministic stand-in."
+        "them: binary PPM (P6), uncompressed BI_RGB BMP, and 8-bit "
+        "non-interlaced PNG images, RIFF/WAVE PCM audio, and (via "
+        "frame_sample) YUV4MPEG2 video. Pass fake_codec=True for the "
+        "deterministic stand-in."
     )
 
 
@@ -426,9 +544,12 @@ def resize_images(
     clamp to ``max_side``, re-encode as P6 bytes. Payloads that no real
     codec branch can decode yield ``ok = false`` with NULL output (the
     honest per-row form of the capability gate) unless ``fake_codec``,
-    which passes the original bytes through with the planned dimensions.
-    Payload bytes never pass the driver; peak memory is one Arrow batch
-    per task."""
+    which passes the original bytes through unresized, reporting the
+    *planned* dimensions from the row's metadata (``resize_plan``'s
+    clamp math over ``meta.width``/``meta.height``; NULL when metadata
+    is absent). Payload bytes never pass the driver; peak memory is one
+    Arrow batch per task."""
+    import math
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -437,12 +558,23 @@ def resize_images(
                 "out_width": [], "out_height": [], "ok": [],
                 "out_payload": [],
             }
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            metas = (
+                pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+            )
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], metas
+            ):
                 rgb = _decode_image_rgb(bytes(payload or b""))
                 if rgb is None:
                     ok, iw, ih, ow, oh, pay = False, None, None, None, None, None
                     if fake_codec:
                         ok, pay = True, bytes(payload or b"")
+                        if meta and meta.get("width") and meta.get("height"):
+                            iw, ih = int(meta["width"]), int(meta["height"])
+                            # same HALF_UP clamp as resize_plan/_resize_rgb
+                            scale = min(1.0, float(max_side) / max(iw, ih))
+                            ow = max(1, int(math.floor(iw * scale + 0.5)))
+                            oh = max(1, int(math.floor(ih * scale + 0.5)))
                 else:
                     small = _resize_rgb(rgb, max_side)
                     ih, iw = rgb.shape[:2]

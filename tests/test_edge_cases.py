@@ -334,6 +334,74 @@ def test_bmp_malformed_payloads_hit_gate_not_parse_error():
             mm.decode_payload(payload, "image", fake_codec=False)
 
 
+def test_png_malformed_payloads_hit_gate_not_parse_error():
+    """Unsupported/truncated PNG payloads must fall through to the
+    capability gate like the PPM/BMP/WAV branches, never surface a parse
+    or zlib exception."""
+    import struct
+    import zlib
+
+    from mapreducekmean_spark import multimodal as mm
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(depth=8, color=2, interlace=0, idat=None, plte=None, w=2, h=2):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = sig + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        if idat is not None:
+            out += chunk(b"IDAT", idat)
+        return out + chunk(b"IEND", b"")
+
+    ok_raw = zlib.compress(b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6)
+    malformed = [
+        sig,                                     # signature alone
+        png(idat=None),                          # no IDAT
+        png(depth=16, idat=ok_raw),              # 16-bit unsupported
+        png(interlace=1, idat=ok_raw),           # Adam7 unsupported
+        png(color=3, idat=ok_raw, plte=None),    # palette without PLTE
+        png(idat=b"not-a-zlib-stream"),          # corrupt compression
+        png(idat=zlib.compress(b"\x00\x01")),    # scanlines truncated
+        png(idat=zlib.compress(b"\x07" + b"\x01" * 6 + b"\x00" + b"\x02" * 6)),
+        # ^ filter type 7 is invalid
+        png(color=3, plte=b"\xff\x00\x00",
+            idat=zlib.compress(b"\x00\x02\x02" + b"\x00\x01\x01")),
+        # ^ palette index 2 out of range for a 1-entry PLTE
+    ]
+    for payload in malformed:
+        assert mm._decode_image_rgb(payload) is None
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(payload, "image", fake_codec=False)
+
+
+def test_bmp_data_offset_overlapping_header_rejected():
+    """A malformed BMP whose data_offset points inside the headers must
+    hit the gate, not 'decode' header bytes as pixels (ADVICE r4)."""
+    import struct
+
+    from mapreducekmean_spark import multimodal as mm
+
+    body = b"\x00" * 24  # enough bytes for 2x2x24bpp at offset 0
+    for bad_offset in (0, 13, 53):  # anything < 14 + 40
+        payload = (
+            struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, bad_offset)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0
+            )
+            + body
+        )
+        assert mm._decode_image_rgb(payload) is None
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(payload, "image", fake_codec=False)
+
+
 def test_referenced_tables_case_insensitive_with_fallback():
     """SQL identifiers are case-insensitive; unrecognized spellings must
     degrade to register-everything, not TABLE_OR_VIEW_NOT_FOUND
