@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 from mapreducekmean_spark.sources import load_table
 
 
+def _utc_ts(iso_date: str) -> Column:
+    """A date-boundary literal as an explicit UTC instant. A bare
+    ``lit(str).cast("timestamp")`` interprets the wall clock in the
+    SESSION timezone, so query windows would shift on a non-UTC session
+    (ADVICE r4); building the epoch integer driver-side and wrapping it
+    in ``timestamp_micros`` is session-independent by construction."""
+    from datetime import datetime, timezone
+
+    dt = datetime.strptime(iso_date, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    return F.timestamp_micros(F.lit(int(dt.timestamp()) * 1_000_000))
+
+
 def _cents(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("bigint")
@@ -50,7 +62,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= _utc_ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
@@ -81,10 +93,10 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < _utc_ts("1995-03-15")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > _utc_ts("1995-03-15")
     )
     rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
     joined = (
@@ -144,8 +156,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= _utc_ts("1994-01-01"))
+            & (F.col("l_shipdate") < _utc_ts("1995-01-01"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -198,8 +210,8 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     The semi join keys on l_orderkey (equi, shuffled) with the date
     comparison as a residual — never a nested loop."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= _utc_ts("1994-01-01"))
+        & (F.col("o_orderdate") < _utc_ts("1994-04-01"))
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
@@ -404,8 +416,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregate on l_suppkey; the 1-row max broadcasts back
     over the (small) per-supplier aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _utc_ts("1996-04-01"))
     )
     rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(

@@ -53,6 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # INT64 (TIMESTAMP(NANOS,false)) on sessions that didn't go through
     # our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The engine's documented time semantics are UTC (session.py pins the
+    # same at build). Pinned here UNCONDITIONALLY — not per fixture
+    # generation — so wall-clock results never depend on which table
+    # loaded first or which parquet timestamp physical type the fixture
+    # generation used (ADVICE r4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Same external-session hardening for the Python-worker side: any
     # downstream operator that pickles module references (datasource,
     # mapInPandas, UDTF) needs the package importable on workers.
@@ -67,12 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integers to DuckDB's naive-timestamp epoch_us.
             # to_utc_timestamp(col, 'UTC') is session-timezone-INDEPENDENT
             # (a bare cast to timestamp interprets the wall clock in the
-            # session zone). The session pin below is still deliberate:
-            # every downstream wall-clock bucketing op (date_trunc,
-            # window) is oracle-defined in UTC, so a session that reads
-            # these fixtures through the engine adopts the engine's
-            # documented UTC time semantics (session.py sets the same).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # session zone).
             df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
         elif dtype == "bigint":
             # Exact integer floor-division (pmod keeps the remainder

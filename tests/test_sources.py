@@ -236,3 +236,42 @@ def test_points_datasource_writer_rejects_non_finite(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="non-finite"):
         df.write.format("points").mode("append").save(out)
+
+
+def test_utc_boundary_literals_session_independent(spark):
+    """_utc_ts must yield the same instant under any session timezone —
+    a bare string→timestamp cast would shift with the session zone
+    (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.relational import _utc_ts
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        got = set()
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got.add(
+                spark.range(1)
+                .select(F.unix_micros(_utc_ts("1996-01-01")).alias("us"))
+                .collect()[0]
+                .us
+            )
+        assert got == {820454400 * 1_000_000}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_load_table_pins_utc_unconditionally(spark, sf_small):
+    """The UTC pin is the engine's documented time semantics and must not
+    depend on which table loads first or the fixture's timestamp
+    physical type (ADVICE r4: it used to fire only on the NTZ branch)."""
+    from mapreducekmean_spark.sources import load_table
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        load_table(spark, sf_small, "region")  # no timestamp column at all
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
