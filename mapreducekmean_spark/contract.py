@@ -1225,6 +1225,31 @@ FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU}
 """
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semantic_dedup(spark, sf_dir)
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+{_KM_CTES},
+cells AS (
+  SELECT a.vec_id, a.cluster_id AS cell, p.emb
+  FROM assign a JOIN pts p USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_expr("a.emb", "b.emb")} AS sim_raw
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT id_b, CAST(min(id_a) AS BIGINT) AS dup_of
+  FROM pairs WHERE sim_raw >= {sim.SEM_DUP_TAU}
+  GROUP BY id_b
+)
+SELECT c.vec_id, c.cell, d.id_b IS NULL AS kept, d.dup_of
+FROM cells c LEFT JOIN dups d ON c.vec_id = d.id_b
+"""
+
+
 def _hyperplane_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hyperplane_signature(spark, sf_dir)
 
@@ -1338,6 +1363,7 @@ FROM documents
             _ann_lsh_sql(),
         ),
         Query("dedup_embedding", _embedding_near_dup, _NEAR_DUP_SQL),
+        Query("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL),
         Query("embedding_lsh_sig", _hyperplane_sig, _hyperplane_sig_sql()),
     ]
 

@@ -210,6 +210,88 @@ def embedding_near_dup(
     return out.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
 
 
+#: Semantic-dedup cosine threshold (slightly below NEAR_DUP_TAU so the
+#: within-cell pair set is non-trivial on the near-random fixture).
+SEM_DUP_TAU = 0.30
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = SEM_DUP_TAU,
+    ncells: int = km.DEFAULT_K,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster embeddings into IVF
+    cells (deterministic K-Means init, same quantizer as ``ivf_topk``),
+    then mark within each cell every vector whose cosine similarity to a
+    LOWER-id cellmate reaches ``tau`` as a duplicate of the smallest
+    such id. The published recipe for embedding-space dedup at scale:
+    pair scoring never crosses cell boundaries, so total work is
+    Σ n_cell² instead of n² — with k sized so cells hold a roughly
+    constant row count, that is linear in n, and each cell is an
+    independent ``applyInPandas`` group (one shuffle on the cell id).
+
+    Exactness: the pair kernel accumulates dot products sequentially
+    over dimensions (one fused multiply-add per dim across the whole
+    pair block), the identical IEEE operation sequence as the
+    ``F.aggregate`` fold in ``functions/vector.py`` and DuckDB's
+    ``list_sum(list_transform(...))`` — so the ``sim >= tau`` verdict is
+    bit-identical to the oracle. Row blocks of 1024 bound the pair
+    matrix to 1024 × n_cell doubles regardless of cell size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    cents = km.collect_centroids(
+        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
+    )
+    bucketed = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array([list(e) for e in pdf["emb"].to_numpy()[order]],
+                       dtype=np.float64)
+        n, dim = mat.shape
+        ssq = np.zeros(n)
+        for d in range(dim):
+            ssq = ssq + mat[:, d] * mat[:, d]
+        norms = np.sqrt(ssq)
+        sentinel = np.iinfo(np.int64).max
+        dup_of = np.full(n, sentinel, dtype=np.int64)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            dots = np.zeros((hi - lo, n))
+            for d in range(dim):
+                dots = dots + np.multiply.outer(mat[lo:hi, d], mat[:, d])
+            sims = dots / np.multiply.outer(norms[lo:hi], norms)
+            # row i (the lower id) marks column j as its duplicate
+            mask = (ids[lo:hi][:, None] < ids[None, :]) & (sims >= tau)
+            cand = np.where(mask, ids[lo:hi][:, None], sentinel).min(axis=0)
+            dup_of = np.minimum(dup_of, cand)
+        kept = dup_of == sentinel
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "kept": kept,
+                "dup_of": [
+                    None if k else int(v) for k, v in zip(kept, dup_of)
+                ],
+            }
+        )
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(spark)
+    return bucketed.groupBy("cell").applyInPandas(
+        per_cell, "vec_id bigint, cell bigint, kept boolean, dup_of bigint"
+    )
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K
 ) -> DataFrame:

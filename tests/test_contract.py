@@ -63,6 +63,24 @@ def test_ann_recall_beats_random(spark, sf_oracle, name, floor):
     assert rec >= floor, rec
 
 
+def test_semantic_dedup_invariants(spark, sf_oracle):
+    """Structural invariants beyond the oracle twin: a duplicate always
+    points at a LOWER id in its OWN cell (SemDeDup keeps the smallest
+    id per similarity neighborhood); kept rows have no dup_of."""
+    rows = QUERIES["dedup_semantic"].fn(spark, sf_oracle).collect()
+    assert len(rows) == len({r.vec_id for r in rows})
+    cell_of = {r.vec_id: r.cell for r in rows}
+    n_dups = 0
+    for r in rows:
+        if r.kept:
+            assert r.dup_of is None
+        else:
+            n_dups += 1
+            assert r.dup_of < r.vec_id
+            assert cell_of[r.dup_of] == r.cell
+    assert 0 < n_dups < len(rows)
+
+
 def test_registry_order_is_exact_permutation():
     """_CHECK_FIRST/_CHECK_LAST must stay in sync with the query groups:
     the audit-priority reorder yields every declared query exactly once,
