@@ -699,6 +699,41 @@ GROUP BY 1, 2
 """
 
 
+def _closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.closed_sessions(ev.events(spark, sf_dir))
+
+
+_CLOSED_SESSIONS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN prev_us IS NULL OR us - prev_us > {ev.SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(min(us) AS BIGINT) AS session_start_us,
+         count(*) AS n_events,
+         CAST(max(us) - min(us) AS BIGINT) AS duration_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, session_start_us, n_events, duration_us
+FROM (
+  SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sess
+  FROM sess
+)
+WHERE session_id < last_sess
+"""
+
+
 def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.hourly_rollup(ev.events(spark, sf_dir))
 
@@ -1802,6 +1837,9 @@ GROUP BY event_type
 def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
+        Query(
+            "stream_sessions_closed", _closed_sessions, _CLOSED_SESSIONS_SQL
+        ),
         Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
         Query(
             "events_range_join",

@@ -60,6 +60,41 @@ def sessionize(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def closed_sessions(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Batch twin of ``streaming.stream_sessionize``: the sessions a
+    single-micro-batch streaming run EMITS — every session except each
+    user's final (still-open) one, in the stream's output schema
+    (``user_id, session_start_us, n_events, duration_us``).
+
+    Declared as an oracle query so the streaming semantics gain a
+    driver-checked row (the driver is batch-only);
+    ``tests/test_streaming.py`` pins this query equal row-for-row to the
+    actual ``applyInPandasWithState`` stream output on the shared
+    fixture. Scale shape is ``sessionize``'s: one hash shuffle on
+    user_id + linear window passes."""
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = ev.withColumn("us", us).withColumn(
+        "session_id", F.sum(new_sess).over(run).cast("bigint")
+    )
+    sess = with_sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+    w_user = Window.partitionBy("user_id")
+    return (
+        sess.withColumn("last_sess", F.max("session_id").over(w_user))
+        .filter(F.col("session_id") < F.col("last_sess"))
+        .select("user_id", "session_start_us", "n_events", "duration_us")
+    )
+
+
 def hourly_rollup(ev: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows per event type: count, exact cent-sum of
     ``value``, distinct users. ``value`` is 2-decimal in the fixture, so

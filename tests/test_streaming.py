@@ -79,6 +79,32 @@ def test_stream_sessionize_closed_sessions(spark, sf_small):
     assert len(streamed) == len(closed)
 
 
+def test_declared_closed_sessions_matches_stream_output(spark, sf_small):
+    """The DECLARED batch query stream_sessions_closed (driver-checked
+    against a DuckDB oracle) must equal the actual
+    applyInPandasWithState stream output row-for-row on the shared
+    fixture — this is what makes its green driver row evidence about
+    the streaming semantics."""
+    from mapreducekmean_spark.contract import registry
+
+    out = stream_sessionize(read_events_stream(spark, sf_small))
+    run_to_memory(out, "sessions_twin")
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_start_us, n_events, duration_us "
+            "FROM sessions_twin"
+        ).collect()
+    )
+    declared = sorted(
+        tuple(r)
+        for r in registry()["stream_sessions_closed"]
+        .fn(spark, sf_small)
+        .collect()
+    )
+    assert streamed == declared and len(streamed) > 0
+
+
 def test_stream_sessionize_state_across_batches(spark, sf_small, tmp_path):
     """Two micro-batches: a session spanning the batch boundary must be
     stitched together by the state store, not split."""
