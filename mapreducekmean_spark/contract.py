@@ -1797,6 +1797,39 @@ JOIN v ON b.user_id = v.user_id
 GROUP BY b.purchase_id, b.user_id, b.buy_us
 """
 
+#: The capped range join's oracle replicates the documented cap
+#: semantics: only the view_cap MOST RECENT views per (user, 24h
+#: bucket) — unique order key (view_us, event_id) — feed the join.
+_RANGE_JOIN_CAPPED_SQL = f"""
+WITH b AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS buy_us
+  FROM events WHERE event_type = 'purchase'
+),
+v0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS view_us,
+         CAST(round(value * 100) AS BIGINT) AS view_cents,
+         epoch_us(ts) // {ev.RANGE_JOIN_WINDOW_US} AS blk
+  FROM events
+  WHERE event_type = 'view'
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+v AS (
+  SELECT user_id, view_us, view_cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, blk
+                                 ORDER BY view_us DESC, event_id DESC) AS rn
+    FROM v0
+  ) WHERE rn <= {ev.RANGE_JOIN_VIEW_CAP}
+)
+SELECT b.purchase_id, b.user_id, b.buy_us,
+       count(*) AS n_views,
+       CAST(sum(v.view_cents) AS DOUBLE) / 100 AS view_value
+FROM b
+JOIN v ON b.user_id = v.user_id
+      AND v.view_us >= b.buy_us - {ev.RANGE_JOIN_WINDOW_US}
+      AND v.view_us <  b.buy_us
+GROUP BY b.purchase_id, b.user_id, b.buy_us
+"""
+
 _HISTOGRAM_SQL = """
 SELECT event_type,
        CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
@@ -1847,6 +1880,13 @@ def _queries_events_relational() -> list[Query]:
                 ev.events(spark, sf_dir)
             ),
             _RANGE_JOIN_SQL,
+        ),
+        Query(
+            "events_range_join_capped",
+            lambda spark, sf_dir: ev.purchases_with_recent_views_capped(
+                ev.events(spark, sf_dir)
+            ),
+            _RANGE_JOIN_CAPPED_SQL,
         ),
         Query(
             "events_histogram",

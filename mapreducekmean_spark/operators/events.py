@@ -183,6 +183,67 @@ def purchases_with_recent_views(
     )
 
 
+#: Per-(user, bucket) view cap for the bounded range join — the 100 TB
+#: remedy SCALE.md names for hot keys whose correct trailing-window
+#: answer is itself quadratic in key density.
+RANGE_JOIN_VIEW_CAP = 64
+
+
+def purchases_with_recent_views_capped(
+    ev: DataFrame,
+    window_us: int = RANGE_JOIN_WINDOW_US,
+    view_cap: int = RANGE_JOIN_VIEW_CAP,
+) -> DataFrame:
+    """Bounded-output range join: ``purchases_with_recent_views`` with
+    the candidate views pre-capped to the ``view_cap`` MOST RECENT per
+    (user, 24h time bucket) before the join.
+
+    Semantics delta (documented, deterministic): ``n_views``/
+    ``view_value`` count only a user's last ``view_cap`` views within
+    each window-width bucket — EXACT whenever every user has ≤
+    ``view_cap`` views per bucket (always true on the fixtures), a
+    most-recent truncation beyond it (ties impossible: the order key
+    ``(view_us, event_id)`` is unique). This bounds the join's per-key
+    work at ``2·view_cap`` candidate rows per purchase, so a zipf head
+    key whose *correct* answer is quadratic in its density (SCALE.md:
+    the semantic blowup no join strategy fixes) degrades to a capped,
+    linear-sized computation instead of 10^10 output pairs. The cap
+    itself is one window pass per (user, bucket) partition — the same
+    linear per-key shape as sessionize."""
+    us = F.unix_micros("ts")
+    blk = F.expr(f"unix_micros(ts) div {window_us}")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("buy_us"),
+        F.explode(F.array(blk - 1, blk)).alias("blk"),
+    )
+    w_cap = Window.partitionBy("user_id", "blk").orderBy(
+        F.col("view_us").desc(), F.col("view_event_id").desc()
+    )
+    views = (
+        _finite_value(ev.filter(F.col("event_type") == "view"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            us.alias("view_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("view_cents"),
+            blk.alias("blk"),
+        )
+        .withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= view_cap)
+        .drop("rn", "view_event_id")
+    )
+    joined = buys.join(views, ["user_id", "blk"]).filter(
+        (F.col("view_us") >= F.col("buy_us") - window_us)
+        & (F.col("view_us") < F.col("buy_us"))
+    )
+    return joined.groupBy("purchase_id", "user_id", "buy_us").agg(
+        F.count("*").alias("n_views"),
+        (F.sum("view_cents").cast("double") / 100).alias("view_value"),
+    )
+
+
 def _finite_value(ev: DataFrame) -> DataFrame:
     """Guard numeric ``value`` paths against NULL/NaN rows: NaN casts to 0
     in Spark but errors DuckDB's CAST, and NULLs sort NULLS FIRST in

@@ -63,6 +63,47 @@ def test_ann_recall_beats_random(spark, sf_oracle, name, floor):
     assert rec >= floor, rec
 
 
+def test_capped_range_join_exact_below_cap(spark, sf_oracle):
+    """The capped range join's documented contract: identical to the
+    uncapped join whenever no (user, bucket) exceeds the view cap —
+    which holds on the fixtures."""
+    a = sorted(
+        tuple(r) for r in QUERIES["events_range_join"].fn(spark, sf_oracle).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["events_range_join_capped"].fn(spark, sf_oracle).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_capped_range_join_truncates_above_cap(spark):
+    """Above the cap the most-recent-K truncation applies: 100 views in
+    one bucket before a purchase → n_views == cap, and the value sum
+    covers exactly the 64 most recent views."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.events import (
+        RANGE_JOIN_VIEW_CAP,
+        purchases_with_recent_views_capped,
+    )
+
+    base_us = 50 * 24 * 3600 * 1_000_000  # mid-bucket, no edge effects
+    rows = [
+        (i, 1, "view", base_us + i * 1_000_000, 1.0) for i in range(100)
+    ] + [(1000, 1, "purchase", base_us + 200 * 1_000_000, 5.0)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, "
+        "us bigint, value double",
+    ).withColumn("ts", F.timestamp_micros("us"))
+    out = purchases_with_recent_views_capped(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_views == RANGE_JOIN_VIEW_CAP
+    assert r.view_value == float(RANGE_JOIN_VIEW_CAP)
+
+
 def test_semantic_dedup_invariants(spark, sf_oracle):
     """Structural invariants beyond the oracle twin: a duplicate always
     points at a LOWER id in its OWN cell (SemDeDup keeps the smallest
