@@ -80,18 +80,27 @@ def main() -> None:
             clear_persistent_rdds(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_declared_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "timing": "min_of_2",
-            }
-        )
+    # headline fields first and "queries" last: if a capture pipeline
+    # truncates the line's tail (round 4 lost 3 queries' timings that
+    # way), the summary survives; the sibling file is the always-complete
+    # artifact either way
+    payload = {
+        "metric": "total_wall_sec_all_declared_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "timing": "min_of_2",
+        "n_queries": len(timings),
+        "queries_file": "bench_queries.json",
+        "queries": timings,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

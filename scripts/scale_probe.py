@@ -287,6 +287,76 @@ def probe_corpus(spark, results: dict, sf_dir: str, repl: int = 20) -> None:
     }
 
 
+def probe_corpus_lowdup(
+    spark, results: dict, sf_dir: str, target_docs: int = 1_000_000
+) -> None:
+    """The cleaning pipeline at ~1M docs with a REALISTIC (low) dup
+    ratio — the stage-economics regime the 20× probe can't show: when
+    the exact stage removes little, the MinHash/LSH stage carries most
+    of the corpus.
+
+    Construction per base doc (repl ≈ 200 replicas): replica 0 keeps
+    the original text and replicas 1-30 copy it verbatim (→ ~15% exact
+    duplicates), replicas 31-50 append one replica-unique token (→ ~10%
+    near-duplicates: unique content, Jaccard ≈ n/(n+1) against the
+    original), and replicas 51+ get fully synthetic 40-word md5-hex
+    texts (unique shingles; alpha ratio ~0.37 and TTR 1.0 keep them
+    PASSING the quality gate, so they flow through the expensive
+    stage)."""
+    from mapreducekmean_spark.operators.pipeline import corpus_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = docs.count()
+    repl = max(1, target_docs // n_base)
+    # class boundaries scale with repl: replicas [0, exact_hi] share the
+    # original text verbatim (~15% exact dups incl. the original),
+    # (exact_hi, near_hi] are one-token near-dup variants (~10%), the
+    # rest fully unique synthetic docs (~75%)
+    exact_hi = max(0, round(repl * 0.15))
+    near_hi = exact_hi + max(1, round(repl * 0.10))
+    rep = F.col("rep")
+    new_id = F.col("doc_id") + rep * 10_000_000
+    uniq_text = F.expr(
+        "concat_ws(' ', transform(sequence(1, 40), i -> "
+        "substr(md5(concat(cast(doc_id + rep * 10000000 AS STRING), ':', "
+        "cast(i AS STRING))), 1, 8)))"
+    )
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn(
+            "text",
+            F.when(rep <= exact_hi, F.col("text"))
+            .when(
+                rep <= near_hi,
+                F.concat(F.col("text"), F.lit(" v"), rep.cast("string")),
+            )
+            .otherwise(uniq_text),
+        )
+        .withColumn("doc_id", new_id)
+        .drop("rep")
+    )
+    n = n_base * repl
+    out = corpus_clean(big)
+    agg = [
+        F.count("*").alias("docs"),
+        F.sum(F.col("q_pass").cast("long")).alias("q_pass"),
+        F.sum(F.col("exact_keep").cast("long")).alias("exact_keep"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+    ]
+    out.agg(*agg).collect()  # warm
+    t0 = time.perf_counter()
+    row = corpus_clean(big).agg(*agg).collect()[0]
+    dt = time.perf_counter() - t0
+    results["corpus_clean_lowdup"] = {
+        "docs": n,
+        "q_pass": row["q_pass"],
+        "exact_keep": row["exact_keep"],
+        "kept": row["kept"],
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+
 def probe_cc(spark, results: dict, n_edges: int) -> None:
     """Connected components, two regimes measured separately (a mixed
     graph makes every round pay the big graph's cost for the small
@@ -351,13 +421,14 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--cc-edges", type=int, default=10_000_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--corpus-docs", type=int, default=1_000_000)
     ap.add_argument(
         "--only",
         default="",
-        help="comma list: core,events,skew,cc,corpus (default: all)",
+        help="comma list: core,events,skew,cc,corpus,corpuslow (default: all)",
     )
     args = ap.parse_args()
-    groups = {"core", "events", "skew", "cc", "corpus"}
+    groups = {"core", "events", "skew", "cc", "corpus", "corpuslow"}
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
         raise SystemExit(f"unknown --only {only}")
@@ -374,6 +445,8 @@ def main() -> None:
         probe_cc(spark, results, args.cc_edges)
     if "corpus" in only:
         probe_corpus(spark, results, args.sf_dir)
+    if "corpuslow" in only:
+        probe_corpus_lowdup(spark, results, args.sf_dir, args.corpus_docs)
     print(json.dumps({"scale_probe": results}))
 
 
