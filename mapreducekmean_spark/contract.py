@@ -1353,6 +1353,54 @@ def _multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "modality", "n_bytes", "checksum")
 
 
+def _resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.resize_plan(mm.assets_from_documents(spark, sf_dir))
+
+
+#: resize_plan is pure metadata math; the oracle rebuilds the synthetic
+#: asset metadata (width/height from doc_id, modality round-robin) and
+#: applies the same aspect-preserving clamp. round() on positive values
+#: is half-away-from-zero in both engines == Spark's HALF_UP.
+_RESIZE_PLAN_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 640 + 1 AS INT) AS width,
+         CAST(doc_id % 480 + 1 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale FROM a
+)
+SELECT asset_id, width, height,
+       CAST(greatest(round(width * scale), 1) AS INT) AS out_width,
+       CAST(greatest(round(height * scale), 1) AS INT) AS out_height
+FROM s
+"""
+
+
+def _frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.frame_sample_plan(mm.assets_from_documents(spark, sf_dir))
+
+
+_FRAME_SAMPLE_PLAN_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT asset_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM v
+)
+SELECT asset_id,
+       CAST(frame_idx // 5 AS INT) AS pos,
+       CAST(frame_idx AS INT) AS frame_idx
+FROM f
+"""
+
+
 def _queries_dedup_similarity() -> list[Query]:
     return [
         Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL),
@@ -1381,6 +1429,10 @@ SELECT doc_id AS asset_id,
        md5(text) AS checksum
 FROM documents
 """,
+        ),
+        Query("multimodal_resize_plan", _resize_plan, _RESIZE_PLAN_SQL),
+        Query(
+            "multimodal_frame_plan", _frame_sample_plan, _FRAME_SAMPLE_PLAN_SQL
         ),
         Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
@@ -1493,6 +1545,59 @@ SELECT s_suppkey, s_name,
 FROM rev
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+"""
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+#: l_quantity is integral, so avg() per part is exact in double and the
+#: 0.2x threshold compare is engine-identical.
+_Q17_SQL = """
+WITH j AS (
+  SELECT l_quantity, l_extendedprice, p_partkey,
+         avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13' AND p_size < 15
+)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM j
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+_Q22_SQL = """
+WITH avg_pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS avg_cents
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_bal
+FROM customer, avg_pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
 """
 
 _Q13_SQL = """
@@ -1922,6 +2027,9 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q13_custdist", rel.customer_order_distribution, _Q13_SQL),
         Query("tpch_q16_supplier_cnt", rel.supplier_part_counts, _Q16_SQL),
         Query("tpch_q15_top_supplier", rel.top_revenue_suppliers, _Q15_SQL),
+        Query("tpch_q7_volume", rel.volume_shipping, _Q7_SQL),
+        Query("tpch_q17_small_qty", rel.small_quantity_revenue, _Q17_SQL),
+        Query("tpch_q22_idle_balance", rel.idle_customer_balance, _Q22_SQL),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(

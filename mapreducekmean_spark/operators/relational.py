@@ -407,6 +407,105 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (adapted: every nation pair — the fixture has no
+    partsupp and the classic two-nation filter is a constant): revenue
+    flowing supplier-nation → customer-nation per ship year, 1995-1996.
+    The double-dimension join (nation twice, under different roles) is
+    the shape being exercised; both sides broadcast. Revenue sums in
+    exact 10^-4 units; year() runs on the UTC-pinned session, matching
+    the oracle's naive timestamps."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _utc_ts("1995-01-01"))
+        & (F.col("l_shipdate") < _utc_ts("1997-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        (F.sum(rev_e4).cast("double") / 10_000).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted: brand + size filter — the fixture part
+    has no container): yearly-average revenue lost to small orders —
+    lineitems whose quantity is below 20% of their part's average.
+    The aggregate-vs-own-average shape: one window avg per part
+    partition (the filtered part dim broadcasts into the lineitem
+    scan), then a single global aggregate. l_quantity is integral in
+    the fixture, so the per-part average is exact in double and the
+    0.2× threshold compare is engine-identical."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    cents = _cents(F.col("l_extendedprice"))
+    small = j.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (F.sum(cents).cast("double") / 100 / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: market segment in place of the phone
+    country code the fixture lacks, and dormancy — no orders on/after
+    2000-01-01 — in place of never-ordered, which is vacuous on a
+    fixture where every customer has orders): customers with
+    above-average positive balance and no recent orders, counted per
+    segment. The scalar-subquery-plus-anti-join shape: the average is
+    one broadcast row (exact cent arithmetic), the dormancy test a
+    left-anti join against the date-filtered orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _utc_ts("2000-01-01")
+    )
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(bal_cents).cast("double") / F.count("*")).alias(
+                "avg_cents"
+            )
+        )
+    )
+    rich = cust.join(F.broadcast(avg_pos), bal_cents > F.col("avg_cents"))
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(bal_cents).cast("double") / 100).alias("total_bal"),
+    )
+
+
 def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: per-supplier revenue over a ship-date window,
     then the supplier(s) whose revenue EQUALS the maximum — the
