@@ -194,3 +194,62 @@ def test_corpus_clean_no_nested_loop(spark, sf_small):
     plan = _plan(REG["corpus_clean"].fn(spark, sf_small))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+
+
+def test_capped_range_join_stays_equi_hash(spark, sf_small):
+    """The view cap adds one window pass but must not change the join
+    strategy: still an equi hash join on (user_id, blk), no nested
+    loop, with both event-type predicates pushed to the scans."""
+    df = REG["events_range_join_capped"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,view)" in plan
+    assert "Window" in plan  # the cap itself
+
+
+def test_q7_broadcasts_both_nation_roles(spark, sf_small):
+    """Q7 joins nation twice under different roles — both must
+    broadcast; the ship-window predicate reaches the lineitem scan."""
+    df = REG["tpch_q7_volume"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "l_shipdate")
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q17_broadcasts_filtered_part(spark, sf_small):
+    """Q17's filtered part dim must broadcast into the lineitem scan
+    with the brand/size predicates pushed to the part scan; the
+    per-part average is one window, not a self-join."""
+    df = REG["tpch_q17_small_qty"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "p_brand")
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q22_anti_join_with_pushed_date(spark, sf_small):
+    """Q22's dormancy test must plan as an anti hash join with the
+    order-date cutoff pushed to the orders scan. The scalar average
+    correctly plans as a single-row BroadcastNestedLoopJoin (the
+    inequality against a 1-row build side — the scalar-subquery shape,
+    not a data-sized nested loop), so only Cartesian is banned."""
+    df = REG["tpch_q22_idle_balance"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert has_pushed_filters(df, "o_orderdate")
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar side
+
+
+def test_dedup_semantic_single_shuffle_per_stage(spark, sf_small):
+    """Semantic dedup must stay cell-bucketed: the only wide operations
+    are the cell-assignment projection (shuffle-free, constant-folded
+    centroids) feeding ONE exchange into the per-cell applyInPandas —
+    never an all-pairs join."""
+    df = REG["dedup_semantic"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "FlatMapGroupsInPandas" in plan
