@@ -1600,6 +1600,112 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_cents
 GROUP BY c_mktsegment
 """
 
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100)
+            AS DOUBLE) / 10000 AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+_Q8_SQL = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev_e4,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_name LIKE '%widget'
+    AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN rev_e4
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share,
+       CAST(sum(rev_e4) AS DOUBLE) / 10000 AS total_revenue
+FROM j
+GROUP BY o_year
+"""
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority LIKE '1-%'
+                       OR o_orderpriority LIKE '2-%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(count(*)
+            - sum(CASE WHEN o_orderpriority LIKE '1-%'
+                         OR o_orderpriority LIKE '2-%'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS late_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS value_e4,
+         count(*) AS n_items
+  FROM lineitem
+  GROUP BY l_partkey
+),
+total AS (SELECT sum(value_e4) AS total_e4 FROM per_part)
+SELECT l_partkey, p_name,
+       CAST(value_e4 AS DOUBLE) / 10000 AS total_value,
+       n_items
+FROM per_part
+CROSS JOIN total
+JOIN part ON l_partkey = p_partkey
+WHERE value_e4 * 1000 > total_e4
+"""
+
 _Q13_SQL = """
 SELECT c_count, count(*) AS custdist
 FROM (
@@ -2030,6 +2136,11 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q7_volume", rel.volume_shipping, _Q7_SQL),
         Query("tpch_q17_small_qty", rel.small_quantity_revenue, _Q17_SQL),
         Query("tpch_q22_idle_balance", rel.idle_customer_balance, _Q22_SQL),
+        Query("tpch_q9_profit", rel.profit_by_nation_year, _Q9_SQL),
+        Query("tpch_q8_mkt_share", rel.nation_market_share, _Q8_SQL),
+        Query("tpch_q12_late_priority", rel.late_shipment_priority, _Q12_SQL),
+        Query("tpch_q21_waiting_supplier", rel.waiting_suppliers, _Q21_SQL),
+        Query("tpch_q11_part_value", rel.important_part_value, _Q11_SQL),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(

@@ -533,3 +533,233 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_e4").cast("double") / 10_000).alias("total_revenue"),
         )
     )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so unit
+    cost is the part's retail price — profit = discounted revenue minus
+    retailprice×quantity): profit per supplier nation per order year for
+    parts whose name contains 'gear'.
+
+    The Q9 skeleton is the point: a part-name LIKE filter pruning the
+    part dim BEFORE it broadcasts into the lineitem scan, a four-way
+    join fanning out to two dims and one fact, then a two-key
+    aggregate. Revenue in exact 10^-4 units and cost in exact cents
+    (retail price is 2-decimal, quantity integral) keep the sum
+    order-independent and cross-engine exact.
+
+    Scale: part/supplier/nation broadcast; the only shuffles are the
+    orders equi-join and the final (nation, year) aggregate — both on
+    uniform keys. Reference ground: the group-by mean of
+    PointsReducer.java:17-36 generalized to multi-table facts."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit_e4 = _disc_price_e4(
+        F.col("l_extendedprice"), F.col("l_discount")
+    ) - _cents(F.col("p_retailprice")) * F.col("l_quantity").cast(
+        "bigint"
+    ) * 100
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(
+        (F.sum(profit_e4).cast("double") / 10_000).alias("sum_profit"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_6's share of AMERICA-region 'widget'
+    revenue per order year, 1995-1996. The conditional-aggregate-ratio
+    shape: share = sum(CASE supplier-nation)/sum(all), computed from two
+    exact integer sums in one aggregate pass (never two queries). The
+    ratio is a single double division of exact bigints — deterministic
+    cross-engine.
+
+    Scale: every dim (part, supplier, nation×2, region) broadcasts;
+    orders⋈customer and lineitem⋈orders shuffle on their keys. The
+    CASE-sum avoids a second pass or a self-join that a naive
+    numerator/denominator split would cost."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").endswith("widget")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _utc_ts("1995-01-01"))
+        & (F.col("o_orderdate") < _utc_ts("1997-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    n_cust = nation.select("n_nationkey", "n_regionkey")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_6", rev_e4).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(target).alias("nation_e4"),
+            F.sum(rev_e4).alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_e4").cast("double") / F.col("total_e4")).alias(
+                "mkt_share"
+            ),
+            (F.col("total_e4").cast("double") / 10_000).alias("total_revenue"),
+        )
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture has no ship mode or
+    commit/receipt dates, so the grouping key is l_linestatus and
+    'late' means shipped >90 days after the order date): per line
+    status, how many late-shipped items belonged to critical-priority
+    orders vs not, plus the late revenue. The CASE-sum priority-split
+    over a fact-fact join is the exercised shape.
+
+    Scale: one orders⋈lineitem shuffle join (both sides date-filtered
+    before the exchange), one tiny aggregate. The 90-day lateness test
+    is a pushed-down column comparison, not a UDF."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _utc_ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    crit = (
+        F.when(
+            F.col("o_orderpriority").startswith("1-")
+            | F.col("o_orderpriority").startswith("2-"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    return late.groupBy("l_linestatus").agg(
+        F.sum(crit).alias("high_line_count"),
+        (F.count("*") - F.sum(crit)).alias("low_line_count"),
+        (F.sum(rev_e4).cast("double") / 10_000).alias("late_revenue"),
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >60 days after the
+    order date): suppliers who were the ONLY late shipper in a
+    finished multi-supplier order. EXISTS (another supplier in the
+    order) as a left-semi self-join, NOT EXISTS (another LATE supplier)
+    as a left-anti self-join — both keyed on l_orderkey with the
+    supplier-inequality as the join residual, the null-safe
+    shuffle-friendly plan Spark gives for correlated EXISTS.
+
+    Scale: three scans of lineitem (base + two self-join sides), each
+    pruned to (orderkey, suppkey[, lateness]) before the exchange; all
+    three shuffles hash on the same uniform l_orderkey, and AQE
+    coalesces. Top-k by count with name tie-break is deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late_pred = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late_pred)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late_pred)
+        .select(
+            F.col("l_orderkey").alias("o3_key"),
+            F.col("l_suppkey").alias("s3_key"),
+        )
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_key"))
+        & (F.col("l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_key"))
+        & (F.col("l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so 'inventory value' is
+    each part's total discounted lineitem revenue): parts whose revenue
+    exceeds 1/1000 of the grand total. The group-filter-vs-scalar-
+    subquery shape: one per-part aggregate, one 1-row grand total
+    re-derived FROM that aggregate (never a second fact scan), and an
+    integer cross-multiplied threshold (value×1000 > total) so the
+    filter is exact — no double division on the comparison path.
+
+    Scale: single shuffle on l_partkey; the grand total is a broadcast
+    of one row back over the per-part aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev_e4).alias("value_e4"), F.count("*").alias("n_items")
+    )
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    part = load_table(spark, sf_dir, "part")
+    return (
+        per_part.join(
+            F.broadcast(total), F.col("value_e4") * 1000 > F.col("total_e4")
+        )
+        .join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey",
+            "p_name",
+            (F.col("value_e4").cast("double") / 10_000).alias("total_value"),
+            "n_items",
+        )
+    )

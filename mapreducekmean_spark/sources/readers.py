@@ -53,6 +53,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # INT64 (TIMESTAMP(NANOS,false)) on sessions that didn't go through
     # our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # MICROS fixtures: read TIMESTAMP(isAdjustedToUTC=false) parquet
+    # columns directly as TimestampType (stored wall-clock micros taken
+    # as UTC-epoch micros — value-identical to the previous
+    # to_utc_timestamp(NTZ, 'UTC') conversion, proven by the epoch-sum
+    # equality in tests/test_sources.py) instead of TIMESTAMP_NTZ. This
+    # keeps date predicates on the RAW column, so they reach the parquet
+    # scan as PushedFilters; the expression-wrapped column cost every
+    # date-filtered query a full-table scan (r5 bench: tpch_q6 0.36 s →
+    # 3.2 s before this, back under 0.4 s after).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The engine's documented time semantics are UTC (session.py pins the
     # same at build). Pinned here UNCONDITIONALLY — not per fixture
     # generation — so wall-clock results never depend on which table

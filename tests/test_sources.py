@@ -275,3 +275,43 @@ def test_load_table_pins_utc_unconditionally(spark, sf_small):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_load_table_timestamps_native_and_pushable(spark, sf_small):
+    """Fixture timestamp columns must come back as plain TimestampType
+    whose epoch values equal the NTZ wall clock read as UTC (what
+    to_utc_timestamp(ntz, 'UTC') produced before), AND date predicates
+    on them must reach the parquet scan as pushed filters — the
+    expression-wrapped conversion silently turned every date-filtered
+    query into a full-table scan (r5 bench regression)."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    assert dict(li.dtypes)["l_shipdate"] == "timestamp"
+    # value parity with an explicit NTZ read of the same file
+    old = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        raw = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        if dict(raw.dtypes)["l_shipdate"] == "timestamp_ntz":
+            want = raw.select(
+                F.sum(F.unix_seconds(F.to_utc_timestamp("l_shipdate", "UTC")))
+                .alias("s")
+            ).collect()[0].s
+            got = li.select(
+                F.sum(F.unix_seconds("l_shipdate")).alias("s")
+            ).collect()[0].s
+            assert got == want
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old)
+    # pushdown: the shipdate comparison must appear among PushedFilters
+    flt = li.filter(
+        F.col("l_shipdate") >= F.timestamp_micros(F.lit(820454400000000))
+    )
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "Scan parquet" in l or "PushedFilters" in l]
+    joined = " ".join(scan)
+    assert "PushedFilters: [" in joined
+    assert "l_shipdate" in joined.split("PushedFilters: [", 1)[1].split("]")[0]
