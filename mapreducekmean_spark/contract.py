@@ -1452,7 +1452,78 @@ FROM documents
         Query("dedup_embedding", _embedding_near_dup, _NEAR_DUP_SQL),
         Query("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL),
         Query("embedding_lsh_sig", _hyperplane_sig, _hyperplane_sig_sql()),
+        Query(
+            "decontaminate",
+            lambda spark, sf_dir: dd.decontaminate(
+                tx.documents(spark, sf_dir)
+            ),
+            _DECON_SQL,
+        ),
+        Query("embedding_quantize", sim.quantize_embeddings, _QUANT_SQL),
     ]
+
+
+#: mirrors dedup.decontaminate (n=8 word-gram collision vs the
+#: doc_id%20==0 eval slice).
+_DECON_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, md5(gram) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 6),
+                  i -> toks[i]   || ' ' || toks[i+1] || ' ' ||
+                       toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                       toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                       toks[i+6] || ' ' || toks[i+7])) AS gram
+    FROM t WHERE len(toks) >= 8
+  )
+),
+ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, h FROM g WHERE doc_id % 20 <> 0),
+agg AS (
+  SELECT tr.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM tr LEFT JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+#: mirrors similarity.quantize_embeddings: per-dim min/max scalar
+#: quantization to 0..255 codes, floor() in one parenthesized IEEE
+#: order so both engines agree bit-for-bit.
+_QUANT_SQL = f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+dims AS (
+  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+  FROM pts CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
+  GROUP BY i
+),
+q AS (
+  SELECT vec_id, i,
+         CASE WHEN mx > mn
+              THEN CAST(floor((emb[i] - mn) / (mx - mn) * 255) AS INT)
+              ELSE 0 END AS qv
+  FROM pts
+  CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
+  JOIN dims USING (i)
+)
+SELECT vec_id,
+       array_agg(qv ORDER BY i) AS qvec,
+       CAST(sum(CAST(qv AS BIGINT) * qv) AS BIGINT) AS q_norm2
+FROM q GROUP BY vec_id
+"""
 
 
 _FORECAST_SQL = """
@@ -1696,14 +1767,15 @@ WITH per_part AS (
   FROM lineitem
   GROUP BY l_partkey
 ),
-total AS (SELECT sum(value_e4) AS total_e4 FROM per_part)
+total AS (SELECT sum(value_e4) AS total_e4, count(*) AS n_parts
+          FROM per_part)
 SELECT l_partkey, p_name,
        CAST(value_e4 AS DOUBLE) / 10000 AS total_value,
        n_items
 FROM per_part
 CROSS JOIN total
 JOIN part ON l_partkey = p_partkey
-WHERE value_e4 * 1000 > total_e4
+WHERE value_e4 * n_parts * 2 > total_e4 * 3
 """
 
 _Q13_SQL = """

@@ -492,3 +492,64 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 def documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents(spark, sf_dir)
+
+
+#: Decontamination parameters: eval slice = doc_id % DECON_EVAL_MOD == 0;
+#: a training doc is contaminated when it shares any DECON_NGRAM-token
+#: word n-gram with the eval slice (the published LLM-pretraining
+#: decontamination recipe: n-gram collision against held-out benchmarks).
+DECON_EVAL_MOD = 20
+DECON_NGRAM = 8
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAINING document (doc_id %
+    eval_mod != 0) that shares at least one word ``n``-gram with the
+    EVAL slice (doc_id % eval_mod == 0). Output per training doc:
+    distinct-gram count, colliding-gram count, contamination verdict —
+    the filter a pretraining pipeline applies so the training set can't
+    leak the benchmark.
+
+    Plan shape: one explode → distinct over (doc_id, md5(gram)) — md5
+    fixes the join-key width at 32 bytes regardless of n and keeps keys
+    uniform (no stopword-gram skew: identical grams still meet on one
+    key, but counts are per-document distinct, so the hot key carries
+    one row per containing doc, not a cross product). Then ONE hash
+    join of training grams against the distinct eval-gram set and a
+    per-doc aggregate. Docs too short to have any n-gram re-enter via a
+    left join from the doc base, so the output row set is exactly the
+    training slice. At 100 TB every stage is linear: explode volume ~
+    tokens × 1, both shuffle keys (md5, doc_id) uniform."""
+    base = docs.select("doc_id").filter(F.col("doc_id") % eval_mod != 0)
+    grams = (
+        docs.select("doc_id", F.explode(shingles("text", n=n)).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = grams.filter(F.col("doc_id") % eval_mod != 0)
+    per_doc = (
+        tr.join(ev, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -736,24 +736,40 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: no partsupp, so 'inventory value' is
     each part's total discounted lineitem revenue): parts whose revenue
-    exceeds 1/1000 of the grand total. The group-filter-vs-scalar-
-    subquery shape: one per-part aggregate, one 1-row grand total
-    re-derived FROM that aggregate (never a second fact scan), and an
-    integer cross-multiplied threshold (value×1000 > total) so the
-    filter is exact — no double division on the comparison path.
+    exceeds 1.5× the mean per-part revenue. Q11's literal fraction-of-
+    total cutoff degenerates on a fixture whose part count grows with
+    sf (all rows at sf0.001, none at sf0.1); the mean-relative form
+    keeps the same group-filter-vs-scalar-subquery shape with a
+    scale-stable selectivity. One per-part aggregate, one 1-row
+    (total, n_parts) re-derived FROM that aggregate (never a second
+    fact scan), and an integer cross-multiplied threshold
+    (value×n×2 > total×3) so the filter is exact — no double division
+    on the comparison path. (The cross product stays under int64 here;
+    at real scale the compare would divide once in double instead.)
 
-    Scale: single shuffle on l_partkey; the grand total is a broadcast
-    of one row back over the per-part aggregate."""
+    Scale: single shuffle on l_partkey; the per-part aggregate (n_parts
+    rows, orders of magnitude smaller than the fact) is materialized
+    ONCE via localCheckpoint — without it Catalyst re-derives the grand
+    total from a second full lineitem scan (no common-subtree reuse
+    across a self-referencing aggregate) — then the 1-row total
+    broadcasts back over it."""
     li = load_table(spark, sf_dir, "lineitem")
     rev_e4 = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev_e4).alias("value_e4"), F.count("*").alias("n_items")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev_e4).alias("value_e4"), F.count("*").alias("n_items"))
+        .localCheckpoint()
     )
-    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    total = per_part.agg(
+        F.sum("value_e4").alias("total_e4"),
+        F.count("*").alias("n_parts"),
+    )
     part = load_table(spark, sf_dir, "part")
     return (
         per_part.join(
-            F.broadcast(total), F.col("value_e4") * 1000 > F.col("total_e4")
+            F.broadcast(total),
+            F.col("value_e4") * F.col("n_parts") * 2
+            > F.col("total_e4") * 3,
         )
         .join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
         .select(

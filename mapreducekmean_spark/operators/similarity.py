@@ -395,3 +395,57 @@ def plane_constants(n_planes: int = N_PLANES, dim: int = 64) -> list[list[float]
             row.append(1.0 if h in "89abcdef" else -1.0)
         out.append(row)
     return out
+
+
+#: Scalar-quantization code levels (8-bit: codes 0..QUANT_LEVELS).
+QUANT_LEVELS = 255
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization of the embedding column to 8-bit
+    codes — the standard vector-store compression step (4× over float32,
+    32× over the double math) that a 100 TB embedding corpus applies
+    before ANN indexing.
+
+    Two passes, like the K-Means init: (1) one distributed aggregate for
+    the per-dimension min/max (posexplode → 64-key groupBy, partial+final
+    agg, d rows collected — bounded like the k-row centroid collect,
+    `KMeans.java:114-148`); (2) one narrow codegen projection mapping
+    every vector through the CONSTANT-FOLDED (min, max) literal arrays —
+    no join, no second shuffle, same broadcast-small-state shape as R5.
+
+    code_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255), exact in IEEE
+    double (float inputs upcast exactly; one parenthesized op order both
+    engines), so the DuckDB twin matches bit-for-bit. q_norm2 (the
+    integer self-dot-product every cosine/IP rescoring needs) sums
+    exactly in int64."""
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    stats = (
+        pts.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = {r.pos: r.mn for r in stats}
+    mx = {r.pos: r.mx for r in stats}
+    dims = sorted(mn)
+    mn_arr = F.array(*[F.lit(mn[i]) for i in dims])
+    mx_arr = F.array(*[F.lit(mx[i]) for i in dims])
+    qvec = F.transform(
+        "emb",
+        lambda x, i: F.when(
+            F.element_at(mx_arr, i + 1) > F.element_at(mn_arr, i + 1),
+            F.floor(
+                (x - F.element_at(mn_arr, i + 1))
+                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                * QUANT_LEVELS
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    out = pts.select("vec_id", qvec.alias("qvec"))
+    norm2 = F.aggregate(
+        "qvec",
+        F.lit(0).cast("bigint"),
+        lambda acc, q: acc + q.cast("bigint") * q,
+    )
+    return out.select("vec_id", "qvec", norm2.alias("q_norm2"))

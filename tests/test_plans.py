@@ -253,3 +253,55 @@ def test_dedup_semantic_single_shuffle_per_stage(spark, sf_small):
     plan = _plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_q21_semi_anti_hash_joins_no_nested_loop(spark, sf_small):
+    """Q21's EXISTS/NOT-EXISTS must plan as LeftSemi/LeftAnti HASH joins
+    on l_orderkey with the supplier inequality as residual — never the
+    nested-loop plan a correlated subquery can degrade to. The order
+    status filter must reach the orders scan."""
+    df = REG["tpch_q21_waiting_supplier"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_small):
+    """Q9: filtered part + supplier + nation broadcast; p_name LIKE is
+    pushed to the part scan (StringContains)."""
+    df = REG["tpch_q9_profit"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert has_broadcast_join(df)
+    assert "StringContains(p_name,gear)" in plan
+
+
+def test_q11_single_fact_scan(spark, sf_small):
+    """Q11's grand total must be derived from the per-part aggregate,
+    never a second lineitem scan: the aggregate is checkpointed at
+    build, so the final plan reads the materialized blocks
+    (ExistingRDD) and touches lineitem.parquet zero times."""
+    plan = _plan(REG["tpch_q11_part_value"].fn(spark, sf_small))
+    assert plan.count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_decontaminate_hash_joins_on_digest(spark, sf_small):
+    """Decontamination must plan hash joins (gram digest, doc_id) —
+    never a nested loop over the corpus — with partial aggregation
+    before the per-doc count's exchange."""
+    df = REG["decontaminate"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+
+
+def test_embedding_quantize_projection_pass_no_join(spark, sf_small):
+    """Pass 2 of scalar quantization must be a pure constant-folded
+    projection: the (min, max) literals are baked in, so the output
+    plan has NO join and NO exchange — the broadcast-small-state shape
+    (R5), like assign_nearest."""
+    df = REG["embedding_quantize"].fn(spark, sf_small)
+    plan = _plan(df)
+    assert count_exchanges(df) == 0
+    assert "Join" not in plan
