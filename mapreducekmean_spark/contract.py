@@ -1778,6 +1778,56 @@ JOIN part ON l_partkey = p_partkey
 WHERE value_e4 * n_parts * 2 > total_e4 * 3
 """
 
+_Q2_SQL = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal
+  FROM pairs
+  JOIN part ON l_partkey = p_partkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE p_size < 10 AND p_type LIKE 'SMALL%'
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(s_acctbal, 2) AS s_acctbal
+FROM offers o
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM offers i
+                   WHERE i.p_partkey = o.p_partkey)
+"""
+
+_Q20_SQL = """
+WITH vols AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(l_quantity) AS BIGINT) AS pair_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT l_partkey, sum(pair_qty) AS part_qty FROM vols GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT v.l_suppkey
+  FROM vols v JOIN totals t ON v.l_partkey = t.l_partkey
+  WHERE v.pair_qty * 2 > t.part_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
 _Q13_SQL = """
 SELECT c_count, count(*) AS custdist
 FROM (
@@ -2213,6 +2263,10 @@ def _queries_events_relational() -> list[Query]:
         Query("tpch_q12_late_priority", rel.late_shipment_priority, _Q12_SQL),
         Query("tpch_q21_waiting_supplier", rel.waiting_suppliers, _Q21_SQL),
         Query("tpch_q11_part_value", rel.important_part_value, _Q11_SQL),
+        Query("tpch_q2_best_supplier", rel.best_supplier_per_part, _Q2_SQL),
+        Query(
+            "tpch_q20_excess_volume", rel.excess_volume_suppliers, _Q20_SQL
+        ),
         Query(
             "events_hll_users",
             lambda spark, sf_dir: ev.approx_user_counts_checked(

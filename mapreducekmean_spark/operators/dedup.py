@@ -100,11 +100,19 @@ def minhash_signature(
     width, lowercase hex), and both engines produce identical md5 hex, so
     the signature is cross-engine exact.
 
-    Physical shape: explode shingles → TWO codegen'd md5s per shingle
-    (instead of the naive one-md5-per-seed = 8) → 8 cheap substrings →
-    hash-aggregate ``min`` per doc. md5 dominates the stage cost, so this
-    is ~4× less hashing for the same signature width; the narrower 8-char
-    min-agg values also shrink the partial-aggregate state.
+    Physical shape (r5): a PURE NARROW PROJECTION — ``transform`` hashes
+    each shingle once (TWO codegen'd md5s, not the naive
+    one-md5-per-seed = 8), then 8 ``array_min`` folds take the per-slice
+    minima in place. No explode (the explode form blew each doc into
+    ~tokens rows), no hash aggregate, and — the 100 TB point — NO
+    exchange: the r1-r4 groupBy(doc_id) shuffled one row per doc per
+    seed; this computes the whole signature table where the documents
+    already sit. The two projections stay separate (Catalyst's
+    CollapseProject will not inline the hashed array into its 8
+    consumers — that would duplicate the md5 work 8×).
+
+    Docs with zero shingles (< n tokens) are dropped, matching the
+    explode form's semantics and the DuckDB twin's ``len(toks) >= 3``.
 
     ``shingled`` (optional): a pre-materialized (doc_id, sh) table —
     pipelines that already built one (e.g. the verification stage) pass
@@ -114,18 +122,24 @@ def minhash_signature(
     """
     if shingled is None:
         shingled = docs.select("doc_id", shingles().alias("sh"))
-    base = shingled.select("doc_id", F.explode("sh").alias("sh")).select(
+    hashed = shingled.filter(F.size("sh") > 0).select(
         "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0:"), F.col("sh"))),
-            F.md5(F.concat(F.lit("1:"), F.col("sh"))),
-        ).alias("h"),
+        F.transform(
+            "sh",
+            lambda x: F.concat(
+                F.md5(F.concat(F.lit("0:"), x)),
+                F.md5(F.concat(F.lit("1:"), x)),
+            ),
+        ).alias("hs"),
     )
-    return base.groupBy("doc_id").agg(
+    return hashed.select(
+        "doc_id",
         *[
-            F.min(F.substring("h", i * 8 + 1, 8)).alias(f"mh{i}")
+            F.array_min(
+                F.transform("hs", lambda h: h.substr(F.lit(i * 8 + 1), F.lit(8)))
+            ).alias(f"mh{i}")
             for i in range(N_HASHES)
-        ]
+        ],
     )
 
 

@@ -779,3 +779,114 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+def best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp/ps_supplycost, so 'best' is
+    the HIGHEST account balance among suppliers who actually shipped
+    the part, and the part slice is a size + type filter): for each
+    part in the slice, the winning supplier in region ASIA.
+
+    Q2's load-bearing shape is the correlated per-group extremum joined
+    back against its own group — here as one aggregate over the
+    distinct (part, supplier) shipment pairs and an equi join back on
+    (partkey, balance), which Spark plans as two hash joins instead of
+    a per-part subquery loop. Ties on the max balance keep every tying
+    supplier, exactly like Q2's min(ps_supplycost) — deterministic
+    because the output carries the supplier key.
+
+    Scale: lineitem projects to its two join columns before the
+    distinct (uniform keys); part/supplier/nation broadcast; the
+    join-back runs on the (small) per-part aggregate."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & F.col("p_type").startswith("SMALL")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    offers = pairs.join(
+        F.broadcast(part), pairs.l_partkey == part.p_partkey
+    ).join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+    best = offers.groupBy(F.col("p_partkey").alias("bp_key")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bp_key"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the 'excess'
+    test is a supplier shipping MORE THAN HALF of a part's total 1996
+    volume): suppliers in region EUROPE who dominated any 'red'-named
+    part's yearly volume — the nested semi-join chain (supplier ←
+    qualifying (part, supplier) volumes ← filtered part), Q20's
+    skeleton with the aggregate-vs-aggregate threshold standing in for
+    availqty.
+
+    Scale: the per-(part, supplier) and per-part volumes come off ONE
+    date+name-filtered lineitem scan (the per-part total derives from
+    the pair aggregate, not a second scan); the dominance test is an
+    integer compare after a broadcast join of the two small aggregates;
+    the supplier verdict is a LEFT SEMI join — never a per-supplier
+    subquery."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01"))
+        & (F.col("l_shipdate") < _utc_ts("1997-01-01"))
+    )
+    vols = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("pair_qty"))
+        .localCheckpoint()
+    )
+    totals = vols.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    dominant = vols.join(
+        F.broadcast(totals),
+        (F.col("l_partkey") == F.col("tp_key"))
+        & (F.col("pair_qty") * 2 > F.col("part_qty")),
+    ).select("l_suppkey")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        supp.join(
+            dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )

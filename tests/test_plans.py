@@ -305,3 +305,30 @@ def test_embedding_quantize_projection_pass_no_join(spark, sf_small):
     plan = _plan(df)
     assert count_exchanges(df) == 0
     assert "Join" not in plan
+
+
+def test_minhash_signature_shuffle_free(spark, sf_small):
+    """The MinHash signature table must be a pure narrow projection —
+    transform + array_min folds, ZERO exchanges. (r1-r4 exploded
+    shingles and hash-aggregated per doc_id: one extra shuffle and a
+    ~tokens× row blowup for the identical output.)"""
+    df = REG["dedup_minhash_sig"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert has_wholestage_codegen(df)
+
+
+def test_q2_joins_back_on_group_extremum(spark, sf_small):
+    """Q2's correlated max must plan as hash joins (aggregate joined
+    back), never a per-part nested-loop subquery."""
+    plan = _plan(REG["tpch_q2_best_supplier"].fn(spark, sf_small))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+
+
+def test_q20_single_fact_scan_semi_join(spark, sf_small):
+    """Q20: the per-part totals derive from the checkpointed pair
+    aggregate (no second lineitem scan) and the supplier verdict is a
+    LEFT SEMI hash join."""
+    plan = _plan(REG["tpch_q20_excess_volume"].fn(spark, sf_small))
+    assert plan.count("lineitem.parquet") == 0  # pairs checkpointed
+    assert "LeftSemi" in plan
