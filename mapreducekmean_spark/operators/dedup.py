@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators.text import documents, tokens
@@ -66,14 +66,19 @@ def dedup_apply(docs: DataFrame) -> DataFrame:
 
 
 def shingles(col: str = "text", n: int = 3) -> Column:
-    """Token n-gram shingles (space-joined). Empty array when the document
-    has fewer than ``n`` tokens.
+    """Token n-gram shingles (space-joined) as a PER-DOCUMENT ARRAY.
+    Empty array when the document has fewer than ``n`` tokens.
 
     Built as ``n-1`` linear ``zip_with`` passes (pairwise concat against a
-    shifted copy) instead of one ``slice``+``concat_ws`` per position —
-    value-identical output, ~10× cheaper: per-position array slicing is
-    O(n·k) interpreted allocations, the zip chain is O(n·k) single string
-    concats with no per-position array copies."""
+    shifted copy) instead of one ``slice``+``concat_ws`` per position.
+
+    USE ``gram_rows`` FOR ANYTHING VOLUME-BOUND: every array-building
+    higher-order function here is CodegenFallback — Spark evaluates the
+    lambdas interpreted, per element — and the 500k-doc probe measured
+    the row-form window builder 14× faster for identical values
+    (SCALE.md r5). The array form remains for consumers that genuinely
+    need per-doc positional arrays (winnowing's sliding windows,
+    the blocked self-join's in-row array_intersect) at fixture scale."""
     t = tokens(col)
     s = t
     for j in range(1, n):
@@ -89,6 +94,36 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
+def gram_rows(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
+    """Token ``n``-gram stream as ROWS — ``(doc_id, sh)``, one row per
+    gram position (duplicates preserved; ``.distinct()`` downstream
+    where set semantics are wanted). Documents with fewer than ``n``
+    tokens contribute no rows, matching ``explode(shingles(...))``.
+
+    This is the VOLUME-PATH gram builder: posexplode the token array,
+    then stitch each gram from ``n-1`` window ``lead``s over (doc_id,
+    pos). Everything — posexplode, lead, concat_ws, the downstream
+    md5 — is ordinary codegen'd expression work; the array-building
+    alternative (``shingles`` + explode) funnels every token through
+    interpreted higher-order-function lambdas (CodegenFallback), which
+    the 500k-doc probe measured at 14× the wall time for identical
+    output (SCALE.md r5). Cost: ONE exchange of the token stream on
+    uniform doc_id — and every aggregate keyed on doc_id downstream
+    (MinHash mins, gram counts) reuses that partitioning, so the
+    exchange is shared, not extra."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    g = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("w", n - 1).over(win).alias("_last"),
+    )
+    return g.filter(F.col("_last").isNotNull()).select("doc_id", "sh")
+
+
 def minhash_signature(
     docs: DataFrame, shingled: DataFrame | None = None
 ) -> DataFrame:
@@ -100,46 +135,40 @@ def minhash_signature(
     width, lowercase hex), and both engines produce identical md5 hex, so
     the signature is cross-engine exact.
 
-    Physical shape (r5): a PURE NARROW PROJECTION — ``transform`` hashes
-    each shingle once (TWO codegen'd md5s, not the naive
-    one-md5-per-seed = 8), then 8 ``array_min`` folds take the per-slice
-    minima in place. No explode (the explode form blew each doc into
-    ~tokens rows), no hash aggregate, and — the 100 TB point — NO
-    exchange: the r1-r4 groupBy(doc_id) shuffled one row per doc per
-    seed; this computes the whole signature table where the documents
-    already sit. The two projections stay separate (Catalyst's
-    CollapseProject will not inline the hashed array into its 8
-    consumers — that would duplicate the md5 work 8×).
+    Physical shape (r5): ``gram_rows`` (codegen'd window-lead gram
+    stream) → TWO codegen'd md5s per gram (not the naive
+    one-md5-per-seed = 8) → 8 cheap substrings → partial+final ``min``
+    aggregate per doc. The groupBy(doc_id) lands on the partitioning
+    the gram window already established, so the whole signature build
+    pays exactly one exchange of the token stream; partial aggregation
+    shrinks it to 8×8 hex chars per doc before any wire transfer. The
+    r1-r4 array/HOF formulations computed identical values through
+    interpreted lambda evaluation — 10-14× slower at the 500k-doc
+    probe (SCALE.md r5).
 
-    Docs with zero shingles (< n tokens) are dropped, matching the
-    explode form's semantics and the DuckDB twin's ``len(toks) >= 3``.
+    Docs with zero shingles (< n tokens) produce no row, matching the
+    DuckDB twin's ``len(toks) >= 3``.
 
-    ``shingled`` (optional): a pre-materialized (doc_id, sh) table —
-    pipelines that already built one (e.g. the verification stage) pass
-    it so the tokenize→shingle pass runs once. A distinct-shingle table
-    is equally valid input: ``min`` is duplicate-insensitive, so the
-    signature is identical.
+    ``shingled`` (optional): a pre-materialized ``(doc_id, sh)`` ROW
+    table (``gram_rows`` output) — pipelines that already built one
+    (e.g. the verification stage) pass it so the tokenize→gram pass
+    runs once. A distinct-gram table is equally valid input: ``min``
+    is duplicate-insensitive, so the signature is identical.
     """
     if shingled is None:
-        shingled = docs.select("doc_id", shingles().alias("sh"))
-    hashed = shingled.filter(F.size("sh") > 0).select(
+        shingled = gram_rows(docs)
+    hashed = shingled.select(
         "doc_id",
-        F.transform(
-            "sh",
-            lambda x: F.concat(
-                F.md5(F.concat(F.lit("0:"), x)),
-                F.md5(F.concat(F.lit("1:"), x)),
-            ),
-        ).alias("hs"),
+        F.concat(
+            F.md5(F.concat(F.lit("0:"), F.col("sh"))),
+            F.md5(F.concat(F.lit("1:"), F.col("sh"))),
+        ).alias("h"),
     )
-    return hashed.select(
-        "doc_id",
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform("hs", lambda h: h.substr(F.lit(i * 8 + 1), F.lit(8)))
-            ).alias(f"mh{i}")
+            F.min(F.substring("h", i * 8 + 1, 8)).alias(f"mh{i}")
             for i in range(N_HASHES)
-        ],
+        ]
     )
 
 
@@ -291,24 +320,51 @@ def verified_pairs(
     """The verified-duplicate edge list: LSH candidates scored by true
     Jaccard, thresholded. Shared plumbing for the verdict
     (``minhash_verified_dedup``) and cluster (``duplicate_clusters``)
-    outputs."""
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles()).alias("sh")
-    ).localCheckpoint()
-    cand = minhash_candidate_pairs(docs, shingled=sh)
-    scored = (
+    outputs.
+
+    r5 shape: the distinct-gram table is built ONCE as rows
+    (``gram_rows`` — codegen'd window leads, see its docstring),
+    checkpointed, and feeds BOTH the signature/banding stage and the
+    verification stage. True Jaccard is a COUNTING JOIN, not an in-row
+    ``array_intersect``: |A∩B| = count of (doc_a, doc_b, gram) matches
+    through two hash joins against the gram table, |A∪B| = n_a + n_b −
+    |A∩B| from the per-doc gram counts. Every step is a hash join or a
+    partial+final aggregate on uniform keys — no per-pair interpreted
+    array lambdas, and the same double division + round keeps the
+    score bit-identical to the array form and the DuckDB twin.
+    Zero-intersection candidates drop at the count join — they could
+    never pass a positive threshold."""
+    sh_rows = gram_rows(docs).distinct().localCheckpoint()
+    cand = minhash_candidate_pairs(docs, shingled=sh_rows)
+    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            sh_rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            sh_rows.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
             "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
         )
     )
     return scored.filter(F.col("jaccard") >= threshold)
@@ -540,9 +596,15 @@ def decontaminate(
     tokens × 1, both shuffle keys (md5, doc_id) uniform."""
     base = docs.select("doc_id").filter(F.col("doc_id") % eval_mod != 0)
     grams = (
-        docs.select("doc_id", F.explode(shingles("text", n=n)).alias("g"))
-        .select("doc_id", F.md5("g").alias("h"))
+        gram_rows(docs, n=n)
+        .select("doc_id", F.md5("sh").alias("h"))
         .distinct()
+        # both the eval and the training branch read this table; without
+        # materialization Spark plans them as two independent subtrees
+        # and the whole explode→md5→distinct pass runs TWICE (measured
+        # 2× at the 500k-doc probe). At cluster scale this is the
+        # standard build-the-gram-index-once step.
+        .localCheckpoint()
     )
     ev = (
         grams.filter(F.col("doc_id") % eval_mod == 0)

@@ -226,9 +226,17 @@ def bigram_lm(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from mapreducekmean_spark.operators.dedup import shingles
+    from mapreducekmean_spark.operators.dedup import gram_rows
 
-    bg = docs.select(F.explode(shingles("text", n=2)).alias("bg"))
+    # gram_rows partitions its window by doc_id so bigrams never span
+    # documents; synthesize a per-row id when the input has none (the
+    # property tests feed bare text columns)
+    d = (
+        docs
+        if "doc_id" in docs.columns
+        else docs.withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    bg = gram_rows(d, n=2).select(F.col("sh").alias("bg"))
     counts = bg.groupBy("bg").agg(F.count("*").alias("n")).select(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
@@ -297,10 +305,11 @@ def doc_lm_coverage(docs: DataFrame) -> DataFrame:
     by partial aggregation on the counting side; the join side carries
     one row per (doc, distinct bigram).
     """
-    from mapreducekmean_spark.operators.dedup import shingles
+    from mapreducekmean_spark.operators.dedup import gram_rows
 
     per_doc = (
-        docs.select("doc_id", F.explode(shingles("text", n=2)).alias("bg"))
+        gram_rows(docs, n=2)
+        .select("doc_id", F.col("sh").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("n_in_doc"))
     )

@@ -321,7 +321,7 @@ def probe_corpus_lowdup(
         "substr(md5(concat(cast(doc_id + rep * 10000000 AS STRING), ':', "
         "cast(i AS STRING))), 1, 8)))"
     )
-    big = (
+    gen = (
         docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
         .withColumn(
             "text",
@@ -336,6 +336,14 @@ def probe_corpus_lowdup(
         .drop("rep")
     )
     n = n_base * repl
+    # materialize once: the md5-based text generation re-executes for
+    # every un-materialized consumer subtree of the pipeline, swamping
+    # and noising the operator measurement (observed ±25% run-to-run);
+    # real input arrives as parquet anyway
+    path = f"{BASE}/lowdup_docs_{n}"
+    if not os.path.exists(path):
+        gen.write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
     out = corpus_clean(big)
     agg = [
         F.count("*").alias("docs"),
@@ -354,6 +362,90 @@ def probe_corpus_lowdup(
         "kept": row["kept"],
         "sec": round(dt, 2),
         "docs_per_sec": int(n / dt),
+    }
+
+
+def probe_decon(
+    spark, results: dict, sf_dir: str, target_docs: int = 500_000
+) -> None:
+    """Decontamination at ~500k docs (~20M distinct 8-gram rows): the
+    gram-explode → distinct → hash-join pipeline whose cost model is
+    gram volume, not doc count.
+
+    Construction: every doc gets a unique synthetic 40-token text
+    (md5-hex words, so no accidental 8-gram collisions); docs whose id
+    ≡ 1 (mod 40) additionally carry one of 5 fixed 8-token leak
+    phrases, and every EVAL doc (id % 20 == 0) carries the phrase for
+    its id % 5 — so the contaminated set is EXACTLY the phrase-bearing
+    training docs, and the probe can assert the verdict count from the
+    construction."""
+    from mapreducekmean_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = docs.count()
+    repl = max(1, target_docs // n_base)
+    new_id = F.col("doc_id") + F.col("rep") * 10_000_000
+    uniq_text = F.expr(
+        "concat_ws(' ', transform(sequence(1, 40), i -> "
+        "substr(md5(concat(cast(doc_id + rep * 10000000 AS STRING), ':', "
+        "cast(i AS STRING))), 1, 8)))"
+    )
+    # phrase index: (id div 20) % 5 for eval ids (multiples of 20 —
+    # their id % 5 is constant 0, so a plain modulus never collides),
+    # (id div 40) % 5 for the leak-bearing train ids; both ranges cover
+    # all 5 phrases, so every leaked train doc collides with some eval
+    # doc
+    phrase = F.expr(
+        "concat_ws(' ', transform(sequence(1, 8), i -> concat('leak', "
+        "cast((CASE WHEN (doc_id + rep * 10000000) % 20 = 0 "
+        "THEN ((doc_id + rep * 10000000) div 20) % 5 "
+        "ELSE ((doc_id + rep * 10000000) div 40) % 5 END) AS STRING), "
+        "'w', cast(i AS STRING))))"
+    )
+    gen = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", new_id)
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 20 == 0) | (F.col("doc_id") % 40 == 1),
+                F.concat(phrase, F.lit(" "), uniq_text),
+            )
+            .otherwise(uniq_text)
+            .alias("text"),
+        )
+    )
+    n = n_base * repl
+    # materialize the synthetic corpus once: the md5-based text
+    # generation is itself expensive, and every un-materialized consumer
+    # would regenerate it — the probe must time the OPERATOR, and real
+    # input arrives as parquet anyway
+    path = f"{BASE}/decon_docs_{n}"
+    if not os.path.exists(path):
+        gen.write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    agg = [
+        F.count("*").alias("train_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum("n_grams").alias("gram_rows"),
+    ]
+    decontaminate(big).agg(*agg).collect()  # warm
+    t0 = time.perf_counter()
+    row = decontaminate(big).agg(*agg).collect()[0]
+    dt = time.perf_counter() - t0
+    expect = big.filter(
+        (F.col("doc_id") % 40 == 1) & (F.col("doc_id") % 20 != 0)
+    ).count()
+    results["decontaminate"] = {
+        "docs": n,
+        "train_docs": row["train_docs"],
+        "n_contaminated": row["n_contaminated"],
+        "expected_contaminated": expect,
+        "verdict_exact": row["n_contaminated"] == expect,
+        "gram_rows": row["gram_rows"],
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+        "grams_per_sec": int(row["gram_rows"] / dt),
     }
 
 
@@ -425,10 +517,10 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default="",
-        help="comma list: core,events,skew,cc,corpus,corpuslow (default: all)",
+        help="comma list: core,events,skew,cc,corpus,corpuslow,decon (default: all)",
     )
     args = ap.parse_args()
-    groups = {"core", "events", "skew", "cc", "corpus", "corpuslow"}
+    groups = {"core", "events", "skew", "cc", "corpus", "corpuslow", "decon"}
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
         raise SystemExit(f"unknown --only {only}")
@@ -447,6 +539,8 @@ def main() -> None:
         probe_corpus(spark, results, args.sf_dir)
     if "corpuslow" in only:
         probe_corpus_lowdup(spark, results, args.sf_dir, args.corpus_docs)
+    if "decon" in only:
+        probe_decon(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

@@ -307,14 +307,21 @@ def test_embedding_quantize_projection_pass_no_join(spark, sf_small):
     assert "Join" not in plan
 
 
-def test_minhash_signature_shuffle_free(spark, sf_small):
-    """The MinHash signature table must be a pure narrow projection —
-    transform + array_min folds, ZERO exchanges. (r1-r4 exploded
-    shingles and hash-aggregated per doc_id: one extra shuffle and a
-    ~tokens× row blowup for the identical output.)"""
+def test_minhash_signature_one_shared_exchange(spark, sf_small):
+    """The MinHash signature build must pay exactly ONE exchange (the
+    gram window's doc_id partitioning, which the min-aggregate reuses)
+    and must contain NO interpreted higher-order-function lambdas in
+    the gram path — the array/HOF formulations computed identical
+    values 10-14× slower at the 500k-doc probe (CodegenFallback)."""
     df = REG["dedup_minhash_sig"].fn(spark, sf_small)
-    assert count_exchanges(df) == 0
-    assert has_wholestage_codegen(df)
+    assert count_exchanges(df) == 1
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for hof in ("zip_with", "transform(", "array_min"):
+        assert hof not in plan, hof
+    # partial min aggregation must sit below the (single, shared)
+    # exchange-established partitioning
+    assert "partial_min" in plan
 
 
 def test_q2_joins_back_on_group_extremum(spark, sf_small):
