@@ -607,9 +607,34 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+_DATASET_MIXTURE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+              AS INT) AS k
+  FROM documents
+)
+SELECT doc_id, source,
+       round(CAST(k + 1 AS DOUBLE) / 4.0, 6) AS target_frac,
+       (k = 3
+        OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           < lpad(lower(hex(CAST(floor(CAST(k + 1 AS DOUBLE) / 4.0
+                                       * 4294967296.0) AS BIGINT))),
+                  8, '0')) AS kept
+FROM r
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
+        Query(
+            "dataset_mixture",
+            lambda spark, sf_dir: tx.dataset_mixture(
+                tx.documents(spark, sf_dir)
+            ),
+            _DATASET_MIXTURE_SQL,
+        ),
         Query(
             "word_count",
             lambda spark, sf_dir: tx.word_count(tx.documents(spark, sf_dir)),
@@ -1460,6 +1485,7 @@ FROM documents
             _DECON_SQL,
         ),
         Query("embedding_quantize", sim.quantize_embeddings, _QUANT_SQL),
+        Query("ann_quantized", sim.ann_quantized_topk, _ANN_QUANT_SQL),
     ]
 
 
@@ -1523,6 +1549,46 @@ SELECT vec_id,
        array_agg(qv ORDER BY i) AS qvec,
        CAST(sum(CAST(qv AS BIGINT) * qv) AS BIGINT) AS q_norm2
 FROM q GROUP BY vec_id
+"""
+
+#: mirrors similarity.ann_quantized_topk: integer dot products over the
+#: quantized codes — exact int64 scores, no float tolerance anywhere.
+_ANN_QUANT_SQL = f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+dims AS (
+  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+  FROM pts CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
+  GROUP BY i
+),
+q AS (
+  SELECT vec_id, i,
+         CASE WHEN mx > mn
+              THEN CAST(floor((emb[i] - mn) / (mx - mn) * 255) AS INT)
+              ELSE 0 END AS qv
+  FROM pts
+  CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
+  JOIN dims USING (i)
+),
+qvecs AS (
+  SELECT vec_id, array_agg(qv ORDER BY i) AS qvec FROM q GROUP BY vec_id
+),
+pairs AS (
+  SELECT qr.vec_id AS q_id, pt.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> CAST(qr.qvec[i] AS BIGINT) * pt.qvec[i]))
+              AS BIGINT) AS score
+  FROM qvecs qr
+  JOIN qvecs pt ON pt.vec_id <> qr.vec_id
+  WHERE qr.vec_id < {sim.N_QUERIES}
+)
+SELECT q_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {sim.TOP_K}
 """
 
 

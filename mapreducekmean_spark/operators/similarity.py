@@ -449,3 +449,42 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, q: acc + q.cast("bigint") * q,
     )
     return out.select("vec_id", "qvec", norm2.alias("q_norm2"))
+
+
+def ann_quantized_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Top-k neighbors by INTEGER dot product over the 8-bit quantized
+    vectors — the rescoring arithmetic a quantized vector store actually
+    runs. Every score is an exact int64 (codes are 0..255, 64 dims →
+    max 64·255² ≈ 4.2M per pair), so the ranking is bit-identical
+    cross-engine with no float tolerance at all — the concrete payoff
+    of ``quantize_embeddings``' exactness.
+
+    Shape: the 10-query quantized batch broadcasts against the
+    quantized corpus (the same broadcast nested-loop as ``cosine_topk``
+    but on 64-byte int arrays instead of 512-byte doubles — 8× less
+    broadcast traffic at 100 TB); per-query top-k via window rank with
+    neighbor-id tie-break."""
+    q = quantize_embeddings(spark, sf_dir).select("vec_id", "qvec")
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qvec").alias("q_qvec")
+    )
+    pairs = q.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with("qvec", "q_qvec", lambda a, b: a.cast("bigint") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

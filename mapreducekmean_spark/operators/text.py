@@ -383,3 +383,41 @@ def winnow_fingerprint(docs: DataFrame, w: int = WINNOW_WINDOW) -> DataFrame:
             ),
         )
     )
+
+
+def dataset_mixture(docs: DataFrame) -> DataFrame:
+    """Training-mixture sampling — downsample each source to its
+    configured rate (the step that keeps all of the curated source but
+    a quarter of the crawl) with a DETERMINISTIC per-document coin:
+    keep doc d iff the first 8 hex chars of md5(doc_id) (a uniform
+    32-bit value) fall under floor(rate · 2³²). No RNG, so the
+    selection is reproducible run-to-run, engine-independent, and
+    stable under re-partitioning — the properties a resumable 100 TB
+    pipeline needs from its sampling stage (same determinism trick as
+    ``sample_init_det``). The coin compares FIXED-WIDTH lowercase hex
+    strings (string order == numeric order, the MinHash trick) because
+    hex→integer conversion differs across engines.
+
+    Rates are a pure function of the source id (index mod 4 → 25/50/
+    75/100%), standing in for the per-source config a real run reads;
+    rate-1.0 sources keep every doc by an explicit branch, not a coin
+    edge case.
+
+    Shape: a narrow keep/drop projection over the corpus — no
+    aggregate, no join, no shuffle; the verdict is computable at scan
+    site. Output: one row per document with its verdict and target
+    rate for audit."""
+    src_idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = (src_idx % 4 + 1).cast("double") / 4.0
+    thresh_hex = F.lpad(
+        F.lower(F.hex(F.floor(rate * F.lit(float(2**32))).cast("bigint"))),
+        8,
+        "0",
+    )
+    coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(rate, 6).alias("target_frac"),
+        ((src_idx % 4 == 3) | (coin_hex < thresh_hex)).alias("kept"),
+    )

@@ -339,3 +339,19 @@ def test_q20_single_fact_scan_semi_join(spark, sf_small):
     plan = _plan(REG["tpch_q20_excess_volume"].fn(spark, sf_small))
     assert plan.count("lineitem.parquet") == 0  # pairs checkpointed
     assert "LeftSemi" in plan
+
+
+def test_dataset_mixture_pure_projection(spark, sf_small):
+    """Mixture sampling must be computable at scan site: a narrow
+    projection with NO exchange, no join, no aggregate."""
+    df = REG["dataset_mixture"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    plan = _plan(df)
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_ann_quantized_broadcasts_queries(spark, sf_small):
+    """The quantized top-k must broadcast the small query batch, like
+    cosine_topk — never shuffle the corpus against it."""
+    df = REG["ann_quantized"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
