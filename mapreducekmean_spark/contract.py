@@ -2272,6 +2272,26 @@ def _queries_events_relational() -> list[Query]:
         Query(
             "stream_sessions_closed", _closed_sessions, _CLOSED_SESSIONS_SQL
         ),
+        Query(
+            "stream_attribution",
+            lambda spark, sf_dir: ev.view_purchase_attribution(
+                ev.events(spark, sf_dir)
+            ),
+            f"""
+SELECT v.user_id AS v_user,
+       v.event_id AS view_id,
+       b.event_id AS buy_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+       CAST(epoch_us(b.ts) AS BIGINT) AS buy_us
+FROM events v
+JOIN events b
+  ON v.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(v.ts)
+ AND epoch_us(b.ts) <= epoch_us(v.ts)
+     + {ev.ATTRIBUTION_WINDOW_MIN} * 60 * 1000000
+WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+""",
+        ),
         Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
         Query(
             "events_range_join",

@@ -94,7 +94,9 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
-def gram_rows(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
+def gram_rows(
+    docs: DataFrame, n: int = 3, col: str = "text", with_pos: bool = False
+) -> DataFrame:
     """Token ``n``-gram stream as ROWS — ``(doc_id, sh)``, one row per
     gram position (duplicates preserved; ``.distinct()`` downstream
     where set semantics are wanted). Documents with fewer than ``n``
@@ -110,7 +112,10 @@ def gram_rows(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     output (SCALE.md r5). Cost: ONE exchange of the token stream on
     uniform doc_id — and every aggregate keyed on doc_id downstream
     (MinHash mins, gram counts) reuses that partitioning, so the
-    exchange is shared, not extra."""
+    exchange is shared, not extra.
+
+    ``with_pos=True`` additionally carries the gram's 0-based token
+    position (for positional consumers like winnowing)."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
     )
@@ -118,10 +123,13 @@ def gram_rows(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     g = tok.select(
         "doc_id",
+        "pos",
         F.concat_ws(" ", *parts).alias("sh"),
         F.lead("w", n - 1).over(win).alias("_last"),
     )
-    return g.filter(F.col("_last").isNotNull()).select("doc_id", "sh")
+    out = g.filter(F.col("_last").isNotNull())
+    cols = ["doc_id", "pos", "sh"] if with_pos else ["doc_id", "sh"]
+    return out.select(*cols)
 
 
 def minhash_signature(

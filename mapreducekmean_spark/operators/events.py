@@ -387,3 +387,48 @@ def approx_user_counts_checked(ev: DataFrame, rsd: float = 0.02) -> DataFrame:
             <= F.lit(tol) * F.col("exact_users")
         ).alias("approx_ok"),
     )
+
+
+#: Stream-stream interval join attribution window (streaming/jobs.py
+#: ``stream_view_purchase_join`` uses the same 30 minutes).
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def view_purchase_attribution(
+    ev: DataFrame, within_minutes: int = ATTRIBUTION_WINDOW_MIN
+) -> DataFrame:
+    """Batch twin of ``streaming.stream_view_purchase_join``: purchases
+    attributed to every preceding view by the same user within the
+    attribution window, in the stream job's output schema (timestamps
+    as epoch micros so the driver compare is integer-exact).
+
+    Declared as an oracle query so the stream-stream interval join
+    semantics gain a driver-checked row (the driver is batch-only);
+    ``tests/test_streaming.py`` pins this query equal row-for-row to
+    the actual watermarked stream-stream join output on the shared
+    fixture. Scale shape: an EQUI hash join on user_id with the time
+    interval as the join residual — the batch plan needs no
+    time-bucketing because the equality key alone bounds each probe,
+    unlike the key-free trailing-window range join
+    (``purchases_with_recent_views``)."""
+    us = F.unix_micros("ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        us.alias("view_us"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        us.alias("buy_us"),
+        F.col("event_id").alias("buy_id"),
+    )
+    win_us = within_minutes * 60 * 1_000_000
+    return (
+        views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("buy_us") >= F.col("view_us"))
+            & (F.col("buy_us") <= F.col("view_us") + win_us),
+        )
+        .select("v_user", "view_id", "buy_id", "view_us", "buy_us")
+    )

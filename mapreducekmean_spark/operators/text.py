@@ -352,33 +352,51 @@ def winnow_fingerprint(docs: DataFrame, w: int = WINNOW_WINDOW) -> DataFrame:
     serialized. Documents sharing long-enough token runs are guaranteed
     overlapping fingerprints, at ~1/w the footprint of all k-gram hashes.
 
-    Pure narrow projection (higher-order expressions, no shuffle, no
-    UDF); the serialized string keeps the output scalar for value-hash
-    comparison. Fewer than w windows → fingerprint of all grams' min
-    (standard winnowing edge: the single window is the whole sequence
-    when 0 < len < w); no grams → empty fingerprint.
+    r5 shape: the gram stream (``dedup.gram_rows`` — codegen window
+    leads, one doc_id exchange) with the sliding-window minimum as a
+    window-frame ``min`` over ``ROWS BETWEEN CURRENT ROW AND w-1
+    FOLLOWING``; window starts past ``n_grams - w + 1`` are trimmed
+    (their frames are partial), and a document with ``0 < n_grams < w``
+    keeps exactly its first position's min — the whole-sequence window,
+    the standard winnowing edge. Because only DISTINCT minima are kept,
+    the frame min needs no positional tie-break and the output is
+    value-identical to the per-doc array formulation (whose interpreted
+    HOF sliding windows paid 10-14× at gram volume, SCALE.md r5). The
+    distinct + fingerprint aggregate reuse the gram window's doc_id
+    partitioning — one exchange total, plus the doc-base outer join
+    that keeps zero-gram documents (empty fingerprint, n_fp 0).
     """
-    from mapreducekmean_spark.operators.dedup import shingles
+    from pyspark.sql import Window
 
-    grams = shingles()
-    expr = (
-        "CASE WHEN size(__h) = 0 THEN array()"
-        f" WHEN size(__h) < {w} THEN array(array_min(__h))"
-        f" ELSE transform(sequence(1, size(__h) - {w - 1}),"
-        f"   i -> array_min(slice(__h, i, {w}))) END"
+    from mapreducekmean_spark.operators.dedup import gram_rows
+
+    g = gram_rows(docs, with_pos=True).select(
+        "doc_id", "pos", F.substring(F.md5("sh"), 1, 8).alias("h")
+    )
+    wp = Window.partitionBy("doc_id")
+    wo = wp.orderBy("pos")
+    g = g.withColumn("n", F.count("*").over(wp))
+    frame = wo.rowsBetween(Window.currentRow, w - 1)
+    # pos is the 0-based token position from the gram stream; the i-th
+    # gram of a doc has the i-th smallest pos, so frame/trim logic works
+    # on rank, not the raw value
+    g = g.withColumn("rk", F.row_number().over(wo))
+    wmin = g.withColumn("wmin", F.min("h").over(frame)).filter(
+        (F.col("rk") <= F.col("n") - (w - 1))
+        | ((F.col("n") < w) & (F.col("rk") == 1))
+    )
+    per_doc = wmin.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("wmin")).alias("__fp")
     )
     return (
-        docs.withColumn(
-            "__h",
-            F.transform(grams, lambda s: F.substring(F.md5(s), 1, 8)),
-        )
-        .withColumn("__w", F.expr(expr))
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.concat_ws(
-                ",", F.array_sort(F.array_distinct(F.col("__w")))
-            ).alias("fingerprints"),
-            F.size(F.array_distinct(F.col("__w"))).cast("bigint").alias(
+            F.concat_ws(",", F.coalesce("__fp", F.array())).alias(
+                "fingerprints"
+            ),
+            F.coalesce(F.size("__fp"), F.lit(0)).cast("bigint").alias(
                 "n_fp"
             ),
         )

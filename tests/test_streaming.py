@@ -696,26 +696,16 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
         for r in spark.sql("SELECT * FROM vp_out").collect()
     }
 
+    # the batch side is the DECLARED twin (`stream_attribution`), so the
+    # chain closes: stream == this query == its DuckDB oracle
+    from mapreducekmean_spark.operators.events import (
+        view_purchase_attribution,
+    )
+
     ev_batch = load_table(spark, sf_small, "events")
-    views = ev_batch.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    )
-    buys = ev_batch.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"),
-        F.col("ts").alias("buy_ts"),
-        F.col("event_id").alias("buy_id"),
-    )
     want = {
         (r.v_user, r.view_id, r.buy_id)
-        for r in views.join(
-            buys,
-            F.expr(
-                "v_user = b_user AND buy_ts >= view_ts "
-                "AND buy_ts <= view_ts + interval 30 minutes"
-            ),
-        ).collect()
+        for r in view_purchase_attribution(ev_batch).collect()
     }
     assert got == want and len(want) > 0
 
