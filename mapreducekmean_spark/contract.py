@@ -1525,10 +1525,10 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
-#: mirrors similarity.quantize_embeddings: per-dim min/max scalar
-#: quantization to 0..255 codes, floor() in one parenthesized IEEE
-#: order so both engines agree bit-for-bit.
-_QUANT_SQL = f"""
+#: The quantization CTE prefix shared by BOTH quantization oracles —
+#: one copy only, so the load-bearing floor/IEEE-order arithmetic can
+#: never drift between them (r5 review).
+_QUANT_CTES = f"""
 WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
              FROM embeddings),
 dims AS (
@@ -1544,7 +1544,12 @@ q AS (
   FROM pts
   CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
   JOIN dims USING (i)
-)
+)"""
+
+#: mirrors similarity.quantize_embeddings: per-dim min/max scalar
+#: quantization to 0..255 codes, floor() in one parenthesized IEEE
+#: order so both engines agree bit-for-bit.
+_QUANT_SQL = f"""{_QUANT_CTES}
 SELECT vec_id,
        array_agg(qv ORDER BY i) AS qvec,
        CAST(sum(CAST(qv AS BIGINT) * qv) AS BIGINT) AS q_norm2
@@ -1553,23 +1558,7 @@ FROM q GROUP BY vec_id
 
 #: mirrors similarity.ann_quantized_topk: integer dot products over the
 #: quantized codes — exact int64 scores, no float tolerance anywhere.
-_ANN_QUANT_SQL = f"""
-WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-             FROM embeddings),
-dims AS (
-  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
-  FROM pts CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
-  GROUP BY i
-),
-q AS (
-  SELECT vec_id, i,
-         CASE WHEN mx > mn
-              THEN CAST(floor((emb[i] - mn) / (mx - mn) * 255) AS INT)
-              ELSE 0 END AS qv
-  FROM pts
-  CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) d
-  JOIN dims USING (i)
-),
+_ANN_QUANT_SQL = f"""{_QUANT_CTES},
 qvecs AS (
   SELECT vec_id, array_agg(qv ORDER BY i) AS qvec FROM q GROUP BY vec_id
 ),

@@ -115,7 +115,17 @@ def gram_rows(
     exchange is shared, not extra.
 
     ``with_pos=True`` additionally carries the gram's 0-based token
-    position (for positional consumers like winnowing)."""
+    position (for positional consumers like winnowing).
+
+    PRECONDITION: ``doc_id`` uniquely identifies a row of ``docs``. The
+    window stitches grams from consecutive rows of one doc_id
+    partition; two DIFFERENT documents sharing an id would interleave
+    nondeterministically (``orderBy(pos)`` ties) and yield
+    cross-document garbage grams — a constraint the per-row
+    ``explode(shingles(...))`` form did not have. All fixture tables
+    satisfy it (doc_id is the primary key); synthesize a unique id
+    (``monotonically_increasing_id``) before calling when the input
+    lacks one, as ``text.bigram_lm`` does."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
     )
@@ -340,8 +350,17 @@ def verified_pairs(
     partial+final aggregate on uniform keys — no per-pair interpreted
     array lambdas, and the same double division + round keeps the
     score bit-identical to the array form and the DuckDB twin.
-    Zero-intersection candidates drop at the count join — they could
-    never pass a positive threshold."""
+    Zero-intersection candidates drop at the count join — correct for
+    every positive threshold, and the reason ``threshold > 0`` is now
+    an explicit requirement (the array form scored disjoint candidate
+    pairs jaccard 0.0, which a ``>= 0.0`` filter would have kept)."""
+    if threshold <= 0:
+        raise ValueError(
+            "verified_pairs requires threshold > 0: the counting join "
+            "never materializes zero-intersection candidate pairs, so a "
+            "non-positive threshold would silently change semantics "
+            "(use the LSH candidate set directly for threshold 0)"
+        )
     sh_rows = gram_rows(docs).distinct().localCheckpoint()
     cand = minhash_candidate_pairs(docs, shingled=sh_rows)
     sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -53,16 +53,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # INT64 (TIMESTAMP(NANOS,false)) on sessions that didn't go through
     # our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # MICROS fixtures: read TIMESTAMP(isAdjustedToUTC=false) parquet
-    # columns directly as TimestampType (stored wall-clock micros taken
-    # as UTC-epoch micros — value-identical to the previous
-    # to_utc_timestamp(NTZ, 'UTC') conversion, proven by the epoch-sum
-    # equality in tests/test_sources.py) instead of TIMESTAMP_NTZ. This
-    # keeps date predicates on the RAW column, so they reach the parquet
-    # scan as PushedFilters; the expression-wrapped column cost every
-    # date-filtered query a full-table scan (r5 bench: tpch_q6 0.36 s →
-    # 3.2 s before this, back under 0.4 s after).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The engine's documented time semantics are UTC (session.py pins the
     # same at build). Pinned here UNCONDITIONALLY — not per fixture
     # generation — so wall-clock results never depend on which table
@@ -75,7 +65,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from mapreducekmean_spark.shipping import ship_package
 
     ship_package(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # MICROS fixtures: read TIMESTAMP(isAdjustedToUTC=false) parquet
+    # columns directly as TimestampType (stored wall-clock micros taken
+    # as UTC-epoch micros — value-identical to the previous
+    # to_utc_timestamp(NTZ, 'UTC') conversion, proven by the epoch-sum
+    # equality in tests/test_sources.py) instead of TIMESTAMP_NTZ. This
+    # keeps date predicates on the RAW column, so they reach the parquet
+    # scan as PushedFilters; the expression-wrapped column cost every
+    # date-filtered query a full-table scan (r5 bench: tpch_q6 0.36 s →
+    # 3.2 s before this, back under 0.4 s after). SCOPED to this read —
+    # the schema resolves eagerly inside spark.read.parquet(), and a
+    # session-wide flip would silently retype OTHER NTZ parquet files an
+    # external caller reads later (r5 review).
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    ntz_old = spark.conf.get(ntz_key)
+    spark.conf.set(ntz_key, "false")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        spark.conf.set(ntz_key, ntz_old)
     for col in _NANOS_TS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(col)
         if dtype == "timestamp_ntz":

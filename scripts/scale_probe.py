@@ -287,6 +287,18 @@ def probe_corpus(spark, results: dict, sf_dir: str, repl: int = 20) -> None:
     }
 
 
+def _ensure_corpus(spark, gen_df, tag: str, sf_dir: str):
+    """Write-once cache for a synthetic probe corpus. Keyed on the tag
+    AND the source fixture dir; valid only when the write committed
+    (_SUCCESS present) — a bare path check would reuse the truncated
+    output of an interrupted prior run forever (r5 review)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{BASE}/{tag}_{base}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def probe_corpus_lowdup(
     spark, results: dict, sf_dir: str, target_docs: int = 1_000_000
 ) -> None:
@@ -340,10 +352,7 @@ def probe_corpus_lowdup(
     # every un-materialized consumer subtree of the pipeline, swamping
     # and noising the operator measurement (observed ±25% run-to-run);
     # real input arrives as parquet anyway
-    path = f"{BASE}/lowdup_docs_{n}"
-    if not os.path.exists(path):
-        gen.write.mode("overwrite").parquet(path)
-    big = spark.read.parquet(path)
+    big = _ensure_corpus(spark, gen, f"lowdup_docs_{n}", sf_dir)
     out = corpus_clean(big)
     agg = [
         F.count("*").alias("docs"),
@@ -420,10 +429,7 @@ def probe_decon(
     # generation is itself expensive, and every un-materialized consumer
     # would regenerate it — the probe must time the OPERATOR, and real
     # input arrives as parquet anyway
-    path = f"{BASE}/decon_docs_{n}"
-    if not os.path.exists(path):
-        gen.write.mode("overwrite").parquet(path)
-    big = spark.read.parquet(path)
+    big = _ensure_corpus(spark, gen, f"decon_docs_{n}", sf_dir)
     agg = [
         F.count("*").alias("train_docs"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),

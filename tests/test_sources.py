@@ -314,4 +314,8 @@ def test_load_table_timestamps_native_and_pushable(spark, sf_small):
     scan = [l for l in plan.splitlines() if "Scan parquet" in l or "PushedFilters" in l]
     joined = " ".join(scan)
     assert "PushedFilters: [" in joined
-    assert "l_shipdate" in joined.split("PushedFilters: [", 1)[1].split("]")[0]
+    pushed = joined.split("PushedFilters: [", 1)[1].split("]")[0]
+    # the RANGE predicate itself must be pushed — a bare IsNotNull
+    # (which Catalyst infers even when the comparison wraps an
+    # expression and cannot push) must not satisfy this guard
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
