@@ -547,3 +547,82 @@ def test_connected_components_raises_on_round_exhaustion(spark):
     )
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(edges, max_iter=1)
+
+
+def test_jpeg_roundtrip_444_quantization_lossless():
+    """Baseline JPEG codec pair, q=1 4:4:4: quantization is the
+    identity, so round-trip error is bounded by DCT float rounding +
+    the YCbCr transform alone — the strongest self-test a codec pair
+    can run without golden bytes. Odd dimensions exercise the edge-pad
+    path."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    out = mm._decode_jpeg_rgb(mm._encode_jpeg(img, subsample=False, q=1))
+    assert out is not None and out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    """4:2:0 chroma subsampling: the luma plane survives at full
+    precision; chroma error is bounded by the 2x2 averaging on a
+    smooth gradient."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    out = mm._decode_jpeg_rgb(mm._encode_jpeg(img, subsample=True, q=2))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert int(err.max()) <= 8 and float(err.mean()) < 2.0
+
+
+def test_jpeg_feeds_feature_and_resize_pipelines():
+    """A real JPEG payload must decode through decode_payload (the
+    capability gate no longer fires for baseline JPEG) and through the
+    resize kernel."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    payload = mm._encode_jpeg(img, q=2)
+    feats = mm.decode_payload(payload, "image", fake_codec=False)
+    assert len(feats) == mm.FEATURE_DIM
+    rgb = mm._decode_image_rgb(payload)
+    small = mm._resize_rgb(rgb, 8)
+    assert small.shape[2] == 3 and max(small.shape[:2]) == 8
+
+
+def test_jpeg_malformed_payloads_hit_gate_not_parse_error():
+    """Unsupported/truncated JPEG payloads must fall through to the
+    capability gate like every other codec branch: progressive (SOF2),
+    12-bit, truncated entropy data, missing scan."""
+    import numpy as np
+    import struct
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = bytearray(mm._encode_jpeg(img, q=2))
+
+    progressive = bytes(good).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    twelve_bit = bytearray(good)
+    sof_at = bytes(good).index(b"\xff\xc0")
+    twelve_bit[sof_at + 4] = 12  # precision byte
+    truncated = bytes(good[: len(good) // 2])
+    soi_only = b"\xff\xd8\xff\xd9"
+    malformed = [progressive, bytes(twelve_bit), truncated, soi_only]
+    for payload in malformed:
+        assert mm._decode_image_rgb(bytes(payload)) is None
+        with pytest.raises(NotImplementedError):
+            mm.decode_payload(bytes(payload), "image", fake_codec=False)
