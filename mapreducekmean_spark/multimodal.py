@@ -209,6 +209,10 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.cur >> self.nbits) & ((1 << n) - 1)
+        # keep the int small: without this mask cur grows into an
+        # unbounded bignum and decode is O(N^2) in stream size
+        # (measured 69 s for a 256x256 image; 0.7 s with the mask)
+        self.cur &= (1 << self.nbits) - 1
         return v
 
     def align_and_expect_rst(self, idx: int):
@@ -285,6 +289,11 @@ def _decode_jpeg_rgb(payload: bytes):
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
+            # any number of 0xFF fill bytes may precede a marker
+            while payload[pos + 1] == 0xFF:
+                pos += 1
+                if pos + 4 > len(payload):
+                    return None
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
@@ -340,6 +349,12 @@ def _decode_jpeg_rgb(payload: bytes):
         h, w, comps = frame
         if h <= 0 or w <= 0:
             return None
+        if len(comps) == 1:
+            # a single-component scan is NON-interleaved: MCU = one data
+            # unit in plain raster order, whatever sampling factors the
+            # frame declares (ISO 10918-1 A.2.2) — force 1x1 geometry
+            cid0, _, _, tq0 = comps[0]
+            comps = [(cid0, 1, 1, tq0)]
         scan_comps, data_pos = scan
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -420,7 +435,7 @@ def _decode_jpeg_rgb(payload: bytes):
                 p = np.repeat(p, vmax // vs, axis=0)
             full.append(p[:h, :w])
         if len(full) == 1:
-            y = np.clip(full[0], 0, 255)
+            y = np.clip(np.round(full[0]), 0, 255)
             return np.ascontiguousarray(
                 np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
             )
@@ -595,7 +610,9 @@ def _decode_bmp_rgb(payload: bytes):
         return None
 
 
-def _encode_jpeg(rgb, subsample: bool = False, q: int = 8) -> bytes:
+def _encode_jpeg(
+    rgb, subsample: bool = False, q: int = 8, gray: bool = False
+) -> bytes:
     """Encode HxWx3 uint8 RGB as a BASELINE sequential JPEG (SOF0) with
     only numpy — the sink-side half of the JPEG codec, used by the
     round-trip tests and available to writers.
@@ -633,7 +650,7 @@ def _encode_jpeg(rgb, subsample: bool = False, q: int = 8) -> bytes:
         - 0.081312 * rgb[:, :, 2]
         + 128.0
     )
-    hs = vs = 2 if subsample else 1
+    hs = vs = 2 if (subsample and not gray) else 1
     blk = 8 * hs
     ph = -(-h // blk) * blk
     pw = -(-w // blk) * blk
@@ -733,8 +750,11 @@ def _encode_jpeg(rgb, subsample: bool = False, q: int = 8) -> bytes:
 
     for tq in (0, 1):
         seg(0xDB, bytes([tq]) + bytes(int(v) for v in qtab))
-    comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    sof = struct.pack(">BHHB", 8, h, w, 3)
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    else:
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch, cv, tq in comps:
         sof += struct.pack(">BBB", cid, (ch << 4) | cv, tq)
     seg(0xC0, sof)
@@ -746,7 +766,7 @@ def _encode_jpeg(rgb, subsample: bool = False, q: int = 8) -> bytes:
                 0xC4,
                 bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals),
             )
-    sos = bytes([3]) + b"".join(
+    sos = bytes([len(comps)]) + b"".join(
         struct.pack(">BB", cid, (0 << 4) | (0 if cid == 1 else 1) | ((0 if cid == 1 else 1) << 4))
         for cid, _, _, _ in comps
     ) + bytes([0, 63, 0])

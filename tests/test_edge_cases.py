@@ -607,7 +607,6 @@ def test_jpeg_malformed_payloads_hit_gate_not_parse_error():
     capability gate like every other codec branch: progressive (SOF2),
     12-bit, truncated entropy data, missing scan."""
     import numpy as np
-    import struct
 
     from mapreducekmean_spark import multimodal as mm
 
@@ -626,3 +625,50 @@ def test_jpeg_malformed_payloads_hit_gate_not_parse_error():
         assert mm._decode_image_rgb(bytes(payload)) is None
         with pytest.raises(NotImplementedError):
             mm.decode_payload(bytes(payload), "image", fake_codec=False)
+
+
+def test_jpeg_grayscale_and_noninterleaved_sampling_factors():
+    """Single-component (grayscale) JPEGs decode in plain raster order
+    regardless of the sampling factors the frame declares — a
+    single-component scan is NON-interleaved per the standard, so a
+    file whose sole component claims H=V=2 must decode identically to
+    the same blocks declared H=V=1."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    data = mm._encode_jpeg(img, q=1, gray=True)
+    out = mm._decode_jpeg_rgb(data)
+    assert out is not None and out.shape == img.shape
+    # all three output channels carry the luma
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    y = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    )
+    assert int(np.abs(out[:, :, 0].astype(int) - np.round(y)).max()) <= 2
+    # patch the declared sampling factors to 2x2: decode must not change
+    sof_at = data.index(b"\xff\xc0")
+    comp_hv_at = sof_at + 4 + 6 + 1  # marker+len + prec/h/w/nc + cid
+    assert data[comp_hv_at] == 0x11
+    patched = data[:comp_hv_at] + b"\x22" + data[comp_hv_at + 1 :]
+    out2 = mm._decode_jpeg_rgb(patched)
+    assert out2 is not None and (out2 == out).all()
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """Any number of 0xFF fill bytes may precede a marker; a spec-valid
+    file using them must decode, not hit the capability gate."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = mm._encode_jpeg(img, q=1)
+    base = mm._decode_jpeg_rgb(data)
+    dqt_at = data.index(b"\xff\xdb")
+    padded = data[:dqt_at] + b"\xff" + data[dqt_at:]
+    out = mm._decode_jpeg_rgb(padded)
+    assert out is not None and (out == base).all()
