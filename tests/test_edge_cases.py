@@ -672,3 +672,79 @@ def test_jpeg_fill_bytes_before_markers_accepted():
     padded = data[:dqt_at] + b"\xff" + data[dqt_at:]
     out = mm._decode_jpeg_rgb(padded)
     assert out is not None and (out == base).all()
+
+
+def test_decontaminate_invariants(spark, sf_small):
+    """Structural invariants beyond the oracle: output is exactly the
+    training slice; hits never exceed gram counts; contaminated iff
+    hits > 0; and planting an eval doc's full text into a training doc
+    makes it contaminated."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.dedup import decontaminate
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+    out = decontaminate(docs).collect()
+    train_ids = {
+        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 20
+    }
+    assert {r.doc_id for r in out} == train_ids
+    for r in out:
+        assert 0 <= r.n_hits <= r.n_grams
+        assert r.contaminated == (r.n_hits > 0)
+    # plant a leak: copy eval doc 0's text onto a clean training doc
+    eval_text = docs.filter(F.col("doc_id") == 0).collect()[0].text
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit(eval_text)).otherwise(
+            F.col("text")
+        ),
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(planted).collect()
+    }
+    assert got[1] is True
+
+
+def test_embedding_quantize_invariants(spark, sf_small):
+    """Codes stay in 0..255; q_norm2 equals the integer self-dot of the
+    emitted codes; per-dimension min maps to code 0 and max to 255."""
+    from mapreducekmean_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = quantize_embeddings(spark, sf_small).collect()
+    assert rows
+    mins = [min(r.qvec[i] for r in rows) for i in range(len(rows[0].qvec))]
+    maxs = [max(r.qvec[i] for r in rows) for i in range(len(rows[0].qvec))]
+    for r in rows:
+        assert all(0 <= v <= 255 for v in r.qvec)
+        assert r.q_norm2 == sum(v * v for v in r.qvec)
+    assert all(v == 0 for v in mins)
+    assert all(v == 255 for v in maxs)
+
+
+def test_dataset_mixture_deterministic_and_rate_shaped(spark, sf_small):
+    """The coin is a pure function of doc_id: two runs agree exactly;
+    rate-1.0 sources keep everything; observed keep rates sit near the
+    configured targets."""
+    from mapreducekmean_spark.operators.text import (
+        dataset_mixture,
+        documents,
+    )
+
+    docs = documents(spark, sf_small)
+    a = {r.doc_id: r.kept for r in dataset_mixture(docs).collect()}
+    b = {r.doc_id: r.kept for r in dataset_mixture(docs).collect()}
+    assert a == b
+    rows = dataset_mixture(docs).collect()
+    by_rate: dict = {}
+    for r in rows:
+        by_rate.setdefault(r.target_frac, []).append(r.kept)
+    assert all(by_rate[1.0])
+    for rate, kept in by_rate.items():
+        if rate < 1.0 and len(kept) >= 50:
+            obs = sum(kept) / len(kept)
+            assert abs(obs - rate) < 0.2, (rate, obs)
