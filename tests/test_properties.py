@@ -344,3 +344,61 @@ def test_points_writer_roundtrip_bit_exact(spark, tmp_path_factory, pts):
     assert [tuple(map(repr, p)) for p in got] == [
         tuple(map(repr, p)) for p in want
     ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+def test_jpeg_roundtrip_property(h, w, seed, subsample):
+    """Any image size (including 1x1 and non-multiple-of-8/16 edges)
+    must round-trip through the baseline JPEG codec pair at q=1 within
+    the DCT/YCbCr float-rounding bound for 4:4:4 and a chroma-averaging
+    bound for 4:2:0 — the luma channel is tight either way."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = mm._decode_jpeg_rgb(mm._encode_jpeg(img, subsample=subsample, q=1))
+    assert out is not None and out.shape == img.shape
+    if not subsample:
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+        return
+    # 4:2:0 reference: the decode of a q=1 stream is analytically the
+    # original luma + 2x2-mean chroma, upsampled by replication,
+    # converted and clipped — compare against exactly that (a naive
+    # per-channel bound fails legitimately when averaged chroma leaves
+    # the RGB gamut and clipping bites)
+    rgbf = img.astype(np.float64)
+    y = 0.299 * rgbf[:, :, 0] + 0.587 * rgbf[:, :, 1] + 0.114 * rgbf[:, :, 2]
+    cb = (
+        -0.168736 * rgbf[:, :, 0] - 0.331264 * rgbf[:, :, 1]
+        + 0.5 * rgbf[:, :, 2] + 128.0
+    )
+    cr = (
+        0.5 * rgbf[:, :, 0] - 0.418688 * rgbf[:, :, 1]
+        - 0.081312 * rgbf[:, :, 2] + 128.0
+    )
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4
+    cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4
+    cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+    cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+    y = y[:h, :w]
+    ref = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    ref = np.clip(np.round(ref), 0, 255)
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 3
