@@ -611,7 +611,12 @@ def _decode_bmp_rgb(payload: bytes):
 
 
 def _encode_jpeg(
-    rgb, subsample: bool = False, q: int = 8, gray: bool = False
+    rgb,
+    subsample: bool = False,
+    q: int = 8,
+    gray: bool = False,
+    sampling: str | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode HxWx3 uint8 RGB as a BASELINE sequential JPEG (SOF0) with
     only numpy — the sink-side half of the JPEG codec, used by the
@@ -625,7 +630,10 @@ def _encode_jpeg(
     about. ``q=1`` makes quantization lossless, so round-trip error is
     bounded by DCT float rounding alone (the strongest self-test a
     codec pair can run without golden bytes). ``subsample=True`` emits
-    4:2:0 (2×2-mean chroma)."""
+    4:2:0 (2×2-mean chroma); ``sampling`` overrides explicitly
+    ("444"/"422"/"420"); ``restart_interval`` > 0 emits a DRI segment
+    and RSTn markers every that many MCUs — coverage for the decoder's
+    restart path."""
     import struct
 
     import numpy as np
@@ -650,10 +658,14 @@ def _encode_jpeg(
         - 0.081312 * rgb[:, :, 2]
         + 128.0
     )
-    hs = vs = 2 if (subsample and not gray) else 1
-    blk = 8 * hs
-    ph = -(-h // blk) * blk
-    pw = -(-w // blk) * blk
+    if sampling is None:
+        sampling = "420" if subsample else "444"
+    if gray:
+        sampling = "444"
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sampling]
+    blkx, blky = 8 * hs, 8 * vs
+    ph = -(-h // blky) * blky
+    pw = -(-w // blkx) * blkx
 
     def pad(p):
         return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -661,9 +673,12 @@ def _encode_jpeg(
     y = pad(y)
     cb = pad(cb)
     cr = pad(cr)
-    if subsample:
-        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
-        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+    if hs == 2:
+        cb = (cb[:, 0::2] + cb[:, 1::2]) / 2.0
+        cr = (cr[:, 0::2] + cr[:, 1::2]) / 2.0
+    if vs == 2:
+        cb = (cb[0::2, :] + cb[1::2, :]) / 2.0
+        cr = (cr[0::2, :] + cr[1::2, :]) / 2.0
 
     qtab = np.full(64, q, dtype=np.int32)
 
@@ -766,6 +781,8 @@ def _encode_jpeg(
                 0xC4,
                 bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals),
             )
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)]) + b"".join(
         struct.pack(">BB", cid, (0 << 4) | (0 if cid == 1 else 1) | ((0 if cid == 1 else 1) << 4))
         for cid, _, _, _ in comps
@@ -774,10 +791,19 @@ def _encode_jpeg(
 
     preds = {1: 0, 2: 0, 3: 0}
     planes = {1: y, 2: cb, 3: cr}
-    mcux = pw // blk
-    mcuy = ph // blk
+    mcux = pw // blkx
+    mcuy = ph // blky
+    n_mcu = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                if bitcnt:
+                    put(8 - bitcnt, (1 << (8 - bitcnt)) - 1)  # align
+                out.extend((0xFF, 0xD0 + rst_idx % 8))
+                rst_idx += 1
+                preds = {1: 0, 2: 0, 3: 0}
+            n_mcu += 1
             for cid, ch, cv, tq in comps:
                 for by in range(cv):
                     for bx in range(ch):

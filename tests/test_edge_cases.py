@@ -748,3 +748,32 @@ def test_dataset_mixture_deterministic_and_rate_shaped(spark, sf_small):
         if rate < 1.0 and len(kept) >= 50:
             obs = sum(kept) / len(kept)
             assert abs(obs - rate) < 0.2, (rate, obs)
+
+
+def test_jpeg_422_and_restart_intervals():
+    """The decoder's 4:2:2 layout and DRI/RSTn restart path, fed by the
+    encoder's explicit sampling and restart options: 4:2:2 round-trips
+    with a tight luma bound, and a restart-marker stream decodes
+    identically to the same image without restarts."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    # smooth gradient: random chroma is out-of-gamut-pathological under
+    # subsampling (clipping legitimately moves luma, see the 4:2:0
+    # property test's analytic-reference treatment)
+    yy, xx = np.mgrid[0:22, 0:37]
+    img = np.stack(
+        [(yy * 4 + xx) % 256, (xx * 3) % 256, (yy * 2 + xx) % 256], axis=2
+    ).astype(np.uint8)
+    out = mm._decode_jpeg_rgb(mm._encode_jpeg(img, sampling="422", q=1))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert int(err.max()) <= 8 and float(err.mean()) < 2.0
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(22, 37, 3), dtype=np.uint8)
+    base = mm._decode_jpeg_rgb(mm._encode_jpeg(img, q=1))
+    with_rst = mm._decode_jpeg_rgb(
+        mm._encode_jpeg(img, q=1, restart_interval=2)
+    )
+    assert with_rst is not None and (with_rst == base).all()
