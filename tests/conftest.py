@@ -29,3 +29,9 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def sf_bench() -> str:
+    """The bench-scale fixture dir (sf0.1) for the opt-in sweep tier."""
+    return "/root/testdata/sf0.1"

