@@ -586,6 +586,88 @@ FROM pd JOIN c USING (bg)
 GROUP BY pd.doc_id
 """
 
+_DOC_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+bga AS (
+  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6)
+           AS top_bigram_frac
+  FROM bgc GROUP BY 1
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3
+),
+tgc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY 1, 2),
+tga AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+               / sum(n), 6) AS dup_trigram_frac
+  FROM tgc GROUP BY 1
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+isl AS (
+  SELECT doc_id, w,
+         pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos)
+           AS grp
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, max(cnt) AS max_token_run FROM (
+    SELECT doc_id, w, grp, count(*) AS cnt FROM isl GROUP BY 1, 2, 3
+  ) GROUP BY 1
+)
+SELECT d.doc_id, bga.top_bigram_frac, tga.dup_trigram_frac,
+       CAST(COALESCE(runs.max_token_run, 0) AS BIGINT) AS max_token_run,
+       (COALESCE(bga.top_bigram_frac, 0) > 0.18
+        OR COALESCE(tga.dup_trigram_frac, 0) > 0.30
+        OR COALESCE(runs.max_token_run, 0) > 3) AS repetitive
+FROM documents d
+LEFT JOIN bga USING (doc_id)
+LEFT JOIN tga USING (doc_id)
+LEFT JOIN runs USING (doc_id)
+"""
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, source, n_tok, start_tok,
+       CASE WHEN n_tok > 0 THEN start_tok // 64 END AS first_seq,
+       CASE WHEN n_tok > 0 THEN (start_tok + n_tok - 1) // 64 END
+         AS last_seq,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (start_tok + n_tok - 1) // 64 - start_tok // 64 + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs,
+       CASE WHEN n_tok > 0 THEN start_tok % 64 END AS seq_offset
+FROM c
+"""
+
 _CORPUS_STATS_SQL = r"""
 WITH base AS (
   SELECT lang, source,
@@ -656,6 +738,20 @@ def _queries_text() -> list[Query]:
                 tx.documents(spark, sf_dir)
             ),
             _DOC_LM_COVERAGE_SQL,
+        ),
+        Query(
+            "doc_repetition",
+            lambda spark, sf_dir: tx.doc_repetition(
+                tx.documents(spark, sf_dir)
+            ),
+            _DOC_REPETITION_SQL,
+        ),
+        Query(
+            "pack_sequences",
+            lambda spark, sf_dir: tx.pack_sequences(
+                tx.documents(spark, sf_dir)
+            ),
+            _PACK_SEQUENCES_SQL,
         ),
         Query(
             "doc_winnow",
@@ -2430,11 +2526,13 @@ _CHECK_FIRST = (
 _CHECK_LAST = (
     # all 50 value-hash green on round-4 code (CORRECTNESS_r04.json) AND
     # covered by pytest oracle twins. Ordered so the queries whose code
-    # round 5 touched (kmeans mapInArrow block build, multimodal PIL
-    # decode, relational Q15 timestamp boundaries, shared reader
+    # round 5 touched (kmeans mapInArrow block build, shared reader
     # timezone pinning) land nearest the driver's 50-entry cap, and the
     # round-5-untouched fresh greens land past it (safest to ship on
-    # one-round-old evidence).
+    # one-round-old evidence). With the 22 new round-5 queries the 50
+    # no-evidence entries fill the cap exactly, so even the head of
+    # this tail ships on r4 rows + the local sf0.1 sweep
+    # (pytest -m sweep, 100/100 OK).
     "kmeans_full",
     "kmeans_mllib_verdict",
     "assign_nearest",

@@ -338,6 +338,124 @@ def doc_lm_coverage(docs: DataFrame) -> DataFrame:
     )
 
 
+#: doc_repetition thresholds (Gopher-style repetition filters are
+#: public recipe: Rae et al. 2021 §A.1.1 flags documents dominated by
+#: a single n-gram or by duplicated n-grams). Token-based exact
+#: counterparts here; a doc is flagged when ANY bound trips.
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+REP_TOKEN_RUN_MAX = 3
+
+
+def doc_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-style
+    within-document repetition filters, in exact integer/rational
+    arithmetic so the DuckDB twin is value-hash exact:
+
+    - ``top_bigram_frac``: occurrences of the document's most frequent
+      bigram over its total bigram positions (boilerplate detector);
+    - ``dup_trigram_frac``: fraction of trigram positions whose trigram
+      occurs more than once within the document (loop/spam detector);
+    - ``max_token_run``: length of the longest run of consecutive
+      identical tokens ("buy buy buy buy");
+    - ``repetitive``: the keep/drop verdict (any threshold tripped).
+
+    Scale shape: bigrams and trigrams are stitched from two window
+    ``lead``s over (doc_id, pos) — the codegen volume path
+    ``gram_rows`` uses — and runs use the islands trick (pos minus
+    per-token rank is constant within a run) on a (doc_id, token)
+    window. The three signals are independent subtrees over the same
+    narrow posexplode, which Spark recomputes per branch rather than
+    materializing — the right trade at 100 TB, where re-deriving a
+    token stream from the (column-pruned) scan is cheaper than
+    spilling it to storage. Every window and aggregate is keyed by
+    doc_id and no corpus-global state exists, so the operator is
+    embarrassingly parallel over documents. Zero-bigram documents
+    (fewer than 2 tokens) report NULL fractions and are never flagged
+    by them.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    base = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lead("w", 1).over(wo).alias("w1"),
+        F.lead("w", 2).over(wo).alias("w2"),
+    )
+
+    bg = (
+        base.filter(F.col("w1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("n").cast("double") / F.sum("n"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+    tg = (
+        base.filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+                .cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    # islands: consecutive identical tokens share (pos - rank-within-
+    # (doc, token)), so run length = count per (doc_id, w, island)
+    runs = (
+        tok.withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id", "w").orderBy("pos")
+            ),
+        )
+        .groupBy("doc_id", "w", "isl")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").cast("bigint").alias("max_token_run"))
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(bg, "doc_id", "left")
+        .join(tg, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        F.coalesce("max_token_run", F.lit(0)).cast("bigint").alias(
+            "max_token_run"
+        ),
+        (
+            (F.coalesce("top_bigram_frac", F.lit(0.0)) > REP_TOP_BIGRAM_MAX)
+            | (
+                F.coalesce("dup_trigram_frac", F.lit(0.0))
+                > REP_DUP_TRIGRAM_MAX
+            )
+            | (
+                F.coalesce("max_token_run", F.lit(0))
+                > F.lit(REP_TOKEN_RUN_MAX)
+            )
+        ).alias("repetitive"),
+    )
+
+
 #: Winnowing parameters: k-gram size (reuses the dedup shingle n=3) and
 #: window width w — guarantee: any match of >= w + k - 1 consecutive
 #: tokens between two documents shares at least one fingerprint.
@@ -438,4 +556,91 @@ def dataset_mixture(docs: DataFrame) -> DataFrame:
         "source",
         F.round(rate, 6).alias("target_frac"),
         ((src_idx % 4 == 3) | (coin_hex < thresh_hex)).alias("kept"),
+    )
+
+
+#: pack_sequences: target sequence length in tokens (stand-in for the
+#: context-length config a real pretraining run reads) and the coarse
+#: prefix-sum bucket width in documents.
+PACK_BUDGET = 64
+PACK_BUCKET_DOCS = 1000
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard GPT-style
+    pretraining layout: per source, documents are concatenated in
+    doc_id order and the token stream is cut into fixed ``budget``-token
+    training sequences (documents may straddle a cut). The operator
+    emits each document's placement: its absolute start offset in the
+    source's token stream, the first/last sequence ids it lands in, how
+    many sequences it spans, and its offset within the first one —
+    exactly the index a packed-dataset writer needs.
+
+    Scale shape: the naive formulation is one running sum over a window
+    partitioned by source — a single task per source, which dies at
+    100 TB. This implementation is the two-level distributed prefix
+    sum: (1) coarse buckets of ``PACK_BUCKET_DOCS`` documents (bucket =
+    doc_id div width, so bucketing is a scan-site projection) are
+    aggregated to per-bucket token subtotals — a tiny table, one row
+    per ~1000 docs; (2) bucket start offsets are a running sum over
+    THAT table (driver-scale window); (3) the offsets broadcast-join
+    back and each document adds its within-bucket running sum, a
+    window over (source, bucket) whose partitions are bounded at
+    ``PACK_BUCKET_DOCS`` rows regardless of corpus size. All integer
+    arithmetic (``div``/``%``), so the DuckDB twin — which uses the
+    naive single window, a deliberate implementation-independence
+    check — matches value-hash exact.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens("text")).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (F.col("doc_id") / PACK_BUCKET_DOCS).cast("bigint").alias("bkt"),
+    )
+    per_bucket = d.groupBy("source", "bkt").agg(
+        F.sum("n_tok").alias("bkt_tok")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("bkt_tok").over(wb), F.lit(0)).alias("bkt_off"),
+    )
+    wd = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.join(F.broadcast(offsets), ["source", "bkt"]).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (
+            F.col("bkt_off") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0))
+        ).alias("start_tok"),
+    )
+    b = F.lit(int(budget)).cast("bigint")
+    has = F.col("n_tok") > 0
+    fs = F.when(has, ((F.col("start_tok") - F.col("start_tok") % b) / b)
+                .cast("bigint"))
+    last_raw = F.col("start_tok") + F.col("n_tok") - 1
+    ls = F.when(has, ((last_raw - last_raw % b) / b).cast("bigint"))
+    return placed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "start_tok",
+        fs.alias("first_seq"),
+        ls.alias("last_seq"),
+        F.coalesce(ls - fs + 1, F.lit(0)).cast("bigint").alias("n_seqs"),
+        F.when(has, (F.col("start_tok") % b).cast("bigint")).alias(
+            "seq_offset"
+        ),
     )

@@ -287,6 +287,67 @@ def probe_corpus(spark, results: dict, sf_dir: str, repl: int = 20) -> None:
     }
 
 
+def probe_textops(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """doc_repetition + pack_sequences at ``repl``× the documents table
+    (~500k docs at sf0.1). Replica doc_ids are shifted far apart so a
+    source spans MANY prefix-sum buckets — the regime the two-level
+    decomposition exists for (the fixture alone has 250 docs/source,
+    which one bucket swallows). pack_sequences is re-validated at this
+    scale by its own algebra: within every source, max(start_tok +
+    n_tok) must equal sum(n_tok) exactly (the concat stream has no
+    holes and no overlaps) — a full-corpus distributed check, not a
+    sample."""
+    from mapreducekmean_spark.operators.text import (
+        doc_repetition,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+
+    doc_repetition(big).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    flagged = doc_repetition(big).filter("repetitive").count()
+    dt = time.perf_counter() - t0
+    results["doc_repetition"] = {
+        "docs": n,
+        "flagged": flagged,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+    pack_sequences(big).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    packed = pack_sequences(big)
+    chk = (
+        packed.groupBy("source")
+        .agg(
+            F.max(F.col("start_tok") + F.col("n_tok")).alias("hi"),
+            F.sum("n_tok").alias("total"),
+        )
+        .agg(
+            F.count("*").alias("sources"),
+            F.sum((F.col("hi") != F.col("total")).cast("int")).alias("bad"),
+            F.sum("total").alias("tokens"),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert chk["bad"] == 0, "prefix-sum hole/overlap detected"
+    results["pack_sequences"] = {
+        "docs": n,
+        "sources": chk["sources"],
+        "tokens": int(chk["tokens"]),
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+
 def _ensure_corpus(spark, gen_df, tag: str, sf_dir: str):
     """Write-once cache for a synthetic probe corpus. Keyed on the tag
     AND the source fixture dir; valid only when the write committed
@@ -523,10 +584,20 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default="",
-        help="comma list: core,events,skew,cc,corpus,corpuslow,decon (default: all)",
+        help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
+        "textops (default: all)",
     )
     args = ap.parse_args()
-    groups = {"core", "events", "skew", "cc", "corpus", "corpuslow", "decon"}
+    groups = {
+        "core",
+        "events",
+        "skew",
+        "cc",
+        "corpus",
+        "corpuslow",
+        "decon",
+        "textops",
+    }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
         raise SystemExit(f"unknown --only {only}")
@@ -547,6 +618,8 @@ def main() -> None:
         probe_corpus_lowdup(spark, results, args.sf_dir, args.corpus_docs)
     if "decon" in only:
         probe_decon(spark, results, args.sf_dir)
+    if "textops" in only:
+        probe_textops(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

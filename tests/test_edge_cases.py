@@ -777,3 +777,78 @@ def test_jpeg_422_and_restart_intervals():
         mm._encode_jpeg(img, q=1, restart_interval=2)
     )
     assert with_rst is not None and (with_rst == base).all()
+
+
+def test_doc_repetition_constructed_docs(spark):
+    """Each repetition signal trips on a document built to trip exactly
+    it; degenerate docs (one token / empty) report NULL fractions and
+    are never flagged by them."""
+    from mapreducekmean_spark.operators.text import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # longest run 5 -> run filter trips
+            (1, "alpha buy buy buy buy buy beta gamma delta"),
+            # one bigram dominates ("spam ham" 4 of 7 bigrams)
+            (2, "spam ham spam ham spam ham spam ham"),
+            # varied text: nothing trips
+            (3, "the quick brown fox jumps over a lazy dog tonight"),
+            (4, "solo"),  # no bigrams: NULL fracs, run 1
+            (5, ""),  # no tokens at all
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in doc_repetition(docs).collect()}
+    assert got[1].max_token_run == 5 and got[1].repetitive
+    assert got[2].top_bigram_frac > 0.5 and got[2].repetitive
+    assert not got[3].repetitive and got[3].max_token_run == 1
+    assert got[4].top_bigram_frac is None and not got[4].repetitive
+    assert got[4].max_token_run == 1
+    assert got[5].top_bigram_frac is None and got[5].max_token_run == 0
+    assert not got[5].repetitive
+
+
+def test_pack_sequences_two_level_matches_naive(spark):
+    """The distributed two-level prefix sum must equal the naive
+    per-source running sum — exercised across a PACK_BUCKET_DOCS
+    boundary (doc_ids straddle bucket 0/1), with a doc longer than the
+    budget (spans >= 2 sequences) and a zero-token doc."""
+    from mapreducekmean_spark.operators.text import (
+        PACK_BUCKET_DOCS,
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    assert PACK_BUCKET_DOCS == 1000  # fixture ids below straddle it
+    rows = [
+        (997, "s1", "one two three"),
+        (999, "s1", " ".join(["tok"] * 70)),  # > budget: spans 2 seqs
+        (1000, "s1", "a b c d e"),
+        (1002, "s1", ""),  # zero tokens
+        (1003, "s1", "x y"),
+        (998, "s2", " ".join(["w"] * 64)),  # exactly one full seq
+        (1001, "s2", "p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r.doc_id: r for r in pack_sequences(docs).collect()}
+
+    # naive reference: per source, doc_id order, running token count
+    import re
+
+    cum: dict = {}
+    for doc_id, src, text in sorted(rows):
+        n = len(re.findall("[a-z0-9]+", text.lower()))
+        start = cum.get(src, 0)
+        cum[src] = start + n
+        r = got[doc_id]
+        assert r.n_tok == n and r.start_tok == start, doc_id
+        if n == 0:
+            assert r.first_seq is None and r.n_seqs == 0
+            assert r.seq_offset is None
+        else:
+            assert r.first_seq == start // PACK_BUDGET
+            assert r.last_seq == (start + n - 1) // PACK_BUDGET
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+            assert r.seq_offset == start % PACK_BUDGET
+    assert got[999].n_seqs == 2  # the long doc straddles a cut
+    assert got[998].first_seq == 0 and got[998].last_seq == 0

@@ -355,3 +355,20 @@ def test_ann_quantized_broadcasts_queries(spark, sf_small):
     cosine_topk — never shuffle the corpus against it."""
     df = REG["ann_quantized"].fn(spark, sf_small)
     assert has_broadcast_join(df)
+
+
+def test_pack_sequences_broadcasts_bucket_offsets(spark, sf_small):
+    """The two-level prefix sum must broadcast the tiny per-bucket
+    offset table back to the corpus — the whole point of the
+    decomposition is that the only per-source-global state is
+    bucket-granular and broadcastable."""
+    df = REG["pack_sequences"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+
+
+def test_doc_repetition_no_global_state(spark, sf_small):
+    """Every exchange in the repetition pass is keyed by doc_id (plus
+    gram/token) — no corpus-global aggregation anywhere, so the plan
+    contains no single-partition exchange."""
+    plan = _plan(REG["doc_repetition"].fn(spark, sf_small))
+    assert "SinglePartition" not in plan
