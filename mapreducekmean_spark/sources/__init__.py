@@ -17,6 +17,10 @@ from mapreducekmean_spark.sources.readers import (
     read_points_csv,
     stage_points_csv,
 )
+from mapreducekmean_spark.sources.bucketing import (
+    read_bucketed,
+    write_bucketed,
+)
 from mapreducekmean_spark.sources.points_datasource import (
     register as register_points_source,
 )

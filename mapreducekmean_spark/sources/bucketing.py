@@ -1,0 +1,83 @@
+"""Bucketed-table layout — the shuffle-elimination tool for repeated
+big-big joins.
+
+The reference engine re-shuffles its input for every job
+(``/root/reference/src/KMeans.java:204-234`` submits a fresh MR job per
+iteration; each pays a full sort/shuffle). Spark's answer for data that
+is joined or aggregated on the same key again and again is to pay the
+shuffle ONCE at write time: ``bucketBy(n, key)`` hash-partitions rows
+into a fixed number of files per partition and records the layout in the
+catalog. Every later equi-join or aggregation on that key reads the
+buckets co-located — the physical plan contains NO Exchange on either
+side (see ``tests/test_plans.py::test_bucketed_join_no_exchange``).
+
+At 100 TB this is the difference between re-shuffling the fact table per
+query and never shuffling it at all: land `lineitem` bucketed by
+``l_orderkey`` and every orders join, order-level rollup, and
+dedup-by-key becomes a local merge. The bucket count is the knob that
+bounds per-bucket file size (buckets × executors ≈ write parallelism;
+pick so each bucket file stays in the 128 MB–1 GB band).
+
+Caveats worth designing around (all standard, none local-mode
+artifacts):
+
+- Both join sides must be bucketed with the SAME key and bucket counts
+  that divide each other, or Spark falls back to shuffling the
+  non-conforming side.
+- ``sortBy`` at write time additionally removes the per-task Sort from
+  sort-merge joins.
+- Bucketed tables go through ``saveAsTable`` (the layout lives in the
+  catalog, not the parquet footer); plain ``.parquet(path)`` writes
+  lose the metadata. An explicit ``path`` makes the table external, so
+  the data outlives the catalog entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 8,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-within-bucket)
+    parquet table registered in the session catalog.
+
+    ``key`` may be one column or a list (composite bucket key). With
+    ``path`` the table is external (data survives catalog drops) —
+    required in tests, where the warehouse dir is process-global but
+    fixtures are per-test tmpdirs.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    # Repartition on the bucket key with the bucket count BEFORE the
+    # write: repartition's HashPartitioning and the bucket spec use the
+    # same Murmur3 hash, so each write task holds exactly one bucket and
+    # emits ONE file per bucket. That matters twice — small-file control
+    # (a w-task write would otherwise emit up to w files *per bucket*),
+    # and sort elision: Spark's scan only reports per-bucket sort order
+    # when a bucket is a single file, so multi-file buckets silently
+    # re-Sort on every sort-merge join, forfeiting half the layout's
+    # benefit.
+    w = (
+        df.repartition(buckets, *keys)
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, *keys)
+    )
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (the only path
+    that preserves the bucket layout for join planning)."""
+    return spark.table(table)

@@ -348,6 +348,89 @@ def probe_textops(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
+    """Shuffle-once-at-write: a 10M×2.5M equi-join re-run both ways —
+    plain parquet (shuffles both sides every run) vs bucketed tables
+    (zero Exchange, local merge per bucket). The measured delta is the
+    recurring per-query cost the bucketed layout amortizes away; at
+    100 TB the absolute gap scales with fact-table volume while the
+    bucketed side's cost stays scan-bound."""
+    import pyspark.sql.functions as Fn
+
+    # realistic fact width: a ~120-byte payload string per row, so the
+    # avoided shuffle moves fact-table volume, not just two ints
+    fact = spark.range(n_rows).select(
+        (Fn.col("id") % (n_rows // 4)).alias("k"),
+        (Fn.col("id") * 7 % 1000).alias("v"),
+        Fn.concat(
+            Fn.lit("payload-"), Fn.md5(Fn.col("id").cast("string")),
+            Fn.lit("-"), Fn.md5((Fn.col("id") + 1).cast("string")),
+            Fn.lit("-"), Fn.md5((Fn.col("id") + 2).cast("string")),
+        ).alias("payload"),
+    )
+    dim = spark.range(n_rows // 4).select(
+        Fn.col("id").alias("k"), (Fn.col("id") % 97).alias("grp")
+    )
+    plain_fact = f"{BASE}/bkt_fact_plain"
+    plain_dim = f"{BASE}/bkt_dim_plain"
+    fact.write.mode("overwrite").parquet(plain_fact)
+    dim.write.mode("overwrite").parquet(plain_dim)
+
+    from mapreducekmean_spark.sources import read_bucketed, write_bucketed
+
+    write_bucketed(
+        fact, "probe_fact_b", "k", buckets=32, path=f"{BASE}/bkt_fact_b"
+    )
+    write_bucketed(
+        dim, "probe_dim_b", "k", buckets=32, path=f"{BASE}/bkt_dim_b"
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def run(f, d):
+            # sum(length(payload)) keeps the wide column alive through
+            # the join (else pruning would drop it from scan + shuffle)
+            t0 = time.perf_counter()
+            n = (
+                f.join(d, "k")
+                .groupBy("grp")
+                .agg(
+                    Fn.sum("v").alias("s"),
+                    Fn.sum(Fn.length("payload")).alias("pl"),
+                )
+                .count()
+            )
+            return time.perf_counter() - t0, n
+
+        pf = spark.read.parquet(plain_fact)
+        pd_ = spark.read.parquet(plain_dim)
+        run(pf, pd_)  # warm
+        t_plain, n1 = run(pf, pd_)
+        bf = read_bucketed(spark, "probe_fact_b")
+        bd = read_bucketed(spark, "probe_dim_b")
+        run(bf, bd)  # warm
+        t_bkt, n2 = run(bf, bd)
+        assert n1 == n2
+        from mapreducekmean_spark.plans import formatted_plan
+
+        bucketed_exchanges = formatted_plan(bf.join(bd, "k")).count(
+            "Exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS probe_fact_b")
+        spark.sql("DROP TABLE IF EXISTS probe_dim_b")
+    results["bucketed_join"] = {
+        "rows": n_rows,
+        "plain_sec": round(t_plain, 2),
+        "bucketed_sec": round(t_bkt, 2),
+        "speedup": round(t_plain / t_bkt, 2),
+        "bucketed_join_exchanges": bucketed_exchanges,
+    }
+
+
 def _ensure_corpus(spark, gen_df, tag: str, sf_dir: str):
     """Write-once cache for a synthetic probe corpus. Keyed on the tag
     AND the source fixture dir; valid only when the write committed
@@ -585,7 +668,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops (default: all)",
+        "textops,bucketing (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -597,6 +680,7 @@ def main() -> None:
         "corpuslow",
         "decon",
         "textops",
+        "bucketing",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -620,6 +704,8 @@ def main() -> None:
         probe_decon(spark, results, args.sf_dir)
     if "textops" in only:
         probe_textops(spark, results, args.sf_dir)
+    if "bucketing" in only:
+        probe_bucketing(spark, results)
     print(json.dumps({"scale_probe": results}))
 
 

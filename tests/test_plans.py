@@ -372,3 +372,60 @@ def test_doc_repetition_no_global_state(spark, sf_small):
     contains no single-partition exchange."""
     plan = _plan(REG["doc_repetition"].fn(spark, sf_small))
     assert "SinglePartition" not in plan
+
+
+def test_bucketed_join_and_agg_no_exchange(spark, sf_small, tmp_path):
+    """Bucketed layout pays the shuffle once at write time: an
+    equi-join of two tables bucketed on their join keys, and a
+    group-by on the bucket key, must both plan with ZERO Exchange
+    nodes — and return exactly what the unbucketed plans return."""
+    from mapreducekmean_spark.sources import (
+        load_table,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(
+        li, "t_li_bkt", "l_orderkey", buckets=4, path=str(tmp_path / "li")
+    )
+    write_bucketed(
+        od, "t_od_bkt", "o_orderkey", buckets=4, path=str(tmp_path / "od")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bli, bod = read_bucketed(spark, "t_li_bkt"), read_bucketed(
+            spark, "t_od_bkt"
+        )
+        j = bli.join(bod, bli.l_orderkey == bod.o_orderkey)
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        expected = sorted(
+            tuple(r)
+            for r in li.join(od, li.l_orderkey == od.o_orderkey).collect()
+        )
+        assert sorted(tuple(r) for r in j.collect()) == expected
+
+        from pyspark.sql import functions as F
+
+        agg = bli.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        assert "Exchange" not in _plan(agg)
+        base = sorted(
+            tuple(r)
+            for r in li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .collect()
+        )
+        assert sorted(tuple(r) for r in agg.collect()) == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_od_bkt")
