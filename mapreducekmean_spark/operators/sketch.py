@@ -1,0 +1,161 @@
+"""Count-min sketch — fixed-size frequency estimation over unbounded
+token streams.
+
+The reference has no sketches (its only aggregate is the per-cluster
+mean, ``/root/reference/src/MapReduceMean/PointsReducer.java`` — see
+SURVEY §2.1 R7-R9); the engine already ships HLL (distinct counts,
+``operators/events.py``) and this module adds the other classic:
+Cormode-Muthukrishnan count-min (2005, public algorithm) for frequency /
+heavy-hitter queries where the vocabulary is too large to aggregate
+exactly.
+
+Why a sketch at 100 TB: exact ``word_count`` shuffles one row per
+distinct (task, token) pair — fine for word-like vocabularies, ruinous
+for URLs, n-grams, or user-agent strings with billions of distincts.
+The CMS counter table is ``depth × width`` cells NO MATTER THE INPUT:
+partial aggregation reduces every task's contribution to at most d×w
+rows before the exchange, and the merged table is a few KB. Counters
+are mergeable by cell-wise addition, so sketches from separate
+partitions, days, or clusters combine losslessly — the property that
+makes them the standard streaming/rollup summary.
+
+Engine mapping: everything is codegen'd string/aggregate work — the
+j-th hash row's bucket for a token is simply the first ``width_hex``
+hex chars of ``md5(j || ':' || token)`` (width = 16^width_hex buckets),
+so both the bucket function and the counters are reproducible in any
+engine with md5 (the same no-hex-to-int trick the MinHash family uses:
+fixed-width lowercase hex compares like the integer it encodes).
+Estimates carry the standard guarantee: est >= true count always
+(collisions only ADD), and est <= true + eps·N with probability
+1 - delta for depth = ln(1/delta), width = e/eps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.text import tokens
+
+#: depth 4 → error bound holds with prob ~1 - e^-4; width 16^2 = 256
+#: buckets → eps = e/256 ≈ 1% of total stream length per estimate.
+CMS_DEPTH = 4
+CMS_WIDTH_HEX = 2
+
+
+def _bucket(col, j: int, width_hex: int):
+    """Hash row ``j``'s bucket id: fixed-width lowercase hex, directly
+    groupable/joinable — no hex→int conversion anywhere."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), col)), 1, width_hex
+    )
+
+
+def cms_counters(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> DataFrame:
+    """Build the sketch: a ``(j, bucket, cnt)`` counter table of at most
+    depth × 16^width_hex rows.
+
+    One explode of the token stream, one projection computing all
+    ``depth`` buckets, one stack to (j, bucket) rows, ONE aggregation —
+    and because the group key space is tiny and uniform (md5 buckets),
+    partial aggregation collapses each task's output to ≤ d×w rows
+    regardless of how many tokens it scanned. This is the fixed-size
+    shuffle exact word_count cannot have.
+    """
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    pairs = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col("w"), j, width_hex).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    )
+    return (
+        pairs.select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame,
+    counters: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> DataFrame:
+    """Point-query the sketch: for each row of ``queries``, the CMS
+    estimate = min over hash rows of that row's bucket counter.
+
+    Shape: explode the query tokens to (token, j, bucket), ONE equi hash
+    join against the counter table (broadcast — it is d×w rows by
+    construction), min per token. Tokens whose bucket row is absent
+    (possible only for tokens never counted) estimate 0.
+    """
+    q = queries.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col(token_col), j, width_hex).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "jb.j", "jb.bucket")
+    joined = q.join(F.broadcast(counters), ["j", "bucket"], "left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    threshold_frac: float = 0.01,
+    depth: int = CMS_DEPTH,
+    width_hex: int = CMS_WIDTH_HEX,
+) -> DataFrame:
+    """Heavy hitters with audit columns: every distinct token whose CMS
+    estimate reaches ``threshold_frac`` of total token volume, with the
+    exact count alongside (fixture-scale audit; at 100 TB one would
+    ship only the sketch columns and skip the exact branch).
+
+    Guarantee surfaced in the output: ``est >= n`` always (the sketch
+    never undercounts), so the heavy-hitter set is a SUPERSET of the
+    true one — the sketch may admit a near-threshold token, never drop
+    a true heavy hitter.
+    """
+    counters = cms_counters(docs, depth, width_hex)
+    exact = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = exact.agg(F.sum("n").alias("t"))
+    est = cms_estimate(exact, counters, "token", depth, width_hex)
+    out = (
+        exact.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.col("t") * threshold_frac)
+    )
+    return out.select(
+        "token",
+        F.col("n").cast("bigint").alias("n"),
+        "est",
+        (F.col("est") >= F.col("n")).alias("never_undercounts"),
+    )

@@ -367,3 +367,68 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+class StreamingCMS:
+    """Running count-min sketch over a document stream — the streaming
+    face of ``operators.sketch``: per micro-batch, the batch's counter
+    table (≤ depth × width rows by construction) is collected and
+    merged cell-wise into the driver-held sketch. Mergeability is the
+    entire trick: CMS(batch₁ ∪ batch₂) == CMS(batch₁) + CMS(batch₂)
+    cell-for-cell, so the driver state is exact-equal to having
+    sketched the whole stream at once (pinned by
+    ``tests/test_streaming.py::test_streaming_cms_matches_batch``),
+    stays a few KB forever, and can keep absorbing batches for the
+    lifetime of the stream. Contrast with streaming word count, whose
+    state grows with the vocabulary.
+
+    ``estimate`` answers point queries driver-side with plain hashlib
+    md5 — the same bucket function the executors used — demonstrating
+    that the shipped sketch is engine-independent state.
+    """
+
+    def __init__(self, depth: int | None = None, width_hex: int | None = None):
+        from mapreducekmean_spark.operators.sketch import (
+            CMS_DEPTH,
+            CMS_WIDTH_HEX,
+        )
+
+        self.depth = CMS_DEPTH if depth is None else depth
+        self.width_hex = CMS_WIDTH_HEX if width_hex is None else width_hex
+        self.counters: dict[tuple[int, str], int] = {}
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        from mapreducekmean_spark.operators.sketch import cms_counters
+
+        rows = cms_counters(batch_df, self.depth, self.width_hex).collect()
+        for r in rows:  # ≤ depth × 16^width_hex rows, bounded collect
+            key = (r.j, r.bucket)
+            self.counters[key] = self.counters.get(key, 0) + r.cnt
+
+    def estimate(self, token: str) -> int:
+        import hashlib
+
+        return min(
+            self.counters.get(
+                (
+                    j,
+                    hashlib.md5(
+                        f"{j}:{token}".encode()
+                    ).hexdigest()[: self.width_hex],
+                ),
+                0,
+            )
+            for j in range(self.depth)
+        )
+
+    def run(self, docs_stream: DataFrame) -> None:
+        """Drive the stream to completion (synchronous local harness)."""
+        q = (
+            docs_stream.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: self.update(df, bid))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

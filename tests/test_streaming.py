@@ -877,3 +877,52 @@ def test_frame_sample_fake_codec_null_nframes_keeps_asset(spark):
     )
     rows = mm.frame_sample(assets, every_n=2, fake_codec=True).collect()
     assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+def test_streaming_cms_matches_batch(spark, sf_small):
+    """Cell-wise mergeability makes the streaming sketch EXACT-equal to
+    batch: two artificial micro-batches merged on the driver, and a real
+    stream drained through foreachBatch, both reproduce the whole-corpus
+    counter table cell for cell — and driver-side hashlib estimates
+    agree with the distributed estimate path."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from mapreducekmean_spark.operators.text import documents
+    from mapreducekmean_spark.streaming.jobs import (
+        StreamingCMS,
+        read_documents_stream,
+    )
+
+    docs = documents(spark, sf_small)
+    whole = {(r.j, r.bucket): r.cnt for r in cms_counters(docs).collect()}
+
+    cms = StreamingCMS()
+    cms.update(docs.filter(F.col("doc_id") % 2 == 0))
+    cms.update(docs.filter(F.col("doc_id") % 2 == 1))
+    assert cms.counters == whole
+
+    cms2 = StreamingCMS()
+    cms2.run(read_documents_stream(spark, sf_small))
+    assert cms2.counters == whole
+
+    some = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(5)
+    )
+    dist = {
+        r.token: r.est
+        for r in cms_estimate(some, cms_counters(docs)).collect()
+    }
+    for token, est in dist.items():
+        assert cms.estimate(token) == est, token
