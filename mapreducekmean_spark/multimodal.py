@@ -149,6 +149,8 @@ def _decode_image_rgb(payload: bytes):
         return _decode_png_rgb(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg_rgb(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_rgb(payload)
     return None
 
 
@@ -610,6 +612,246 @@ def _decode_bmp_rgb(payload: bytes):
         return None
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (public spec: GIF89a appendix F):
+    LSB-first bit packing, clear/end control codes, code width growing
+    from min_code_size+1 up to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > nbits:
+            break  # ran out of bits without an end code: partial stream
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]  # KeyError on a non-root first code
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError("LZW code out of sequence")
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression. The classic trap is the code-width
+    off-by-one: the DECODER's table lags the encoder's by one entry, so
+    the encoder here tracks a simulated decoder ``next_code`` and grows
+    the emit width exactly when the decoder will — no width rule guessed
+    from folklore. Emits a clear code when the table saturates at 4096.
+    """
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    width = min_code_size + 1
+    dec_next = end + 1
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits, width, dec_next, first_after_clear
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+        # simulate the decoder: every code after the first (post-clear)
+        # adds one table entry; width grows when ITS table fills
+        if code == clear:
+            width = min_code_size + 1
+            dec_next = end + 1
+            first_after_clear = True
+        elif code != end:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                dec_next += 1
+                if dec_next == (1 << width) and width < 12:
+                    width += 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    enc_next = end + 1
+    emit(clear)
+    s = b""
+    for b in data:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        emit(table[s])
+        if enc_next < 4096:
+            table[c] = enc_next
+            enc_next += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            enc_next = end + 1
+        s = bytes([b])
+    if s:
+        emit(table[s])
+    emit(end)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace passes: (row offset, row step) in storage order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """Display-row index of each stored row, in storage order."""
+    return [
+        r for off, step in _GIF_INTERLACE for r in range(off, height, step)
+    ]
+
+
+def _decode_gif_rgb(payload: bytes):
+    """Decode the first frame of a GIF87a/GIF89a payload to HxWx3 uint8
+    RGB — the fifth dependency-free image branch (LZW + palette +
+    optional interlace). Animation is out of scope by design: the
+    pipeline treats a GIF as a still (frame 1), like most thumbnailers.
+    Malformed/truncated payloads return None → capability gate."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        _w, _h, packed = struct.unpack_from("<HHB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(
+                payload, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        while pos < len(payload):
+            b0 = payload[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer before any image frame
+                return None
+            if b0 == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            _left, _top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos
+            )
+            pos += 9
+            if iw <= 0 or ih <= 0:
+                return None
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                ct = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                return None
+            data = bytearray()
+            while True:
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                data += payload[pos : pos + blen]
+                pos += blen
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs), dtype=np.uint8
+            )
+            if idx.size < iw * ih:
+                return None
+            idx = idx[: iw * ih]
+            if int(idx.max()) >= ct.shape[0]:
+                return None
+            img = ct[idx].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: stored row k is display
+                order = np.array(_gif_interlace_order(ih))
+                out = np.empty_like(img)  # row order[k]
+                out[order] = img
+                img = out
+            return np.ascontiguousarray(img)
+        return None
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def _encode_gif(rgb, interlace: bool = False) -> bytes:
+    """Encode HxWx3 uint8 RGB as a single-frame GIF89a (≤256 distinct
+    colors — the format's own constraint; no quantizer here, fixtures
+    are palette-sized by construction). The sink half that makes the
+    GIF decoder self-testing, like the JPEG/G.711 encoder halves."""
+    import struct
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    colors, inv = np.unique(
+        rgb.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ValueError("GIF encoder requires <= 256 distinct colors")
+    size_exp = max(1, int(len(colors) - 1).bit_length())  # 2^exp slots
+    n_slots = 1 << size_exp
+    pal = np.zeros((n_slots, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx = inv.astype(np.uint8).reshape(h, w)
+    ipacked = 0
+    if interlace:
+        idx = idx[np.array(_gif_interlace_order(h))]
+        ipacked |= 0x40
+    mcs = max(2, size_exp)
+    data = _gif_lzw_encode(idx.tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _encode_jpeg(
     rgb,
     subsample: bool = False,
@@ -839,14 +1081,59 @@ def _image_features(rgb) -> list[float]:
     return [round(v, 6) for v in feats[:FEATURE_DIM]]
 
 
+def _g711_expand_table(law: int):
+    """256-entry uint8→int16 expansion table for G.711 companded audio
+    (public spec: ITU-T G.711, 1972) — ``law`` is the WAVE format code,
+    6 = A-law, 7 = μ-law. Built with the textbook segment/mantissa
+    arithmetic; table lookup vectorizes the decode to one numpy index.
+    """
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        if law == 7:  # μ-law
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            val = 0x84 - t if (u & 0x80) else t - 0x84
+        else:  # A-law
+            a = code ^ 0x55
+            seg = (a & 0x70) >> 4
+            t = (a & 0x0F) << 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            val = t if (a & 0x80) else -t
+        out[code] = val
+    return out
+
+
+def _g711_compress(samples16, law: int):
+    """int16 → G.711 code bytes (the encoder half, used to synthesize
+    self-testing fixtures exactly like the JPEG/PPM encoders): for each
+    sample, pick the code whose expansion is nearest — tiny alphabets
+    make exhaustive nearest-code search exact and dependency-free."""
+    import numpy as np
+
+    table = _g711_expand_table(law).astype(np.int32)
+    # argmin over the 256 expansions per sample (fixture-scale encoder)
+    diffs = np.abs(
+        samples16.astype(np.int32)[:, None] - table[None, :]
+    )
+    return diffs.argmin(axis=1).astype(np.uint8).tobytes()
+
+
 def _decode_audio_wav(payload: bytes):
-    """Decode a RIFF/WAVE PCM payload to ``(samples, sample_rate)`` —
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)`` —
     ``samples`` a float64 numpy array in [-1, 1] (channels averaged).
 
-    Dependency-free parse of the uncompressed case (PCM format 1, 8- or
-    16-bit), the audio analogue of the binary-PPM image branch. Any
-    other format or a truncated/malformed payload returns None so the
-    caller's capability gate fires instead of a parse exception.
+    Dependency-free parse of linear PCM (format 1, 8- or 16-bit) plus
+    the two classic telephony companding formats, A-law (6) and μ-law
+    (7), expanded through the G.711 tables. Any other format or a
+    truncated/malformed payload returns None so the caller's capability
+    gate fires instead of a parse exception.
     """
     import struct
 
@@ -870,14 +1157,24 @@ def _decode_audio_wav(payload: bytes):
                     _block_align,
                     bits,
                 ) = struct.unpack_from("<HHIIHH", body, 0)
-                if audio_format != 1 or n_channels < 1:
+                if audio_format not in (1, 6, 7) or n_channels < 1:
                     return None
-                fmt = (n_channels, sample_rate, bits)
+                fmt = (audio_format, n_channels, sample_rate, bits)
             elif cid == b"data":
                 if fmt is None:
                     return None
-                n_channels, sample_rate, bits = fmt
-                if bits == 16:
+                audio_format, n_channels, sample_rate, bits = fmt
+                if audio_format in (6, 7):
+                    if bits != 8:
+                        return None
+                    table = _g711_expand_table(audio_format)
+                    raw = (
+                        table[np.frombuffer(body, dtype=np.uint8)].astype(
+                            np.float64
+                        )
+                        / 32768.0
+                    )
+                elif bits == 16:
                     raw = np.frombuffer(
                         body, dtype="<i2", count=len(body) // 2
                     ).astype(np.float64) / 32768.0
@@ -950,8 +1247,10 @@ def decode_payload(payload: bytes, modality: str, fake_codec: bool) -> list[floa
         "real decode for this payload requires codec libraries "
         "(PIL/libav) not present in this environment; supported without "
         "them: binary PPM (P6), uncompressed BI_RGB BMP, 8-bit "
-        "non-interlaced PNG, and baseline sequential JPEG images, "
-        "RIFF/WAVE PCM audio, and (via frame_sample) YUV4MPEG2 video. "
+        "non-interlaced PNG, baseline sequential JPEG, and GIF87a/89a "
+        "(LZW, incl. interlace) images, "
+        "RIFF/WAVE PCM and G.711 A-law/mu-law audio, and (via "
+        "frame_sample) YUV4MPEG2 video. "
         "Pass fake_codec=True for the deterministic stand-in."
     )
 

@@ -926,3 +926,159 @@ def test_streaming_cms_matches_batch(spark, sf_small):
     }
     for token, est in dist.items():
         assert cms.estimate(token) == est, token
+
+
+def _wav_g711_bytes(codes: bytes, law: int, rate=8000) -> bytes:
+    """RIFF/WAVE payload holding G.711 code bytes (format 6=A-law,
+    7=mu-law, 8 bits per sample)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", law, 1, rate, rate, 1, 8)
+    data = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+@pytest.mark.parametrize("law", [6, 7])
+def test_wav_g711_roundtrip_decodes(law):
+    """G.711 companded audio: compress a known int16 ramp with the
+    encoder half, decode the WAV through the real audio branch, and
+    check the expansion is (a) monotone in the input, (b) within the
+    G.711 quantization error (max segment step / 2), and (c) near-exact
+    at small amplitudes where the companding grid is dense."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    ramp = np.linspace(-30000, 30000, 601).astype(np.int16)
+    codes = mm._g711_compress(ramp, law)
+    wav = _wav_g711_bytes(codes, law)
+    out = mm._decode_audio_wav(wav)
+    assert out is not None
+    samples, rate = out
+    assert rate == 8000 and samples.shape == (601,)
+    rec = samples * 32768.0
+    # monotone (nearest-code companding preserves order on a ramp)
+    assert (np.diff(rec) >= 0).all()
+    # max quantization error: top mu-law segment step is 8031/128*...;
+    # both laws stay under ~1024 for |x| <= 30000
+    assert np.abs(rec - ramp).max() < 1024
+    # near zero both laws' grids are dense: step 16 → nearest-code
+    # error ≤ 8 (mu-law segment 0 step is 8, A-law is 16)
+    small = np.abs(ramp) <= 120
+    assert small.any()
+    assert np.abs(rec - ramp)[small].max() <= 8
+
+
+def test_wav_g711_silence_and_gate():
+    """The all-silence code decodes to ~0, and a G.711 chunk claiming
+    16-bit samples is rejected to the gate (malformed, not crashed)."""
+    import struct
+
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    for law in (6, 7):
+        zero_code = mm._g711_compress(np.zeros(8, dtype=np.int16), law)
+        samples, _ = mm._decode_audio_wav(_wav_g711_bytes(zero_code, law))
+        assert np.abs(samples).max() * 32768.0 <= 8
+        bad = _wav_g711_bytes(zero_code, law).replace(
+            struct.pack("<HHIIHH", law, 1, 8000, 8000, 1, 8),
+            struct.pack("<HHIIHH", law, 1, 8000, 8000, 1, 16),
+            1,
+        )
+        assert mm._decode_audio_wav(bad) is None
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless (palette + LZW): encode→decode must reproduce
+    every pixel exactly, interlaced or not, across palette sizes that
+    exercise 1..8-bit codes."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for n_colors, (h, w) in [(2, (5, 7)), (7, (23, 40)), (250, (61, 53))]:
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, (h, w))
+        img = pal[idx]
+        for interlace in (False, True):
+            payload = mm._encode_gif(img, interlace=interlace)
+            out = mm._decode_gif_rgb(payload)
+            assert out is not None and out.shape == img.shape
+            assert (out == img).all(), (n_colors, h, w, interlace)
+            # and through the shared dispatcher
+            assert (mm._decode_image_rgb(payload) == img).all()
+
+
+def test_gif_lzw_width_growth_and_table_saturation():
+    """A 256-color noise image forces the code width through every stop
+    to 12 bits and past the 4096-entry table reset (clear-code path);
+    the round trip must stay bit-exact."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    pal = np.stack(
+        [np.arange(256), np.arange(256)[::-1], np.zeros(256)], axis=1
+    ).astype(np.uint8)
+    idx = rng.integers(0, 256, (120, 130))
+    img = pal[idx]
+    payload = mm._encode_gif(img)
+    out = mm._decode_gif_rgb(payload)
+    assert out is not None and (out == img).all()
+
+
+def test_gif_hand_packed_spec_fixture():
+    """A 2×2 two-color GIF hand-packed from the spec (LSB-first codes,
+    width growing 3→4 bits when the decoder table hits 8 entries) —
+    independent of the encoder, so a symmetric encoder/decoder bug
+    cannot hide here. Codes: clear(4),0,1,1 at 3 bits, then 0,end(5)
+    at 4 bits → bytes 44 02 05."""
+    import struct
+
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)  # GCT, 2 entries
+    payload += bytes([255, 0, 0, 0, 0, 255])  # 0=red, 1=blue
+    payload += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    payload += bytes([2])  # min code size
+    data = b"\x44\x02\x05"
+    payload += bytes([len(data)]) + data + b"\x00\x3b"
+    out = mm._decode_gif_rgb(bytes(payload))
+    expect = np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert out is not None and (out == expect).all()
+
+
+def test_gif_malformed_payloads_hit_gate_not_parse_error():
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[::2] = 200
+    good = mm._encode_gif(img)
+    malformed = [
+        b"GIF89a",                      # truncated at header
+        good[:20],                      # truncated in palette
+        good[:6] + b"\x3b",             # trailer, no frame
+        good.replace(b"\x02", b"\x01", 1)[:len(good)],  # corrupt LSD
+        good[:-10],                     # truncated pixel data
+    ]
+    for payload in malformed:
+        assert mm._decode_gif_rgb(bytes(payload)) is None
+    # animation-adjacent: a graphic-control extension before the frame
+    # must be skipped, not decoded (header 13 + 2-slot palette 6 = 19)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ext = good[:19] + gce + good[19:]
+    out = mm._decode_gif_rgb(bytes(ext))
+    assert out is not None and (out == img).all()
