@@ -612,10 +612,19 @@ def _decode_bmp_rgb(payload: bytes):
         return None
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
     """GIF-variant LZW decompression (public spec: GIF89a appendix F):
     LSB-first bit packing, clear/end control codes, code width growing
-    from min_code_size+1 up to 12 bits."""
+    from min_code_size+1 up to 12 bits.
+
+    ``max_out`` caps the decompressed size: LZW amplification is
+    unbounded (KwKwK chains re-armed by clear codes turn a KB-scale
+    payload into GBs), so the caller passes the pixel count it actually
+    needs and decoding STOPS once that many bytes exist — a conforming
+    stream is unaffected (it ends there anyway), while a malicious one
+    can no longer OOM-kill the executor it runs on."""
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -654,6 +663,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
                 width += 1
         out += entry
         prev = entry
+        if max_out is not None and len(out) >= max_out:
+            break
     return bytes(out)
 
 
@@ -794,7 +805,8 @@ def _decode_gif_rgb(payload: bytes):
                 data += payload[pos : pos + blen]
                 pos += blen
             idx = np.frombuffer(
-                _gif_lzw_decode(bytes(data), mcs), dtype=np.uint8
+                _gif_lzw_decode(bytes(data), mcs, max_out=iw * ih),
+                dtype=np.uint8,
             )
             if idx.size < iw * ih:
                 return None

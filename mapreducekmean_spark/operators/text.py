@@ -594,11 +594,17 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     from pyspark.sql import Window
 
     n_tok = F.size(tokens("text")).cast("bigint")
+    # floor (not truncate-toward-zero) keeps every bucket exactly
+    # PACK_BUCKET_DOCS ids wide even for negative doc_ids; the double
+    # division inside floor() is exact for |doc_id| < 2^53 — petascale
+    # headroom the docstring's bounded-window guarantee relies on
     d = docs.select(
         "doc_id",
         "source",
         n_tok.alias("n_tok"),
-        (F.col("doc_id") / PACK_BUCKET_DOCS).cast("bigint").alias("bkt"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_DOCS)
+        .cast("bigint")
+        .alias("bkt"),
     )
     per_bucket = d.groupBy("source", "bkt").agg(
         F.sum("n_tok").alias("bkt_tok")
@@ -626,12 +632,14 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             F.col("bkt_off") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0))
         ).alias("start_tok"),
     )
+    # start_tok is a token-count prefix sum (always >= 0), so floor
+    # division matches the DuckDB twin's integer `//` exactly; exact in
+    # doubles to 2^53 tokens (~9 petatokens per source)
     b = F.lit(int(budget)).cast("bigint")
     has = F.col("n_tok") > 0
-    fs = F.when(has, ((F.col("start_tok") - F.col("start_tok") % b) / b)
-                .cast("bigint"))
+    fs = F.when(has, F.floor(F.col("start_tok") / b).cast("bigint"))
     last_raw = F.col("start_tok") + F.col("n_tok") - 1
-    ls = F.when(has, ((last_raw - last_raw % b) / b).cast("bigint"))
+    ls = F.when(has, F.floor(last_raw / b).cast("bigint"))
     return placed.select(
         "doc_id",
         "source",

@@ -37,8 +37,10 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "read_bucketed",
     "read_points_csv",
     "register_points_source",
+    "write_bucketed",
     "archive_iteration",
     "read_archive",
     "write_csv",

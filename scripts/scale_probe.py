@@ -360,16 +360,16 @@ def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
     # realistic fact width: a ~120-byte payload string per row, so the
     # avoided shuffle moves fact-table volume, not just two ints
     fact = spark.range(n_rows).select(
-        (Fn.col("id") % (n_rows // 4)).alias("k"),
-        (Fn.col("id") * 7 % 1000).alias("v"),
-        Fn.concat(
-            Fn.lit("payload-"), Fn.md5(Fn.col("id").cast("string")),
-            Fn.lit("-"), Fn.md5((Fn.col("id") + 1).cast("string")),
-            Fn.lit("-"), Fn.md5((Fn.col("id") + 2).cast("string")),
+        (F.col("id") % (n_rows // 4)).alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.concat(
+            F.lit("payload-"), F.md5(F.col("id").cast("string")),
+            F.lit("-"), F.md5((F.col("id") + 1).cast("string")),
+            F.lit("-"), F.md5((F.col("id") + 2).cast("string")),
         ).alias("payload"),
     )
     dim = spark.range(n_rows // 4).select(
-        Fn.col("id").alias("k"), (Fn.col("id") % 97).alias("grp")
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
     )
     plain_fact = f"{BASE}/bkt_fact_plain"
     plain_dim = f"{BASE}/bkt_dim_plain"
@@ -397,8 +397,8 @@ def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
                 f.join(d, "k")
                 .groupBy("grp")
                 .agg(
-                    Fn.sum("v").alias("s"),
-                    Fn.sum(Fn.length("payload")).alias("pl"),
+                    F.sum("v").alias("s"),
+                    F.sum(F.length("payload")).alias("pl"),
                 )
                 .count()
             )

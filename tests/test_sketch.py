@@ -14,7 +14,7 @@ from mapreducekmean_spark.operators.sketch import (
     cms_estimate,
     cms_heavy_hitters,
 )
-from mapreducekmean_spark.operators.text import documents
+from mapreducekmean_spark.operators.text import documents, tokens
 
 
 def test_cms_never_undercounts_and_covers_heavy_hitters(spark, sf_oracle):
@@ -26,12 +26,7 @@ def test_cms_never_undercounts_and_covers_heavy_hitters(spark, sf_oracle):
 
     # superset property: every TRUE heavy hitter appears
     ex = (
-        docs
-        .select(
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-            ).alias("token")
-        )
+        docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .count()
     )
@@ -47,13 +42,7 @@ def test_cms_counter_table_bounded_and_mass_conserving(spark, sf_oracle):
     docs = documents(spark, sf_oracle)
     c = cms_counters(docs).collect()
     assert len(c) <= CMS_DEPTH * 16**CMS_WIDTH_HEX
-    n_tok = docs.select(
-        F.sum(
-            F.size(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-            )
-        )
-    ).collect()[0][0]
+    n_tok = docs.select(F.sum(F.size(tokens("text")))).collect()[0][0]
     by_j: dict = {}
     for r in c:
         by_j[r.j] = by_j.get(r.j, 0) + r.cnt
@@ -78,11 +67,7 @@ def test_cms_estimates_match_duckdb_twin(spark, sf_oracle):
     reproduce every per-token estimate bit-for-bit."""
     docs = documents(spark, sf_oracle)
     counters = cms_counters(docs)
-    ex = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("token")
-    ).distinct()
+    ex = docs.select(F.explode(tokens("text")).alias("token")).distinct()
     got = {
         r.token: r.est for r in cms_estimate(ex, counters).collect()
     }

@@ -909,12 +909,10 @@ def test_streaming_cms_matches_batch(spark, sf_small):
     cms2.run(read_documents_stream(spark, sf_small))
     assert cms2.counters == whole
 
+    from mapreducekmean_spark.operators.text import tokens
+
     some = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-            ).alias("token")
-        )
+        docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .count()
         .orderBy(F.desc("count"), "token")
@@ -1082,3 +1080,35 @@ def test_gif_malformed_payloads_hit_gate_not_parse_error():
     ext = good[:19] + gce + good[19:]
     out = mm._decode_gif_rgb(bytes(ext))
     assert out is not None and (out == img).all()
+
+
+def test_gif_lzw_bomb_bounded_by_pixel_count():
+    """A payload whose LZW stream would expand to a megabyte while the
+    header declares a 2×2 frame must decode bounded: the decoder stops
+    at the declared pixel count instead of materializing the bomb
+    (KwKwK amplification is unbounded without the cap)."""
+    import struct
+
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    bomb_indices = bytes(1 << 20)  # 1M zero pixels, compresses tiny
+    data = mm._gif_lzw_encode(bomb_indices, 2)
+    assert len(data) < 8192  # the stream itself is small
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    payload += bytes([10, 20, 30, 40, 50, 60])  # 2-color palette
+    payload += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    payload += bytes([2])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        payload += bytes([len(chunk)]) + chunk
+    payload += b"\x00\x3b"
+    out = mm._decode_gif_rgb(bytes(payload))
+    assert out is not None and out.shape == (2, 2, 3)
+    assert (out == np.array([10, 20, 30], dtype=np.uint8)).all()
+    # the raw decoder honors the cap directly (allowing a final entry
+    # to overshoot by at most its own length)
+    raw = mm._gif_lzw_decode(data, 2, max_out=4)
+    assert 4 <= len(raw) < 4 + 4096
