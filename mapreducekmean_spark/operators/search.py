@@ -1,0 +1,110 @@
+"""Full-text ranked retrieval — BM25 over the ``documents`` table.
+
+The reference engine has no text search (its only string op is CSV
+splitting, ``/root/reference/src/MapReduceKMean/PointsMapper.java:61``);
+this module adds the classic lexical-retrieval primitive (Robertson's
+Okapi BM25, public since TREC-3 1994) that a corpus pipeline uses for
+"find documents like/about X" — the retrieval half of a RAG stack, and
+the standard baseline embedding search (``operators/similarity.py``) is
+judged against.
+
+Spark shape, designed for the 100 TB corpus:
+- the per-(doc, term) term-frequency table is one explode + one
+  partial/final aggregate on (doc_id, term) — stopword skew is absorbed
+  map-side exactly as in ``word_count``;
+- document frequencies and corpus stats aggregate from that tf table
+  (vocabulary-sized, uniform term keys);
+- a query is a HANDFUL of terms: the term list broadcasts as a literal
+  filter pushed to the tf scan, the per-term idf table broadcasts into
+  the join, and the final score is one aggregate per candidate doc +
+  top-n — so query cost scales with the POSTINGS of the query terms,
+  never the corpus. Batch-scoring many queries reuses the same tf
+  table (pass ``tf=`` precomputed, the inverted-index analogue of a
+  bucketed layout).
+
+No Python UDFs anywhere; ``ln`` makes scores float (not cross-engine
+hashable), so the suite pins this module with a pure-Python reference
+implementation in pytest rather than a DuckDB value-hash twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_frequencies(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) + per-doc length — the materializable index."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    top_n: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``top_n`` documents for ``query`` by BM25.
+
+    idf uses the standard +1-smoothed form (always positive):
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``. Ties break by doc_id
+    ascending so results are deterministic.
+    """
+    q_terms = sorted(set(t for t in query.lower().split() if t))
+    if not q_terms:
+        raise ValueError("empty query")
+    if tf is None:
+        tf = term_frequencies(docs)
+    n_docs = docs.count()  # driver scalar: one count job, k-independent
+    df_ = (
+        tf.filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = df_.select(
+        "term",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    avgdl = tf.select("doc_id", "dl").distinct().agg(
+        F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_n)
+    )

@@ -1,0 +1,86 @@
+"""BM25 retrieval: pinned to a from-scratch pure-Python reference (the
+ln() in idf is not cross-engine hashable, so the oracle discipline here
+is an independent reimplementation rather than a DuckDB twin)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from mapreducekmean_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_search,
+    term_frequencies,
+)
+from mapreducekmean_spark.operators.text import TOKEN_RE, documents
+
+
+def _bm25_reference(rows, query, k1=BM25_K1, b=BM25_B):
+    """Textbook BM25 computed with plain dicts from (doc_id, text)."""
+    toks = {d: re.findall(TOKEN_RE, t.lower()) for d, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    q_terms = sorted(set(query.lower().split()))
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in q_terms
+    }
+    out = {}
+    for d, v in toks.items():
+        s, matched = 0.0, 0
+        for q in q_terms:
+            tf = v.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(v) / avgdl)
+            )
+        if matched:
+            out[d] = (round(s, 6), matched)
+    return out
+
+
+def test_bm25_matches_pure_python_reference(spark, sf_oracle):
+    docs = documents(spark, sf_oracle)
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    query = "table scan window"
+    ref = _bm25_reference(rows, query)
+    got = bm25_search(docs, query, top_n=25).collect()
+    assert len(got) == 25 and len(ref) >= 25
+    ranked = sorted(
+        ref.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:25]
+    for r, (d, (score, matched)) in zip(got, ranked):
+        assert r.doc_id == d
+        assert r.n_matched_terms == matched
+        assert r.score == pytest.approx(score, abs=2e-6)
+
+
+def test_bm25_prefers_matching_docs_and_is_deterministic(spark, sf_oracle):
+    docs = documents(spark, sf_oracle)
+    a = [tuple(r) for r in bm25_search(docs, "customer query", 10).collect()]
+    b = [tuple(r) for r in bm25_search(docs, "customer query", 10).collect()]
+    assert a == b and len(a) == 10
+    assert all(r[1] > 0 for r in a)  # positive scores (smoothed idf)
+
+
+def test_bm25_reuses_precomputed_tf(spark, sf_oracle):
+    """Batch-query mode: passing the materialized tf table must change
+    nothing about the results (the inverted-index reuse path)."""
+    docs = documents(spark, sf_oracle)
+    tf = term_frequencies(docs).localCheckpoint()
+    a = [tuple(r) for r in bm25_search(docs, "vector data", 15).collect()]
+    c = [
+        tuple(r)
+        for r in bm25_search(docs, "vector data", 15, tf=tf).collect()
+    ]
+    assert a == c
+
+
+def test_bm25_empty_query_raises(spark, sf_oracle):
+    with pytest.raises(ValueError):
+        bm25_search(documents(spark, sf_oracle), "   ")
