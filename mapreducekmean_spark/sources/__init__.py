@@ -20,6 +20,7 @@ from mapreducekmean_spark.sources.readers import (
 from mapreducekmean_spark.sources.bucketing import (
     read_bucketed,
     write_bucketed,
+    write_partitioned,
 )
 from mapreducekmean_spark.sources.points_datasource import (
     register as register_points_source,
@@ -41,6 +42,7 @@ __all__ = [
     "read_points_csv",
     "register_points_source",
     "write_bucketed",
+    "write_partitioned",
     "archive_iteration",
     "read_archive",
     "write_csv",

@@ -81,3 +81,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back through the catalog (the only path
     that preserves the bucket layout for join planning)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out as ``col=value`` partition directories —
+    the OTHER write-time layout tool next to :func:`write_bucketed`:
+    bucketing kills the shuffle for key joins/aggs, partitioning kills
+    the SCAN for selective filters. A predicate on a partition column
+    never opens non-matching files at all (``PartitionFilters`` in the
+    plan, checked by ``tests/test_plans.py``); at 100 TB a day's query
+    over a date-partitioned events table reads one directory, not the
+    table. Choose LOW-cardinality columns (date, region, source) —
+    every distinct value is a directory, and millions of tiny
+    partitions destroy the scan they were meant to save.
+    """
+    cols = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

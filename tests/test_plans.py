@@ -429,3 +429,29 @@ def test_bucketed_join_and_agg_no_exchange(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_od_bkt")
+
+
+def test_partitioned_layout_prunes_scan(spark, sf_small, tmp_path):
+    """A filter on a partition column must prune at the DIRECTORY level:
+    the plan's PartitionFilters carries the predicate, the data filter
+    list does not, and the pruned scan reads only matching partitions'
+    rows — equal to filtering the unpartitioned table."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import load_table, write_partitioned
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, "day")
+    some_day = ev.select("day").orderBy("day").first()["day"]
+
+    part = spark.read.parquet(path).filter(F.col("day") == some_day)
+    plan = _plan(part)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day" in m.group(1), plan
+    expected = ev.filter(F.col("day") == some_day).count()
+    assert part.count() == expected > 0
