@@ -408,15 +408,10 @@ class StreamingCMS:
     def estimate(self, token: str) -> int:
         import hashlib
 
+        h = hashlib.md5(token.encode()).hexdigest()
         return min(
             self.counters.get(
-                (
-                    j,
-                    hashlib.md5(
-                        f"{j}:{token}".encode()
-                    ).hexdigest()[: self.width_hex],
-                ),
-                0,
+                (j, h[j * self.width_hex : (j + 1) * self.width_hex]), 0
             )
             for j in range(self.depth)
         )

@@ -348,6 +348,57 @@ def probe_textops(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+def probe_sketch(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """The count-min sketch's fixed-state claim, measured: at 500k docs
+    (~27M tokens) the counter table must still be ≤ depth × width rows
+    (the shuffle payload bound), while exact word_count's shuffle keys
+    scale with vocabulary. Also times one BM25 query against the same
+    corpus — query cost is bound by the query terms' postings."""
+    from mapreducekmean_spark.operators.search import bm25_search
+    from mapreducekmean_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH_HEX,
+        cms_counters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    cms_counters(big).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    rows = cms_counters(big).count()
+    dt = time.perf_counter() - t0
+    assert rows <= CMS_DEPTH * 16**CMS_WIDTH_HEX
+    results["cms_counters"] = {
+        "docs": n,
+        "counter_rows": rows,
+        "state_bound": CMS_DEPTH * 16**CMS_WIDTH_HEX,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+    from mapreducekmean_spark.operators.search import term_frequencies
+
+    t0 = time.perf_counter()
+    tf = term_frequencies(big).localCheckpoint()  # the reusable index
+    tf.count()
+    t_index = time.perf_counter() - t0
+    bm25_search(big, "table scan window", 10, tf=tf).collect()  # warm
+    t0 = time.perf_counter()
+    top = bm25_search(big, "table scan window", 10, tf=tf).collect()
+    t_query = time.perf_counter() - t0
+    results["bm25"] = {
+        "docs": n,
+        "index_build_sec": round(t_index, 2),
+        "query_sec": round(t_query, 2),
+        "top_n": len(top),
+    }
+
+
 def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
     """Shuffle-once-at-write: a 10M×2.5M equi-join re-run both ways —
     plain parquet (shuffles both sides every run) vs bucketed tables
@@ -668,7 +719,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing (default: all)",
+        "textops,bucketing,sketch (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -681,6 +732,7 @@ def main() -> None:
         "decon",
         "textops",
         "bucketing",
+        "sketch",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -706,6 +758,8 @@ def main() -> None:
         probe_textops(spark, results, args.sf_dir)
     if "bucketing" in only:
         probe_bucketing(spark, results)
+    if "sketch" in only:
+        probe_sketch(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

@@ -85,14 +85,13 @@ WITH tok AS (
 ),
 js AS (SELECT unnest([0, 1, 2, 3]) AS j),
 jb AS (
-  SELECT j, substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 2) AS bucket
+  SELECT j, substr(md5(w), 1 + j * 2, 2) AS bucket
   FROM tok CROSS JOIN js
 ),
 c AS (SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2),
 ex AS (SELECT DISTINCT w AS token FROM tok),
 q AS (
-  SELECT token, j,
-         substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 2) AS bucket
+  SELECT token, j, substr(md5(token), 1 + j * 2, 2) AS bucket
   FROM ex CROSS JOIN js
 )
 SELECT q.token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
