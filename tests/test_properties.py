@@ -402,3 +402,90 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
     )
     ref = np.clip(np.round(ref), 0, 255)
     assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 3
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-3000, max_value=3000),  # doc_id
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=150),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_sequences_matches_naive_python(spark, rows):
+    """The two-level distributed prefix sum against a dict-based running
+    sum, over arbitrary (including negative) doc_ids that land in
+    arbitrary buckets — placement algebra must agree exactly."""
+    from mapreducekmean_spark.operators.text import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, s, " ".join(["w"] * n)) for d, s, n in rows],
+        "doc_id bigint, source string, text string",
+    )
+    got = {r.doc_id: r for r in pack_sequences(docs).collect()}
+    cum: dict = {}
+    for d, s, n in sorted(rows):
+        start = cum.get(s, 0)
+        cum[s] = start + n
+        r = got[d]
+        assert (r.n_tok, r.start_tok) == (n, start), (d, s)
+        if n == 0:
+            assert r.first_seq is None and r.n_seqs == 0
+        else:
+            assert r.first_seq == start // PACK_BUDGET
+            assert r.last_seq == (start + n - 1) // PACK_BUDGET
+            assert r.seq_offset == start % PACK_BUDGET
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cms_never_undercounts_property(spark, texts):
+    """CMS guarantee over arbitrary tiny-alphabet corpora (maximal
+    bucket collisions): estimate >= exact count for EVERY token, and
+    per-hash-row mass equals the token total."""
+    import re
+
+    from mapreducekmean_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from mapreducekmean_spark.operators.text import TOKEN_RE
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    exact: dict = {}
+    for t in texts:
+        for w in re.findall(TOKEN_RE, t.lower()):
+            exact[w] = exact.get(w, 0) + 1
+    counters = cms_counters(docs)
+    if not exact:
+        assert counters.count() == 0
+        return
+    q = spark.createDataFrame(
+        [(w,) for w in exact], "token string"
+    )
+    got = {r.token: r.est for r in cms_estimate(q, counters).collect()}
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert got[w] >= n, w
+    total = sum(exact.values())
+    per_row: dict = {}
+    for r in counters.collect():
+        per_row[r.j] = per_row.get(r.j, 0) + r.cnt
+    assert all(v == total for v in per_row.values())
