@@ -19,6 +19,7 @@ from mapreducekmean_spark.sources.readers import (
 )
 from mapreducekmean_spark.sources.bucketing import (
     read_bucketed,
+    upsert_partitions,
     write_bucketed,
     write_partitioned,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_bucketed",
+    "upsert_partitions",
     "read_points_csv",
     "register_points_source",
     "write_bucketed",

@@ -106,3 +106,39 @@ def write_partitioned(
         else list(partition_cols)
     )
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def upsert_partitions(
+    updates: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+) -> None:
+    """Partition-level upsert: replace exactly the ``col=value``
+    directories present in ``updates``, leave every other partition's
+    files untouched — Spark's dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``), scoped to this one write.
+
+    This is the idempotent-backfill primitive a 100 TB pipeline runs
+    daily: recompute one day (or source, or shard), write it, and the
+    job can crash-and-rerun without corrupting neighbors or needing a
+    table-wide rewrite. Contrast with static overwrite mode (the
+    default), where ``mode("overwrite")`` would DELETE the whole table
+    first — the classic foot-gun this helper exists to scope away.
+    Row-level merge semantics (update-else-insert by key) need a table
+    format with a transaction log (Delta/Iceberg — out of scope here);
+    partition granularity is what plain parquet layouts can do
+    atomically-enough (per-partition directory swap).
+    """
+    cols = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    spark = updates.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        updates.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set(key, old)

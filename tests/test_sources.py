@@ -319,3 +319,54 @@ def test_load_table_timestamps_native_and_pushable(spark, sf_small):
     # (which Catalyst infers even when the comparison wraps an
     # expression and cannot push) must not satisfy this guard
     assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+
+
+def test_upsert_partitions_touches_only_named_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting day=2's data must leave
+    day=1 and day=3 byte-identical on disk, replace day=2 wholesale,
+    and restore the session's partitionOverwriteMode afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import (
+        upsert_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in (1, 2, 3) for i in range(5)],
+        "day int, id int, v double",
+    )
+    write_partitioned(base, path, "day")
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(
+                os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    before_1, before_3 = files_of(1), files_of(3)
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+
+    updates = spark.createDataFrame(
+        [(2, 99, -1.0), (2, 98, -2.0)], "day int, id int, v double"
+    )
+    upsert_partitions(updates, path, "day")
+
+    assert files_of(1) == before_1 and files_of(3) == before_3
+    got = spark.read.parquet(path)
+    assert got.filter("day = 2").count() == 2
+    assert {r.id for r in got.filter("day = 2").collect()} == {98, 99}
+    assert got.filter("day != 2").count() == 10  # neighbors intact
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == mode_before
+    )
+    # idempotent re-run: same updates, same result
+    upsert_partitions(updates, path, "day")
+    assert spark.read.parquet(path).count() == 12
