@@ -142,3 +142,79 @@ def upsert_partitions(
         updates.write.mode("overwrite").partitionBy(*cols).parquet(path)
     finally:
         spark.conf.set(key, old)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: str | list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet layout: rewrite
+    every partition's data into ``ceil(bytes / target)`` files of
+    roughly ``target_file_bytes`` each, via the same scoped dynamic
+    partition overwrite as :func:`upsert_partitions`.
+
+    Why it exists at 100 TB: streaming sinks, frequent upserts, and
+    over-parallel writers leave thousands of KB-sized files per
+    partition; every later scan then pays per-file open/footer costs
+    that dwarf the data read (the classic "small files problem").
+    Compaction is the maintenance half of the layout tools — bucketing
+    and partitioning choose WHERE rows live, compaction keeps the file
+    grain scan-friendly as the table churns.
+
+    Returns ``{"files_before": n, "files_after": m}``. The rewrite
+    reads committed data only and replaces partitions wholesale, so a
+    crash mid-compaction leaves each partition either old or new —
+    the same granularity guarantee upserts rely on.
+    """
+    import math
+    import os
+
+    cols = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+
+    def walk_stats():
+        n_files, n_bytes = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        return n_files, n_bytes
+
+    files_before, bytes_total = walk_stats()
+    df = spark.read.parquet(path)
+    n_parts = df.select(*cols).distinct().count()
+    # files per partition from the table's mean partition size; max(1)
+    per_part = max(
+        1, math.ceil(bytes_total / max(1, n_parts) / target_file_bytes)
+    )
+    from pyspark.sql import functions as F
+
+    key_cols = [F.col(c) for c in cols]
+    if per_part == 1:
+        compacted = df.repartition(n_parts, *key_cols)
+    else:
+        # hashing by the partition cols alone maps each partition VALUE
+        # to one task — it cannot split a big partition into per_part
+        # files. A row-derived salt (physical file splitting only, no
+        # semantic effect) spreads each partition over per_part tasks.
+        salt = F.pmod(
+            F.hash(F.monotonically_increasing_id()), F.lit(per_part)
+        )
+        compacted = df.repartition(
+            n_parts * per_part, *(key_cols + [salt])
+        )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        compacted.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set(key, old)
+    files_after, _ = walk_stats()
+    return {"files_before": files_before, "files_after": files_after}

@@ -370,3 +370,53 @@ def test_upsert_partitions_touches_only_named_partitions(spark, tmp_path):
     # idempotent re-run: same updates, same result
     upsert_partitions(updates, path, "day")
     assert spark.read.parquet(path).count() == 12
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
+    """Compaction over a deliberately fragmented layout (16 writer
+    tasks × 3 partitions → dozens of tiny files) must collapse to ~1
+    file per partition and leave the row multiset identical."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import compact_partitions
+
+    path = str(tmp_path / "frag")
+    base = (
+        spark.range(3000)
+        .select(
+            (F.col("id") % 3).cast("int").alias("day"),
+            F.col("id").alias("v"),
+        )
+        .repartition(16)  # fragment: every task writes to every day
+    )
+    base.write.partitionBy("day").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_partitions(spark, path, "day")
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] <= 6  # ~1 file/partition (+hash slack)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_partitions_splits_oversize_partition(spark, tmp_path):
+    """With a tiny target size the salt path splits one partition into
+    multiple files rather than collapsing everything to one."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import compact_partitions
+
+    path = str(tmp_path / "big")
+    spark.range(20000).select(
+        F.lit(1).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).coalesce(1).write.partitionBy("day").parquet(path)
+    before = sorted(
+        r.payload for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_partitions(
+        spark, path, "day", target_file_bytes=64 * 1024
+    )
+    assert stats["files_after"] > 1
+    after = sorted(r.payload for r in spark.read.parquet(path).collect())
+    assert after == before
