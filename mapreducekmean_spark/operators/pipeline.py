@@ -81,3 +81,62 @@ def corpus_clean(
 
 def corpus_clean_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_clean(tx.documents(spark, sf_dir))
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    out_path: str,
+    threshold: float = dd.VERIFY_THRESHOLD,
+) -> dict[str, int]:
+    """The WHOLE training-data run, composed end-to-end from the
+    engine's tested stages and landed as a training-ready layout:
+
+    1. staged cleaning (:func:`corpus_clean`) — quality gate → exact
+       dedup → verified MinHash near-dup;
+    2. deterministic mixture sampling (``text.dataset_mixture``) on the
+       survivors — per-source keep rates, hash-coin reproducible;
+    3. deterministic train/val/test assignment (``text.dataset_split``);
+    4. concat-and-chunk placement (``text.pack_sequences``) within each
+       split so every surviving document knows its training-sequence
+       coordinates;
+    5. partitioned parquet write (``split=...`` directories) via the
+       layout writer — the grain downstream loaders prune on.
+
+    Returns the stage funnel (counts per stage) for the run report.
+    Every stage is deterministic, so re-running over the same corpus
+    reproduces the same layout byte-for-byte file contents aside —
+    the property a resumable 100 TB ingest needs. Stage order matters
+    economically: cleaning shrinks the corpus BEFORE the per-token
+    packing pass, and packing runs per (split, source) AFTER sampling
+    so sequence ids are dense over what actually ships.
+    """
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    audit = corpus_clean(docs, threshold)
+    kept = docs.join(audit.filter("kept").select("doc_id"), "doc_id")
+    mixed = kept.join(
+        tx.dataset_mixture(kept).filter("kept").select("doc_id"), "doc_id"
+    )
+    split = tx.dataset_split(mixed).select("doc_id", "split")
+    staged = mixed.join(split, "doc_id").localCheckpoint()
+    packed = None
+    for s in ("train", "val", "test"):
+        part = tx.pack_sequences(
+            staged.filter(F.col("split") == s)
+        ).withColumn("split", F.lit(s))
+        packed = part if packed is None else packed.unionByName(part)
+    out = staged.join(
+        packed.select(
+            "doc_id", "start_tok", "first_seq", "last_seq", "n_seqs",
+            "seq_offset",
+        ),
+        "doc_id",
+    )
+    write_partitioned(out, out_path, "split")
+    funnel = {
+        "input_docs": docs.count(),
+        "after_clean": kept.count(),
+        "after_mixture": mixed.count(),
+        "written": out.count(),
+    }
+    return funnel

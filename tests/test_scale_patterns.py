@@ -148,3 +148,56 @@ def test_salted_join_bounds_max_task_input(spark):
     plain = big.join(small, "k")
     salted = salted_join(big, small, "k", n_salts=n_salts)
     assert plain.count() == salted.count() == n_hot + n_tail
+
+
+def test_prepare_training_data_end_to_end(spark, sf_oracle, tmp_path):
+    """The composed training-data run: funnel counts are coherent
+    (monotone shrink), the landed layout is split-partitioned, packing
+    coordinates are per-(split, source) consistent, and a re-run over
+    the same corpus reproduces identical rows (determinism)."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+    from mapreducekmean_spark.operators.text import documents, tokens
+
+    docs = documents(spark, sf_oracle)
+    out = str(tmp_path / "train_data")
+    funnel = prepare_training_data(docs, out)
+    assert (
+        funnel["input_docs"]
+        >= funnel["after_clean"]
+        >= funnel["after_mixture"]
+        == funnel["written"]
+        > 0
+    )
+
+    landed = spark.read.parquet(out)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == sorted(
+        "split=" + r.split for r in landed.select("split").distinct().collect()
+    )
+    # packing algebra holds within every (split, source): the stream
+    # has no holes/overlaps (same check the scale probe runs)
+    bad = (
+        landed.groupBy("split", "source")
+        .agg(
+            F.max(
+                F.col("start_tok") + F.size(tokens("text"))
+            ).alias("hi"),
+            F.sum(F.size(tokens("text"))).alias("total"),
+        )
+        .filter(F.col("hi") != F.col("total"))
+        .count()
+    )
+    assert bad == 0
+
+    out2 = str(tmp_path / "train_data_rerun")
+    prepare_training_data(docs, out2)
+    a = sorted(tuple(r) for r in landed.collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert a == b
