@@ -348,6 +348,36 @@ def probe_textops(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+def probe_pipeline(spark, results: dict, sf_dir: str, repl: int = 20) -> None:
+    """The composed training-data run (clean → mixture → split → pack →
+    partitioned write) at ``repl``× the documents table, landing real
+    parquet — the wall-clock a whole ingest pays per 100k docs, not a
+    single stage's."""
+    import shutil
+
+    from mapreducekmean_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    out = f"{BASE}/train_data_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    funnel = prepare_training_data(big, out)
+    dt = time.perf_counter() - t0
+    results["prepare_training_data"] = {
+        **funnel,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+
 def probe_sketch(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """The count-min sketch's fixed-state claim, measured: at 500k docs
     (~27M tokens) the counter table must still be ≤ depth × width rows
@@ -719,7 +749,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch (default: all)",
+        "textops,bucketing,sketch,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -733,6 +763,7 @@ def main() -> None:
         "textops",
         "bucketing",
         "sketch",
+        "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -760,6 +791,8 @@ def main() -> None:
         probe_bucketing(spark, results)
     if "sketch" in only:
         probe_sketch(spark, results, args.sf_dir)
+    if "pipeline" in only:
+        probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 
