@@ -781,7 +781,11 @@ def _decode_gif_rgb(payload: bytes):
                 "<HHHHB", payload, pos
             )
             pos += 9
-            if iw <= 0 or ih <= 0:
+            # iw/ih are attacker-controlled u16s: without a pixel-count
+            # ceiling the LZW cap below (max_out = iw*ih) is itself the
+            # bomb (65535² ≈ 4.3G bytes, tripled by palette expansion).
+            # 64 MP covers every legitimate still; beyond it → gate.
+            if iw <= 0 or ih <= 0 or iw * ih > 64_000_000:
                 return None
             ct = gct
             if ipacked & 0x80:

@@ -113,12 +113,20 @@ def prepare_training_data(
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
     audit = corpus_clean(docs, threshold)
-    kept = docs.join(audit.filter("kept").select("doc_id"), "doc_id")
-    mixed = kept.join(
-        tx.dataset_mixture(kept).filter("kept").select("doc_id"), "doc_id"
+    # one materialization of the expensive cleaning subtree: everything
+    # downstream (mixture filter, split column, three pack branches,
+    # funnel counts) reads this checkpoint, not the LSH plan again
+    kept = docs.join(
+        audit.filter("kept").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    # mixture + split are scan-site EXPRESSIONS (text.mixture_kept_col /
+    # text.split_col) — attached with filter/withColumn, never a
+    # corpus-wide self-join on doc_id
+    staged = (
+        kept.filter(tx.mixture_kept_col())
+        .withColumn("split", tx.split_col())
+        .localCheckpoint()
     )
-    split = tx.dataset_split(mixed).select("doc_id", "split")
-    staged = mixed.join(split, "doc_id").localCheckpoint()
     packed = None
     for s in ("train", "val", "test"):
         part = tx.pack_sequences(
@@ -136,7 +144,7 @@ def prepare_training_data(
     funnel = {
         "input_docs": docs.count(),
         "after_clean": kept.count(),
-        "after_mixture": mixed.count(),
+        "after_mixture": staged.count(),
         "written": out.count(),
     }
     return funnel

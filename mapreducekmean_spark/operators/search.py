@@ -19,8 +19,11 @@ Spark shape, designed for the 100 TB corpus:
   the join, and the final score is one aggregate per candidate doc +
   top-n — so query cost scales with the POSTINGS of the query terms,
   never the corpus. Batch-scoring many queries reuses the same tf
-  table (pass ``tf=`` precomputed, the inverted-index analogue of a
-  bucketed layout).
+  table AND the query-independent corpus stats (pass ``tf=`` from
+  :func:`term_frequencies` and ``n_docs``/``avgdl`` from
+  :func:`corpus_stats_for_search` — the inverted-index analogue of a
+  bucketed layout; computing them per query would make every query
+  corpus-bound).
 
 No Python UDFs anywhere; ``ln`` makes scores float (not cross-engine
 hashable), so the suite pins this module with a pure-Python reference
@@ -46,6 +49,19 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     return tf.join(dl, "doc_id")
 
 
+def corpus_stats_for_search(docs: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) — the query-independent BM25 corpus statistics,
+    computed ONCE per corpus (avgdl averages over ALL documents,
+    including zero-token ones, matching the textbook definition and
+    the pytest reference). Batch scoring passes these with the
+    precomputed tf index so per-query work is postings-bound."""
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,
@@ -53,19 +69,33 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     tf: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Top-``top_n`` documents for ``query`` by BM25.
 
     idf uses the standard +1-smoothed form (always positive):
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``. Ties break by doc_id
-    ascending so results are deterministic.
+    ascending so results are deterministic. The query is tokenized with
+    the INDEX's tokenizer (``TOKEN_RE``) — a whitespace split would
+    silently drop punctuated query terms the corpus plainly contains.
+
+    Per-query cost is postings-bound ONLY when the query-independent
+    pieces are reused: pass ``tf`` from :func:`term_frequencies` and
+    ``n_docs``/``avgdl`` from :func:`corpus_stats_for_search`; when
+    omitted they are computed here, which costs a corpus pass.
     """
-    q_terms = sorted(set(t for t in query.lower().split() if t))
+    import re
+
+    from mapreducekmean_spark.operators.text import TOKEN_RE
+
+    q_terms = sorted(set(re.findall(TOKEN_RE, query.lower())))
     if not q_terms:
         raise ValueError("empty query")
     if tf is None:
         tf = term_frequencies(docs)
-    n_docs = docs.count()  # driver scalar: one count job, k-independent
+    if n_docs is None or avgdl is None:
+        n_docs, avgdl = corpus_stats_for_search(docs)
     df_ = (
         tf.filter(F.col("term").isin(q_terms))
         .groupBy("term")
@@ -79,13 +109,9 @@ def bm25_search(
             / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    avgdl = tf.select("doc_id", "dl").distinct().agg(
-        F.avg("dl").alias("avgdl")
-    )
     scored = (
         tf.filter(F.col("term").isin(q_terms))
         .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(avgdl))
         .select(
             "doc_id",
             (
@@ -93,8 +119,7 @@ def bm25_search(
                 * (F.col("tf") * (k1 + 1))
                 / (
                     F.col("tf")
-                    + k1
-                    * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
                 )
             ).alias("s"),
         )

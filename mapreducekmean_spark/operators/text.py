@@ -180,18 +180,25 @@ def redact(docs: DataFrame) -> DataFrame:
     )
 
 
+def split_col() -> Column:
+    """The train/val/test assignment as a bare scan-site EXPRESSION
+    over ``doc_id`` — composable with ``withColumn`` so pipelines
+    attach the split without a self-join (the declared query wraps it
+    in :func:`dataset_split`)."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(h <= "b", F.lit("train"))
+        .when(h <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def dataset_split(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment from the first hex char of
     md5(doc_id): 0-b train (12/16), c-d val (2/16), e-f test (2/16).
     Pure projection — no shuffle, no RNG, identical in any engine, and
     stable when the corpus grows (a document's split never changes)."""
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(h <= "b", F.lit("train"))
-        .when(h <= "d", F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return docs.select("doc_id", split.alias("split"))
+    return docs.select("doc_id", split_col().alias("split"))
 
 
 def word_count(docs: DataFrame) -> DataFrame:
@@ -543,20 +550,33 @@ def dataset_mixture(docs: DataFrame) -> DataFrame:
     aggregate, no join, no shuffle; the verdict is computable at scan
     site. Output: one row per document with its verdict and target
     rate for audit."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(_mixture_rate(), 6).alias("target_frac"),
+        mixture_kept_col().alias("kept"),
+    )
+
+
+def _mixture_rate() -> Column:
     src_idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
-    rate = (src_idx % 4 + 1).cast("double") / 4.0
+    return (src_idx % 4 + 1).cast("double") / 4.0
+
+
+def mixture_kept_col() -> Column:
+    """The mixture-sampling verdict as a bare scan-site EXPRESSION over
+    (doc_id, source) — composable with ``filter`` so pipelines apply
+    the mixture without a self-join."""
+    src_idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     thresh_hex = F.lpad(
-        F.lower(F.hex(F.floor(rate * F.lit(float(2**32))).cast("bigint"))),
+        F.lower(
+            F.hex(F.floor(_mixture_rate() * F.lit(float(2**32))).cast("bigint"))
+        ),
         8,
         "0",
     )
     coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    return docs.select(
-        "doc_id",
-        "source",
-        F.round(rate, 6).alias("target_frac"),
-        ((src_idx % 4 == 3) | (coin_hex < thresh_hex)).alias("kept"),
-    )
+    return (src_idx % 4 == 3) | (coin_hex < thresh_hex)
 
 
 #: pack_sequences: target sequence length in tokens (stand-in for the

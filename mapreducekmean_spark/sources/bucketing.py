@@ -34,6 +34,8 @@ artifacts):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -108,6 +110,20 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to one write and restore
+    the session's prior value afterwards — shared by every helper that
+    replaces partitions in place."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def upsert_partitions(
     updates: DataFrame,
     path: str,
@@ -129,19 +145,8 @@ def upsert_partitions(
     partition granularity is what plain parquet layouts can do
     atomically-enough (per-partition directory swap).
     """
-    cols = (
-        [partition_cols]
-        if isinstance(partition_cols, str)
-        else list(partition_cols)
-    )
-    spark = updates.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
-        updates.write.mode("overwrite").partitionBy(*cols).parquet(path)
-    finally:
-        spark.conf.set(key, old)
+    with _dynamic_overwrite(updates.sparkSession):
+        write_partitioned(updates, path, partition_cols, mode="overwrite")
 
 
 def compact_partitions(
@@ -171,6 +176,15 @@ def compact_partitions(
     import math
     import os
 
+    if "://" in path:
+        # sizing below walks the LOCAL filesystem; on hdfs://s3a:// it
+        # would silently see zero files and mis-plan every partition.
+        # The remote implementation needs the Hadoop FileSystem API —
+        # an honest gate beats wrong-but-quiet behavior.
+        raise NotImplementedError(
+            "compact_partitions sizes files via the local filesystem; "
+            "remote URIs need the Hadoop FileSystem API"
+        )
     cols = (
         [partition_cols]
         if isinstance(partition_cols, str)
@@ -201,20 +215,18 @@ def compact_partitions(
     else:
         # hashing by the partition cols alone maps each partition VALUE
         # to one task — it cannot split a big partition into per_part
-        # files. A row-derived salt (physical file splitting only, no
-        # semantic effect) spreads each partition over per_part tasks.
+        # files. The salt must be DETERMINISTIC per row (a
+        # monotonically_increasing_id salt re-evaluates differently on
+        # stage retry, the SPARK-23207 row-loss class): hash every data
+        # column, so a row always lands in the same bucket. Identical
+        # rows co-locate, which only skews file sizes, never drops rows.
         salt = F.pmod(
-            F.hash(F.monotonically_increasing_id()), F.lit(per_part)
+            F.hash(*[F.col(c) for c in df.columns]), F.lit(per_part)
         )
         compacted = df.repartition(
             n_parts * per_part, *(key_cols + [salt])
         )
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         compacted.write.mode("overwrite").partitionBy(*cols).parquet(path)
-    finally:
-        spark.conf.set(key, old)
     files_after, _ = walk_stats()
     return {"files_before": files_before, "files_after": files_after}

@@ -436,7 +436,6 @@ def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
     recurring per-query cost the bucketed layout amortizes away; at
     100 TB the absolute gap scales with fact-table volume while the
     bucketed side's cost stays scan-bound."""
-    import pyspark.sql.functions as Fn
 
     # realistic fact width: a ~120-byte payload string per row, so the
     # avoided shuffle moves fact-table volume, not just two ints

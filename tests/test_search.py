@@ -13,6 +13,7 @@ from mapreducekmean_spark.operators.search import (
     BM25_B,
     BM25_K1,
     bm25_search,
+    corpus_stats_for_search,
     term_frequencies,
 )
 from mapreducekmean_spark.operators.text import TOKEN_RE, documents
@@ -68,19 +69,40 @@ def test_bm25_prefers_matching_docs_and_is_deterministic(spark, sf_oracle):
     assert all(r[1] > 0 for r in a)  # positive scores (smoothed idf)
 
 
-def test_bm25_reuses_precomputed_tf(spark, sf_oracle):
-    """Batch-query mode: passing the materialized tf table must change
-    nothing about the results (the inverted-index reuse path)."""
+def test_bm25_reuses_precomputed_index_and_stats(spark, sf_oracle):
+    """Batch-query mode: the materialized tf table plus the once-
+    computed corpus stats must change nothing about the results (the
+    postings-bound reuse path)."""
     docs = documents(spark, sf_oracle)
     tf = term_frequencies(docs).localCheckpoint()
+    n_docs, avgdl = corpus_stats_for_search(docs)
     a = [tuple(r) for r in bm25_search(docs, "vector data", 15).collect()]
     c = [
         tuple(r)
-        for r in bm25_search(docs, "vector data", 15, tf=tf).collect()
+        for r in bm25_search(
+            docs, "vector data", 15, tf=tf, n_docs=n_docs, avgdl=avgdl
+        ).collect()
     ]
     assert a == c
 
 
+def test_bm25_zero_token_docs_and_punctuated_query(spark):
+    """avgdl averages over ALL documents (including empty ones — the
+    textbook definition the reference implements), and the query is
+    tokenized with the index's tokenizer so punctuated terms still
+    match."""
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ref = _bm25_reference(rows, "apple banana")
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(docs, "apple, BANANA!", top_n=5).collect()
+    }
+    assert set(got) == set(ref)
+    for d, (score, _m) in ref.items():
+        assert got[d] == pytest.approx(score, abs=2e-6)
+
+
 def test_bm25_empty_query_raises(spark, sf_oracle):
     with pytest.raises(ValueError):
-        bm25_search(documents(spark, sf_oracle), "   ")
+        bm25_search(documents(spark, sf_oracle), "  ., ")
