@@ -455,3 +455,20 @@ def test_partitioned_layout_prunes_scan(spark, sf_small, tmp_path):
     assert m and "day" in m.group(1), plan
     expected = ev.filter(F.col("day") == some_day).count()
     assert part.count() == expected > 0
+
+
+def test_bm25_broadcasts_idf_no_corpus_shuffle_on_query(spark, sf_small):
+    """The per-query side of BM25 must broadcast the tiny idf table
+    into the postings join — never shuffle the tf index against it."""
+    from mapreducekmean_spark.operators.search import (
+        bm25_search,
+        corpus_stats_for_search,
+        term_frequencies,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+    tf = term_frequencies(docs).localCheckpoint()
+    n, a = corpus_stats_for_search(docs)
+    df = bm25_search(docs, "table scan", 5, tf=tf, n_docs=n, avgdl=a)
+    assert has_broadcast_join(df)
