@@ -427,3 +427,37 @@ class StreamingCMS:
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def stream_land_partitions(
+    stream_df: DataFrame, path: str, partition_cols: str | list[str]
+) -> None:
+    """Land a stream into a partitioned parquet layout by PER-BATCH
+    partition upsert (``foreachBatch`` → ``sources.upsert_partitions``)
+    — the idempotent-replay landing pattern for sources whose
+    partitions arrive whole (a day-file, an hourly export, a shard
+    drop): replaying a micro-batch rewrites the same partitions to the
+    same bytes instead of duplicating rows, which is how a plain
+    parquet sink gets effectively-once semantics without a transaction
+    log.
+
+    CONTRACT: each partition's data must arrive within ONE micro-batch
+    (the upsert REPLACES a partition wholesale — two batches touching
+    the same partition would keep only the later one). For streams that
+    append within a partition, use the checkpointed append sink
+    (:func:`run_to_parquet`), whose offset log provides the dedup
+    instead. Synchronous local-harness form, like the other runners.
+    """
+    from mapreducekmean_spark.sources import upsert_partitions
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _bid: upsert_partitions(df, path, partition_cols)
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1112,3 +1112,57 @@ def test_gif_lzw_bomb_bounded_by_pixel_count():
     # to overshoot by at most its own length)
     raw = mm._gif_lzw_decode(data, 2, max_out=4)
     assert 4 <= len(raw) < 4 + 4096
+
+
+def test_stream_land_partitions_idempotent_replay(spark, tmp_path):
+    """Two micro-batches with disjoint partition sets land the same
+    layout as one batch write, and replaying a batch (the crash-rerun
+    case) leaves the table unchanged instead of duplicating rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreducekmean_spark.sources import upsert_partitions
+    from mapreducekmean_spark.streaming.jobs import stream_land_partitions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, i, float(i)) for i in range(10)],
+        [(2, i, float(-i)) for i in range(7)],
+    ]
+    schema = pa.schema(
+        [("day", pa.int32()), ("id", pa.int64()), ("v", pa.float64())]
+    )
+    for bi, rows in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["day", "id", "v"]),
+                schema=schema,
+            ),
+            src / f"b{bi}.parquet",
+        )
+    out = str(tmp_path / "landed")
+    stream = (
+        spark.readStream.schema("day int, id bigint, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    stream_land_partitions(stream, out, "day")
+    landed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("day", "id", "v").collect()
+    )
+    expect = sorted((d, i, v) for b in batches for d, i, v in b)
+    assert landed == expect
+
+    # crash-rerun: replay batch 2's data as a fresh upsert → unchanged
+    replay = spark.createDataFrame(
+        batches[1], "day int, id bigint, v double"
+    )
+    upsert_partitions(replay, out, "day")
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("day", "id", "v").collect()
+    )
+    assert again == expect
