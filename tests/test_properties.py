@@ -489,3 +489,27 @@ def test_cms_never_undercounts_property(spark, texts):
     for r in counters.collect():
         per_row[r.j] = per_row.get(r.j, 0) + r.cnt
     assert all(v == total for v in per_row.values())
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    n_colors=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_property(h, w, n_colors, seed, interlace):
+    """GIF encode→decode is pixel-exact for ANY dimensions (including
+    1×1 and single-row/column edge shapes the fixed tests skip), any
+    palette size, interlaced or not."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, (h, w))]
+    out = mm._decode_gif_rgb(mm._encode_gif(img, interlace=interlace))
+    assert out is not None and out.shape == img.shape
+    assert (out == img).all()
