@@ -451,6 +451,24 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "qvec", norm2.alias("q_norm2"))
 
 
+def quantize_embeddings_serialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`quantize_embeddings` with the code vector serialized to a
+    comma-joined string — the declared-query surface. External
+    comparators that hash row values (pandas-style) cannot factorize
+    Python lists, so the declared output carries `qvec` as a string
+    (same serialization contract as `analytic.orders_list_per_customer`);
+    the raw `array<int>` form stays the library API that
+    `ann_quantized_topk` and the int64 rescoring consume."""
+    q = quantize_embeddings(spark, sf_dir)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec"),
+        "q_norm2",
+    )
+
+
 def ann_quantized_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K
 ) -> DataFrame:

@@ -155,6 +155,8 @@ def test_rotation_covers_stale_queries():
     import json
     import os
 
+    from mapreducekmean_spark import contract as c
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not arts:
@@ -165,9 +167,23 @@ def test_rotation_covers_stale_queries():
     cap = 50
     if len(stale) > cap:  # more stale than slots: rotation can't cover all
         stale = stale[:cap]
-    misplaced = [n for n in stale if names.index(n) >= cap]
+    misplaced = [
+        n for n in stale if names.index(n) >= cap and n not in c._STALE_OK
+    ]
     assert not misplaced, (
         f"queries with no row in {os.path.basename(arts[-1])} sit past the "
         f"driver's {cap}-entry check window: {misplaced}; rotate them into "
         "_CHECK_FIRST in contract.py"
     )
+    # the cap-trade list is not a free pass: every _STALE_OK entry must
+    # be value-hash green in SOME prior artifact (two-round-old evidence
+    # at worst) — anything redder than that must rotate in, not opt out.
+    for n in c._STALE_OK:
+        rows = [json.load(open(a)).get(n) for a in arts]
+        greens = [
+            r for r in rows if r and r.get("hash_match") and not r.get("err")
+        ]
+        assert greens, (
+            f"_STALE_OK exempts {n!r} from the check window but no prior "
+            "driver artifact has a green value-hash row for it"
+        )
