@@ -215,11 +215,19 @@ def embedding_near_dup(
 SEM_DUP_TAU = 0.30
 
 
+#: Per-cell row bound for semantic_dedup: within-cell work is n_cell², so
+#: Σ n_cell² is linear in n only while k tracks n and cells stay roughly
+#: this size. 100k rows ≈ 10^10 pair-dims per cell — the most one
+#: applyInPandas task should ever score.
+SEM_DUP_MAX_CELL = 100_000
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     tau: float = SEM_DUP_TAU,
     ncells: int = km.DEFAULT_K,
+    max_cell_rows: int = SEM_DUP_MAX_CELL,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: coarse-cluster embeddings into IVF
     cells (deterministic K-Means init, same quantizer as ``ivf_topk``),
@@ -238,6 +246,17 @@ def semantic_dedup(
     ``list_sum(list_transform(...))`` — so the ``sim >= tau`` verdict is
     bit-identical to the oracle. Row blocks of 1024 bound the pair
     matrix to 1024 × n_cell doubles regardless of cell size.
+
+    The linearity claim is SELF-ENFORCING, not a parameter the caller
+    must remember: one narrow count pass over the cell assignment (k
+    result rows — negligible next to the quadratic pair work it
+    protects) raises with an actionable message when any cell exceeds
+    ``max_cell_rows``, the same contract style as the
+    ``NEAR_DUP_MAX_ROWS`` brute-force guard above. Splitting an
+    oversized cell silently would change which pairs get scored (and
+    therefore the declared oracle), so the guard refuses instead and
+    tells the caller to raise ``ncells`` — the published SemDeDup recipe
+    sizes k so cells hold a roughly constant row count.
     """
     import numpy as np
     import pandas as pd
@@ -249,6 +268,24 @@ def semantic_dedup(
     bucketed = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
+    oversized = (
+        bucketed.groupBy("cell")
+        .count()
+        .filter(F.col("count") > max_cell_rows)
+        .orderBy(F.col("count").desc())
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        r = oversized[0]
+        raise ValueError(
+            f"semantic_dedup cell {r['cell']} holds {r['count']} rows, "
+            f"over the {max_cell_rows}-row per-cell bound — within-cell "
+            f"pair scoring is n_cell^2, so an unbounded cell breaks the "
+            f"sigma-n_cell^2-linear-in-n scale contract. Raise ncells "
+            f"(currently {ncells}) so cells stay bounded; k should track "
+            f"n / target_cell_rows."
+        )
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["vec_id"].to_numpy())

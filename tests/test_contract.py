@@ -132,6 +132,30 @@ def test_semantic_dedup_invariants(spark, sf_oracle):
     assert 0 < n_dups < len(rows)
 
 
+def test_semantic_dedup_cell_guard_trips_on_skew(spark, sf_small):
+    """The sigma-n_cell^2 linearity contract is self-enforcing: a
+    deliberately degenerate cell distribution (ncells=1 funnels the
+    whole fixture into ONE cell, the worst skew possible) must refuse
+    with an actionable error instead of quietly scoring a quadratic
+    cell, while the same bound that the skewed run violates passes once
+    cells are re-bounded by raising ncells."""
+    from mapreducekmean_spark.operators.similarity import semantic_dedup
+
+    with pytest.raises(ValueError, match=r"Raise ncells"):
+        semantic_dedup(spark, sf_small, ncells=1, max_cell_rows=100)
+    # same bound, enough cells: the guard's count pass finds no
+    # violation and the operator still yields the full row set.
+    ok = semantic_dedup(spark, sf_small, max_cell_rows=100)
+    n = km_embeddings_count(spark, sf_small)
+    assert ok.count() == n
+
+
+def km_embeddings_count(spark, sf_dir) -> int:
+    from mapreducekmean_spark.operators import kmeans as km
+
+    return km.embeddings(spark, sf_dir).count()
+
+
 def test_registry_order_is_exact_permutation():
     """_CHECK_FIRST/_CHECK_LAST must stay in sync with the query groups:
     the audit-priority reorder yields every declared query exactly once,
