@@ -333,7 +333,9 @@ def minhash_verified_dedup(
 
 
 def verified_pairs(
-    docs: DataFrame, threshold: float = VERIFY_THRESHOLD
+    docs: DataFrame,
+    threshold: float = VERIFY_THRESHOLD,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The verified-duplicate edge list: LSH candidates scored by true
     Jaccard, thresholded. Shared plumbing for the verdict
@@ -361,7 +363,14 @@ def verified_pairs(
             "non-positive threshold would silently change semantics "
             "(use the LSH candidate set directly for threshold 0)"
         )
-    sh_rows = gram_rows(docs).distinct().localCheckpoint()
+    # ``shingled``: an already-checkpointed distinct-gram table (same
+    # contract as minhash_signature's parameter) so callers that built
+    # one — the incremental delta path — don't tokenize twice.
+    sh_rows = (
+        gram_rows(docs).distinct().localCheckpoint()
+        if shingled is None
+        else shingled
+    )
     cand = minhash_candidate_pairs(docs, shingled=sh_rows)
     sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (

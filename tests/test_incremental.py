@@ -1,0 +1,131 @@
+"""Incremental dedup against a landed bucketed index: the
+batch-then-delta ≡ full-corpus equivalence contract, the append-only id
+guard, the upsert path, and the Exchange-free index-side plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.dedup import minhash_verified_dedup
+from mapreducekmean_spark.operators.incremental import (
+    append_to_index,
+    dedup_delta,
+    delta_candidate_pairs,
+    land_dedup_index,
+)
+from mapreducekmean_spark.operators.text import documents
+
+
+def _split(docs, lo, hi):
+    return docs.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+
+def _verdicts(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_equals_full_corpus_dedup(spark, sf_oracle, tmp_path):
+    """land(batch1); dedup_delta(batch2) must report batch2's documents
+    EXACTLY as minhash_verified_dedup over the whole corpus does —
+    same keep/drop set, same dup_of canonicals, bit-identical jaccard
+    thresholds underneath."""
+    docs = documents(spark, sf_oracle)
+    cut = docs.agg(
+        F.percentile_approx("doc_id", 0.5).alias("m")
+    ).collect()[0]["m"]
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    assert old.count() and new.count()
+
+    land_dedup_index(spark, old, "t_inc_a", str(tmp_path / "idx"))
+    got = _verdicts(dedup_delta(spark, new, "t_inc_a"))
+
+    full = minhash_verified_dedup(docs).filter(F.col("doc_id") >= cut)
+    assert got == _verdicts(full)
+
+
+def test_delta_then_append_composes_over_batches(spark, sf_oracle, tmp_path):
+    """Three-batch ingest: land batch1, delta+append batch2, delta
+    batch3 — batch3's verdicts must equal the full-corpus run's rows
+    for batch3, proving the APPEND preserves index semantics (dropped
+    docs included) across upserts."""
+    docs = documents(spark, sf_oracle)
+    qs = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    c1, c2 = int(qs[0]), int(qs[1])
+    b1 = docs.filter(F.col("doc_id") < c1)
+    b2 = _split(docs, c1, c2)
+    b3 = docs.filter(F.col("doc_id") >= c2)
+    assert b1.count() and b2.count() and b3.count()
+
+    land_dedup_index(spark, b1, "t_inc_b", str(tmp_path / "idx"))
+    dedup_delta(spark, b2, "t_inc_b").collect()  # score batch2
+    append_to_index(spark, b2, "t_inc_b")
+    got = _verdicts(dedup_delta(spark, b3, "t_inc_b"))
+
+    full = minhash_verified_dedup(docs).filter(F.col("doc_id") >= c2)
+    assert got == _verdicts(full)
+
+
+def test_delta_refuses_overlapping_id_ranges(spark, sf_oracle, tmp_path):
+    """Append-only monotone ids are a precondition, not an assumption:
+    a batch whose ids reach into the landed range must refuse with an
+    actionable error, never silently mis-orient pairs."""
+    docs = documents(spark, sf_oracle)
+    land_dedup_index(spark, docs, "t_inc_c", str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="append-only monotone ids"):
+        dedup_delta(spark, docs.limit(10), "t_inc_c")
+
+
+def test_delta_band_join_no_exchange_on_index_side(
+    spark, sf_small, tmp_path
+):
+    """The point of landing the band table bucketed by (band, bucket):
+    the candidate join against a new batch must read the index WITHOUT
+    re-shuffling it. With broadcast disabled, the only Exchange in the
+    cross-candidate join feeds the (small) batch side — the index scan
+    streams straight into the join."""
+    from mapreducekmean_spark.operators.dedup import minhash_bands
+    from mapreducekmean_spark.plans import formatted_plan
+    from mapreducekmean_spark.sources.bucketing import read_bucketed
+
+    docs = documents(spark, sf_small)
+    cut = 250
+    land_dedup_index(
+        spark, docs.filter(F.col("doc_id") < cut), "t_inc_d",
+        str(tmp_path / "idx"),
+    )
+    new = docs.filter(F.col("doc_id") >= cut)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_bucketed(spark, "t_inc_d_bands")
+        j = idx.select(
+            F.col("doc_id").alias("doc_a"), "band", "bucket"
+        ).join(
+            minhash_bands(new).select(
+                F.col("doc_id").alias("doc_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        plan = formatted_plan(j)
+        # The formatted tree prefixes every line of the join's FIRST
+        # child (the index side) with ':'; no Exchange may sit there —
+        # the bucketed scan must stream straight into the join. The
+        # batch side keeps its (unavoidable) shuffles.
+        tree = plan.split("\n\n")[0]
+        index_branch = [ln for ln in tree.splitlines() if ":" in ln]
+        assert index_branch, tree
+        assert not any("Exchange" in ln for ln in index_branch), tree
+        assert "SortMergeJoin" in tree, tree
+        assert "Bucketed: true" in plan, plan
+        # and the delta candidate set itself stays correct under the
+        # no-broadcast planner.
+        pairs = delta_candidate_pairs(spark, new, "t_inc_d")
+        assert pairs.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", old_thresh
+        )
