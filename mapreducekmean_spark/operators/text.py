@@ -380,6 +380,23 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
     embarrassingly parallel over documents. Zero-bigram documents
     (fewer than 2 tokens) report NULL fractions and are never flagged
     by them.
+
+    CONTRACT — short documents (ADVICE r5): the fraction thresholds are
+    statistically meaningless on tiny token counts (any 2-token doc has
+    top_bigram_frac = 1.0 and trips REP_TOP_BIGRAM_MAX), and Gopher
+    applies these filters ALONGSIDE a minimum-length guard, not instead
+    of one. This operator deliberately reports the raw signals for
+    every document — it is a signal computer, not a standalone keep
+    policy — and expects a length/quality gate UPSTREAM, exactly where
+    the composed pipeline puts it (``pipeline.corpus_clean`` runs
+    ``quality_score``, whose min-length bound removes tiny docs, before
+    any repetition/dedup stage). Callers using ``repetitive`` directly
+    on an ungated corpus should pre-filter short docs first
+    (``F.size(tokens("text")) >= n``); the quality gate's length band
+    (< 10 tokens forfeits the 0.25 length component) penalizes but does
+    not strictly exclude them, which is why this contract is documented
+    rather than silently re-thresholded here — the declared oracle pins
+    the raw-signal semantics.
     """
     from pyspark.sql import Window
 

@@ -168,6 +168,16 @@ def compact_partitions(
     and partitioning choose WHERE rows live, compaction keeps the file
     grain scan-friendly as the table churns.
 
+    File counts are chosen PER PARTITION from that partition's own
+    byte size (the directory walk already visits every file, so the
+    per-partition totals are free): a skewed layout — one huge
+    partition among many small ones — gets its big partition split
+    into enough files while the small ones compact to exactly one,
+    where a mean-based global choice would leave the big partition's
+    files oversized and shred the small ones (ADVICE r5). Partition
+    directory values are matched back to rows by Hive-unescaped
+    string equality on the partition columns.
+
     Returns ``{"files_before": n, "files_after": m}``. The rewrite
     reads committed data only and replaces partitions wholesale, so a
     crash mid-compaction leaves each partition either old or new —
@@ -175,6 +185,7 @@ def compact_partitions(
     """
     import math
     import os
+    import urllib.parse
 
     if "://" in path:
         # sizing below walks the LOCAL filesystem; on hdfs://s3a:// it
@@ -192,26 +203,42 @@ def compact_partitions(
     )
 
     def walk_stats():
+        """(n_files, total_bytes, {relative partition dir: bytes})."""
         n_files, n_bytes = 0, 0
+        part_bytes: dict[str, int] = {}
         for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
             for f in files:
                 if not f.startswith(("_", ".")):
+                    sz = os.path.getsize(os.path.join(root, f))
                     n_files += 1
-                    n_bytes += os.path.getsize(os.path.join(root, f))
-        return n_files, n_bytes
+                    n_bytes += sz
+                    if rel != ".":
+                        part_bytes[rel] = part_bytes.get(rel, 0) + sz
+        return n_files, n_bytes, part_bytes
 
-    files_before, bytes_total = walk_stats()
+    files_before, _bytes_total, part_bytes = walk_stats()
     df = spark.read.parquet(path)
-    n_parts = df.select(*cols).distinct().count()
-    # files per partition from the table's mean partition size; max(1)
-    per_part = max(
-        1, math.ceil(bytes_total / max(1, n_parts) / target_file_bytes)
-    )
     from pyspark.sql import functions as F
 
+    # Per-partition file counts from each partition's OWN bytes. The
+    # dir name carries the partition values Hive-escaped; unescape them
+    # to match the rows back by string equality.
+    plans: list[tuple[tuple[str, ...], int]] = []
+    for rel, nb in part_bytes.items():
+        vals = []
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                break
+            vals.append(urllib.parse.unquote(seg.split("=", 1)[1]))
+        if len(vals) == len(cols):
+            plans.append(
+                (tuple(vals), max(1, math.ceil(nb / target_file_bytes)))
+            )
+
     key_cols = [F.col(c) for c in cols]
-    if per_part == 1:
-        compacted = df.repartition(n_parts, *key_cols)
+    if not plans or all(pp == 1 for _v, pp in plans):
+        compacted = df.repartition(max(1, len(plans)), *key_cols)
     else:
         # hashing by the partition cols alone maps each partition VALUE
         # to one task — it cannot split a big partition into per_part
@@ -220,13 +247,31 @@ def compact_partitions(
         # stage retry, the SPARK-23207 row-loss class): hash every data
         # column, so a row always lands in the same bucket. Identical
         # rows co-locate, which only skews file sizes, never drops rows.
-        salt = F.pmod(
-            F.hash(*[F.col(c) for c in df.columns]), F.lit(per_part)
+        # The MODULUS is this row's partition's own file count, joined
+        # on via a broadcast of the (tiny) per-partition plan.
+        plan_df = F.broadcast(
+            spark.createDataFrame(
+                [(*v, pp) for v, pp in plans],
+                [f"__pv_{c}" for c in cols] + ["__pp"],
+            )
         )
-        compacted = df.repartition(
-            n_parts * per_part, *(key_cols + [salt])
+        cond = None
+        for c in cols:
+            eq = F.col(c).cast("string").eqNullSafe(F.col(f"__pv_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(plan_df, cond, "left").withColumn(
+            "__pp", F.coalesce(F.col("__pp"), F.lit(1))
+        )
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]), F.col("__pp")
+        )
+        total_buckets = sum(pp for _v, pp in plans)
+        compacted = (
+            joined.withColumn("__salt", salt)
+            .repartition(total_buckets, *(key_cols + [F.col("__salt")]))
+            .drop("__pp", "__salt", *[f"__pv_{c}" for c in cols])
         )
     with _dynamic_overwrite(spark):
         compacted.write.mode("overwrite").partitionBy(*cols).parquet(path)
-    files_after, _ = walk_stats()
+    files_after, _b, _p = walk_stats()
     return {"files_before": files_before, "files_after": files_after}

@@ -436,10 +436,12 @@ def stream_land_partitions(
     partition upsert (``foreachBatch`` → ``sources.upsert_partitions``)
     — the idempotent-replay landing pattern for sources whose
     partitions arrive whole (a day-file, an hourly export, a shard
-    drop): replaying a micro-batch rewrites the same partitions to the
-    same bytes instead of duplicating rows, which is how a plain
+    drop): replaying a micro-batch rewrites the same partitions with
+    the same ROWS instead of duplicating them, which is how a plain
     parquet sink gets effectively-once semantics without a transaction
-    log.
+    log. Row-identical, not byte-identical — part-file names and file
+    metadata differ per job, so replay detection must compare row
+    multisets (as the restart test does), never file bytes (ADVICE r5).
 
     CONTRACT: each partition's data must arrive within ONE micro-batch
     (the upsert REPLACES a partition wholesale — two batches touching

@@ -428,6 +428,35 @@ def probe_sketch(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
         "top_n": len(top),
     }
 
+    # The PERSISTED-index path (r6): land the tf table bucketed by term
+    # + the one-row stats table, then query it cold — no corpus pass,
+    # no in-session checkpoint, postings read only from the buckets the
+    # query terms hash to (plan pinned in tests/test_plans.py).
+    import tempfile
+
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="mrkm_bm25_idx_")
+    t0 = time.perf_counter()
+    land_bm25_index(spark, big, "probe_bm25", idx_dir)
+    t_land = time.perf_counter() - t0
+    bm25_search_indexed(spark, "table scan window", "probe_bm25").collect()
+    t0 = time.perf_counter()
+    top_i = bm25_search_indexed(
+        spark, "table scan window", "probe_bm25"
+    ).collect()
+    t_query_i = time.perf_counter() - t0
+    assert [tuple(r) for r in top_i] == [tuple(r) for r in top]
+    results["bm25_persisted_index"] = {
+        "docs": n,
+        "index_land_sec": round(t_land, 2),
+        "query_sec": round(t_query_i, 2),
+        "matches_in_session_path": True,
+    }
+
 
 def probe_bucketing(spark, results: dict, n_rows: int = 10_000_000) -> None:
     """Shuffle-once-at-write: a 10M×2.5M equi-join re-run both ways —

@@ -472,3 +472,38 @@ def test_bm25_broadcasts_idf_no_corpus_shuffle_on_query(spark, sf_small):
     n, a = corpus_stats_for_search(docs)
     df = bm25_search(docs, "table scan", 5, tf=tf, n_docs=n, avgdl=a)
     assert has_broadcast_join(df)
+
+
+def test_bm25_indexed_query_reads_only_its_buckets(spark, sf_small, tmp_path):
+    """A query against the LANDED term-bucketed BM25 index must be
+    postings-bound in the plan, not just in prose: the query terms push
+    into the tf scan as In-filters AND prune buckets (only the buckets
+    the terms hash to are read); the df aggregate lands on the scan's
+    own term partitioning with no Exchange below the idf broadcast; the
+    single shuffle left is the per-doc score aggregate over matched
+    postings."""
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+    land_bm25_index(spark, docs, "t_bm25_plan", str(tmp_path / "idx"))
+    df = bm25_search_indexed(spark, "table scan", "t_bm25_plan")
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    # one data shuffle total: the doc-keyed score aggregate.
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) == 1, tree
+    assert "BroadcastHashJoin" in tree, tree
+    # term filter pushed to the bucketed scan, buckets pruned.
+    assert "In(term" in plan, plan
+    import re
+
+    ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert ms, plan
+    assert all(int(a) < int(b) for a, b in ms), ms

@@ -106,3 +106,44 @@ def test_bm25_zero_token_docs_and_punctuated_query(spark):
 def test_bm25_empty_query_raises(spark, sf_oracle):
     with pytest.raises(ValueError):
         bm25_search(documents(spark, sf_oracle), "  ., ")
+
+
+def test_bm25_indexed_matches_in_session_path(spark, sf_oracle, tmp_path):
+    """Queries against the LANDED bucketed index must score identically
+    to the in-session path — the index is a layout change, never a
+    semantics change."""
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    land_bm25_index(spark, docs, "t_bm25_eq", str(tmp_path / "idx"))
+    for q in ("table scan", "shuffle partition"):
+        direct = [
+            tuple(r) for r in bm25_search(docs, q, top_n=10).collect()
+        ]
+        indexed = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_eq").collect()
+        ]
+        assert indexed == direct
+
+
+def test_corpus_stats_null_text_and_empty_corpus(spark):
+    """NULL text counts as a zero-length document in avgdl (not skipped,
+    not -1 under legacy sizeOfNull); an empty corpus refuses with a
+    clear error instead of TypeError(float(None)) (ADVICE r5)."""
+    from mapreducekmean_spark.operators.search import (
+        corpus_stats_for_search,
+    )
+
+    rows = [(1, "a b c d"), (2, None), (3, "e f")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n, avgdl = corpus_stats_for_search(docs)
+    assert n == 3
+    assert avgdl == pytest.approx((4 + 0 + 2) / 3)
+
+    empty = docs.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        corpus_stats_for_search(empty)

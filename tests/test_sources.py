@@ -420,3 +420,49 @@ def test_compact_partitions_splits_oversize_partition(spark, tmp_path):
     assert stats["files_after"] > 1
     after = sorted(r.payload for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_compact_partitions_sizes_each_partition_independently(
+    spark, tmp_path
+):
+    """The skewed-layout case ADVICE r5 flagged: one partition holding
+    ~50× the bytes of its siblings. A mean-derived global files-per-
+    partition would both under-split the big partition and shred the
+    small ones; per-partition sizing must instead split ONLY the big
+    partition while every small partition compacts to exactly one
+    file — with the row multiset untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import compact_partitions
+
+    path = str(tmp_path / "skew")
+    big = spark.range(50000).select(
+        F.lit(0).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    small = spark.range(500).select(
+        (F.col("id") % 4 + 1).cast("int").alias("day"),
+        F.md5((-F.col("id")).cast("string")).alias("payload"),
+    )
+    big.unionByName(small).repartition(8).write.partitionBy(
+        "day"
+    ).parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+
+    compact_partitions(spark, path, "day", target_file_bytes=256 * 1024)
+
+    def files_in(day):
+        d = os.path.join(path, f"day={day}")
+        return [
+            f for f in os.listdir(d) if not f.startswith(("_", "."))
+        ]
+
+    assert len(files_in(0)) > 1  # the big partition split by ITS bytes
+    for day in (1, 2, 3, 4):
+        assert len(files_in(day)) == 1, day  # small ones: exactly one
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
