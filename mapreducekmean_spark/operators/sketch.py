@@ -2,7 +2,7 @@
 token streams.
 
 The reference has no sketches (its only aggregate is the per-cluster
-mean, ``/root/reference/src/MapReduceMean/PointsReducer.java`` — see
+mean, ``/root/reference/src/MapReduceKMean/PointsReducer.java`` — see
 SURVEY §2.1 R7-R9); the engine already ships HLL (distinct counts,
 ``operators/events.py``) and this module adds the other classic:
 Cormode-Muthukrishnan count-min (2005, public algorithm) for frequency /

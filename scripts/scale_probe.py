@@ -765,6 +765,107 @@ def probe_cc(spark, results: dict, n_edges: int) -> None:
     }
 
 
+def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Incremental dedup's scale claim, measured: per-batch work scales
+    with the BATCH, never the landed corpus. Corpus construction reuses
+    the REALISTIC dup mix of ``probe_corpus_lowdup`` (~15% exact dups,
+    ~10% one-token near-dups, ~75% unique synthetic docs) — a verbatim
+    100x replication would be a pathological all-dup corpus whose
+    verified-pair set is quadratic in the copy count (measured: the
+    full re-run exceeded 10 minutes), which is a statement about that
+    corpus, not about the operator. Land the 500k-doc index, then
+    delta-score one base-sized batch (same mix, ids above the landed
+    ceiling) and compare wall time with re-running the full self-dedup
+    over the corpus+batch union — the cost a pipeline WITHOUT the
+    landed index pays on every ingest."""
+    import tempfile
+
+    from mapreducekmean_spark.operators.dedup import minhash_verified_dedup
+    from mapreducekmean_spark.operators.incremental import (
+        dedup_delta,
+        land_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    per = docs.count()
+
+    def mixed(base, id_shift):
+        exact_hi = max(0, round(repl * 0.15))
+        near_hi = exact_hi + max(1, round(repl * 0.10))
+        rep = F.col("rep")
+        uniq_text = F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i -> "
+            "substr(md5(concat(cast(doc_id + rep * 10000000 + "
+            f"{id_shift} AS STRING), ':', "
+            "cast(i AS STRING))), 1, 8)))"
+        )
+        return (
+            base.crossJoin(
+                spark.range(repl).select(F.col("id").alias("rep"))
+            )
+            .withColumn(
+                "text",
+                F.when(rep <= exact_hi, F.col("text"))
+                .when(
+                    rep <= near_hi,
+                    F.concat(
+                        F.col("text"), F.lit(" v"), rep.cast("string")
+                    ),
+                )
+                .otherwise(uniq_text),
+            )
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + rep * 10_000_000 + id_shift,
+            )
+            .drop("rep")
+        )
+
+    corpus_path = f"{BASE}/incdedup_corpus_{per}x{repl}"
+    if not os.path.exists(corpus_path):
+        mixed(docs, 0).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n = per * repl
+    # one base-sized batch: same mix (some exact/near dups of landed
+    # text, mostly unique), every id above the landed ceiling
+    batch_path = f"{BASE}/incdedup_batch_{per}"
+    if not os.path.exists(batch_path):
+        mixed(docs.limit(per // max(1, repl)), 2_000_000_000).write.mode(
+            "overwrite"
+        ).parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+    n_batch = batch.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="mrkm_inc_idx_")
+    t0 = time.perf_counter()
+    land_dedup_index(spark, corpus, "probe_inc", idx_dir)
+    t_land = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    verdicts = dedup_delta(spark, batch, "probe_inc").collect()
+    t_delta = time.perf_counter() - t0
+    n_dropped = sum(1 for r in verdicts if not r.kept)
+    assert len(verdicts) == n_batch
+    assert 0 < n_dropped < n_batch  # exact/near dups caught, uniques kept
+
+    t0 = time.perf_counter()
+    minhash_verified_dedup(corpus.unionByName(batch)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_full = time.perf_counter() - t0
+    results["incremental_dedup"] = {
+        "landed_docs": n,
+        "batch_docs": n_batch,
+        "batch_dropped": n_dropped,
+        "index_land_sec": round(t_land, 2),
+        "delta_sec": round(t_delta, 2),
+        "full_rerun_sec": round(t_full, 2),
+        "delta_speedup": round(t_full / t_delta, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -777,7 +878,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch,pipeline (default: all)",
+        "textops,bucketing,sketch,incdedup,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -791,6 +892,7 @@ def main() -> None:
         "textops",
         "bucketing",
         "sketch",
+        "incdedup",
         "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -819,6 +921,8 @@ def main() -> None:
         probe_bucketing(spark, results)
     if "sketch" in only:
         probe_sketch(spark, results, args.sf_dir)
+    if "incdedup" in only:
+        probe_incdedup(spark, results, args.sf_dir)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
