@@ -2605,9 +2605,13 @@ _CHECK_FIRST = (
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
 #: whose latest driver row is two rounds old because the round's one red
-#: row + one new query displaced them from the 50-entry window. Each must
-#: be value-hash green in the PREVIOUS driver artifact and untouched
-#: since — the rotation tripwire test enforces both.
+#: row + one new query displaced them from the 50-entry window. The
+#: rotation tripwire test ENFORCES: a green value-hash row in one of the
+#: last TWO driver artifacts (so an entry left here cannot quietly age
+#: past the two-round bound). That their code is untouched since is a
+#: rotation-time judgment recorded in the _CHECK_FIRST comment, not
+#: machine-checked — keep this list to queries no current-round commit
+#: touches.
 _STALE_OK = (
     "tpch_q4_priority",
     "tpch_q19_brackets",

@@ -213,7 +213,9 @@ def minhash_bands(
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, shingled: DataFrame | None = None
+    docs: DataFrame,
+    shingled: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, bucket), deduped.
     Shuffles on uniform md5 buckets — never all-pairs.
@@ -223,8 +225,12 @@ def minhash_candidate_pairs(
     the full shingle→md5→min signature pipeline runs twice (measured 2.4×
     slower). At cluster scale this is the standard
     materialize-signatures-then-join pipeline (``dedup_minhash_sig`` is
-    that stage standalone); the checkpoint is its in-session form."""
-    bands = minhash_bands(docs, shingled).localCheckpoint()
+    that stage standalone); the checkpoint is its in-session form.
+    ``bands``: an already-CHECKPOINTED band table, for callers (the
+    incremental delta path) that built one — passing it skips the whole
+    signature rebuild, not just the tokenize pass."""
+    if bands is None:
+        bands = minhash_bands(docs, shingled).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -336,6 +342,7 @@ def verified_pairs(
     docs: DataFrame,
     threshold: float = VERIFY_THRESHOLD,
     shingled: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The verified-duplicate edge list: LSH candidates scored by true
     Jaccard, thresholded. Shared plumbing for the verdict
@@ -371,14 +378,40 @@ def verified_pairs(
         if shingled is None
         else shingled
     )
-    cand = minhash_candidate_pairs(docs, shingled=sh_rows)
+    cand = minhash_candidate_pairs(docs, shingled=sh_rows, bands=bands)
     sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return score_candidate_pairs(cand, sh_rows, sizes, threshold=threshold)
+
+
+def score_candidate_pairs(
+    cand: DataFrame,
+    sh_a: DataFrame,
+    sizes_a: DataFrame,
+    threshold: float,
+    sh_b: DataFrame | None = None,
+    sizes_b: DataFrame | None = None,
+) -> DataFrame:
+    """True-Jaccard scoring of a ``(doc_a, doc_b)`` candidate list via
+    the counting join — the ONE copy of the arithmetic that keeps
+    ``verified_pairs`` and the incremental delta path bit-identical
+    (a second hand-synchronized copy is exactly how an equivalence
+    contract silently rots — r6 review).
+
+    ``sh_*`` are distinct-gram row tables ``(doc_id, sh)`` and
+    ``sizes_*`` per-doc gram counts ``(doc_id, n_sh)``; the ``_b`` side
+    defaults to the ``_a`` side (the self-dedup case). Zero-intersection
+    candidates drop at the count join, so callers must hold
+    ``threshold > 0`` (enforced by the public entry points)."""
+    if sh_b is None:
+        sh_b = sh_a
+    if sizes_b is None:
+        sizes_b = sizes_a
     inter = (
         cand.join(
-            sh_rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+            sh_a.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
         )
         .join(
-            sh_rows.select(F.col("doc_id").alias("doc_b"), "sh"),
+            sh_b.select(F.col("doc_id").alias("doc_b"), "sh"),
             ["doc_b", "sh"],
         )
         .groupBy("doc_a", "doc_b")
@@ -386,11 +419,15 @@ def verified_pairs(
     )
     scored = (
         inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            sizes_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            sizes_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
             "doc_b",
         )
         .select(

@@ -10,8 +10,10 @@ iteration, ``/root/reference/src/KMeans.java:54-58``); this module is
 the engine-side composition VERDICT r5 asked for ("What's missing #4"),
 built from pieces that already exist: the materializable MinHash
 signature/band stage (``dedup.minhash_bands``), the distinct-gram
-verification table (``dedup.gram_rows``), and the bucketed layout
-(``sources/bucketing.py``).
+verification table (``dedup.gram_rows``), the shared counting-join
+scorer (``dedup.score_candidate_pairs`` — ONE copy of the jaccard
+arithmetic, so delta and full-corpus verdicts cannot drift), and the
+bucketed layout (``sources/bucketing.py``).
 
 The landed index is three bucketed tables (one logical index, named by
 prefix):
@@ -23,7 +25,18 @@ prefix):
   the true-Jaccard counting join (keyed doc_a = landed id) is
   Exchange-free on the index side.
 - ``{name}_sizes``  (doc_id, n_sh), bucketed by doc_id — per-doc gram
-  counts for the Jaccard denominator (same Exchange-free key).
+  counts for the Jaccard denominator, with one row for EVERY landed
+  doc (n_sh = 0 for sub-gram docs): the sizes table doubles as the
+  landed-id roster the monotone-id guard reads, and a roster that
+  silently omitted short docs would let an id collision through
+  (r6 review).
+
+Session lifecycle: ``land_dedup_index`` registers the tables in the
+CURRENT session's catalog; a NEW session (restart, another driver) must
+call ``attach_dedup_index(spark, name, path)`` first — and
+``append_to_index`` REFUSES when the tables are absent rather than
+letting ``saveAsTable`` silently create fresh empty managed tables that
+would shadow the landed corpus (r6 review).
 
 Equivalence contract (pytest-pinned in tests/test_incremental.py):
 ``land(batch1); delta(batch2)`` produces, for batch2's documents, the
@@ -54,6 +67,8 @@ from mapreducekmean_spark.operators.dedup import (
     gram_rows,
     minhash_bands,
     minhash_candidate_pairs,
+    score_candidate_pairs,
+    verified_pairs,
 )
 from mapreducekmean_spark.sources.bucketing import (
     read_bucketed,
@@ -64,17 +79,39 @@ from mapreducekmean_spark.sources.bucketing import (
 #: match the landed layout).
 INDEX_BUCKETS = 8
 
+#: (suffix, schema DDL, bucket key) per index table — the single source
+#: for land/attach/append so the three can never disagree on layout.
+_INDEX_TABLES = (
+    (
+        "bands",
+        "doc_id BIGINT, band BIGINT, bucket STRING",
+        ["band", "bucket"],
+    ),
+    ("grams", "doc_id BIGINT, sh STRING", ["doc_id"]),
+    ("sizes", "doc_id BIGINT, n_sh BIGINT", ["doc_id"]),
+)
+
 
 def _index_parts(
     docs: DataFrame, shingled: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(bands, distinct grams, sizes) for one batch — the three row sets
-    every index write/append lands."""
+    every index write/append lands. ``sizes`` carries EVERY doc of the
+    batch (0 for docs too short to gram), not just gram-bearing ones:
+    it is the id roster the monotone guard trusts."""
     sh = (
         gram_rows(docs).distinct() if shingled is None else shingled
     ).localCheckpoint()
     bands = minhash_bands(docs, shingled=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).cast("bigint").alias("n_sh"),
+        )
+    )
     return bands, sh, sizes
 
 
@@ -90,13 +127,57 @@ def land_dedup_index(
     ``path`` is the external-table root; tables land at
     ``{path}/bands|grams|sizes``."""
     bands, sh, sizes = _index_parts(docs)
-    write_bucketed(
-        bands, f"{name}_bands", ["band", "bucket"], buckets, f"{path}/bands"
-    )
-    write_bucketed(sh, f"{name}_grams", "doc_id", buckets, f"{path}/grams")
-    write_bucketed(
-        sizes, f"{name}_sizes", "doc_id", buckets, f"{path}/sizes"
-    )
+    parts = {"bands": bands, "grams": sh, "sizes": sizes}
+    for suffix, _schema, key in _INDEX_TABLES:
+        write_bucketed(
+            parts[suffix],
+            f"{name}_{suffix}",
+            key,
+            buckets,
+            f"{path}/{suffix}",
+        )
+
+
+def attach_dedup_index(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    buckets: int = INDEX_BUCKETS,
+) -> None:
+    """Re-register a landed index's external tables in THIS session's
+    catalog (after a restart or from another driver). The DDL repeats
+    the exact bucket spec ``land_dedup_index`` wrote with — Spark only
+    trusts a table's bucket layout through its catalog entry, so a
+    plain ``spark.read.parquet`` over the same files would silently
+    forfeit the Exchange-free joins. Idempotent: existing registrations
+    are left untouched."""
+    for suffix, schema, key in _INDEX_TABLES:
+        table = f"{name}_{suffix}"
+        if spark.catalog.tableExists(table):
+            continue
+        cluster = ", ".join(key)
+        spark.sql(
+            f"CREATE TABLE {table} ({schema}) USING parquet "
+            f"CLUSTERED BY ({cluster}) SORTED BY ({cluster}) "
+            f"INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/{suffix}'"
+        )
+
+
+def _require_index(spark: SparkSession, name: str, op: str) -> None:
+    missing = [
+        f"{name}_{suffix}"
+        for suffix, _schema, _key in _INDEX_TABLES
+        if not spark.catalog.tableExists(f"{name}_{suffix}")
+    ]
+    if missing:
+        raise ValueError(
+            f"{op}: index tables {missing} are not registered in this "
+            f"session's catalog. Run land_dedup_index (new index) or "
+            f"attach_dedup_index (existing files, e.g. after a session "
+            f"restart) first — proceeding would let saveAsTable create "
+            f"fresh empty tables that shadow the landed corpus."
+        )
 
 
 def append_to_index(
@@ -109,30 +190,29 @@ def append_to_index(
     ALL batch docs are appended, dropped ones included — a dropped doc
     still canonicalizes future duplicates (module docstring #1).
     Appends reuse each table's landed path and bucket spec, so the
-    layout survives and future delta joins stay Exchange-free."""
+    layout survives and future delta joins stay Exchange-free. Refuses
+    when the index is not in the catalog (attach first; a bare append
+    would create empty shadow tables)."""
+    _require_index(spark, name, "append_to_index")
     bands, sh, sizes = _index_parts(new_docs)
-    write_bucketed(
-        bands, f"{name}_bands", ["band", "bucket"], buckets, mode="append"
-    )
-    write_bucketed(sh, f"{name}_grams", "doc_id", buckets, mode="append")
-    write_bucketed(sizes, f"{name}_sizes", "doc_id", buckets, mode="append")
-
-
-def delta_candidate_pairs(
-    spark: SparkSession, new_docs: DataFrame, name: str
-) -> DataFrame:
-    """LSH candidate pairs of a new batch against the landed index:
-    (doc_a = landed id, doc_b = new id) for every shared (band, bucket),
-    plus the batch-internal pairs. The index side of the band join reads
-    its bucketed layout — zero Exchange above the index scan (pinned in
-    tests/test_plans.py)."""
-    sh = gram_rows(new_docs).distinct().localCheckpoint()
-    new_bands = minhash_bands(new_docs, shingled=sh).localCheckpoint()
-    idx_bands = read_bucketed(spark, f"{name}_bands")
-    cross = (
-        idx_bands.select(
-            F.col("doc_id").alias("doc_a"), "band", "bucket"
+    parts = {"bands": bands, "grams": sh, "sizes": sizes}
+    for suffix, _schema, key in _INDEX_TABLES:
+        write_bucketed(
+            parts[suffix],
+            f"{name}_{suffix}",
+            key,
+            buckets,
+            mode="append",
         )
+
+
+def _cross_candidates(
+    idx_bands: DataFrame, new_bands: DataFrame
+) -> DataFrame:
+    """(doc_a = landed id, doc_b = new id) for every shared (band,
+    bucket) — the one band-join the delta paths share."""
+    return (
+        idx_bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(
             new_bands.select(
                 F.col("doc_id").alias("doc_b"), "band", "bucket"
@@ -142,7 +222,22 @@ def delta_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    within = minhash_candidate_pairs(new_docs, shingled=sh)
+
+
+def delta_candidate_pairs(
+    spark: SparkSession, new_docs: DataFrame, name: str
+) -> DataFrame:
+    """LSH candidate pairs of a new batch against the landed index:
+    (doc_a = landed id, doc_b = new id) for every shared (band, bucket),
+    plus the batch-internal pairs. The index side of the band join reads
+    its bucketed layout — zero Exchange above the index scan (pinned in
+    tests/test_incremental.py)."""
+    _require_index(spark, name, "delta_candidate_pairs")
+    sh = gram_rows(new_docs).distinct().localCheckpoint()
+    new_bands = minhash_bands(new_docs, shingled=sh).localCheckpoint()
+    idx_bands = read_bucketed(spark, f"{name}_bands")
+    cross = _cross_candidates(idx_bands, new_bands)
+    within = minhash_candidate_pairs(new_docs, bands=new_bands)
     return cross.unionByName(within)
 
 
@@ -162,6 +257,8 @@ def dedup_delta(
     side) → true-Jaccard counting join against the landed gram table
     (keyed on the landed id — again the bucket key) → threshold →
     union with the batch-internal verified pairs → keep-lowest verdict.
+    The batch's gram table and band table are each built ONCE and feed
+    every stage (cross candidates, cross scoring, within-batch pairs).
     Work scales with the BATCH and its candidate fan-out, never with
     the landed corpus size.
     """
@@ -171,7 +268,10 @@ def dedup_delta(
             "never materializes zero-intersection pairs, same contract "
             "as verified_pairs)"
         )
+    _require_index(spark, name, "dedup_delta")
     idx_sizes = read_bucketed(spark, f"{name}_sizes")
+    # the sizes table is the full landed-id roster (one row per doc,
+    # short docs included), so this max is the true landed ceiling.
     max_landed = idx_sizes.agg(F.max("doc_id")).collect()[0][0]
     min_new = new_docs.agg(F.min("doc_id")).collect()[0][0]
     if max_landed is not None and min_new is not None and (
@@ -191,62 +291,19 @@ def dedup_delta(
     idx_bands = read_bucketed(spark, f"{name}_bands")
     idx_grams = read_bucketed(spark, f"{name}_grams")
 
-    cross_cand = (
-        idx_bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-        .join(
-            new_bands.select(
-                F.col("doc_id").alias("doc_b"), "band", "bucket"
-            ),
-            ["band", "bucket"],
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # |A∩B| as a counting join — first hop keyed on the landed id (the
-    # gram table's bucket key), second on (new id, gram). Identical
-    # arithmetic to verified_pairs so jaccard is bit-exact vs the
-    # full-corpus run.
+    cross_cand = _cross_candidates(idx_bands, new_bands)
     new_sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cross_cand.join(
-            idx_grams.select(F.col("doc_id").alias("doc_a"), "sh"),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    cross_scored = score_candidate_pairs(
+        cross_cand,
+        idx_grams,
+        idx_sizes,
+        threshold,
+        sh_b=sh,
+        sizes_b=new_sizes,
     )
-    cross_scored = (
-        inter.join(
-            idx_sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            new_sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    within = verified_pairs(
+        new_docs, threshold, shingled=sh, bands=new_bands
     )
-
-    from mapreducekmean_spark.operators.dedup import verified_pairs
-
-    within = verified_pairs(new_docs, threshold, shingled=sh)
     dup_of = (
         cross_scored.select("doc_a", "doc_b")
         .unionByName(within.select("doc_a", "doc_b"))

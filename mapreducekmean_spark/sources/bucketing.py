@@ -175,8 +175,10 @@ def compact_partitions(
     into enough files while the small ones compact to exactly one,
     where a mean-based global choice would leave the big partition's
     files oversized and shred the small ones (ADVICE r5). Partition
-    directory values are matched back to rows by Hive-unescaped
-    string equality on the partition columns.
+    directory values are matched back to rows by TYPED null-safe
+    equality (dir string cast to the column's read-back type —
+    partition-type inference safe, Hive NULL sentinel handled), and
+    an unmatched row aborts the rewrite rather than mis-sizing it.
 
     Returns ``{"files_before": n, "files_after": m}``. The rewrite
     reads committed data only and replaces partitions wholesale, so a
@@ -218,19 +220,37 @@ def compact_partitions(
         return n_files, n_bytes, part_bytes
 
     files_before, _bytes_total, part_bytes = walk_stats()
-    df = spark.read.parquet(path)
+    # Read with partition-type INFERENCE OFF (scoped — the schema
+    # resolves eagerly inside spark.read.parquet): inference would read
+    # a zero-padded string partition ('hour=00') back as int 0, and the
+    # rewrite would then land in a NEW 'hour=0' directory while dynamic
+    # overwrite leaves the old 'hour=00' untouched — silent row
+    # duplication (caught by the r6 review's encoding test). With
+    # inference off, partition values round-trip VERBATIM: same
+    # directory names out as in, and downstream readers (which apply
+    # their own inference to the unchanged names) see identical types.
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    inf_old = spark.conf.get(inf_key)
+    spark.conf.set(inf_key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(inf_key, inf_old)
     from pyspark.sql import functions as F
 
     # Per-partition file counts from each partition's OWN bytes. The
     # dir name carries the partition values Hive-escaped; unescape them
-    # to match the rows back by string equality.
-    plans: list[tuple[tuple[str, ...], int]] = []
+    # (and map Hive's NULL sentinel back to a real NULL) to match rows.
+    plans: list[tuple[tuple[str | None, ...], int]] = []
     for rel, nb in part_bytes.items():
-        vals = []
+        vals: list[str | None] = []
         for seg in rel.split(os.sep):
             if "=" not in seg:
                 break
-            vals.append(urllib.parse.unquote(seg.split("=", 1)[1]))
+            raw = urllib.parse.unquote(seg.split("=", 1)[1])
+            vals.append(
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            )
         if len(vals) == len(cols):
             plans.append(
                 (tuple(vals), max(1, math.ceil(nb / target_file_bytes)))
@@ -248,20 +268,41 @@ def compact_partitions(
         # column, so a row always lands in the same bucket. Identical
         # rows co-locate, which only skews file sizes, never drops rows.
         # The MODULUS is this row's partition's own file count, joined
-        # on via a broadcast of the (tiny) per-partition plan.
+        # on via a broadcast of the (tiny) per-partition plan. The join
+        # compares TYPED values — the dir string is cast to the column's
+        # READ-BACK type, so Spark's partition-type inference cannot
+        # desynchronize the match ('hour=00' read back as int 0 would
+        # never equal the string '00'; cast('00' as int) = 0 does), and
+        # eqNullSafe matches the Hive NULL partition (r6 review).
+        dtypes = dict(df.dtypes)
         plan_df = F.broadcast(
             spark.createDataFrame(
                 [(*v, pp) for v, pp in plans],
-                [f"__pv_{c}" for c in cols] + ["__pp"],
+                ", ".join(
+                    [f"__pv_{c} string" for c in cols] + ["__pp int"]
+                ),
             )
         )
         cond = None
         for c in cols:
-            eq = F.col(c).cast("string").eqNullSafe(F.col(f"__pv_{c}"))
+            eq = F.col(c).eqNullSafe(
+                F.col(f"__pv_{c}").cast(dtypes[c])
+            )
             cond = eq if cond is None else (cond & eq)
-        joined = df.join(plan_df, cond, "left").withColumn(
-            "__pp", F.coalesce(F.col("__pp"), F.lit(1))
-        )
+        joined = df.join(plan_df, cond, "left")
+        # honest gate, not a silent fallback: a row whose partition
+        # value matched no walked directory means the match logic and
+        # the layout disagree — mis-sizing quietly is the exact failure
+        # the per-partition rewrite exists to prevent.
+        n_unmatched = joined.filter(F.col("__pp").isNull()).count()
+        if n_unmatched:
+            raise ValueError(
+                f"compact_partitions could not match {n_unmatched} rows "
+                f"back to a walked partition directory of {path} — the "
+                f"partition values and directory names disagree (exotic "
+                f"value encoding?). Refusing to rewrite with a guessed "
+                f"file count."
+            )
         salt = F.pmod(
             F.hash(*[F.col(c) for c in df.columns]), F.col("__pp")
         )

@@ -200,14 +200,23 @@ def test_rotation_covers_stale_queries():
         "_CHECK_FIRST in contract.py"
     )
     # the cap-trade list is not a free pass: every _STALE_OK entry must
-    # be value-hash green in SOME prior artifact (two-round-old evidence
-    # at worst) — anything redder than that must rotate in, not opt out.
+    # be value-hash green in one of the LAST TWO driver artifacts —
+    # two-round-old evidence at worst, exactly what the contract.py
+    # comment promises. A green row from five rounds ago does NOT
+    # qualify (that would make the exemption a permanent opt-out — r6
+    # review); anything staler must rotate into the window instead.
+    recent = [json.load(open(a)) for a in arts[-2:]]
     for n in c._STALE_OK:
-        rows = [json.load(open(a)).get(n) for a in arts]
         greens = [
-            r for r in rows if r and r.get("hash_match") and not r.get("err")
+            r.get(n)
+            for r in recent
+            if r.get(n)
+            and r[n].get("hash_match")
+            and not r[n].get("err")
         ]
         assert greens, (
-            f"_STALE_OK exempts {n!r} from the check window but no prior "
-            "driver artifact has a green value-hash row for it"
+            f"_STALE_OK exempts {n!r} from the check window but neither "
+            f"of the last two driver artifacts has a green value-hash "
+            f"row for it — its evidence is older than the two-round "
+            f"bound the exemption is defined by; rotate it in"
         )

@@ -129,3 +129,67 @@ def test_delta_band_join_no_exchange_on_index_side(
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", old_thresh
         )
+
+
+def test_sizes_roster_includes_short_docs_for_the_guard(
+    spark, tmp_path
+):
+    """The monotone-id guard reads the landed ceiling from the sizes
+    table, so sizes must roster EVERY landed doc — a 2-token doc has no
+    grams or bands, but its id still owns its slot. A batch colliding
+    with a short doc's id (here: the landed max) must refuse."""
+    from mapreducekmean_spark.operators.incremental import (
+        land_dedup_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "eta theta iota kappa lambda mu"),
+        (99, "tiny doc"),  # < 3 tokens: no grams, no bands
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    land_dedup_index(spark, docs, "t_inc_short", str(tmp_path / "idx"))
+
+    sizes = spark.table("t_inc_short_sizes").collect()
+    assert {r.doc_id: r.n_sh for r in sizes}[99] == 0
+
+    batch = spark.createDataFrame(
+        [(99, "nu xi omicron pi rho sigma")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="landed max 99"):
+        dedup_delta(spark, batch, "t_inc_short")
+
+
+def test_attach_restores_index_in_fresh_catalog(spark, sf_oracle, tmp_path):
+    """Session-restart path: drop the catalog entries (external tables —
+    files survive), attach_dedup_index re-registers them with the same
+    bucket spec, and delta + append work as before; append WITHOUT the
+    attach refuses instead of creating empty shadow tables."""
+    from mapreducekmean_spark.operators.incremental import (
+        append_to_index,
+        attach_dedup_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    cut = docs.agg(
+        F.percentile_approx("doc_id", 0.5).alias("m")
+    ).collect()[0]["m"]
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    idx = str(tmp_path / "idx")
+    land_dedup_index(spark, old, "t_inc_att", idx)
+    expected = _verdicts(dedup_delta(spark, new, "t_inc_att"))
+
+    # simulate a restart: catalog forgets, files remain
+    for sfx in ("bands", "grams", "sizes"):
+        spark.sql(f"DROP TABLE t_inc_att_{sfx}")
+    with pytest.raises(ValueError, match="attach_dedup_index"):
+        append_to_index(spark, new, "t_inc_att")
+    with pytest.raises(ValueError, match="attach_dedup_index"):
+        dedup_delta(spark, new, "t_inc_att")
+
+    attach_dedup_index(spark, "t_inc_att", idx)
+    assert _verdicts(dedup_delta(spark, new, "t_inc_att")) == expected
+    append_to_index(spark, new, "t_inc_att")  # and the upsert works
+    n_rows = spark.table("t_inc_att_sizes").count()
+    assert n_rows == old.count() + new.count()

@@ -466,3 +466,58 @@ def test_compact_partitions_sizes_each_partition_independently(
         assert len(files_in(day)) == 1, day  # small ones: exactly one
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_compact_partitions_handles_null_and_zero_padded_values(
+    spark, tmp_path
+):
+    """The two partition-value encodings that break naive dir-string
+    matching: a NULL partition (__HIVE_DEFAULT_PARTITION__ on disk) and
+    a zero-padded string value ('hour=00') that Spark's partition-type
+    inference reads back as int 0. Both must still get per-partition
+    sizing — the big NULL partition splits, the others stay single-file
+    — with the row multiset preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.sources import compact_partitions
+
+    path = str(tmp_path / "enc")
+    big_null = spark.range(50000).select(
+        F.lit(None).cast("string").alias("hour"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    padded = spark.range(300).select(
+        F.format_string("%02d", (F.col("id") % 2)).alias("hour"),
+        F.md5((-F.col("id") - 1).cast("string")).alias("payload"),
+    )
+    big_null.unionByName(padded).repartition(4).write.partitionBy(
+        "hour"
+    ).parquet(path)
+    before = sorted(
+        (r.payload, r.hour)
+        for r in spark.read.parquet(path).collect()
+    )
+
+    compact_partitions(spark, path, "hour", target_file_bytes=256 * 1024)
+
+    def files_in(d):
+        full = os.path.join(path, d)
+        return [
+            f for f in os.listdir(full) if not f.startswith(("_", "."))
+        ]
+
+    assert len(files_in("hour=__HIVE_DEFAULT_PARTITION__")) > 1
+    dirs = [
+        d for d in os.listdir(path)
+        if d.startswith("hour=") and "HIVE" not in d
+    ]
+    assert dirs
+    for d in dirs:
+        assert len(files_in(d)) == 1, d
+    after = sorted(
+        (r.payload, r.hour)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
