@@ -91,32 +91,54 @@ def ivf_topk(
     bucketed = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
-    # query → nprobe nearest cells (same distance kernel, tiny side)
-    q_cells = km.assign(
-        qs.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
-        cents,
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.posexplode(
-            F.slice(
-                F.array_sort(
-                    F.zip_with(
-                        F.col("dists"),
-                        F.sequence(F.lit(0), F.lit(ncells - 1)),
-                        lambda d, i: F.struct(
-                            d.alias("dist"), i.cast("bigint").alias("cell")
-                        ),
-                    )
-                ),
-                1,
-                nprobe,
-            )
-        ).alias("probe_rank", "cell_struct"),
-    ).select(
-        "q_id", "q_emb", F.col("cell_struct.cell").alias("cell")
+    q_cells = _probe_cells(qs, cents, ncells, nprobe)
+    return _score_probed_cells(bucketed, q_cells, k)
+
+
+def _probe_cells(
+    qs: DataFrame, cents: list[list[float]], ncells: int, nprobe: int
+) -> DataFrame:
+    """query → its ``nprobe`` nearest cells (same distance kernel as the
+    corpus assignment, tiny side): (q_id, q_emb, cell). Shared by the
+    in-session IVF path and the landed-index path — one copy of the
+    probe logic, same lesson as ``dedup.score_candidate_pairs``."""
+    return (
+        km.assign(
+            qs.select(
+                F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")
+            ),
+            cents,
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.posexplode(
+                F.slice(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("dists"),
+                            F.sequence(F.lit(0), F.lit(ncells - 1)),
+                            lambda d, i: F.struct(
+                                d.alias("dist"),
+                                i.cast("bigint").alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe_rank", "cell_struct"),
+        )
+        .select("q_id", "q_emb", F.col("cell_struct.cell").alias("cell"))
     )
-    cands = bucketed.join(F.broadcast(q_cells), "cell").filter(
+
+
+def _score_probed_cells(
+    cells: DataFrame, q_cells: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine scoring + per-query top-k over the probed cells —
+    the shared tail of both IVF paths."""
+    cands = cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
     sim = cosine_sim(F.col("q_emb"), F.col("emb"))
@@ -134,6 +156,81 @@ def ivf_topk(
             F.round("sim_raw", 6).alias("sim"),
         )
     )
+
+
+def land_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    ncells: int = km.DEFAULT_K,
+) -> None:
+    """Persist the IVF index: the coarse-quantized corpus laid out as
+    ``cell=<id>`` partition DIRECTORIES plus the tiny centroid table —
+    the vector-store layout where ``nprobe`` has a physical meaning.
+
+    Partitioning (not bucketing) is the right layout here because the
+    query side selects cells by VALUE: a query that probes 2 of k cells
+    opens exactly 2 directories and never touches the rest
+    (``PartitionFilters`` on the scan, pinned in tests/test_plans.py) —
+    partition pruning IS nprobe, enforced by the storage layout instead
+    of a runtime filter over a full scan. At 100 TB with k sized so
+    cells hold ~constant rows, per-query read volume is
+    nprobe/ncells of the corpus regardless of corpus growth. The same
+    landed-index economics as ``search.land_bm25_index`` (term-bucketed
+    postings) and ``incremental.land_dedup_index`` (band-bucketed
+    signatures): pay the layout shuffle once at build, make every query
+    after it partial-read."""
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    cents = km.collect_centroids(
+        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
+    )
+    cells = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    write_partitioned(cells, f"{path}/cells", "cell")
+    (
+        spark.createDataFrame(
+            [(i, list(c)) for i, c in enumerate(cents)],
+            "cell bigint, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def ann_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 3,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """``ivf_topk`` against the LANDED index: centroids from the
+    persisted table (ncells rows — the bounded-collect class), probed
+    cells read by partition pruning, identical results to the
+    in-session path (pinned in tests/test_similarity_indexed.py).
+
+    The probed cell ids are collected (≤ n_queries × nprobe values) and
+    pushed as a LITERAL ``isin`` filter so the pruning is static — the
+    scan plans with only the probed directories, no full-index pass
+    anywhere."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    ncells = len(cents)
+    qs, _ = _queries_and_points(spark, sf_dir)
+    q_cells = _probe_cells(qs, cents, ncells, nprobe).localCheckpoint()
+    probed = sorted(
+        r.cell for r in q_cells.select("cell").distinct().collect()
+    )
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id", "emb", F.col("cell").cast("bigint").alias("cell"))
+    )
+    return _score_probed_cells(cells, q_cells, k)
 
 
 def embedding_near_dup(

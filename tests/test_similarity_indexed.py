@@ -1,0 +1,58 @@
+"""Persisted IVF ANN index: landed-vs-in-session equivalence and the
+partition-pruning plan pin — the third member of the landed-index
+family (BM25 term-bucketed postings, dedup band-bucketed signatures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.similarity import (
+    ann_ivf_indexed,
+    ivf_topk,
+    land_ivf_index,
+)
+
+
+def test_ivf_indexed_matches_in_session_path(spark, sf_oracle, tmp_path):
+    """Same centroids, same probes, same scoring — the landed layout is
+    a storage change, never a semantics change."""
+    path = str(tmp_path / "ivf")
+    land_ivf_index(spark, sf_oracle, path)
+    direct = sorted(
+        tuple(r) for r in ivf_topk(spark, sf_oracle).collect()
+    )
+    indexed = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path).collect()
+    )
+    assert indexed == direct and indexed
+
+
+def test_ivf_indexed_scan_prunes_to_probed_cells(spark, sf_oracle, tmp_path):
+    """nprobe must be PHYSICAL: with ncells sized so the query batch
+    cannot cover the whole index (25 cells, 10 queries x 2 probes = at
+    most 20), the cells scan plans with a partition IN-filter listing
+    ONLY the probed cell values — strictly fewer than ncells, so whole
+    directories are never opened."""
+    import re
+
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+
+    ncells = 25
+    path = str(tmp_path / "ivf")
+    land_ivf_index(spark, sf_oracle, path, ncells=ncells)
+    df = ann_ivf_indexed(spark, sf_oracle, path)
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[cell[^\]]*\]", plan)
+    assert m, plan
+    # Spark renders the pushed value list as `IN (a,b,...)` or, past a
+    # size threshold, `INSET a, b, ...` — count the numeric values in
+    # either form (the leading `cell#NN` attribute id is cut first).
+    values_part = m.group(0).split("isnotnull")[0]
+    values_part = re.sub(r"cell#\d+", "cell", values_part)
+    probed = re.findall(r"\b\d+\b", values_part)
+    assert 0 < len(probed) <= N_QUERIES * N_PROBE
+    assert len(probed) < ncells  # pruning is real, not a full cover
