@@ -463,3 +463,110 @@ def stream_land_partitions(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def ingest_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    name: str,
+    index_path: str,
+    out_path: str,
+    threshold: float | None = None,
+) -> None:
+    """One micro-batch of the deduplicating ingest — the ``foreachBatch``
+    body of :func:`stream_ingest_dedup`, public so tests (and batch
+    backfills) can drive the exact same code path batch by batch.
+
+    Per batch: (1) replay guard — a batch id at or below the recorded
+    high-water mark is a Structured Streaming REPLAY (restart after a
+    sink-side crash) and must be a no-op, the standard batch-id
+    idempotency contract of foreachBatch sinks; (2) verdict — the first
+    batch self-dedups (``minhash_verified_dedup``), later batches score
+    against the landed index (``incremental.dedup_delta``), so the kept
+    set over any prefix of batches equals the one-shot full-corpus run
+    (the incremental module's pinned equivalence); (3) land — ALL batch
+    docs join the index (dropped docs still canonicalize future dups),
+    kept docs' full rows append to ``out_path``; (4) the high-water
+    mark advances only after the writes, so a crash between steps
+    replays the whole batch (index append and parquet append are both
+    re-run; the replay guard makes the SECOND completion a no-op, and
+    a half-written first attempt is superseded wholesale — partition-
+    grain idempotency, same stance as ``stream_land_partitions``)."""
+    import os
+
+    from mapreducekmean_spark.operators.dedup import (
+        VERIFY_THRESHOLD,
+        minhash_verified_dedup,
+    )
+    from mapreducekmean_spark.operators.incremental import (
+        append_to_index,
+        dedup_delta,
+        land_dedup_index,
+    )
+
+    if threshold is None:
+        threshold = VERIFY_THRESHOLD
+    marker = os.path.join(index_path, "_ingest_high_water")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # replay of a completed batch: no-op
+    batch_df = batch_df.localCheckpoint()  # one materialization per batch
+    if not batch_df.take(1):
+        return
+    has_index = spark.catalog.tableExists(f"{name}_sizes")
+    if has_index:
+        verdict = dedup_delta(spark, batch_df, name, threshold)
+        kept = batch_df.join(
+            verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("append").parquet(out_path)
+        append_to_index(spark, batch_df, name)
+    else:
+        verdict = minhash_verified_dedup(batch_df, threshold)
+        kept = batch_df.join(
+            verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("append").parquet(out_path)
+        land_dedup_index(spark, batch_df, name, index_path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, marker)
+
+
+def stream_ingest_dedup(
+    docs_stream: DataFrame,
+    name: str,
+    index_path: str,
+    out_path: str,
+) -> None:
+    """Deduplicating ingest: the composition a production corpus
+    pipeline actually runs — a document stream lands APPEND-ONLY clean
+    parquet while the dedup signature index grows with every batch.
+    ``foreachBatch`` → :func:`ingest_dedup_batch`; semantics, replay
+    behavior, and the batch-prefix ≡ full-corpus equivalence are
+    documented there and pinned in tests/test_streaming_ingest.py.
+
+    PRECONDITION (inherited from ``incremental.dedup_delta``): doc_ids
+    are append-only monotone across batches — each batch's ids exceed
+    everything landed. The delta guard refuses otherwise, which also
+    catches accidental re-delivery that the batch-id replay guard
+    didn't (a re-sent batch under a NEW batch id).
+
+    Synchronous local-harness form like the other runners."""
+    spark = docs_stream.sparkSession
+    q = (
+        docs_stream.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: ingest_dedup_batch(
+                spark, df, bid, name, index_path, out_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
