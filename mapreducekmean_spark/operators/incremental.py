@@ -210,7 +210,11 @@ def _cross_candidates(
     idx_bands: DataFrame, new_bands: DataFrame
 ) -> DataFrame:
     """(doc_a = landed id, doc_b = new id) for every shared (band,
-    bucket) — the one band-join the delta paths share."""
+    bucket) — the one band-join the delta paths share. The doc_a <
+    doc_b filter is a tautology under the monotone-id precondition but
+    load-bearing defense-in-depth: re-scoring a batch whose rows were
+    already appended to the index would otherwise pair every doc with
+    ITSELF (jaccard 1.0) and mark the whole batch duplicate."""
     return (
         idx_bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(
@@ -219,6 +223,7 @@ def _cross_candidates(
             ),
             ["band", "bucket"],
         )
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )

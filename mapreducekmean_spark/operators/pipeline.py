@@ -148,3 +148,177 @@ def prepare_training_data(
         "written": out.count(),
     }
     return funnel
+
+
+def prepare_training_data_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    name: str,
+    index_path: str,
+    out_path: str,
+    threshold: float = dd.VERIFY_THRESHOLD,
+) -> dict[str, int]:
+    """:func:`prepare_training_data` for a CONTINUAL corpus: process one
+    arriving batch against the landed state instead of re-running the
+    whole history — the refresh shape a production pretraining set
+    actually follows (new crawl snapshots month over month).
+
+    Landed state (under ``index_path``, created on the first batch):
+
+    - ``{name}_hashes`` — DISTINCT content hashes of every quality-
+      passing doc seen so far, bucketed by hash: the cross-batch half
+      of the exact-dedup stage (a batch doc whose hash is landed lost
+      to a smaller id by the monotone-id precondition — drop);
+    - the ``incremental.land_dedup_index`` band/gram/size tables over
+      the exact SURVIVORS seen so far: the cross-batch half of the
+      near-dup stage (``dedup_delta``);
+    - ``packstate`` — per (split, source) token totals: each batch's
+      ``pack_sequences`` runs batch-locally, then shifts ``start_tok``
+      by the landed total and re-derives the cut coordinates through
+      the SHARED ``text.seq_coords`` (one copy of the arithmetic), so
+      sequence ids continue the landed stream exactly.
+
+    EQUIVALENCE (pytest-pinned): with append-only monotone doc_ids,
+    running batches b1..bn through this function writes, for every
+    document, the IDENTICAL rows ``prepare_training_data(b1 ∪ ... ∪
+    bn)`` writes — same survivors (a cross-batch exact duplicate drops
+    here at the hash check; sub-gram docs too short to shingle are
+    caught by the same hash check, not just jaccard), same splits,
+    same sequence coordinates. Stage economics: per-batch cost scales
+    with the batch and its candidate fan-out, never the corpus.
+
+    Crash semantics: the parquet append and the state upserts are not
+    one transaction; drive this from ``streaming.stream_ingest_dedup``'s
+    batch-id high-water pattern (or an external workflow marker) when
+    replays are possible. Returns the batch funnel."""
+    import os
+
+    from mapreducekmean_spark.operators import incremental as inc
+    from mapreducekmean_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+        write_partitioned,
+    )
+
+    q = tx.quality_score(batch).select("doc_id", F.col("keep").alias("q_pass"))
+    stage1 = batch.join(q.filter("q_pass").select("doc_id"), "doc_id")
+    hashed = stage1.withColumn(
+        "content_hash", F.md5(dd.normalized_text())
+    ).localCheckpoint()
+
+    ek = hashed.withColumn(
+        "exact_keep",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("content_hash")),
+    )
+    have_hashes = spark.catalog.tableExists(f"{name}_hashes")
+    if have_hashes:
+        landed = read_bucketed(spark, f"{name}_hashes")
+        ek = ek.join(
+            landed.withColumn("_seen", F.lit(True)), "content_hash", "left"
+        ).withColumn(
+            "exact_keep", F.col("exact_keep") & F.col("_seen").isNull()
+        )
+    stage2 = ek.filter("exact_keep").select(*batch.columns).localCheckpoint()
+
+    have_neardup = spark.catalog.tableExists(f"{name}_sizes")
+    if have_neardup:
+        verdict = inc.dedup_delta(spark, stage2, name, threshold)
+    else:
+        verdict = dd.minhash_verified_dedup(stage2, threshold)
+    # checkpoint: verdict is lazy over the landed index, and the state
+    # upserts BELOW change that index — an unmaterialized `kept` would
+    # re-evaluate post-append and see the batch as duplicates of itself
+    # (caught by the funnel test).
+    kept = stage2.join(
+        verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
+
+    staged = (
+        kept.filter(tx.mixture_kept_col())
+        .withColumn("split", tx.split_col())
+        .localCheckpoint()
+    )
+
+    state_path = f"{index_path}/packstate"
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+    else:
+        state = spark.createDataFrame(
+            [], "split string, source string, tok_total bigint"
+        )
+    packed = None
+    for s in ("train", "val", "test"):
+        local = tx.pack_sequences(staged.filter(F.col("split") == s))
+        base = state.filter(F.col("split") == s).select(
+            "source", F.col("tok_total").alias("_base")
+        )
+        shifted = (
+            local.join(F.broadcast(base), "source", "left")
+            .withColumn(
+                "start_tok",
+                F.col("start_tok") + F.coalesce("_base", F.lit(0)),
+            )
+            .select("doc_id", "source", "n_tok", "start_tok")
+        )
+        part = tx.seq_coords(shifted).withColumn("split", F.lit(s))
+        packed = part if packed is None else packed.unionByName(part)
+    packed = packed.localCheckpoint()
+
+    out = staged.join(
+        packed.select(
+            "doc_id", "start_tok", "first_seq", "last_seq", "n_seqs",
+            "seq_offset",
+        ),
+        "doc_id",
+    )
+    write_partitioned(out, out_path, "split", mode="append")
+    # funnel counts BEFORE the upserts, from materialized frames only —
+    # same reason as the kept checkpoint above.
+    funnel = {
+        "input_docs": batch.count(),
+        "after_quality": hashed.count(),
+        "after_exact": stage2.count(),
+        "after_neardup": kept.count(),
+        "written": out.count(),
+    }
+
+    # ---- state upserts (order: data first, state last — see docstring)
+    new_hashes = hashed.select("content_hash").distinct()
+    if have_hashes:
+        # append only the genuinely new hashes, keeping the table a set
+        new_hashes = new_hashes.join(
+            read_bucketed(spark, f"{name}_hashes"), "content_hash",
+            "left_anti",
+        )
+        write_bucketed(
+            new_hashes, f"{name}_hashes", "content_hash",
+            inc.INDEX_BUCKETS, mode="append",
+        )
+    else:
+        write_bucketed(
+            new_hashes, f"{name}_hashes", "content_hash",
+            inc.INDEX_BUCKETS, f"{index_path}/hashes",
+        )
+    if have_neardup:
+        inc.append_to_index(spark, stage2, name)
+    else:
+        inc.land_dedup_index(spark, stage2, name, f"{index_path}/neardup")
+    add = packed.groupBy("split", "source").agg(
+        F.sum("n_tok").alias("add_tok")
+    )
+    new_state = (
+        state.join(add, ["split", "source"], "full")
+        .select(
+            "split",
+            "source",
+            (
+                F.coalesce("tok_total", F.lit(0))
+                + F.coalesce("add_tok", F.lit(0))
+            ).alias("tok_total"),
+        )
+        .localCheckpoint()  # read fully before overwriting its own input
+    )
+    new_state.write.mode("overwrite").parquet(state_path)
+
+    return funnel

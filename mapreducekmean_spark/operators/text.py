@@ -669,9 +669,21 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             F.col("bkt_off") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0))
         ).alias("start_tok"),
     )
-    # start_tok is a token-count prefix sum (always >= 0), so floor
-    # division matches the DuckDB twin's integer `//` exactly; exact in
-    # doubles to 2^53 tokens (~9 petatokens per source)
+    return seq_coords(placed, budget)
+
+
+def seq_coords(placed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence coordinates from a placed token stream — the ONE copy of
+    the cut arithmetic, shared by ``pack_sequences`` and the incremental
+    pipeline's offset-continued packing (which shifts ``start_tok`` by
+    the landed per-(split, source) totals and re-derives the
+    coordinates; a second copy of these formulas is how the
+    batch-prefix ≡ full-run equivalence would silently rot).
+
+    ``placed`` columns: (doc_id, source, n_tok, start_tok). start_tok
+    is a token-count prefix sum (always >= 0), so floor division
+    matches the DuckDB twin's integer `//` exactly; exact in doubles to
+    2^53 tokens (~9 petatokens per source)."""
     b = F.lit(int(budget)).cast("bigint")
     has = F.col("n_tok") > 0
     fs = F.when(has, F.floor(F.col("start_tok") / b).cast("bigint"))
