@@ -185,6 +185,7 @@ def append_to_index(
     new_docs: DataFrame,
     name: str,
     buckets: int = INDEX_BUCKETS,
+    shingled: DataFrame | None = None,
 ) -> None:
     """Upsert a (already delta-scored) batch into the landed index.
     ALL batch docs are appended, dropped ones included — a dropped doc
@@ -192,9 +193,12 @@ def append_to_index(
     Appends reuse each table's landed path and bucket spec, so the
     layout survives and future delta joins stay Exchange-free. Refuses
     when the index is not in the catalog (attach first; a bare append
-    would create empty shadow tables)."""
+    would create empty shadow tables). ``shingled``: the batch's
+    already-checkpointed distinct-gram table (the ``dedup_delta`` call
+    that scored this batch built one — pass it through so the hot
+    ingest path tokenizes once, not twice; r6 review)."""
     _require_index(spark, name, "append_to_index")
-    bands, sh, sizes = _index_parts(new_docs)
+    bands, sh, sizes = _index_parts(new_docs, shingled=shingled)
     parts = {"bands": bands, "grams": sh, "sizes": sizes}
     for suffix, _schema, key in _INDEX_TABLES:
         write_bucketed(
@@ -204,6 +208,66 @@ def append_to_index(
             buckets,
             mode="append",
         )
+
+
+def batch_already_indexed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    name: str,
+    shingled: DataFrame | None = None,
+) -> bool:
+    """True iff this exact batch is ALREADY the tail of the landed
+    index — the state a crash between ``append_to_index`` and a
+    caller's progress marker leaves behind. Ingest drivers use this to
+    make the index append replay-safe: skip the append instead of
+    double-landing the batch (and ``dedup_delta`` tolerates re-scoring
+    exactly this state).
+
+    Checked by ID and by CONTENT: every batch id in the landed roster,
+    every non-batch landed id below the batch minimum, AND the batch's
+    per-doc gram counts and band signatures equal to the landed rows
+    for those ids. Ids alone would mistake a DIFFERENT document
+    re-using the tail's id for a replay and silently wave the id
+    collision through the monotone guard (r6 review: caught by the
+    short-doc roster test). All index-side joins are keyed on the
+    tables' bucket keys; the fast path (no id overlap) costs one
+    batch-sized semi join."""
+    _require_index(spark, name, "batch_already_indexed")
+    idx_sizes = read_bucketed(spark, f"{name}_sizes")
+    ids = new_docs.select("doc_id").localCheckpoint()
+    n_batch = ids.count()
+    if n_batch == 0:
+        return False
+    present = idx_sizes.join(ids, "doc_id", "left_semi").count()
+    if present != n_batch:
+        return False
+    max_other = (
+        idx_sizes.join(ids, "doc_id", "left_anti")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    min_new = ids.agg(F.min("doc_id")).collect()[0][0]
+    if max_other is not None and max_other >= min_new:
+        return False
+    # content check: same gram counts per id, and the batch's band
+    # signatures a subset of the landed ones (identical MinHash rows
+    # ⇒ same shingle sets for dedup purposes).
+    bands, _sh, sizes = _index_parts(new_docs, shingled=shingled)
+    landed_sizes = idx_sizes.join(ids, "doc_id", "left_semi").select(
+        "doc_id", F.col("n_sh").alias("landed_n_sh")
+    )
+    mismatched = (
+        sizes.join(landed_sizes, "doc_id")
+        .filter(F.col("n_sh") != F.col("landed_n_sh"))
+        .count()
+    )
+    if mismatched:
+        return False
+    idx_bands = read_bucketed(spark, f"{name}_bands")
+    missing = bands.join(
+        idx_bands, ["doc_id", "band", "bucket"], "left_anti"
+    ).count()
+    return missing == 0
 
 
 def _cross_candidates(
@@ -251,6 +315,7 @@ def dedup_delta(
     new_docs: DataFrame,
     name: str,
     threshold: float = VERIFY_THRESHOLD,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document dedup verdict for a NEW batch against the landed
     index — ``(doc_id, kept, dup_of)`` exactly as
@@ -263,9 +328,11 @@ def dedup_delta(
     (keyed on the landed id — again the bucket key) → threshold →
     union with the batch-internal verified pairs → keep-lowest verdict.
     The batch's gram table and band table are each built ONCE and feed
-    every stage (cross candidates, cross scoring, within-batch pairs).
-    Work scales with the BATCH and its candidate fan-out, never with
-    the landed corpus size.
+    every stage (cross candidates, cross scoring, within-batch pairs) —
+    pass ``shingled`` (an already-checkpointed distinct-gram table) to
+    extend that sharing across the caller's other stages too. Work
+    scales with the BATCH and its candidate fan-out, never with the
+    landed corpus size.
     """
     if threshold <= 0:
         raise ValueError(
@@ -282,16 +349,30 @@ def dedup_delta(
     if max_landed is not None and min_new is not None and (
         min_new <= max_landed
     ):
-        raise ValueError(
-            f"dedup_delta requires append-only monotone ids: new batch "
-            f"min doc_id {min_new} <= landed max {max_landed}. The "
-            f"keep-lowest policy orients every cross pair as landed < "
-            f"new; overlapping id ranges would flip orientations "
-            f"mid-index. Re-id the batch above the landed ceiling "
-            f"before landing it."
-        )
+        # ONE tolerated overlap: the batch IS already the landed tail —
+        # the state a crash between a caller's append_to_index and its
+        # progress marker leaves. Re-scoring it yields the identical
+        # verdict (_cross_candidates' doc_a < doc_b filter strips the
+        # batch's self-pairs; its cross pairs against itself duplicate
+        # the within-batch pairs, and the keep-lowest min is
+        # idempotent), so replays can converge instead of wedging the
+        # stream on this guard (r6 review).
+        if not batch_already_indexed(spark, new_docs, name, shingled):
+            raise ValueError(
+                f"dedup_delta requires append-only monotone ids: new "
+                f"batch min doc_id {min_new} <= landed max "
+                f"{max_landed}, and the batch is not an exact replay "
+                f"of the landed tail. The keep-lowest policy orients "
+                f"every cross pair as landed < new; overlapping id "
+                f"ranges would flip orientations mid-index. Re-id the "
+                f"batch above the landed ceiling before landing it."
+            )
 
-    sh = gram_rows(new_docs).distinct().localCheckpoint()
+    sh = (
+        gram_rows(new_docs).distinct().localCheckpoint()
+        if shingled is None
+        else shingled
+    )
     new_bands = minhash_bands(new_docs, shingled=sh).localCheckpoint()
     idx_bands = read_bucketed(spark, f"{name}_bands")
     idx_grams = read_bucketed(spark, f"{name}_grams")

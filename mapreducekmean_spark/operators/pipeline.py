@@ -211,8 +211,22 @@ def prepare_training_data_incremental(
         F.col("doc_id")
         == F.min("doc_id").over(Window.partitionBy("content_hash")),
     )
-    have_hashes = spark.catalog.tableExists(f"{name}_hashes")
+    # landed-state discovery from the FILESYSTEM, never the session
+    # catalog: a new session's (in-memory) catalog is empty while the
+    # landed files persist — trusting the catalog would silently
+    # OVERWRITE the hash set and signature index (losing every
+    # cross-batch duplicate) while packstate, being file-checked,
+    # happily continued the offsets (r6 review). Existing files are
+    # re-attached instead.
+    have_hashes = os.path.exists(f"{index_path}/hashes")
     if have_hashes:
+        if not spark.catalog.tableExists(f"{name}_hashes"):
+            spark.sql(
+                f"CREATE TABLE {name}_hashes (content_hash STRING) "
+                f"USING parquet CLUSTERED BY (content_hash) "
+                f"SORTED BY (content_hash) INTO {inc.INDEX_BUCKETS} "
+                f"BUCKETS LOCATION '{index_path}/hashes'"
+            )
         landed = read_bucketed(spark, f"{name}_hashes")
         ek = ek.join(
             landed.withColumn("_seen", F.lit(True)), "content_hash", "left"
@@ -221,10 +235,13 @@ def prepare_training_data_incremental(
         )
     stage2 = ek.filter("exact_keep").select(*batch.columns).localCheckpoint()
 
-    have_neardup = spark.catalog.tableExists(f"{name}_sizes")
+    have_neardup = os.path.exists(f"{index_path}/neardup/sizes")
     if have_neardup:
-        verdict = inc.dedup_delta(spark, stage2, name, threshold)
+        inc.attach_dedup_index(spark, name, f"{index_path}/neardup")
+        sh2 = dd.gram_rows(stage2).distinct().localCheckpoint()
+        verdict = inc.dedup_delta(spark, stage2, name, threshold, shingled=sh2)
     else:
+        sh2 = None
         verdict = dd.minhash_verified_dedup(stage2, threshold)
     # checkpoint: verdict is lazy over the landed index, and the state
     # upserts BELOW change that index — an unmaterialized `kept` would
@@ -301,7 +318,7 @@ def prepare_training_data_incremental(
             inc.INDEX_BUCKETS, f"{index_path}/hashes",
         )
     if have_neardup:
-        inc.append_to_index(spark, stage2, name)
+        inc.append_to_index(spark, stage2, name, shingled=sh2)
     else:
         inc.land_dedup_index(spark, stage2, name, f"{index_path}/neardup")
     add = packed.groupBy("split", "source").agg(

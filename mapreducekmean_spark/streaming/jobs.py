@@ -481,29 +481,41 @@ def ingest_dedup_batch(
     Per batch: (1) replay guard — a batch id at or below the recorded
     high-water mark is a Structured Streaming REPLAY (restart after a
     sink-side crash) and must be a no-op, the standard batch-id
-    idempotency contract of foreachBatch sinks; (2) verdict — the first
-    batch self-dedups (``minhash_verified_dedup``), later batches score
-    against the landed index (``incremental.dedup_delta``), so the kept
-    set over any prefix of batches equals the one-shot full-corpus run
-    (the incremental module's pinned equivalence); (3) land — ALL batch
-    docs join the index (dropped docs still canonicalize future dups),
-    kept docs' full rows append to ``out_path``; (4) the high-water
-    mark advances only after the writes, so a crash between steps
-    replays the whole batch (index append and parquet append are both
-    re-run; the replay guard makes the SECOND completion a no-op, and
-    a half-written first attempt is superseded wholesale — partition-
-    grain idempotency, same stance as ``stream_land_partitions``)."""
+    idempotency contract of foreachBatch sinks; (2) index discovery
+    from the FILESYSTEM, not the session catalog — after a driver
+    restart the (default, in-memory) catalog is empty while the landed
+    files persist, and trusting the catalog would silently re-LAND over
+    the corpus's signatures; existing files are re-attached
+    (``incremental.attach_dedup_index``) instead (r6 review);
+    (3) verdict — the first batch self-dedups
+    (``minhash_verified_dedup``), later batches score against the
+    landed index (``incremental.dedup_delta``), so the kept set over
+    any prefix of batches equals the one-shot full-corpus run (the
+    incremental module's pinned equivalence); (4) land — kept docs'
+    full rows land as the ``ingest_batch=<id>`` partition via
+    partition UPSERT (a replayed batch REPLACES its own partition —
+    row-identical, never duplicated), and ALL batch docs join the
+    index (dropped docs still canonicalize future dups) — skipped when
+    ``incremental.batch_already_indexed`` says a prior attempt's
+    append completed (the crash-between-append-and-marker window;
+    ``dedup_delta`` tolerates re-scoring exactly that state);
+    (5) the high-water mark advances last, so every step a replay
+    re-runs is individually idempotent."""
     import os
 
     from mapreducekmean_spark.operators.dedup import (
         VERIFY_THRESHOLD,
+        gram_rows,
         minhash_verified_dedup,
     )
     from mapreducekmean_spark.operators.incremental import (
         append_to_index,
+        attach_dedup_index,
+        batch_already_indexed,
         dedup_delta,
         land_dedup_index,
     )
+    from mapreducekmean_spark.sources.bucketing import upsert_partitions
 
     if threshold is None:
         threshold = VERIFY_THRESHOLD
@@ -515,21 +527,26 @@ def ingest_dedup_batch(
     batch_df = batch_df.localCheckpoint()  # one materialization per batch
     if not batch_df.take(1):
         return
-    has_index = spark.catalog.tableExists(f"{name}_sizes")
+    has_index = os.path.exists(os.path.join(index_path, "sizes"))
     if has_index:
-        verdict = dedup_delta(spark, batch_df, name, threshold)
-        kept = batch_df.join(
-            verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
-        )
-        kept.write.mode("append").parquet(out_path)
-        append_to_index(spark, batch_df, name)
+        attach_dedup_index(spark, name, index_path)  # no-op if registered
+        sh = gram_rows(batch_df).distinct().localCheckpoint()
+        verdict = dedup_delta(spark, batch_df, name, threshold, shingled=sh)
     else:
+        sh = None
         verdict = minhash_verified_dedup(batch_df, threshold)
-        kept = batch_df.join(
-            verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
-        )
-        kept.write.mode("append").parquet(out_path)
+    kept = batch_df.join(
+        verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
+    )
+    upsert_partitions(
+        kept.withColumn("ingest_batch", F.lit(int(batch_id))),
+        out_path,
+        "ingest_batch",
+    )
+    if not has_index:
         land_dedup_index(spark, batch_df, name, index_path)
+    elif not batch_already_indexed(spark, batch_df, name, shingled=sh):
+        append_to_index(spark, batch_df, name, shingled=sh)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))

@@ -95,3 +95,30 @@ def test_incremental_drops_cross_batch_exact_and_near_dups(
     assert f2["after_neardup"] == 1  # 11, 12 dropped vs landed index
     landed = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 10 not in landed and 11 not in landed and 12 not in landed
+
+
+def test_incremental_pipeline_survives_session_restart(
+    spark, sf_oracle, tmp_path
+):
+    """New session, same index_path: the catalog is empty but the
+    landed hash set, signature index, and pack state persist on disk.
+    The next batch must re-attach all three (filesystem truth) — a
+    catalog-trusting check would silently overwrite the dedup state
+    while continuing the pack offsets, the worst of both worlds."""
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    b1 = docs.filter(F.col("doc_id") < cut)
+    b2 = docs.filter(F.col("doc_id") >= cut)
+
+    full_out = str(tmp_path / "full")
+    prepare_training_data(docs, full_out)
+
+    inc_out = str(tmp_path / "inc")
+    idx = str(tmp_path / "idx")
+    prepare_training_data_incremental(spark, b1, "t_ptd_c", idx, inc_out)
+    # simulate the restart: catalog forgets every landed table
+    for t in ("t_ptd_c_hashes", "t_ptd_c_bands", "t_ptd_c_grams",
+              "t_ptd_c_sizes"):
+        spark.sql(f"DROP TABLE {t}")
+    prepare_training_data_incremental(spark, b2, "t_ptd_c", idx, inc_out)
+    assert _rows(spark, inc_out) == _rows(spark, full_out)

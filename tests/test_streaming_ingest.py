@@ -44,7 +44,9 @@ def test_ingest_batches_compose_to_full_corpus_kept_set(
     assert sorted(r.doc_id for r in landed.collect()) == _kept_full(
         spark, docs
     )
-    assert set(landed.columns) == set(docs.columns)
+    # full document rows plus the batch-partition column the
+    # replay-idempotent upsert layout adds
+    assert set(landed.columns) == set(docs.columns) | {"ingest_batch"}
 
 
 def test_ingest_replay_of_completed_batch_is_noop(
@@ -89,3 +91,71 @@ def test_stream_ingest_dedup_end_to_end(spark, sf_small, tmp_path):
     assert sorted(r.doc_id for r in landed.collect()) == _kept_full(
         spark, docs
     )
+
+
+def test_ingest_replay_after_completed_index_append_converges(
+    spark, sf_oracle, tmp_path
+):
+    """The crash window the high-water mark cannot cover: batch N's
+    index append completed but the marker write did not. The replay
+    must re-score identically (dedup_delta tolerates the batch being
+    the landed tail), REPLACE its own output partition rather than
+    duplicate it, skip the second index append, and advance the
+    marker — the stream converges instead of wedging."""
+    import os
+
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    b0 = docs.filter(F.col("doc_id") < cut)
+    b1 = docs.filter(F.col("doc_id") >= cut)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ingest_dedup_batch(spark, b0, 0, "t_ing_d", idx, out)
+    ingest_dedup_batch(spark, b1, 1, "t_ing_d", idx, out)
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    n_idx = spark.table("t_ing_d_sizes").count()
+
+    # simulate the crash: everything of batch 1 completed EXCEPT the
+    # marker — roll it back to batch 0 and replay batch 1.
+    with open(os.path.join(idx, "_ingest_high_water"), "w") as f:
+        f.write("0")
+    ingest_dedup_batch(spark, b1, 1, "t_ing_d", idx, out)
+
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    ) == rows_before
+    assert spark.table("t_ing_d_sizes").count() == n_idx
+    with open(os.path.join(idx, "_ingest_high_water")) as f:
+        assert int(f.read()) == 1
+
+
+def test_ingest_survives_driver_restart_without_relanding(
+    spark, sf_oracle, tmp_path
+):
+    """Driver restart: the session catalog forgets the index tables but
+    the files persist. The next batch must RE-ATTACH the landed index
+    (filesystem is the source of truth), keep deduplicating against
+    history, and never overwrite the landed signatures."""
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    b0 = docs.filter(F.col("doc_id") < cut)
+    # batch 1 duplicates batch 0's text under fresh higher ids — every
+    # doc must be caught against the LANDED index after the "restart"
+    shift = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    b1 = b0.withColumn("doc_id", F.col("doc_id") + shift)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ingest_dedup_batch(spark, b0, 0, "t_ing_e", idx, out)
+    n0 = b0.count()
+
+    for sfx in ("bands", "grams", "sizes"):  # catalog forgets; files stay
+        spark.sql(f"DROP TABLE t_ing_e_{sfx}")
+    ingest_dedup_batch(spark, b1, 1, "t_ing_e", idx, out)
+
+    landed = spark.read.parquet(out)
+    # no batch-1 doc survived (all are dups of landed history), and the
+    # index grew instead of being re-landed from scratch
+    assert landed.filter(F.col("doc_id") >= shift).count() == 0
+    assert spark.table("t_ing_e_sizes").count() == n0 + b1.count()
