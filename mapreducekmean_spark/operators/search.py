@@ -162,7 +162,13 @@ def land_bm25_index(
 ) -> None:
     """Persist the BM25 index: the (doc_id, term, tf, dl) table bucketed
     by TERM — the grouping/filter key of every query-side step — plus a
-    one-row stats table (n_docs, avgdl).
+    one-row stats table.
+
+    Stats are stored as INTEGER totals (n_docs, total_dl) with avgdl
+    derived at read time: integer sums are order-independent, so
+    :func:`append_bm25_index` can extend them exactly and an appended
+    index's scores stay BIT-identical to a from-scratch rebuild (a
+    stored float avgdl would accumulate per-append rounding).
 
     This closes the loop the docstring above only gestured at: without
     a landed index, every ``bm25_search`` call rebuilds tf from the
@@ -170,22 +176,114 @@ def land_bm25_index(
     Bucketing by term makes the query-side df aggregate land on the
     scan's own partitioning — zero Exchange on the postings side, the
     inverted-index property, pinned in tests/test_plans.py. At 100 TB
-    the index is written once per corpus build and every query after
-    that reads only the buckets its terms hash to."""
+    the index is written once per corpus build, grown per batch with
+    :func:`append_bm25_index`, and every query after that reads only
+    the buckets its terms hash to."""
     from mapreducekmean_spark.sources.bucketing import write_bucketed
 
     tf = term_frequencies(docs)
     write_bucketed(tf, f"{name}_tf", "term", buckets, f"{path}/tf")
-    n_docs, avgdl = corpus_stats_for_search(docs)
+    n_docs, total_dl = _corpus_totals(docs)
     (
         spark.createDataFrame(
-            [(n_docs, float(avgdl))], "n_docs bigint, avgdl double"
+            [(n_docs, total_dl)], "n_docs bigint, total_dl bigint"
         )
         .write.format("parquet")
         .mode("overwrite")
         .option("path", f"{path}/stats")
         .saveAsTable(f"{name}_stats")
     )
+
+
+def _corpus_totals(docs: DataFrame) -> tuple[int, int]:
+    """(n_docs, total token count) — the integer form of the BM25
+    corpus statistics (avgdl = total_dl / n_docs). NULL text counts as
+    zero-length, same contract as ``corpus_stats_for_search``."""
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(tokens("text"))
+            )
+        ).alias("t"),
+    ).collect()[0]
+    return int(row["n"]), int(row["t"] or 0)
+
+
+def attach_bm25_index(
+    spark,
+    name: str,
+    path: str,
+    buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Re-register a landed BM25 index in THIS session's catalog (after
+    a restart) — same filesystem-is-truth stance as
+    ``incremental.attach_dedup_index``: the bucket layout only exists
+    through the catalog entry, so the DDL repeats the land-time spec.
+    Idempotent."""
+    if not spark.catalog.tableExists(f"{name}_tf"):
+        spark.sql(
+            f"CREATE TABLE {name}_tf "
+            f"(doc_id BIGINT, term STRING, tf BIGINT, dl BIGINT) "
+            f"USING parquet CLUSTERED BY (term) SORTED BY (term) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}/tf'"
+        )
+    if not spark.catalog.tableExists(f"{name}_stats"):
+        spark.sql(
+            f"CREATE TABLE {name}_stats (n_docs BIGINT, total_dl BIGINT) "
+            f"USING parquet LOCATION '{path}/stats'"
+        )
+
+
+def append_bm25_index(
+    spark,
+    new_docs: DataFrame,
+    name: str,
+    buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Grow the landed index by one batch: the batch's (doc, term) tf
+    rows append into the term-bucketed table (per-doc rows are disjoint
+    across batches — PRECONDITION: new doc_ids only), and the integer
+    stat totals extend exactly, so queries against the appended index
+    score BIT-identically to a full rebuild over the union (pinned in
+    tests/test_search.py). Refuses when the index is not in the
+    catalog (attach first) — the same no-shadow-tables contract as the
+    dedup index."""
+    for t in (f"{name}_tf", f"{name}_stats"):
+        if not spark.catalog.tableExists(t):
+            raise ValueError(
+                f"append_bm25_index: {t} is not registered in this "
+                f"session's catalog. Run land_bm25_index (new index) or "
+                f"attach_bm25_index (existing files, e.g. after a "
+                f"session restart) first."
+            )
+    from mapreducekmean_spark.sources.bucketing import write_bucketed
+
+    tf_new = term_frequencies(new_docs)
+    write_bucketed(tf_new, f"{name}_tf", "term", buckets, mode="append")
+    old = spark.table(f"{name}_stats").collect()[0]
+    n_new, dl_new = _corpus_totals(new_docs)
+    stats_path = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}_stats")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    (
+        spark.createDataFrame(
+            [
+                (
+                    int(old["n_docs"]) + n_new,
+                    int(old["total_dl"]) + dl_new,
+                )
+            ],
+            "n_docs bigint, total_dl bigint",
+        )
+        .write.format("parquet")
+        .mode("overwrite")
+        .save(stats_path)
+    )
+    # the catalog caches the file listing of the 1-row stats table
+    spark.sql(f"REFRESH TABLE {name}_stats")
 
 
 def bm25_search_indexed(
@@ -204,8 +302,13 @@ def bm25_search_indexed(
 
     st = spark.table(f"{name}_stats").collect()[0]
     tf = read_bucketed(spark, f"{name}_tf")
+    n_docs = int(st["n_docs"])
+    if n_docs == 0:
+        raise ValueError(f"BM25 index {name!r} is empty")
     # docs is unused once tf + stats are supplied; pass the index table
-    # to keep the signature honest.
+    # to keep the signature honest. avgdl derives from the INTEGER
+    # totals at read time — one division, identical whether the index
+    # was built in one shot or grown by appends.
     return bm25_search(
         tf,
         query,
@@ -213,6 +316,6 @@ def bm25_search_indexed(
         k1,
         b,
         tf=tf,
-        n_docs=int(st["n_docs"]),
-        avgdl=float(st["avgdl"]),
+        n_docs=n_docs,
+        avgdl=int(st["total_dl"]) / n_docs,
     )

@@ -201,6 +201,28 @@ def land_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark: SparkSession, new_points: DataFrame, path: str
+) -> None:
+    """Grow the landed IVF index by one batch of vectors: quantize the
+    batch against the index's FROZEN centroids (the standard
+    vector-store contract — the coarse quantizer retrains on a
+    schedule, not per insert; re-deriving centroids per batch would
+    silently re-cell the whole corpus) and append the rows into their
+    ``cell=`` partition directories. PRECONDITION: new vec_ids only.
+    Queries against the appended index equal a one-shot scoring of the
+    union under the same centroids (pinned in
+    tests/test_similarity_indexed.py)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cells = km.assign(
+        new_points.select("vec_id", "emb"), cents
+    ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+
+
 def ann_ivf_indexed(
     spark: SparkSession,
     sf_dir: str,

@@ -147,3 +147,51 @@ def test_corpus_stats_null_text_and_empty_corpus(spark):
     empty = docs.filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty corpus"):
         corpus_stats_for_search(empty)
+
+
+def test_bm25_appended_index_matches_full_rebuild(
+    spark, sf_oracle, tmp_path
+):
+    """Grow-by-append must be invisible to queries: land half the
+    corpus, append the other half, and every score equals the index
+    built over the whole corpus in one shot — BIT-identical, because
+    the stats are integer totals (a stored float avgdl would drift
+    per append). A restart between land and append exercises the
+    attach + no-shadow-tables path."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        append_bm25_index,
+        attach_bm25_index,
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    half_a = docs.filter(F.col("doc_id") < cut)
+    half_b = docs.filter(F.col("doc_id") >= cut)
+
+    p1 = str(tmp_path / "grown")
+    land_bm25_index(spark, half_a, "t_bm25_gr", p1)
+    # restart simulation: catalog forgets, append must refuse, attach
+    # restores
+    spark.sql("DROP TABLE t_bm25_gr_tf")
+    spark.sql("DROP TABLE t_bm25_gr_stats")
+    with pytest.raises(ValueError, match="attach_bm25_index"):
+        append_bm25_index(spark, half_b, "t_bm25_gr")
+    attach_bm25_index(spark, "t_bm25_gr", p1)
+    append_bm25_index(spark, half_b, "t_bm25_gr")
+
+    p2 = str(tmp_path / "oneshot")
+    land_bm25_index(spark, docs, "t_bm25_os", p2)
+    for q in ("table scan", "shuffle partition"):
+        grown = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_gr").collect()
+        ]
+        oneshot = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_os").collect()
+        ]
+        assert grown == oneshot

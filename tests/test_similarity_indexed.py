@@ -56,3 +56,65 @@ def test_ivf_indexed_scan_prunes_to_probed_cells(spark, sf_oracle, tmp_path):
     probed = re.findall(r"\b\d+\b", values_part)
     assert 0 < len(probed) <= N_QUERIES * N_PROBE
     assert len(probed) < ncells  # pruning is real, not a full cover
+
+
+def test_ivf_appended_index_matches_frozen_centroid_scoring(
+    spark, sf_oracle, tmp_path
+):
+    """Append under the frozen quantizer: land half the vectors (the
+    centroids come from that half), append the rest, and the indexed
+    query must equal scoring the WHOLE corpus against those same
+    frozen centroids — the retrain-on-a-schedule contract, where an
+    append never re-cells landed vectors."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        _probe_cells,
+        _queries_and_points,
+        _score_probed_cells,
+        append_ivf_index,
+        land_ivf_index,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    cut = int(pts.approxQuantile("vec_id", [0.5], 0.0)[0])
+    path = str(tmp_path / "ivf")
+
+    # land on the first half only — centroids are frozen from it
+    import os
+
+    half_dir = str(tmp_path / "halffixture")
+    os.makedirs(half_dir, exist_ok=True)
+    # reuse the fixture reader path by materializing a half-sized
+    # embeddings.parquet with the fixture schema
+    spark.read.parquet(f"{sf_oracle}/embeddings.parquet").filter(
+        F.col("vec_id") < cut
+    ).write.mode("overwrite").parquet(f"{half_dir}/embeddings.parquet")
+    land_ivf_index(spark, half_dir, path)
+    append_ivf_index(spark, pts.filter(F.col("vec_id") >= cut), path)
+
+    from mapreducekmean_spark.operators.similarity import ann_ivf_indexed
+
+    got = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path).collect()
+    )
+
+    cents = [
+        r.centroid
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    qs, _ = _queries_and_points(spark, sf_oracle)
+    bucketed = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    expect = sorted(
+        tuple(r)
+        for r in _score_probed_cells(
+            bucketed, _probe_cells(qs, cents, len(cents), 2), 3
+        ).collect()
+    )
+    assert got == expect and got
