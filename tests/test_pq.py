@@ -1,0 +1,131 @@
+"""Product quantization: deterministic training, an exact pure-Python
+encoding/ADC oracle (same sequential fold order as the Spark
+expressions), reconstruction-error monotonicity, and a recall floor
+against the exact neighbors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators import kmeans as km
+from mapreducekmean_spark.operators.pq import (
+    PQ_K,
+    PQ_M,
+    pq_adc_topk,
+    pq_encode,
+    pq_reconstruction_mse,
+    train_pq_codebooks,
+)
+
+
+def _pts(spark, sf_dir):
+    return km.embeddings(spark, sf_dir).select("vec_id", "emb")
+
+
+def test_training_is_deterministic_and_shaped(spark, sf_small):
+    pts = _pts(spark, sf_small)
+    cb1 = train_pq_codebooks(pts, 64)
+    cb2 = train_pq_codebooks(pts, 64)
+    assert cb1 == cb2  # md5 init + fixed iters: no RNG anywhere
+    assert len(cb1) == PQ_M
+    assert all(len(cb) == PQ_K for cb in cb1)
+    assert all(len(code) == 64 // PQ_M for cb in cb1 for code in cb)
+
+
+def test_encoding_matches_sequential_python_oracle(spark, sf_small):
+    """Given the trained codebooks, the Spark encoding must equal a
+    from-scratch Python argmin that accumulates squared distances in
+    the SAME sequential per-dimension order as the zip_with fold —
+    first-wins tie-break included."""
+    pts = _pts(spark, sf_small)
+    cb = train_pq_codebooks(pts, 64)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(pts, cb).collect()}
+
+    ds = 64 // PQ_M
+    for r in pts.collect():
+        expect = []
+        for sub in range(PQ_M):
+            sv = r.emb[sub * ds : (sub + 1) * ds]
+            best, best_d = 0, None
+            for code in range(PQ_K):
+                d = 0.0
+                for a, b in zip(sv, cb[sub][code]):
+                    d = d + (a - b) * (a - b)  # sequential fold order
+                if best_d is None or d < best_d:  # strict <: first wins
+                    best, best_d = code, d
+            expect.append(best)
+        assert got[r.vec_id] == expect, r.vec_id
+
+
+def test_reconstruction_error_falls_with_training(spark, sf_small):
+    """Lloyd iterations must not increase the quantization MSE (each
+    step is a local least-squares improvement), and trained codebooks
+    must beat the raw md5-sample init by a real margin."""
+    pts = _pts(spark, sf_small)
+    cb0 = train_pq_codebooks(pts, 64, iters=0)
+    cb1 = train_pq_codebooks(pts, 64, iters=1)
+    cb4 = train_pq_codebooks(pts, 64, iters=4)
+    m0 = pq_reconstruction_mse(pts, cb0)
+    m1 = pq_reconstruction_mse(pts, cb1)
+    m4 = pq_reconstruction_mse(pts, cb4)
+    assert m1 < m0 * 0.9
+    assert m4 <= m1 + 1e-12
+
+
+def test_adc_topk_recall_beats_random(spark, sf_oracle):
+    """ADC ranks by approximate distance over 32-bit codes; it must
+    still recover a meaningful share of the TRUE L2 top-3 (random
+    would get ~3/n ≈ 0.6%). Floor chosen well below observed so the
+    pin survives fixture regeneration, same style as the ann_ivf/
+    ann_lsh recall floors."""
+    pts = _pts(spark, sf_oracle)
+    rows = {r.vec_id: r.emb for r in pts.collect()}
+    got = pq_adc_topk(spark, sf_oracle)
+    by_q: dict[int, set[int]] = {}
+    for r in got.collect():
+        by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+
+    hits = total = 0
+    for q_id, approx in by_q.items():
+        qv = rows[q_id]
+        dists = []
+        for vid, v in rows.items():
+            if vid == q_id:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(qv, v))
+            dists.append((d, vid))
+        true3 = {vid for _d, vid in sorted(dists)[:3]}
+        hits += len(true3 & approx)
+        total += 3
+    assert by_q and total
+    assert hits / total >= 0.10  # >16x the random-chance floor
+
+
+def test_adc_distance_matches_python_oracle(spark, sf_small):
+    """The reported adc_dist must equal the Python LUT sum (same
+    sequential order, 6-dp round) for every returned row."""
+    pts = _pts(spark, sf_small)
+    cb = train_pq_codebooks(pts, 64)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(pts, cb).collect()}
+    emb = {r.vec_id: r.emb for r in pts.collect()}
+    ds = 64 // PQ_M
+    for r in pq_adc_topk(spark, sf_small).collect():
+        qv = emb[r.q_id]
+        d = 0.0
+        for sub in range(PQ_M):
+            code = codes[r.neighbor_id][sub]
+            sv = qv[sub * ds : (sub + 1) * ds]
+            part = 0.0
+            for a, b in zip(sv, cb[sub][code]):
+                part = part + (a - b) * (a - b)
+            d = d + part
+        assert r.adc_dist == pytest.approx(round(d, 6), abs=1e-6)
+
+
+def test_train_rejects_bad_shapes(spark, sf_small):
+    pts = _pts(spark, sf_small)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(pts, 64, m=7)
+    with pytest.raises(ValueError, match="at least k"):
+        train_pq_codebooks(pts.limit(3), 64)
