@@ -2539,18 +2539,88 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # round-6 rotation. embedding_quantize leads: its r5 driver row was
-    # red (the harness's pandas canonicalizer crashed on the array<int>
-    # qvec; output now serialized — see quantize_embeddings_serialized)
-    # and MUST earn a green row this round. sketch_cms is the round's
-    # one NEW declared query (the count-min sketch promoted from the r5
-    # tests/test_sketch.py twin). The other 48 slots take the r4-vintage
-    # queries that sat past round 5's cap (_CHECK_LAST of r5, see
-    # CORRECTNESS_r05.json). 50 stale + 1 red + 1 new = 52 > 50: the
-    # cap-trade VERDICT r5 names is taken EXPLICITLY — tpch_q4_priority
-    # and tpch_q19_brackets (listed in _STALE_OK) ship on their r4 green
-    # rows + the local sf0.1 sweep; both are pure relational queries no
-    # round-5/6 commit touches.
+    # round-7 rotation. The 51 queries checked in round 5 (the r6
+    # _CHECK_LAST tail, see CORRECTNESS_r05.json) are stale now that
+    # CORRECTNESS_r06.json is the latest artifact; 51 > 50, so exactly
+    # one r5-green query takes the sole _STALE_OK slot. Three entries
+    # CANNOT be exempted and lead the window: tpch_q4_priority and
+    # tpch_q19_brackets (their r4 evidence is past the two-artifact
+    # _STALE_OK bound — the exemption the r6-hardened tripwire exists
+    # to refuse) and kmeans_mllib (rows-only by design, never
+    # hash-green, so the exemption's green-row requirement can never
+    # hold for it). The displaced query is tpch_q1_pricing: r5
+    # value-hash green, pure relational, backed by relational.py which
+    # no round-7 commit touches.
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "kmeans_mllib",
+    "dedup_semantic",
+    "lang_id",
+    "scan_points",
+    "doc_winnow",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "dedup_exact",
+    "dedup_apply",
+    "text_redact",
+    "token_count",
+    "doc_fingerprint",
+    "dataset_split",
+    "quality_score",
+    "text_stats",
+    "sample_stratified",
+    "set_ops_customers",
+    "set_ops_bag",
+    "dataset_mixture",
+    "doc_repetition",
+    "pack_sequences",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "tpch_q7_volume",
+    "tpch_q17_small_qty",
+    "tpch_q22_idle_balance",
+    "tpch_q9_profit",
+    "tpch_q8_mkt_share",
+    "tpch_q12_late_priority",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_part_value",
+    "tpch_q2_best_supplier",
+    "tpch_q20_excess_volume",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
+    "decontaminate",
+    "ann_quantized",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
+#: whose latest driver row is two rounds old because the round's one red
+#: row + one new query displaced them from the 50-entry window. The
+#: rotation tripwire test ENFORCES: a green value-hash row in one of the
+#: last TWO driver artifacts (so an entry left here cannot quietly age
+#: past the two-round bound). That their code is untouched since is a
+#: rotation-time judgment recorded in the _CHECK_FIRST comment, not
+#: machine-checked — keep this list to queries no current-round commit
+#: touches.
+_STALE_OK = (
+    "tpch_q1_pricing",
+)
+
+_CHECK_LAST = (
+    # all value-hash green on round-6 code (CORRECTNESS_r06.json) AND
+    # covered by pytest oracle twins at sf0.001/0.01 (+ the sf0.1
+    # sweep); the one _STALE_OK entry (r5-green, relational.py
+    # untouched this round) lands last.
     "embedding_quantize",
     "sketch_cms",
     "kmeans_full",
@@ -2601,79 +2671,7 @@ _CHECK_FIRST = (
     "tpch_q13_custdist",
     "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders",
-)
-
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: whose latest driver row is two rounds old because the round's one red
-#: row + one new query displaced them from the 50-entry window. The
-#: rotation tripwire test ENFORCES: a green value-hash row in one of the
-#: last TWO driver artifacts (so an entry left here cannot quietly age
-#: past the two-round bound). That their code is untouched since is a
-#: rotation-time judgment recorded in the _CHECK_FIRST comment, not
-#: machine-checked — keep this list to queries no current-round commit
-#: touches.
-_STALE_OK = (
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-)
-
-_CHECK_LAST = (
-    # all value-hash green on round-5 code (CORRECTNESS_r05.json except
-    # the two _STALE_OK r4 rows) AND covered by pytest oracle twins at
-    # sf0.001/0.01 (+ the sf0.1 sweep). Ordered so queries round-6 code
-    # touches (dedup_semantic cell guard, lang_id profiling) land
-    # nearest the cap; the _STALE_OK pair land last.
-    "dedup_semantic",
-    "lang_id",
-    "scan_points",
-    "doc_winnow",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
     "tpch_q1_pricing",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "dedup_exact",
-    "dedup_apply",
-    "text_redact",
-    "token_count",
-    "doc_fingerprint",
-    "dataset_split",
-    "quality_score",
-    "text_stats",
-    "sample_stratified",
-    "set_ops_customers",
-    "set_ops_bag",
-    "kmeans_mllib",
-    "dataset_mixture",
-    "doc_repetition",
-    "pack_sequences",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "tpch_q7_volume",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balance",
-    "tpch_q9_profit",
-    "tpch_q8_mkt_share",
-    "tpch_q12_late_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
-    "ann_quantized",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
 )
 
 
