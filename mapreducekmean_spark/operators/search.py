@@ -183,10 +183,11 @@ def land_bm25_index(
 
     tf = term_frequencies(docs)
     write_bucketed(tf, f"{name}_tf", "term", buckets, f"{path}/tf")
-    n_docs, total_dl = _corpus_totals(docs)
+    n_docs, total_dl, max_doc = _corpus_totals(docs)
     (
         spark.createDataFrame(
-            [(n_docs, total_dl)], "n_docs bigint, total_dl bigint"
+            [(max_doc, n_docs, total_dl)],
+            "max_doc_id bigint, n_docs bigint, total_dl bigint",
         )
         .write.format("parquet")
         .mode("overwrite")
@@ -195,9 +196,10 @@ def land_bm25_index(
     )
 
 
-def _corpus_totals(docs: DataFrame) -> tuple[int, int]:
-    """(n_docs, total token count) — the integer form of the BM25
-    corpus statistics (avgdl = total_dl / n_docs). NULL text counts as
+def _corpus_totals(docs: DataFrame) -> tuple[int, int, int]:
+    """(n_docs, total token count, max doc_id) — the integer form of
+    the BM25 corpus statistics (avgdl = total_dl / n_docs) plus the
+    batch ceiling the append replay guard keys on. NULL text counts as
     zero-length, same contract as ``corpus_stats_for_search``."""
     row = docs.select(
         F.count("*").alias("n"),
@@ -206,8 +208,9 @@ def _corpus_totals(docs: DataFrame) -> tuple[int, int]:
                 F.size(tokens("text"))
             )
         ).alias("t"),
+        F.max("doc_id").alias("mx"),
     ).collect()[0]
-    return int(row["n"]), int(row["t"] or 0)
+    return int(row["n"]), int(row["t"] or 0), int(row["mx"] or -1)
 
 
 def attach_bm25_index(
@@ -230,7 +233,8 @@ def attach_bm25_index(
         )
     if not spark.catalog.tableExists(f"{name}_stats"):
         spark.sql(
-            f"CREATE TABLE {name}_stats (n_docs BIGINT, total_dl BIGINT) "
+            f"CREATE TABLE {name}_stats "
+            f"(max_doc_id BIGINT, n_docs BIGINT, total_dl BIGINT) "
             f"USING parquet LOCATION '{path}/stats'"
         )
 
@@ -243,12 +247,25 @@ def append_bm25_index(
 ) -> None:
     """Grow the landed index by one batch: the batch's (doc, term) tf
     rows append into the term-bucketed table (per-doc rows are disjoint
-    across batches — PRECONDITION: new doc_ids only), and the integer
-    stat totals extend exactly, so queries against the appended index
-    score BIT-identically to a full rebuild over the union (pinned in
-    tests/test_search.py). Refuses when the index is not in the
-    catalog (attach first) — the same no-shadow-tables contract as the
-    dedup index."""
+    across batches — PRECONDITION: new doc_ids only, monotone across
+    batches), and ONE stats delta row appends beside them — readers sum
+    the integer deltas, so queries against the appended index score
+    BIT-identically to a full rebuild (pinned in tests/test_search.py).
+
+    Replay-safe (ADVICE r6): both writes are APPENDS — nothing is
+    overwritten in place — and the stats rows double as the append log.
+    A batch whose max doc_id is at or under the recorded ceiling
+    already completed (stats land LAST), so a replayed append is a
+    no-op; a crash BETWEEN the tf append and the stats append is
+    detected by probing the tf table for the batch's highest-id posting
+    (a term-equality probe — bucket-pruned, never a full index scan):
+    present means only the stats row is missing and only it is
+    re-appended. The window left open is a crash mid-job-commit of one
+    parquet write — the filesystem commit protocol's own granularity,
+    same stance as ``incremental.batch_already_indexed``.
+
+    Refuses when the index is not in the catalog (attach first) — the
+    same no-shadow-tables contract as the dedup index."""
     for t in (f"{name}_tf", f"{name}_stats"):
         if not spark.catalog.tableExists(t):
             raise ValueError(
@@ -259,30 +276,37 @@ def append_bm25_index(
             )
     from mapreducekmean_spark.sources.bucketing import write_bucketed
 
-    tf_new = term_frequencies(new_docs)
-    write_bucketed(tf_new, f"{name}_tf", "term", buckets, mode="append")
-    old = spark.table(f"{name}_stats").collect()[0]
-    n_new, dl_new = _corpus_totals(new_docs)
-    stats_path = (
-        spark.sql(f"DESCRIBE TABLE EXTENDED {name}_stats")
-        .filter("col_name = 'Location'")
-        .collect()[0]["data_type"]
+    n_new, dl_new, batch_max = _corpus_totals(new_docs)
+    if n_new == 0:
+        return
+    ceiling = spark.table(f"{name}_stats").agg(
+        F.max("max_doc_id").alias("mx")
+    ).collect()[0]["mx"]
+    if ceiling is not None and batch_max <= int(ceiling):
+        return  # replayed append of a completed batch: no-op
+    tf_new = term_frequencies(new_docs).localCheckpoint()
+    probe = (
+        tf_new.orderBy(F.col("doc_id").desc(), F.col("term").asc())
+        .select("doc_id", "term")
+        .take(1)
     )
+    tf_already = bool(probe) and bool(
+        spark.table(f"{name}_tf")
+        .filter(
+            (F.col("term") == probe[0]["term"])
+            & (F.col("doc_id") == probe[0]["doc_id"])
+        )
+        .take(1)
+    )
+    if not tf_already:
+        write_bucketed(tf_new, f"{name}_tf", "term", buckets, mode="append")
     (
         spark.createDataFrame(
-            [
-                (
-                    int(old["n_docs"]) + n_new,
-                    int(old["total_dl"]) + dl_new,
-                )
-            ],
-            "n_docs bigint, total_dl bigint",
+            [(batch_max, n_new, dl_new)],
+            "max_doc_id bigint, n_docs bigint, total_dl bigint",
         )
-        .write.format("parquet")
-        .mode("overwrite")
-        .save(stats_path)
+        .write.insertInto(f"{name}_stats")
     )
-    # the catalog caches the file listing of the 1-row stats table
     spark.sql(f"REFRESH TABLE {name}_stats")
 
 
@@ -300,9 +324,15 @@ def bm25_search_indexed(
     (pinned in tests/test_search.py)."""
     from mapreducekmean_spark.sources.bucketing import read_bucketed
 
-    st = spark.table(f"{name}_stats").collect()[0]
+    # stats is an append log: one integer delta row per land/append;
+    # the current totals are their sums (order-independent — the
+    # bit-identical-to-rebuild property survives any append history)
+    st = spark.table(f"{name}_stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+    ).collect()[0]
     tf = read_bucketed(spark, f"{name}_tf")
-    n_docs = int(st["n_docs"])
+    n_docs = int(st["n_docs"] or 0)
     if n_docs == 0:
         raise ValueError(f"BM25 index {name!r} is empty")
     # docs is unused once tf + stats are supplied; pass the index table

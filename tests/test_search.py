@@ -195,3 +195,64 @@ def test_bm25_appended_index_matches_full_rebuild(
             for r in bm25_search_indexed(spark, q, "t_bm25_os").collect()
         ]
         assert grown == oneshot
+
+
+def test_bm25_append_replay_and_crash_window(spark, sf_oracle, tmp_path):
+    """append_bm25_index must be idempotent under the two failure modes
+    a foreachBatch caller replays into it (ADVICE r6): (a) a FULL
+    replay of a completed append is a no-op — postings and stats both
+    unchanged; (b) a crash BETWEEN the tf append and the stats append
+    (simulated by appending tf by hand, as a half-done prior attempt
+    left it) is detected by the bucket-pruned posting probe, and the
+    retry appends ONLY the missing stats row — the recovered index
+    scores identically to the clean path."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        BM25_INDEX_BUCKETS,
+        append_bm25_index,
+        bm25_search_indexed,
+        land_bm25_index,
+        term_frequencies,
+    )
+    from mapreducekmean_spark.sources.bucketing import write_bucketed
+
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    half_a = docs.filter(F.col("doc_id") < cut)
+    half_b = docs.filter(F.col("doc_id") >= cut)
+
+    p1 = str(tmp_path / "replayed")
+    land_bm25_index(spark, half_a, "t_bm25_rp", p1)
+    append_bm25_index(spark, half_b, "t_bm25_rp")
+    tf_rows = spark.table("t_bm25_rp_tf").count()
+    stat_rows = spark.table("t_bm25_rp_stats").count()
+    append_bm25_index(spark, half_b, "t_bm25_rp")  # full replay
+    assert spark.table("t_bm25_rp_tf").count() == tf_rows
+    assert spark.table("t_bm25_rp_stats").count() == stat_rows
+
+    p2 = str(tmp_path / "crashed")
+    land_bm25_index(spark, half_a, "t_bm25_cr", p2)
+    # half-done prior attempt: tf landed, the stats row never did
+    write_bucketed(
+        term_frequencies(half_b),
+        "t_bm25_cr_tf",
+        "term",
+        BM25_INDEX_BUCKETS,
+        mode="append",
+    )
+    append_bm25_index(spark, half_b, "t_bm25_cr")  # the retry
+    assert (
+        spark.table("t_bm25_cr_tf").count()
+        == spark.table("t_bm25_rp_tf").count()
+    )
+    for q in ("table scan", "shuffle partition"):
+        crashed = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_cr").collect()
+        ]
+        clean = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_rp").collect()
+        ]
+        assert crashed == clean
