@@ -180,12 +180,30 @@ def land_ivf_index(
     postings) and ``incremental.land_dedup_index`` (band-bucketed
     signatures): pay the layout shuffle once at build, make every query
     after it partial-read."""
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sf_dir).select("vec_id", "emb"),
+        path,
+        ncells,
+    )
+
+
+def land_ivf_index_points(
+    spark: SparkSession,
+    pts: DataFrame,
+    path: str,
+    ncells: int = km.DEFAULT_K,
+    cents: list[list[float]] | None = None,
+) -> None:
+    """:func:`land_ivf_index` over an explicit ``(vec_id, emb)`` frame —
+    the composable form an ingest pipeline feeds batch by batch.
+    ``cents`` pins an externally-chosen frozen quantizer (e.g. to
+    rebuild an appended index under ITS centroids for an equivalence
+    check); default is the deterministic k-sample over ``pts``."""
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
-    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
-    cents = km.collect_centroids(
-        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
-    )
+    if cents is None:
+        cents = km.collect_centroids(km.deterministic_init(pts, ncells))
     cells = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
@@ -209,12 +227,40 @@ def append_ivf_index(
     vector-store contract — the coarse quantizer retrains on a
     schedule, not per insert; re-deriving centroids per batch would
     silently re-cell the whole corpus) and append the rows into their
-    ``cell=`` partition directories. PRECONDITION: new vec_ids only.
-    Queries against the appended index equal a one-shot scoring of the
-    union under the same centroids (pinned in
-    tests/test_similarity_indexed.py)."""
+    ``cell=`` partition directories. PRECONDITION: new vec_ids only,
+    monotone across batches. Queries against the appended index equal
+    a one-shot scoring of the union under the same centroids (pinned
+    in tests/test_similarity_indexed.py).
+
+    Replay-safe (same discipline as ``search.append_bm25_index``): the
+    batch's max vec_id is quantized DRIVER-side to its one cell, and
+    that single ``cell=`` directory is probed for the row — present
+    means a prior attempt's append completed and the replay is a
+    no-op. The probe reads one partition directory, never the index."""
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    head = (
+        new_points.select("vec_id", "emb")
+        .orderBy(F.col("vec_id").desc())
+        .take(1)
+    )
+    if not head:
+        return
+    max_id, max_emb = int(head[0]["vec_id"]), list(head[0]["emb"])
+    max_cell = min(
+        range(len(cents)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(max_emb, cents[i])),
+            i,
+        ),
+    )
+    already = bool(
+        spark.read.parquet(f"{path}/cells")
+        .filter((F.col("cell") == max_cell) & (F.col("vec_id") == max_id))
+        .take(1)
+    )
+    if already:
+        return  # replayed append of a completed batch: no-op
     cells = km.assign(
         new_points.select("vec_id", "emb"), cents
     ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))

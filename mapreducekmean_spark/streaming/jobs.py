@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -473,6 +474,9 @@ def ingest_dedup_batch(
     index_path: str,
     out_path: str,
     threshold: float | None = None,
+    bm25_path: str | None = None,
+    ivf_path: str | None = None,
+    ivf_ncells: int | None = None,
 ) -> None:
     """One micro-batch of the deduplicating ingest — the ``foreachBatch``
     body of :func:`stream_ingest_dedup`, public so tests (and batch
@@ -499,7 +503,16 @@ def ingest_dedup_batch(
     ``incremental.batch_already_indexed`` says a prior attempt's
     append completed (the crash-between-append-and-marker window;
     ``dedup_delta`` tolerates re-scoring exactly that state);
-    (5) the high-water mark advances last, so every step a replay
+    (5) optionally, the OTHER landed indexes over the same corpus grow
+    in the same batch turn — ``bm25_path`` keeps a term-bucketed BM25
+    index (``search.land/append_bm25_index``) over the KEPT docs, and
+    ``ivf_path`` (for batches carrying an ``embedding`` column) keeps
+    a cell-partitioned IVF ANN index (``similarity.land/
+    append_ivf_index``, quantizer frozen from the first batch) — so
+    the landed corpus is searchable everywhere without manual index
+    maintenance; both appends carry their own content-checked replay
+    guards, so the crash-between-step-and-marker window stays safe;
+    (6) the high-water mark advances last, so every step a replay
     re-runs is individually idempotent."""
     import os
 
@@ -547,6 +560,38 @@ def ingest_dedup_batch(
         land_dedup_index(spark, batch_df, name, index_path)
     elif not batch_already_indexed(spark, batch_df, name, shingled=sh):
         append_to_index(spark, batch_df, name, shingled=sh)
+    if bm25_path is not None:
+        from mapreducekmean_spark.operators.search import (
+            append_bm25_index,
+            attach_bm25_index,
+            land_bm25_index,
+        )
+
+        bm25_name = f"{name}_bm25"
+        if os.path.exists(os.path.join(bm25_path, "tf")):
+            attach_bm25_index(spark, bm25_name, bm25_path)
+            append_bm25_index(spark, kept, bm25_name)
+        else:
+            land_bm25_index(spark, kept, bm25_name, bm25_path)
+    if ivf_path is not None and "embedding" in batch_df.columns:
+        from mapreducekmean_spark.functions.vector import as_double_array
+        from mapreducekmean_spark.operators.similarity import (
+            append_ivf_index,
+            land_ivf_index_points,
+        )
+
+        vecs = kept.select(
+            F.col("doc_id").alias("vec_id"),
+            as_double_array("embedding").alias("emb"),
+        )
+        if os.path.exists(os.path.join(ivf_path, "centroids")):
+            append_ivf_index(spark, vecs, ivf_path)
+        else:
+            land_ivf_index_points(
+                spark, vecs, ivf_path, **(
+                    {"ncells": ivf_ncells} if ivf_ncells else {}
+                )
+            )
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
@@ -558,6 +603,8 @@ def stream_ingest_dedup(
     name: str,
     index_path: str,
     out_path: str,
+    bm25_path: str | None = None,
+    ivf_path: str | None = None,
 ) -> None:
     """Deduplicating ingest: the composition a production corpus
     pipeline actually runs — a document stream lands APPEND-ONLY clean
@@ -576,9 +623,18 @@ def stream_ingest_dedup(
     spark = docs_stream.sparkSession
     q = (
         docs_stream.writeStream.outputMode("update")
+        # The checkpoint makes batch ids DURABLE across driver restarts.
+        # ingest_dedup_batch's _ingest_high_water marker persists with
+        # the index, so without a checkpoint a restarted stream would
+        # restart batch ids at 0, see id <= high-water, and silently
+        # no-op every batch of NEW documents (ADVICE r6 high). With it,
+        # a restart resumes from the logged offset and replays at most
+        # the one in-flight batch — which the marker correctly no-ops.
+        .option("checkpointLocation", os.path.join(index_path, "_checkpoint"))
         .foreachBatch(
             lambda df, bid: ingest_dedup_batch(
-                spark, df, bid, name, index_path, out_path
+                spark, df, bid, name, index_path, out_path,
+                bm25_path=bm25_path, ivf_path=ivf_path,
             )
         )
         .start()

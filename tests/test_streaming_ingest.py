@@ -131,6 +131,125 @@ def test_ingest_replay_after_completed_index_append_converges(
         assert int(f.read()) == 1
 
 
+def test_ingest_composes_bm25_and_ivf_indexes(spark, sf_oracle, tmp_path):
+    """Land once, searchable everywhere: driving batches through the
+    ingest with bm25_path/ivf_path keeps the BM25 and IVF indexes in
+    lockstep with the landed corpus — post-ingest queries must equal a
+    from-scratch rebuild over exactly the landed rows (BM25: fresh
+    index over the kept docs; IVF: fresh index under the ingest's own
+    frozen centroids). Replays of a completed batch (both the full
+    no-op path and the rolled-back-marker path, where each index's own
+    content-checked guard must fire) change neither result."""
+    import os
+
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _queries_and_points,
+        _score_probed_cells,
+        land_ivf_index_points,
+    )
+
+    docs = documents(spark, sf_oracle).withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "cast(sin(cast((doc_id + 1) * i as double)) as float))"
+        ),
+    )
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    batches = [
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+    ]
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    for bid, b in enumerate(batches):
+        ingest_dedup_batch(
+            spark, b, bid, "t_ing_f", idx, out,
+            bm25_path=bm25, ivf_path=ivf,
+        )
+
+    landed = spark.read.parquet(out).localCheckpoint()
+
+    def bm25_results(name):
+        return [
+            tuple(r)
+            for q in ("table scan", "shuffle partition")
+            for r in bm25_search_indexed(spark, q, name).collect()
+        ]
+
+    def ivf_results(path):
+        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+        cents = [
+            r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)
+        ]
+        qs = (
+            landed.orderBy("doc_id")
+            .limit(5)
+            .select(
+                F.col("doc_id").alias("q_id"),
+                F.expr(
+                    "transform(embedding, v -> cast(v as double))"
+                ).alias("q_emb"),
+            )
+        )
+        q_cells = _probe_cells(qs, cents, len(cents), N_PROBE)
+        cells = spark.read.parquet(f"{path}/cells").select(
+            "vec_id", "emb", F.col("cell").cast("bigint").alias("cell")
+        )
+        return sorted(
+            tuple(r) for r in _score_probed_cells(cells, q_cells, 3).collect()
+        )
+
+    grown_bm25 = bm25_results("t_ing_f_bm25")
+    grown_ivf = ivf_results(ivf)
+
+    # from-scratch rebuilds over exactly the landed corpus
+    land_bm25_index(spark, landed, "t_ing_f_rb", str(tmp_path / "bm25_rb"))
+    assert bm25_results("t_ing_f_rb") == grown_bm25
+    cent_rows = spark.read.parquet(f"{ivf}/centroids").collect()
+    frozen = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    ivf_rb = str(tmp_path / "ivf_rb")
+    land_ivf_index_points(
+        spark,
+        landed.select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr("transform(embedding, v -> cast(v as double))").alias(
+                "emb"
+            ),
+        ),
+        ivf_rb,
+        ncells=len(frozen),
+        cents=frozen,
+    )
+    assert ivf_results(ivf_rb) == grown_ivf
+
+    # replay a completed batch twice: once as the full marker no-op,
+    # once with the marker rolled back so the per-index guards fire
+    ingest_dedup_batch(
+        spark, batches[1], 1, "t_ing_f", idx, out,
+        bm25_path=bm25, ivf_path=ivf,
+    )
+    with open(os.path.join(idx, "_ingest_high_water"), "w") as f:
+        f.write("0")
+    ingest_dedup_batch(
+        spark, batches[1], 1, "t_ing_f", idx, out,
+        bm25_path=bm25, ivf_path=ivf,
+    )
+    assert bm25_results("t_ing_f_bm25") == grown_bm25
+    assert ivf_results(ivf) == grown_ivf
+    assert (
+        spark.read.parquet(f"{ivf}/cells").count() == landed.count()
+    )
+
+
 def test_ingest_survives_driver_restart_without_relanding(
     spark, sf_oracle, tmp_path
 ):
