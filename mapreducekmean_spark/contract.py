@@ -1566,6 +1566,131 @@ FROM f
 """
 
 
+def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression tier end-to-end (operators/pq.py): train M=8
+    sub-codebooks (4 simultaneous-subspace Lloyd passes, deterministic
+    md5 init), encode every vector to 32 bits, ADC top-3 for the
+    standard query batch. The DuckDB twin unrolls the whole training
+    loop into generated MATERIALIZED CTE stages, same discipline as
+    ``_lloyd_oracle_sql`` — so even the compressed-ANN path gets a full
+    value-hash comparison."""
+    from mapreducekmean_spark.operators import pq
+
+    return pq.pq_adc_topk(spark, sf_dir)
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    n_queries: int = 10,
+    topk: int = 3,
+) -> str:
+    """``pq.pq_adc_topk`` as one DuckDB statement: md5-deterministic
+    seed slices → ``iters`` unrolled simultaneous-subspace Lloyd stages
+    (assign per (point, subspace), per-(sub, code) means, empty cells
+    keep their previous code vector) → encode → asymmetric-distance
+    top-k. All-integer output except adc_dist (rounded to 6 dp on both
+    engine sides); cross-engine float noise ~1e-15 can flip a rank only
+    on a near-exact tie — the same accepted risk class as
+    ``kmeans_full``."""
+    ds = dim // m
+
+    def dists(emb: str, cbs: str, s: str) -> str:
+        return (
+            f"list_transform(range(1, {kc} + 1), c -> "
+            f"list_sum(list_transform(range(1, {ds} + 1), d -> "
+            f"({emb}[({s} - 1) * {ds} + d] - {cbs}[{s}][c][d]) * "
+            f"({emb}[({s} - 1) * {ds} + d] - {cbs}[{s}][c][d]))))"
+        )
+
+    avgs = ", ".join(f"avg(sv[{d}])" for d in range(1, ds + 1))
+    parts = [
+        f"""
+pts AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+seed AS MATERIALIZED (
+  SELECT list(emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seeds
+  FROM (SELECT vec_id, emb FROM pts
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc})),
+c0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {m} + 1), s ->
+    list_transform(range(1, {kc} + 1), c ->
+      list_transform(range(1, {ds} + 1), d ->
+        seeds[c][(s - 1) * {ds} + d]))) AS cbs
+  FROM seed)"""
+    ]
+    for n in range(1, iters + 1):
+        prev = f"c{n - 1}"
+        parts.append(
+            f"""
+a{n} AS MATERIALIZED (
+  SELECT vec_id, s AS sub,
+         CAST(array_position(dists, list_min(dists)) AS INT) AS code, sv
+  FROM (
+    SELECT p.vec_id, s.s AS s,
+           list_transform(range(1, {ds} + 1), d ->
+             p.emb[(s.s - 1) * {ds} + d]) AS sv,
+           {dists("p.emb", "cb.cbs", "s.s")} AS dists
+    FROM pts p CROSS JOIN range(1, {m} + 1) s(s)
+    CROSS JOIN {prev} cb)
+),
+u{n} AS MATERIALIZED (
+  SELECT sub, code, [{avgs}] AS cent FROM a{n} GROUP BY sub, code
+),
+b{n} AS MATERIALIZED (
+  SELECT s.s AS sub,
+         list(coalesce(u.cent, cb.cbs[s.s][c.c]) ORDER BY c.c) AS cbx
+  FROM range(1, {m} + 1) s(s)
+  CROSS JOIN range(1, {kc} + 1) c(c)
+  CROSS JOIN {prev} cb
+  LEFT JOIN u{n} u ON u.sub = s.s AND u.code = c.c
+  GROUP BY s.s
+),
+c{n} AS MATERIALIZED (
+  SELECT list(cbx ORDER BY sub) AS cbs FROM b{n}
+)"""
+        )
+    final = f"c{iters}"
+    parts.append(
+        f"""
+enc AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY sub) AS codes
+  FROM (
+    SELECT vec_id, s AS sub,
+           CAST(array_position(dists, list_min(dists)) AS INT) AS code
+    FROM (
+      SELECT p.vec_id, s.s AS s, {dists("p.emb", "cb.cbs", "s.s")} AS dists
+      FROM pts p CROSS JOIN range(1, {m} + 1) s(s)
+      CROSS JOIN {final} cb)
+  ) GROUP BY vec_id
+),
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, {m} + 1), s ->
+           list_sum(list_transform(range(1, {ds} + 1), d ->
+             (q.emb[(s - 1) * {ds} + d] - cb.cbs[s][e.codes[s]][d]) *
+             (q.emb[(s - 1) * {ds} + d] - cb.cbs[s][e.codes[s]][d])))))
+           AS adc
+  FROM (SELECT vec_id, emb FROM pts WHERE vec_id < {n_queries}) q
+  CROSS JOIN enc e CROSS JOIN {final} cb
+  WHERE e.vec_id <> q.vec_id
+)"""
+    )
+    return f"""
+WITH {",".join(parts)}
+SELECT q_id, neighbor_id, rank, ROUND(adc, 6) AS adc_dist
+FROM (
+  SELECT q_id, neighbor_id, adc,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {topk}
+"""
+
+
 def _queries_dedup_similarity() -> list[Query]:
     return [
         Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL),
@@ -1630,6 +1755,7 @@ FROM documents
             _QUANT_SQL,
         ),
         Query("ann_quantized", sim.ann_quantized_topk, _ANN_QUANT_SQL),
+        Query("pq_adc_topk", _pq_adc_topk, _pq_adc_oracle_sql()),
     ]
 
 
@@ -2551,6 +2677,7 @@ _CHECK_FIRST = (
     # hold for it). The displaced query is tpch_q1_pricing: r5
     # value-hash green, pure relational, backed by relational.py which
     # no round-7 commit touches.
+    "pq_adc_topk",
     "tpch_q4_priority",
     "tpch_q19_brackets",
     "kmeans_mllib",
@@ -2562,7 +2689,6 @@ _CHECK_FIRST = (
     "events_range_join_capped",
     "events_histogram",
     "events_quantiles",
-    "tpch_q3_top_orders",
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast",
     "tpch_q14_promo",
@@ -2614,6 +2740,7 @@ _CHECK_FIRST = (
 #: touches.
 _STALE_OK = (
     "tpch_q1_pricing",
+    "tpch_q3_top_orders",
 )
 
 _CHECK_LAST = (

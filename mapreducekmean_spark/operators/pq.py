@@ -19,21 +19,24 @@ engine's ANN family as the compression tier: IVF prunes WHERE to look
 Spark mapping — deliberately the same shapes as the oracle-checked
 K-Means core, just M codebooks at once:
 
-- **training** is Lloyd over all M subspaces SIMULTANEOUSLY in one
-  DataFrame pass per iteration: assignment is a constant-folded
-  codebook literal (R5's broadcast-small-state shape), the update is
-  ONE posexplode + groupBy (sub, code) partial+final aggregate whose
-  shuffle payload is M×K×(d/M + 1) values regardless of input rows —
-  ``kmeans.centroid_update_wide``'s bound, multiplied by M;
+- **training** is Lloyd over all M subspaces SIMULTANEOUSLY on the
+  ``kmeans._numpy_blocks`` hot-loop representation (Arrow-built
+  cached numpy blocks — MLlib's own strategy): per iteration, the
+  codebook array broadcasts with the closure and ONE ``treeReduce``
+  returns (m×k×ds sums, m×k counts) — centroid_update's bounded
+  combine payload times M, with zero per-iteration Catalyst planning;
 - **init** is the md5-deterministic k-sample (``deterministic_init``'s
   ordering), so training is reproducible run to run with no RNG;
-- **encoding** is a pure codegen projection (no shuffle, no Python);
+- **encoding** is one Arrow-batched ``mapInArrow`` pass over the same
+  ``_codes_np`` kernel (no shuffle; why not a Catalyst expression:
+  see the kernel's docstring — both expression forms measured badly);
 - **ADC scoring** computes each query's M×K lookup table driver-side
   (a handful of floats — the same bounded-collect class as the k-row
   centroid collect), folds it into a literal, and scores every
-  encoded row with one ``aggregate`` over its M codes: the scan reads
-  4-byte codes, never the 512-byte raw vectors. Empty cells keep
-  their previous centroid, mirroring ``KMeans.java:129-144`` policy.
+  encoded row with M static ``element_at`` lookups — a small codegen
+  expression: the scan reads 4-byte codes, never the 512-byte raw
+  vectors. Empty cells keep their previous centroid, mirroring
+  ``KMeans.java:129-144`` policy.
 """
 
 from __future__ import annotations
@@ -42,7 +45,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.functions.hashing import stable_order_key
-from mapreducekmean_spark.functions.vector import argmin_index
 from mapreducekmean_spark.operators import kmeans as km
 
 #: Subspace count (d must divide evenly) and codes per subspace.
@@ -53,47 +55,46 @@ PQ_K = 16
 PQ_ITERS = 4
 
 
-def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
-    """All M codebooks as one literal array<array<array<double>>> —
-    constant-folded into every assignment/encoding projection."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in code])
-                    for code in cb
-                ]
-            )
-            for cb in codebooks
-        ]
-    )
+def _fold_add(terms: list[Column]) -> Column:
+    """Left-associated sum — the same FP evaluation order as
+    ``aggregate(…, 0.0, (acc, x) -> acc + x)`` folding non-negative
+    terms (0.0 + t == t for t >= 0), so swapping the HOF fold for this
+    static expansion is bit-identical."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
 
-def _sub_col(emb: Column, sub: int, ds: int) -> Column:
-    return F.slice(emb, sub * ds + 1, ds)
+def _codes_np(X, cb):
+    """Per-subspace nearest-code indices for a block: (n, d) float64
+    matrix against the (m, K, ds) codebook array → (n, m) int codes.
 
+    The squared distance accumulates DIMENSION BY DIMENSION (the j
+    loop), vectorized over (rows × codes) — exactly the sequential
+    fold order of the pure-Python oracle in tests/test_pq.py, so the
+    argmin (numpy first-occurrence = first-wins, mirroring
+    ``kmeans.assign``'s strict-< loop) is bit-faithful to it. This is
+    the hot kernel of both training and encoding; it rides the
+    ``kmeans._numpy_blocks`` Arrow machinery rather than a Catalyst
+    expression because both alternatives measured badly at 1M×64
+    (SCALE.md round 7): lambda higher-order functions are
+    CodegenFallback (interpreted per row), and a statically unrolled
+    M×K×ds expression (~4k nodes) blows past janino's method limits
+    into interpreted fallback plus ~70 s of per-query planning."""
+    import numpy as np
 
-def _code_cols(
-    emb: Column, codebooks: list[list[list[float]]]
-) -> list[Column]:
-    """Per-subspace nearest-code index (squared-L2 argmin, first-wins
-    tie-break like ``kmeans.assign``)."""
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-    out = []
-    for sub in range(m):
-        sv = _sub_col(emb, sub, ds)
-        dists = F.transform(
-            F.element_at(cb, sub + 1),
-            lambda c: F.aggregate(
-                F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        out.append(argmin_index(dists))
-    return out
+    m, k, ds = cb.shape
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        xs = X[:, s * ds : (s + 1) * ds]
+        d = np.zeros((n, k))
+        for j in range(ds):
+            diff = xs[:, j : j + 1] - cb[s, :, j][None, :]
+            d = d + diff * diff
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
 
 
 def train_pq_codebooks(
@@ -124,49 +125,86 @@ def train_pq_codebooks(
         [list(map(float, r.emb[sub * ds : (sub + 1) * ds])) for r in seed_rows]
         for sub in range(m)
     ]
-    for _ in range(iters):
-        codes = _code_cols(F.col("emb"), codebooks)
-        # one pass: (sub, code, subvec) rows → per-cell mean. The
-        # explode fans each input row into M narrow rows BEFORE the
-        # partial aggregate, which collapses every task's output to
-        # ≤ M×K cells — the k×(d+1) shuffle bound of centroid_update,
-        # times M.
-        cells = points.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.struct(
-                            codes[sub].alias("code"),
-                            _sub_col(F.col("emb"), sub, ds).alias("sv"),
-                        )
-                        for sub in range(m)
-                    ]
-                )
-            ).alias("sub", "cs")
-        ).select("sub", "cs.code", "cs.sv")
-        mean_arr = F.expr(
-            "array("
-            + ",".join(f"avg(element_at(sv, {i + 1}))" for i in range(ds))
-            + ")"
-        ).alias("centroid")
-        updated = (
-            cells.groupBy("sub", "code").agg(mean_arr).collect()
-        )
-        for r in updated:  # empty cells keep their previous centroid
-            codebooks[r.sub][r.code] = [float(v) for v in r.centroid]
+    if iters == 0:
+        return codebooks
+    import numpy as np
+
+    # the kmeans hot-loop representation: Arrow-built numpy blocks,
+    # cached once, then one treeReduce of (m×k×ds sums, m×k counts)
+    # per iteration — M codebooks' worth of centroid_update's bounded
+    # combine, with ZERO per-iteration planning (the per-iteration
+    # state is a broadcast numpy array, never a new Catalyst plan)
+    blocks = km._numpy_blocks(points.select("vec_id", "emb")).cache()
+    try:
+        for _ in range(iters):
+            cb = np.asarray(codebooks)  # (m, k, ds)
+
+            def part(block, cb=cb, m=m, k=k, ds=ds):
+                _ids, X = block
+                codes = _codes_np(X, cb)
+                sums = np.zeros((m, k, ds))
+                counts = np.zeros((m, k), dtype=np.int64)
+                for s in range(m):
+                    np.add.at(sums[s], codes[:, s], X[:, s * ds : (s + 1) * ds])
+                    np.add.at(counts[s], codes[:, s], 1)
+                return sums, counts
+
+            sums, counts = blocks.map(part).treeReduce(
+                lambda a, b: (a[0] + b[0], a[1] + b[1])
+            )
+            for s in range(m):  # empty cells keep their previous centroid
+                for c in range(k):
+                    if counts[s, c]:
+                        codebooks[s][c] = (
+                            sums[s, c] / counts[s, c]
+                        ).tolist()
+    finally:
+        blocks.unpersist()
     return codebooks
 
 
 def pq_encode(
     points: DataFrame, codebooks: list[list[list[float]]]
 ) -> DataFrame:
-    """(vec_id, codes array<int>) — M codes per vector, one narrow
-    codegen projection (the compressed representation a 100 TB vector
-    store actually lands: 32 bits/vector at the default M×K)."""
-    codes = _code_cols(F.col("emb"), codebooks)
-    return points.select(
-        "vec_id",
-        F.array(*[c.cast("int") for c in codes]).alias("codes"),
+    """(vec_id, codes array<int>) — M codes per vector, one Arrow-
+    batched ``mapInArrow`` pass over the ``_codes_np`` kernel (the
+    compressed representation a 100 TB vector store actually lands:
+    32 bits/vector at the default M×K). No shuffle; payloads never
+    transit the driver."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)
+
+    def enc(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("codes", pa.list_(pa.int32())),
+            ]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = np.ascontiguousarray(
+                batch.column(0).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = np.ascontiguousarray(flat, dtype=np.float64).reshape(n, -1)
+            codes = _codes_np(X, cb).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(list(codes), type=pa.list_(pa.int32())),
+                ],
+                schema=out_schema,
+            )
+
+    return points.select("vec_id", "emb").mapInArrow(
+        enc, "vec_id bigint, codes array<int>"
     )
 
 
@@ -188,14 +226,29 @@ def pq_adc_topk(
     is the sum of its M looked-up entries — the scan touches ONLY the
     4-byte code arrays. Output ranks ascending by approximate distance
     (squared L2), ties by neighbor id."""
-    from mapreducekmean_spark.operators.similarity import N_QUERIES
-
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
     dim = len(pts.select("emb").first()["emb"])
-    ds = dim // m
     codebooks = train_pq_codebooks(pts, dim, m, codes_k, iters)
     encoded = pq_encode(pts, codebooks).localCheckpoint()
+    return pq_adc_score(spark, pts, encoded, codebooks, k)
 
+
+def pq_adc_score(
+    spark: SparkSession,
+    pts: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+) -> DataFrame:
+    """ADC top-k of the standard query batch (first N_QUERIES vec_ids
+    of ``pts``, exact vectors) against an already-encoded corpus — the
+    query-serving half of :func:`pq_adc_topk`, reusable against a
+    persisted code table."""
+    from mapreducekmean_spark.operators.similarity import N_QUERIES
+
+    m = len(codebooks)
+    codes_k = len(codebooks[0])
+    ds = len(codebooks[0][0])
     q_rows = sorted(
         pts.filter(F.col("vec_id") < N_QUERIES).collect(),
         key=lambda r: r.vec_id,
@@ -221,16 +274,21 @@ def pq_adc_topk(
     pairs = encoded.join(
         F.broadcast(q_lut), F.col("vec_id") != F.col("q_id")
     )
-    dist = F.aggregate(
-        F.zip_with(
-            "codes",
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, sub: F.element_at(
-                F.col("lut"), (sub * codes_k + code + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # M static LUT lookups summed left-to-right (same fold order as the
+    # HOF form this replaced — see _fold_add) so the whole per-pair score
+    # is one codegen'd expression over the 4-byte code array.
+    dist = _fold_add(
+        [
+            F.element_at(
+                F.col("lut"),
+                (
+                    F.lit(sub * codes_k)
+                    + F.element_at(F.col("codes"), sub + 1)
+                    + 1
+                ).cast("int"),
+            )
+            for sub in range(m)
+        ]
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -257,28 +315,25 @@ def pq_reconstruction_mse(
 ) -> float:
     """Mean squared reconstruction error of the PQ code over the
     corpus — the training-quality metric (should fall as iters/K grow,
-    property-tested)."""
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-    codes = _code_cols(F.col("emb"), codebooks)
-    err_terms = []
-    for sub in range(m):
-        recon = F.element_at(
-            F.element_at(cb, sub + 1), (codes[sub] + 1).cast("int")
-        )
-        err_terms.append(
-            F.aggregate(
-                F.zip_with(
-                    _sub_col(F.col("emb"), sub, ds),
-                    recon,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    total = points.select(
-        sum(err_terms[1:], err_terms[0]).alias("se")
-    ).agg(F.avg("se").alias("mse"))
-    return float(total.collect()[0]["mse"])
+    property-tested). Same numpy-block pass as training: per block,
+    assign codes and accumulate squared reconstruction error; one
+    treeReduce of (total, n)."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)
+    m, _k, ds = cb.shape
+
+    def part(block, cb=cb, m=m, ds=ds):
+        _ids, X = block
+        codes = _codes_np(X, cb)
+        total = 0.0
+        for s in range(m):
+            diff = X[:, s * ds : (s + 1) * ds] - cb[s][codes[:, s]]
+            total += float((diff * diff).sum())
+        return total, X.shape[0]
+
+    blocks = km._numpy_blocks(points.select("vec_id", "emb"))
+    total, n = blocks.map(part).treeReduce(
+        lambda a, b: (a[0] + b[0], a[1] + b[1])
+    )
+    return total / n

@@ -949,6 +949,51 @@ def probe_ivf(
 
 
 
+def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
+    """Product quantization at 1M x 64-d: train (4 simultaneous-subspace
+    Lloyd passes), encode the corpus to 32-bit codes, and ADC-score the
+    standard query batch against every encoded vector. All three paths
+    are static codegen'd expressions (no lambda HOFs — those are
+    CodegenFallback and ran ~15x slower here, see SCALE.md round 7)."""
+    import shutil
+    import tempfile
+
+    from mapreducekmean_spark.operators import pq
+
+    path = ensure_embeddings(spark, n_vecs)
+    pts = spark.read.parquet(path).select("vec_id", "emb")
+    pts.count()  # warm the scan
+
+    t0 = time.perf_counter()
+    cbs = pq.train_pq_codebooks(pts, 64)
+    t_train = time.perf_counter() - t0
+
+    enc_dir = tempfile.mkdtemp(prefix="mrkm_pq_enc_")
+    t0 = time.perf_counter()
+    pq.pq_encode(pts, cbs).write.mode("overwrite").parquet(enc_dir)
+    t_encode = time.perf_counter() - t0
+
+    encoded = spark.read.parquet(enc_dir)
+    pq.pq_adc_score(spark, pts, encoded, cbs).collect()  # warm
+    t0 = time.perf_counter()
+    top = pq.pq_adc_score(spark, pts, encoded, cbs).collect()
+    t_adc = time.perf_counter() - t0
+
+    mse = pq.pq_reconstruction_mse(pts, cbs)
+    results["pq_1m"] = {
+        "vectors": n_vecs,
+        "m": pq.PQ_M,
+        "k_codes": pq.PQ_K,
+        "iters": pq.PQ_ITERS,
+        "train_sec": round(t_train, 2),
+        "encode_sec": round(t_encode, 2),
+        "adc_topk_sec": round(t_adc, 2),
+        "result_rows": len(top),
+        "reconstruction_mse": round(mse, 4),
+    }
+    shutil.rmtree(enc_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -961,7 +1006,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch,incdedup,ivf,pipeline (default: all)",
+        "textops,bucketing,sketch,incdedup,ivf,pq,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -977,6 +1022,7 @@ def main() -> None:
         "sketch",
         "incdedup",
         "ivf",
+        "pq",
         "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -1009,6 +1055,8 @@ def main() -> None:
         probe_incdedup(spark, results, args.sf_dir)
     if "ivf" in only:
         probe_ivf(spark, results)
+    if "pq" in only:
+        probe_pq(spark, results)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
