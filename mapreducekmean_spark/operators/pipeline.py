@@ -184,21 +184,57 @@ def prepare_training_data_incremental(
     bn)`` writes — same survivors (a cross-batch exact duplicate drops
     here at the hash check; sub-gram docs too short to shingle are
     caught by the same hash check, not just jaccard), same splits,
-    same sequence coordinates. Stage economics: per-batch cost scales
-    with the batch and its candidate fan-out, never the corpus.
+    same sequence coordinates — plus one provenance column,
+    ``ingest_batch`` (the batch's max doc_id), which is also the output
+    partition key the replay upsert replaces. Stage economics:
+    per-batch cost scales with the batch and its candidate fan-out,
+    never the corpus.
 
-    Crash semantics: the parquet append and the state upserts are not
-    one transaction; drive this from ``streaming.stream_ingest_dedup``'s
-    batch-id high-water pattern (or an external workflow marker) when
-    replays are possible. Returns the batch funnel."""
+    Crash/replay semantics (ADVICE r6): every step is individually
+    idempotent, so a crashed batch can simply be re-run —
+
+    - a COMPLETED batch replays as a no-op (the per-batch done marker,
+      written last, holds the funnel and is returned as-is);
+    - the landed hash set stores ``(content_hash, doc_id)`` and the
+      cross-batch filter only trusts rows with ``doc_id <`` the batch
+      minimum, so hashes a half-done prior attempt landed cannot make
+      the rerun drop the batch as duplicates of itself;
+    - the near-dup append is guarded by
+      ``incremental.batch_already_indexed`` (and ``dedup_delta``
+      tolerates re-scoring the batch-is-the-landed-tail state);
+    - pack state is VERSIONED per batch (``packstate/asof=<id>``), the
+      base always read from a COMPLETE version strictly below this
+      batch — a crash mid-write corrupts only the version being
+      written, which the rerun rewrites, never the history (the old
+      in-place overwrite destroyed all totals on a mid-write crash);
+    - output rows land by partition UPSERT on (split, ingest_batch) —
+      a rerun replaces its own partitions instead of double-appending.
+
+    Returns the batch funnel."""
+    import json
     import os
 
     from mapreducekmean_spark.operators import incremental as inc
     from mapreducekmean_spark.sources.bucketing import (
         read_bucketed,
+        upsert_partitions,
         write_bucketed,
-        write_partitioned,
     )
+
+    id_row = batch.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    if id_row["mx"] is None:
+        return {
+            "input_docs": 0, "after_quality": 0, "after_exact": 0,
+            "after_neardup": 0, "written": 0,
+        }
+    batch_min, batch_id = int(id_row["mn"]), int(id_row["mx"])
+    marker_dir = f"{index_path}/_prep_batches"
+    done_marker = f"{marker_dir}/{batch_id}.json"
+    if os.path.exists(done_marker):
+        with open(done_marker) as f:
+            return json.load(f)  # replay of a completed batch: no-op
 
     q = tx.quality_score(batch).select("doc_id", F.col("keep").alias("q_pass"))
     stage1 = batch.join(q.filter("q_pass").select("doc_id"), "doc_id")
@@ -222,14 +258,23 @@ def prepare_training_data_incremental(
     if have_hashes:
         if not spark.catalog.tableExists(f"{name}_hashes"):
             spark.sql(
-                f"CREATE TABLE {name}_hashes (content_hash STRING) "
+                f"CREATE TABLE {name}_hashes "
+                f"(content_hash STRING, doc_id BIGINT) "
                 f"USING parquet CLUSTERED BY (content_hash) "
                 f"SORTED BY (content_hash) INTO {inc.INDEX_BUCKETS} "
                 f"BUCKETS LOCATION '{index_path}/hashes'"
             )
-        landed = read_bucketed(spark, f"{name}_hashes")
+        # only rows landed by EARLIER batches count: a crashed prior
+        # attempt of THIS batch landed its hashes with doc_id >=
+        # batch_min, and trusting those would drop the whole rerun as
+        # duplicates of itself (monotone ids make provenance a filter)
+        landed = read_bucketed(spark, f"{name}_hashes").filter(
+            F.col("doc_id") < batch_min
+        )
         ek = ek.join(
-            landed.withColumn("_seen", F.lit(True)), "content_hash", "left"
+            landed.select("content_hash").withColumn("_seen", F.lit(True)),
+            "content_hash",
+            "left",
         ).withColumn(
             "exact_keep", F.col("exact_keep") & F.col("_seen").isNull()
         )
@@ -258,8 +303,9 @@ def prepare_training_data_incremental(
     )
 
     state_path = f"{index_path}/packstate"
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
+    base_version = _latest_packstate_version(state_path, below=batch_id)
+    if base_version is not None:
+        state = spark.read.parquet(f"{state_path}/asof={base_version}")
     else:
         state = spark.createDataFrame(
             [], "split string, source string, tok_total bigint"
@@ -288,8 +334,10 @@ def prepare_training_data_incremental(
             "seq_offset",
         ),
         "doc_id",
-    )
-    write_partitioned(out, out_path, "split", mode="append")
+    ).withColumn("ingest_batch", F.lit(batch_id))
+    # partition upsert on (split, ingest_batch): a rerun REPLACES its
+    # own partitions instead of double-appending rows (ADVICE r6)
+    upsert_partitions(out, out_path, ["split", "ingest_batch"])
     # funnel counts BEFORE the upserts, from materialized frames only —
     # same reason as the kept checkpoint above.
     funnel = {
@@ -300,12 +348,16 @@ def prepare_training_data_incremental(
         "written": out.count(),
     }
 
-    # ---- state upserts (order: data first, state last — see docstring)
-    new_hashes = hashed.select("content_hash").distinct()
+    # ---- state upserts (each idempotent under rerun — see docstring)
+    new_hashes = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
     if have_hashes:
         # append only the genuinely new hashes, keeping the table a set
+        # (a rerun finds its prior attempt's rows and appends nothing)
         new_hashes = new_hashes.join(
-            read_bucketed(spark, f"{name}_hashes"), "content_hash",
+            read_bucketed(spark, f"{name}_hashes").select("content_hash"),
+            "content_hash",
             "left_anti",
         )
         write_bucketed(
@@ -318,24 +370,55 @@ def prepare_training_data_incremental(
             inc.INDEX_BUCKETS, f"{index_path}/hashes",
         )
     if have_neardup:
-        inc.append_to_index(spark, stage2, name, shingled=sh2)
+        if not inc.batch_already_indexed(spark, stage2, name, shingled=sh2):
+            inc.append_to_index(spark, stage2, name, shingled=sh2)
     else:
         inc.land_dedup_index(spark, stage2, name, f"{index_path}/neardup")
     add = packed.groupBy("split", "source").agg(
         F.sum("n_tok").alias("add_tok")
     )
-    new_state = (
-        state.join(add, ["split", "source"], "full")
-        .select(
-            "split",
-            "source",
-            (
-                F.coalesce("tok_total", F.lit(0))
-                + F.coalesce("add_tok", F.lit(0))
-            ).alias("tok_total"),
-        )
-        .localCheckpoint()  # read fully before overwriting its own input
+    new_state = state.join(add, ["split", "source"], "full").select(
+        "split",
+        "source",
+        (
+            F.coalesce("tok_total", F.lit(0))
+            + F.coalesce("add_tok", F.lit(0))
+        ).alias("tok_total"),
     )
-    new_state.write.mode("overwrite").parquet(state_path)
+    # versioned, never in-place: asof=<batch> is a fresh directory, so
+    # a crash mid-write leaves every earlier version intact and the
+    # rerun overwrites only this one
+    new_state.write.mode("overwrite").parquet(
+        f"{state_path}/asof={batch_id}"
+    )
 
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = f"{done_marker}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(funnel, f)
+    os.replace(tmp, done_marker)
     return funnel
+
+
+def _latest_packstate_version(state_path: str, below: int) -> int | None:
+    """Largest COMPLETE ``asof=<id>`` version strictly below ``below``
+    (a prior attempt of batch ``below`` may have written — or half-
+    written — its own version; the rerun's base must predate it).
+    Completeness = Spark's _SUCCESS commit marker."""
+    import os
+
+    if not os.path.isdir(state_path):
+        return None
+    versions = []
+    for d in os.listdir(state_path):
+        if not d.startswith("asof="):
+            continue
+        try:
+            v = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v < below and os.path.exists(
+            os.path.join(state_path, d, "_SUCCESS")
+        ):
+            versions.append(v)
+    return max(versions) if versions else None

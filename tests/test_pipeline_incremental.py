@@ -14,7 +14,10 @@ from mapreducekmean_spark.operators.text import documents
 
 def _rows(spark, path):
     df = spark.read.parquet(path)
-    cols = sorted(df.columns)
+    # the incremental layout carries one extra column the one-shot run
+    # doesn't: ingest_batch, the replay-upsert partition key — the
+    # equivalence contract is over every DATA column
+    cols = sorted(c for c in df.columns if c != "ingest_batch")
     return sorted(
         (tuple(r[c] for c in cols) for r in df.collect()),
         key=lambda t: tuple((v is None, str(v)) for v in t),
@@ -121,4 +124,58 @@ def test_incremental_pipeline_survives_session_restart(
               "t_ptd_c_sizes"):
         spark.sql(f"DROP TABLE {t}")
     prepare_training_data_incremental(spark, b2, "t_ptd_c", idx, inc_out)
+    assert _rows(spark, inc_out) == _rows(spark, full_out)
+
+
+def test_incremental_pipeline_replay_and_crash_rerun(
+    spark, sf_oracle, tmp_path
+):
+    """Idempotency under the foreachBatch failure modes (ADVICE r6):
+    (a) replaying a COMPLETED batch is a no-op that returns the
+    recorded funnel and changes no output row; (b) a batch whose prior
+    attempt crashed AFTER the state upserts (hashes + near-dup index
+    landed, done marker missing — the worst window: the old code would
+    drop the whole rerun as duplicates of itself) reruns to the exact
+    one-shot result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    b1 = docs.filter(F.col("doc_id") < cut)
+    b2 = docs.filter(F.col("doc_id") >= cut)
+
+    full_out = str(tmp_path / "full")
+    prepare_training_data(docs, full_out)
+
+    inc_out = str(tmp_path / "inc")
+    idx = str(tmp_path / "idx")
+    f1 = prepare_training_data_incremental(spark, b1, "t_ptd_d", idx, inc_out)
+    # (a) full replay of the completed batch
+    f1_again = prepare_training_data_incremental(
+        spark, b1, "t_ptd_d", idx, inc_out
+    )
+    assert f1_again == f1
+    rows_after_b1 = _rows(spark, inc_out)
+
+    f2 = prepare_training_data_incremental(spark, b2, "t_ptd_d", idx, inc_out)
+    assert _rows(spark, inc_out) == _rows(spark, full_out)
+
+    # (b) simulate the crash-after-state-upserts window for b2: delete
+    # its done marker (and its output partitions, as if the upsert had
+    # also died) — state tables still contain b2 — then rerun
+    b2_id = int(b2.agg(F.max("doc_id")).collect()[0][0])
+    os.remove(f"{idx}/_prep_batches/{b2_id}.json")
+    import shutil
+
+    for split_dir in os.listdir(inc_out):
+        p = os.path.join(inc_out, split_dir, f"ingest_batch={b2_id}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    assert _rows(spark, inc_out) == rows_after_b1  # b2's output gone
+    f2_rerun = prepare_training_data_incremental(
+        spark, b2, "t_ptd_d", idx, inc_out
+    )
+    assert f2_rerun == f2
     assert _rows(spark, inc_out) == _rows(spark, full_out)
