@@ -269,6 +269,19 @@ def append_ivf_index(
     write_partitioned(cells, f"{path}/cells", "cell", mode="append")
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> dict[str, int]:
+    """Small-file maintenance for the landed IVF index: every append
+    adds one file per touched ``cell=`` directory, so after N batches
+    a probed cell pays N file opens. The cells are a plain partitioned
+    layout, so this is exactly ``sources.compact_partitions`` — each
+    cell directory rewrites to its byte-sized file count, partition
+    pruning (= nprobe) untouched. Query results and the pruned-scan
+    plan are pinned unchanged in tests/test_similarity_indexed.py."""
+    from mapreducekmean_spark.sources.bucketing import compact_partitions
+
+    return compact_partitions(spark, f"{path}/cells", "cell")
+
+
 def ann_ivf_indexed(
     spark: SparkSession,
     sf_dir: str,

@@ -18,6 +18,7 @@ from mapreducekmean_spark.sources.readers import (
     stage_points_csv,
 )
 from mapreducekmean_spark.sources.bucketing import (
+    compact_bucketed,
     compact_partitions,
     read_bucketed,
     upsert_partitions,
@@ -40,6 +41,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "compact_bucketed",
     "compact_partitions",
     "read_bucketed",
     "upsert_partitions",

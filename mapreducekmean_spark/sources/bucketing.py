@@ -149,6 +149,106 @@ def upsert_partitions(
         write_partitioned(updates, path, partition_cols, mode="overwrite")
 
 
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+) -> dict[str, int]:
+    """Small-file compaction for a BUCKETED external table: after N
+    appends each bucket holds N files (``write_bucketed`` emits one
+    file per bucket per write), and every bucket-pruned query pays N
+    file opens where land time paid one. Compaction rewrites the table
+    back to the land-time grain — exactly one file per bucket — under
+    the SAME bucket/sort spec, so the Exchange-free join property and
+    bucket pruning survive verbatim (pinned in tests/test_bucketing.py
+    and tests/test_plans.py).
+
+    The spec is INTROSPECTED from the catalog (bucket columns, count,
+    sort columns, location) rather than passed in — a caller-supplied
+    spec that disagreed with the landed one would silently re-layout
+    the table, the exact failure a compactor must not have.
+
+    Mechanics: the compacted copy is written beside the data as a
+    temporary bucketed table (the only write path that records bucket
+    metadata), then swapped in by directory rename and REFRESH. The
+    swap is two renames; a crash between them leaves the old data
+    complete at ``<path>.__old`` — recoverable by hand, never silently
+    half-compacted. Do not run concurrently with appends to the same
+    index (standard for maintenance windows on plain parquet layouts).
+
+    Returns ``{"files_before": n, "files_after": m}``."""
+    import os
+    import urllib.parse
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    loc = desc.get("Location", "")
+    parsed = urllib.parse.urlparse(loc)
+    if parsed.scheme not in ("", "file"):
+        raise NotImplementedError(
+            "compact_bucketed swaps directories on the local "
+            "filesystem; remote URIs need the Hadoop FileSystem API"
+        )
+    path = parsed.path or loc
+    buckets = int(desc["Num Buckets"])
+    keys = [c.strip(" `") for c in desc["Bucket Columns"].strip("[]").split(",")]
+    sort_cols = desc.get("Sort Columns", "[]").strip("[]")
+
+    def count_files(p: str) -> int:
+        return sum(
+            1
+            for _root, _d, files in os.walk(p)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+
+    files_before = count_files(path)
+    tmp_table = f"{table}__compacting"
+    tmp_path = f"{path}.__compact"
+    # a sibling table (not overwrite-in-place) keeps compaction a
+    # streaming scan→write — overwriting the table being read is
+    # refused by Spark, and a localCheckpoint workaround would hold
+    # the whole table in executor memory.
+    #
+    # Force the BUCKET-AWARE scan (scoped): auto-bucketed-scan turns
+    # it off for plans with no join/agg to exploit it, leaving one
+    # partition PER FILE — the planned write then sees the table's
+    # hash distribution as already satisfied, elides every exchange,
+    # and faithfully rewrites N files per bucket back as N files per
+    # bucket (observed: 16 in, 16 "compacted" out). With the bucketed
+    # scan on, each bucket's files merge into ONE task, so compaction
+    # is a shuffle-free local merge per bucket — the scan's own
+    # partitioning satisfies the write's requirement, no Exchange
+    # anywhere (this is also why appends must never run concurrently).
+    abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    abs_old = spark.conf.get(abs_key)
+    spark.conf.set(abs_key, "false")
+    try:
+        write_bucketed(
+            spark.table(table),
+            tmp_table,
+            keys,
+            buckets,
+            tmp_path,
+            sort=bool(sort_cols),
+        )
+    finally:
+        spark.conf.set(abs_key, abs_old)
+    spark.sql(f"DROP TABLE {tmp_table}")  # external: files stay
+    old_path = f"{path}.__old"
+    os.rename(path, old_path)
+    os.rename(tmp_path, path)
+    import shutil
+
+    shutil.rmtree(old_path)
+    spark.sql(f"REFRESH TABLE {table}")
+    return {
+        "files_before": files_before,
+        "files_after": count_files(path),
+    }
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -197,6 +197,59 @@ def test_bm25_appended_index_matches_full_rebuild(
         assert grown == oneshot
 
 
+def test_bm25_compaction_restores_grain_and_keeps_pruning(
+    spark, sf_oracle, tmp_path
+):
+    """compact_bucketed must restore the land-time one-file-per-bucket
+    grain after appends WITHOUT changing the layout contract: same
+    results, same bucket spec, and the query plan still prunes to the
+    query terms' buckets (SelectedBucketsCount < total) — a compactor
+    that silently dropped the bucket metadata would turn every query
+    into a full-index scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        BM25_INDEX_BUCKETS,
+        append_bm25_index,
+        bm25_search_indexed,
+        land_bm25_index,
+    )
+    from mapreducekmean_spark.sources.bucketing import compact_bucketed
+
+    docs = documents(spark, sf_oracle)
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    land_bm25_index(
+        spark,
+        docs.filter(F.col("doc_id") < cut),
+        "t_bm25_cp",
+        str(tmp_path / "idx"),
+    )
+    append_bm25_index(spark, docs.filter(F.col("doc_id") >= cut), "t_bm25_cp")
+    before = [
+        tuple(r)
+        for q in ("table scan", "shuffle partition")
+        for r in bm25_search_indexed(spark, q, "t_bm25_cp").collect()
+    ]
+
+    stats = compact_bucketed(spark, "t_bm25_cp_tf")
+    assert stats["files_after"] == BM25_INDEX_BUCKETS
+    assert stats["files_after"] < stats["files_before"]
+
+    after = [
+        tuple(r)
+        for q in ("table scan", "shuffle partition")
+        for r in bm25_search_indexed(spark, q, "t_bm25_cp").collect()
+    ]
+    assert after == before
+    from mapreducekmean_spark.plans import formatted_plan
+
+    plan = formatted_plan(bm25_search_indexed(spark, "table scan", "t_bm25_cp"))
+    ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert ms and all(int(a) < int(b) for a, b in ms), plan
+
+
 def test_bm25_append_replay_and_crash_window(spark, sf_oracle, tmp_path):
     """append_bm25_index must be idempotent under the two failure modes
     a foreachBatch caller replays into it (ADVICE r6): (a) a FULL

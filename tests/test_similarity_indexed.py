@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators.similarity import (
     ann_ivf_indexed,
+    append_ivf_index,
     ivf_topk,
     land_ivf_index,
 )
@@ -118,3 +119,56 @@ def test_ivf_appended_index_matches_frozen_centroid_scoring(
         ).collect()
     )
     assert got == expect and got
+
+
+def test_ivf_compaction_keeps_results_and_pruning(
+    spark, sf_oracle, tmp_path
+):
+    """compact_ivf_index must merge each cell directory's append-grown
+    small files without changing anything a query can see: identical
+    top-k, partition pruning (= nprobe) still in the plan, strictly
+    fewer files."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    cut = int(pts.approxQuantile("vec_id", [0.5], 0.0)[0])
+    path = str(tmp_path / "ivf")
+    half_dir = str(tmp_path / "halffixture")
+    os.makedirs(half_dir, exist_ok=True)
+    spark.read.parquet(f"{sf_oracle}/embeddings.parquet").filter(
+        F.col("vec_id") < cut
+    ).write.mode("overwrite").parquet(f"{half_dir}/embeddings.parquet")
+    land_ivf_index(spark, half_dir, path)
+    append_ivf_index(spark, pts.filter(F.col("vec_id") >= cut), path)
+
+    before = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path).collect()
+    )
+
+    def n_files():
+        return sum(
+            1
+            for _r, _d, files in os.walk(f"{path}/cells")
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+
+    files_before = n_files()
+    stats = compact_ivf_index(spark, path)
+    assert stats["files_after"] < stats["files_before"] == files_before
+    assert n_files() == stats["files_after"]
+
+    after_df = ann_ivf_indexed(spark, sf_oracle, path)
+    after = sorted(tuple(r) for r in after_df.collect())
+    assert after == before and after
+    plan = formatted_plan(after_df)
+    assert re.search(r"PartitionFilters: \[cell", plan), plan
