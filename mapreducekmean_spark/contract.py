@@ -1756,7 +1756,70 @@ FROM documents
         ),
         Query("ann_quantized", sim.ann_quantized_topk, _ANN_QUANT_SQL),
         Query("pq_adc_topk", _pq_adc_topk, _pq_adc_oracle_sql()),
+        Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
     ]
+
+
+def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (operators/search.py:hybrid_topk):
+    RRF fusion of integer lexical-overlap ranks over ``documents`` with
+    cosine ranks over ``embeddings`` — the standard RAG composition.
+    Fusion arithmetic is exact (1/(60+rank) IEEE divisions summed in
+    list order), so the twin is a full value-hash oracle."""
+    from mapreducekmean_spark.operators.search import hybrid_topk
+
+    return hybrid_topk(spark, sf_dir)
+
+
+_HYBRID_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+lex AS (
+  SELECT q_id, doc_id, CAST(rn AS BIGINT) AS r FROM (
+    SELECT q_id, doc_id, row_number() OVER (
+             PARTITION BY q_id ORDER BY overlap DESC, doc_id ASC
+           ) AS rn
+    FROM (
+      SELECT q.doc_id AS q_id, t.doc_id AS doc_id, count(*) AS overlap
+      FROM toks q JOIN toks t USING (tok)
+      WHERE q.doc_id < {sim.N_QUERIES} AND t.doc_id != q.doc_id
+      GROUP BY 1, 2
+    )
+  ) WHERE rn <= 20
+),
+pts AS ({_PTS}),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts
+      WHERE vec_id < {sim.N_QUERIES}),
+dense AS (
+  SELECT q_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS r FROM (
+    SELECT q_id, vec_id, row_number() OVER (
+             PARTITION BY q_id ORDER BY sim_raw DESC, vec_id ASC
+           ) AS rn
+    FROM (
+      SELECT q.q_id, p.vec_id, {_cos_expr("q.q_emb", "p.emb")} AS sim_raw
+      FROM q JOIN pts p ON p.vec_id != q.q_id
+    )
+  ) WHERE rn <= 20
+),
+fused AS (
+  SELECT q_id, doc_id,
+         coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r), CAST(0.0 AS DOUBLE))
+         + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.r), CAST(0.0 AS DOUBLE))
+           AS rrf_raw
+  FROM lex l FULL JOIN dense d USING (q_id, doc_id)
+)
+SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank,
+       ROUND(rrf_raw, 6) AS rrf_score
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY q_id ORDER BY rrf_raw DESC, doc_id ASC
+         ) AS rn
+  FROM fused)
+WHERE rn <= 3
+"""
 
 
 #: mirrors dedup.decontaminate (n=8 word-gram collision vs the
@@ -2667,17 +2730,21 @@ def _queries_core() -> list[Query]:
 _CHECK_FIRST = (
     # round-7 rotation. The 51 queries checked in round 5 (the r6
     # _CHECK_LAST tail, see CORRECTNESS_r05.json) are stale now that
-    # CORRECTNESS_r06.json is the latest artifact; 51 > 50, so exactly
-    # one r5-green query takes the sole _STALE_OK slot. Three entries
-    # CANNOT be exempted and lead the window: tpch_q4_priority and
+    # CORRECTNESS_r06.json is the latest artifact, and the round adds
+    # two NEW queries (pq_adc_topk, hybrid_topk) that must earn their
+    # first driver rows: 53 unchecked > 50, so three r5-green queries
+    # take _STALE_OK slots. Three entries CANNOT be exempted and lead
+    # the window behind the new pair: tpch_q4_priority and
     # tpch_q19_brackets (their r4 evidence is past the two-artifact
     # _STALE_OK bound — the exemption the r6-hardened tripwire exists
     # to refuse) and kmeans_mllib (rows-only by design, never
     # hash-green, so the exemption's green-row requirement can never
-    # hold for it). The displaced query is tpch_q1_pricing: r5
-    # value-hash green, pure relational, backed by relational.py which
-    # no round-7 commit touches.
+    # hold for it). The displaced queries are tpch_q1_pricing,
+    # tpch_q3_top_orders, tpch_q5_regional_revenue: r5 value-hash
+    # green, pure relational, backed by relational.py which no round-7
+    # commit touches.
     "pq_adc_topk",
+    "hybrid_topk",
     "tpch_q4_priority",
     "tpch_q19_brackets",
     "kmeans_mllib",
@@ -2689,7 +2756,6 @@ _CHECK_FIRST = (
     "events_range_join_capped",
     "events_histogram",
     "events_quantiles",
-    "tpch_q5_regional_revenue",
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "topk_per_group",
@@ -2741,6 +2807,7 @@ _CHECK_FIRST = (
 _STALE_OK = (
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
 )
 
 _CHECK_LAST = (

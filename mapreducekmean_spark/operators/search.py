@@ -349,3 +349,125 @@ def bm25_search_indexed(
         n_docs=n_docs,
         avgdl=int(st["total_dl"]) / n_docs,
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+#: Cormack/Clarke/Büttcher's standard RRF constant (SIGIR 2009).
+RRF_K = 60
+
+
+def rrf_fuse(
+    rank_tables: list[DataFrame],
+    k: int = 3,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate lists: each input is a
+    ``(q_id, doc_id, rank)`` frame (ranks 1-based integers), the fused
+    score is ``Σ 1/(rrf_k + rank)`` over the lists where the candidate
+    appears (Cormack, Clarke, Büttcher, SIGIR 2009 — the standard
+    sparse+dense composition of a RAG stack). Rank arithmetic is EXACT:
+    1/(60 + r) is one correctly-rounded IEEE division of small
+    integers and the terms add in the lists' declared order, so two
+    engines given the same rank tables produce bit-identical fused
+    scores — which is what makes :func:`hybrid_topk` fully
+    value-hash-oracle-able while raw BM25 (ln-based) is not.
+
+    Output: (q_id, doc_id, rank, rrf_score rounded to 6 dp), top ``k``
+    per query by fused score desc, doc_id tie-break. Scales as an
+    N-way join on (q_id, doc_id) over candidate lists that are already
+    per-query bounded (top-n each) — never corpus-sized."""
+    if not rank_tables:
+        raise ValueError("rrf_fuse needs at least one rank table")
+    from pyspark.sql import Window
+
+    fused = None
+    for i, t in enumerate(rank_tables):
+        t = t.select("q_id", "doc_id", F.col("rank").alias(f"_r{i}"))
+        fused = t if fused is None else fused.join(
+            t, ["q_id", "doc_id"], "full"
+        )
+    score = None
+    for i in range(len(rank_tables)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_raw", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "doc_id",
+            "rank",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+        )
+    )
+
+
+def lexical_overlap_ranks(
+    docs: DataFrame, n_queries: int, n_cand: int
+) -> DataFrame:
+    """Per-query lexical candidate list by EXACT integer arithmetic:
+    distinct-token overlap between the query document's text and every
+    other document, ranked (overlap desc, doc_id asc), top ``n_cand``.
+    The integer ranks are what the fully-oracle-able hybrid query
+    fuses; production stacks swap in :func:`bm25_search_indexed` ranks
+    via the same ``rrf_fuse`` (pinned in tests/test_search.py)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+    )
+    q = toks.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    ov = (
+        toks.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ov.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= n_cand)
+        .select("q_id", "doc_id", "rank", "overlap")
+    )
+
+
+def hybrid_topk(
+    spark,
+    sf_dir: str,
+    k: int = 3,
+    n_cand: int = 20,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid (sparse + dense) retrieval for the standard query batch:
+    RRF-fuse the lexical overlap candidates over ``documents`` with the
+    cosine candidates over ``embeddings`` (doc_id == vec_id in the
+    fixtures, as in a real corpus where both indexes key the same
+    document). Declared with a full DuckDB twin — the fusion arithmetic
+    is exact (see :func:`rrf_fuse`), the lexical ranks are integer
+    counts, and the dense ranks carry the same accepted cross-engine
+    noise class as the long-green ``cosine_topk``."""
+    from mapreducekmean_spark.operators.similarity import (
+        N_QUERIES,
+        cosine_topk,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    lex = lexical_overlap_ranks(
+        documents(spark, sf_dir), N_QUERIES, n_cand
+    )
+    dense = cosine_topk(spark, sf_dir, k=n_cand).select(
+        "q_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k, rrf_k)

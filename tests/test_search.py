@@ -309,3 +309,99 @@ def test_bm25_append_replay_and_crash_window(spark, sf_oracle, tmp_path):
             for r in bm25_search_indexed(spark, q, "t_bm25_rp").collect()
         ]
         assert crashed == clean
+
+
+def test_rrf_fuse_over_bm25_and_ivf_matches_python_fusion(
+    spark, sf_oracle, tmp_path
+):
+    """The production hybrid composition: RRF-fuse ranks from the
+    landed BM25 index with ranks from the landed IVF index, and pin
+    the fused top-k against a from-scratch pure-Python fusion of the
+    same two rank lists — the exact 1/(60+r) arithmetic, list order,
+    and (score desc, doc_id asc) tie-break."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        RRF_K,
+        bm25_search_indexed,
+        hybrid_topk,
+        land_bm25_index,
+        rrf_fuse,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        ann_ivf_indexed,
+        land_ivf_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    land_bm25_index(spark, docs, "t_hyb", str(tmp_path / "bm25"))
+    ivf = str(tmp_path / "ivf")
+    land_ivf_index(spark, sf_oracle, ivf)
+
+    # sparse ranks: each query doc's text against the landed BM25 index
+    q_texts = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id") < 3).collect()
+        if r.text
+    }
+    bm25_rows = []
+    for q_id, text in q_texts.items():
+        for r in bm25_search_indexed(spark, text, "t_hyb", top_n=10).collect():
+            if r.doc_id != q_id:
+                bm25_rows.append((q_id, r.doc_id, len(bm25_rows)))
+    # re-rank per q_id (enumerate above is global)
+    by_q: dict[int, list[int]] = {}
+    for q_id, doc_id, _ in bm25_rows:
+        by_q.setdefault(q_id, []).append(doc_id)
+    sparse_rows = [
+        (q, d, i + 1) for q, ds in by_q.items() for i, d in enumerate(ds)
+    ]
+    sparse = spark.createDataFrame(
+        sparse_rows, "q_id bigint, doc_id bigint, rank bigint"
+    )
+    dense_df = ann_ivf_indexed(spark, sf_oracle, ivf).filter(
+        F.col("q_id") < 3
+    )
+    dense = dense_df.select(
+        "q_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    got = sorted(
+        tuple(r) for r in rrf_fuse([sparse, dense], k=3).collect()
+    )
+
+    # pure-Python fusion of the same two lists
+    dense_rows = [
+        (r.q_id, r.neighbor_id, r.rank) for r in dense_df.collect()
+    ]
+    scores: dict[tuple[int, int], float] = {}
+    for q, d, rk in sparse_rows:
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (RRF_K + rk)
+    for q, d, rk in dense_rows:
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (RRF_K + rk)
+    expect = []
+    for q in {k[0] for k in scores}:
+        cands = sorted(
+            ((s, d) for (qq, d), s in scores.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for i, (s, d) in enumerate(cands):
+            expect.append((q, d, i + 1, round(s, 6)))
+    assert got == sorted(expect) and got
+
+
+def test_hybrid_topk_runs_and_ranks(spark, sf_oracle):
+    """Declared-query smoke at fixture scale: 3 fused rows per query,
+    ranks 1..3, fused scores within (0, 2/(RRF_K+1)]."""
+    from mapreducekmean_spark.operators.search import RRF_K, hybrid_topk
+    from mapreducekmean_spark.operators.similarity import N_QUERIES
+
+    rows = hybrid_topk(spark, sf_oracle).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        for r in rs:
+            assert 0 < r.rrf_score <= 2 / (RRF_K + 1) + 1e-9
