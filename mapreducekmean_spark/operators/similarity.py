@@ -269,6 +269,46 @@ def append_ivf_index(
     write_partitioned(cells, f"{path}/cells", "cell", mode="append")
 
 
+def ann_ivf_indexed_dpp(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 3,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """:func:`ann_ivf_indexed` with DYNAMIC partition pruning instead
+    of the collected literal: the probe-cell frame joins the
+    cell-partitioned corpus directly, and Spark plants a
+    ``dynamicpruningexpression(cell IN dynamicpruning#N)`` partition
+    filter that reuses the probe side's broadcast — the scan still
+    opens only the probed directories, but no cell id ever transits
+    the driver. This is the right form when the query side is a TABLE
+    (unbounded row count) rather than a bounded batch: the literal
+    path's ``collect`` would grow with the query count, while DPP's
+    pruning set stays executor-side at any scale. Results are
+    identical to the literal path and the pruned plan is pinned in
+    tests/test_similarity_indexed.py.
+
+    Two load-bearing details (both plan-pinned): the partition column
+    must reach the join UNCAST (casting ``cell`` first makes the join
+    key an expression and disqualifies the scan from DPP — the probe
+    side is cast to the scan's type instead), and the probe side needs
+    a selective-looking predicate (the ``q_id >= 0`` filter, a
+    semantic no-op) because Spark's PartitionPruning rule only fires
+    for filtering sides that carry one."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    ncells = len(cents)
+    qs, _ = _queries_and_points(spark, sf_dir)
+    q_cells = _probe_cells(qs, cents, ncells, nprobe).localCheckpoint()
+    cells = spark.read.parquet(f"{path}/cells")
+    cell_type = dict(cells.dtypes)["cell"]
+    qc = q_cells.withColumn(
+        "cell", F.col("cell").cast(cell_type)
+    ).filter(F.col("q_id") >= 0)
+    return _score_probed_cells(cells.select("vec_id", "emb", "cell"), qc, k)
+
+
 def compact_ivf_index(spark: SparkSession, path: str) -> dict[str, int]:
     """Small-file maintenance for the landed IVF index: every append
     adds one file per touched ``cell=`` directory, so after N batches

@@ -172,3 +172,27 @@ def test_ivf_compaction_keeps_results_and_pruning(
     assert after == before and after
     plan = formatted_plan(after_df)
     assert re.search(r"PartitionFilters: \[cell", plan), plan
+
+
+def test_ivf_dpp_variant_matches_literal_path_and_prunes(
+    spark, sf_oracle, tmp_path
+):
+    """The join-based probe (dynamic partition pruning) must return
+    exactly what the collected-literal path returns, and its plan must
+    carry the dynamicpruningexpression partition filter — executor-side
+    pruning with no cell id through the driver."""
+    from mapreducekmean_spark.operators.similarity import (
+        ann_ivf_indexed_dpp,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+
+    path = str(tmp_path / "ivf")
+    land_ivf_index(spark, sf_oracle, path, ncells=25)
+    literal = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path).collect()
+    )
+    dpp_df = ann_ivf_indexed_dpp(spark, sf_oracle, path)
+    dpp = sorted(tuple(r) for r in dpp_df.collect())
+    assert dpp == literal and dpp
+    plan = formatted_plan(dpp_df)
+    assert "dynamicpruningexpression" in plan.lower(), plan
