@@ -337,3 +337,192 @@ def pq_reconstruction_mse(
         lambda a, b: (a[0] + b[0], a[1] + b[1])
     )
     return total / n
+
+
+# --- IVF-PQ: the composed vector-store layout (IVFADC) --------------------
+
+
+def land_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    ncells: int | None = None,
+    m: int = PQ_M,
+    codes_k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> None:
+    """Land the composed vector-store layout — IVFADC (Jégou, Douze,
+    Schmid, TPAMI 2011): a coarse quantizer prunes WHERE to look
+    (``cell=`` partition directories, as in ``similarity.
+    land_ivf_index``), and product quantization shrinks WHAT is stored
+    there — each cell holds only ``(vec_id, codes)``, 32-bit codes at
+    the defaults, encoding the RESIDUAL x − centroid(cell) (the
+    textbook IVFADC refinement: residuals concentrate around the
+    origin, so one shared codebook quantizes them far better than raw
+    vectors). At 100 TB the per-query read volume is
+    (nprobe / ncells) × (codes / raw) of the corpus — both factors by
+    LAYOUT: partition pruning supplies the first, the codes-only
+    schema the second (the cells table simply has no embedding
+    column to read).
+
+    Layout under ``path``: ``cells/cell=<id>/`` with (vec_id, codes),
+    ``centroids`` (ncells rows), ``codebooks`` ((sub, code, vec) rows,
+    m×k of them). Residuals are computed by a small static codegen
+    expression (centroid literal indexed by cell — no lambda HOFs),
+    training/encoding ride the numpy-block machinery above."""
+    import numpy as np
+
+    if ncells is None:
+        ncells = km.DEFAULT_K
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    dim = len(pts.select("emb").first()["emb"])
+    cents = km.collect_centroids(km.deterministic_init(pts, ncells))
+    assigned = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    res = assigned.select(
+        "vec_id", "cell", _residual_col(cents, dim).alias("emb")
+    ).localCheckpoint()
+    codebooks = train_pq_codebooks(
+        res.select("vec_id", "emb"), dim, m, codes_k, iters
+    )
+    cells = pq_encode(res.select("vec_id", "emb"), codebooks).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    write_partitioned(cells, f"{path}/cells", "cell")
+    (
+        spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)],
+            "cell bigint, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    cb_rows = [
+        (s, c, [float(v) for v in codebooks[s][c]])
+        for s in range(m)
+        for c in range(codes_k)
+    ]
+    (
+        spark.createDataFrame(
+            cb_rows, "sub int, code int, vec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def _residual_col(cents: list[list[float]], dim: int) -> Column:
+    """x − centroid(cell) as one static codegen projection: the
+    centroid table folds in as a literal indexed by the row's cell —
+    ncells×dim literal doubles, far below the expression sizes that
+    break janino (the per-CODE unroll _codes_np replaced was m×k×ds
+    DISTANCES, not one subtraction)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    cellcent = F.element_at(cent_lit, (F.col("cell") + 1).cast("int"))
+    return F.array(
+        *[
+            F.element_at(F.col("emb"), i + 1) - F.element_at(cellcent, i + 1)
+            for i in range(dim)
+        ]
+    )
+
+
+def ann_ivfpq_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 3,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Query the landed IVF-PQ index: probe each query's ``nprobe``
+    nearest cells (same probe kernel as the raw-IVF path), build the
+    per-(query, cell) ADC lookup table DRIVER-side from the query's
+    RESIDUAL in that cell (n_queries × nprobe × m×k floats — bounded),
+    and score only the probed cells' code rows — the scan is partition-
+    pruned AND codes-only by layout. Ranks ascending by approximate
+    squared L2 (residual ADC), ties by neighbor id; output shape
+    matches :func:`pq_adc_topk`."""
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _queries_and_points,
+    )
+
+    if nprobe is None:
+        nprobe = N_PROBE
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    ncells = len(cents)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    codes_k = 1 + max(r.code for r in cb_rows)
+    codebooks = [[None] * codes_k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r.sub][r.code] = list(r.vec)
+    ds = len(codebooks[0][0])
+
+    qs, _ = _queries_and_points(spark, sf_dir)
+    q_cells = _probe_cells(qs, cents, ncells, nprobe)
+    probe_rows = q_cells.collect()  # ≤ n_queries × nprobe — bounded
+    lut_rows = []
+    for r in probe_rows:
+        res = [a - b for a, b in zip(r.q_emb, cents[r.cell])]
+        lut = []
+        for sub in range(m):
+            sv = res[sub * ds : (sub + 1) * ds]
+            for code in range(codes_k):
+                c = codebooks[sub][code]
+                lut.append(
+                    float(sum((a - b) * (a - b) for a, b in zip(sv, c)))
+                )
+        lut_rows.append((int(r.q_id), int(r.cell), lut))
+    q_lut = spark.createDataFrame(
+        lut_rows, "q_id bigint, cell bigint, lut array<double>"
+    )
+    probed = sorted({int(r.cell) for r in probe_rows})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id", "codes", F.col("cell").cast("bigint").alias("cell"))
+    )
+    pairs = cells.join(F.broadcast(q_lut), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    dist = _fold_add(
+        [
+            F.element_at(
+                F.col("lut"),
+                (
+                    F.lit(sub * codes_k)
+                    + F.element_at(F.col("codes"), sub + 1)
+                    + 1
+                ).cast("int"),
+            )
+            for sub in range(m)
+        ]
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )

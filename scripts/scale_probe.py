@@ -994,6 +994,65 @@ def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     shutil.rmtree(enc_dir, ignore_errors=True)
 
 
+def probe_ivfpq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
+    """The composed IVFADC layout at 1M x 64-d: land (coarse assign +
+    residual PQ train + encode, paid once), then query — the scan is
+    partition-pruned to the probed cells AND reads only 32-bit codes
+    (no embedding column exists in the cells table). Reported next to
+    the raw-IVF persisted index (SCALE.md round 6: 2.2 s/query batch)
+    so the compression tier's read-volume claim has a measured row."""
+    import os as _os
+    import tempfile
+
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        land_ivfpq_index,
+    )
+
+    # reuse the ivf probe's fixture-shaped corpus (embedding column)
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not _os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    idx = tempfile.mkdtemp(prefix="mrkm_ivfpq_idx_")
+    t0 = time.perf_counter()
+    land_ivfpq_index(spark, sfdir, idx, ncells=64)
+    t_land = time.perf_counter() - t0
+
+    ann_ivfpq_indexed(spark, sfdir, idx).collect()  # warm
+    t0 = time.perf_counter()
+    top = ann_ivfpq_indexed(spark, sfdir, idx).collect()
+    t_query = time.perf_counter() - t0
+
+    def du(p):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(p)
+            for f in fs
+        )
+
+    results["ivfpq_1m"] = {
+        "vectors": n_vecs,
+        "ncells": 64,
+        "index_land_sec": round(t_land, 2),
+        "query_sec": round(t_query, 2),
+        "result_rows": len(top),
+        "cells_bytes": du(f"{idx}/cells"),
+        "raw_corpus_bytes": du(f"{sfdir}/embeddings.parquet"),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -1006,7 +1065,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch,incdedup,ivf,pq,pipeline (default: all)",
+        "textops,bucketing,sketch,incdedup,ivf,pq,ivfpq,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -1023,6 +1082,7 @@ def main() -> None:
         "incdedup",
         "ivf",
         "pq",
+        "ivfpq",
         "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -1057,6 +1117,8 @@ def main() -> None:
         probe_ivf(spark, results)
     if "pq" in only:
         probe_pq(spark, results)
+    if "ivfpq" in only:
+        probe_ivfpq(spark, results)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
