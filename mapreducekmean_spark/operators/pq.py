@@ -350,6 +350,8 @@ def land_ivfpq_index(
     m: int = PQ_M,
     codes_k: int = PQ_K,
     iters: int = PQ_ITERS,
+    cents: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Land the composed vector-store layout — IVFADC (Jégou, Douze,
     Schmid, TPAMI 2011): a coarse quantizer prunes WHERE to look
@@ -369,23 +371,27 @@ def land_ivfpq_index(
     ``centroids`` (ncells rows), ``codebooks`` ((sub, code, vec) rows,
     m×k of them). Residuals are computed by a small static codegen
     expression (centroid literal indexed by cell — no lambda HOFs),
-    training/encoding ride the numpy-block machinery above."""
-    import numpy as np
+    training/encoding ride the numpy-block machinery above.
 
+    ``cents``/``codebooks`` pin an externally-chosen frozen quantizer
+    and codebook set (skipping init/training) — the rebuild-equivalence
+    hook for the append test, mirroring ``land_ivf_index_points``."""
     if ncells is None:
         ncells = km.DEFAULT_K
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
     dim = len(pts.select("emb").first()["emb"])
-    cents = km.collect_centroids(km.deterministic_init(pts, ncells))
+    if cents is None:
+        cents = km.collect_centroids(km.deterministic_init(pts, ncells))
     assigned = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
     res = assigned.select(
         "vec_id", "cell", _residual_col(cents, dim).alias("emb")
     ).localCheckpoint()
-    codebooks = train_pq_codebooks(
-        res.select("vec_id", "emb"), dim, m, codes_k, iters
-    )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            res.select("vec_id", "emb"), dim, m, codes_k, iters
+        )
     cells = pq_encode(res.select("vec_id", "emb"), codebooks).join(
         res.select("vec_id", "cell"), "vec_id"
     )
@@ -414,6 +420,68 @@ def land_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/codebooks")
     )
+
+
+def append_ivfpq_index(
+    spark: SparkSession, new_points: DataFrame, path: str
+) -> None:
+    """Grow the landed IVF-PQ index by one batch: quantize and encode
+    against the index's FROZEN coarse centroids AND frozen codebooks
+    (both retrain on a schedule, never per insert — re-deriving either
+    would silently re-cell or re-code the landed corpus), then append
+    the (vec_id, codes) rows into their ``cell=`` directories.
+    PRECONDITION: new vec_ids only, monotone across batches. Queries
+    against the appended index equal a one-shot land of the union
+    under the same frozen parameters (pinned in tests/test_pq.py).
+
+    Replay-safe like ``similarity.append_ivf_index``: the batch's max
+    vec_id is quantized driver-side to its one cell and that single
+    partition directory is probed for the row — present means a prior
+    attempt completed and the replay no-ops."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    codes_k = 1 + max(r.code for r in cb_rows)
+    codebooks = [[None] * codes_k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r.sub][r.code] = list(r.vec)
+    dim = m * len(codebooks[0][0])
+
+    head = (
+        new_points.select("vec_id", "emb")
+        .orderBy(F.col("vec_id").desc())
+        .take(1)
+    )
+    if not head:
+        return
+    max_id, max_emb = int(head[0]["vec_id"]), list(head[0]["emb"])
+    max_cell = min(
+        range(len(cents)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(max_emb, cents[i])),
+            i,
+        ),
+    )
+    already = bool(
+        spark.read.parquet(f"{path}/cells")
+        .filter((F.col("cell") == max_cell) & (F.col("vec_id") == max_id))
+        .take(1)
+    )
+    if already:
+        return  # replayed append of a completed batch: no-op
+    assigned = km.assign(
+        new_points.select("vec_id", "emb"), cents
+    ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
+    res = assigned.select(
+        "vec_id", "cell", _residual_col(cents, dim).alias("emb")
+    ).localCheckpoint()
+    cells = pq_encode(res.select("vec_id", "emb"), codebooks).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
 
 
 def _residual_col(cents: list[list[float]], dim: int) -> Column:

@@ -249,3 +249,71 @@ def test_ivfpq_recall_floor(spark, sf_oracle, tmp_path):
         total += 3
     assert by_q and total
     assert hits / total >= 0.10
+
+
+def test_ivfpq_append_matches_frozen_rebuild_and_replays_safely(
+    spark, sf_oracle, tmp_path
+):
+    """Grow-by-append under BOTH frozen parameter sets: land on the
+    first half (centroids and codebooks train from it), append the
+    rest, and the indexed query must equal a one-shot land of the
+    whole corpus pinned to those same frozen centroids+codebooks. A
+    replayed append (content-detected via the tail cell probe) changes
+    nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        append_ivfpq_index,
+        land_ivfpq_index,
+    )
+
+    pts = _pts(spark, sf_oracle)
+    cut = int(pts.approxQuantile("vec_id", [0.5], 0.0)[0])
+    half_dir = str(tmp_path / "halffixture")
+    os.makedirs(half_dir, exist_ok=True)
+    spark.read.parquet(f"{sf_oracle}/embeddings.parquet").filter(
+        F.col("vec_id") < cut
+    ).write.mode("overwrite").parquet(f"{half_dir}/embeddings.parquet")
+
+    path = str(tmp_path / "grown")
+    land_ivfpq_index(spark, half_dir, path)
+    append_ivfpq_index(spark, pts.filter(F.col("vec_id") >= cut), path)
+    grown = sorted(
+        tuple(r) for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+    )
+
+    cents = [
+        r.centroid
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    kc = 1 + max(r.code for r in cb_rows)
+    cb = [[None] * kc for _ in range(m)]
+    for r in cb_rows:
+        cb[r.sub][r.code] = list(r.vec)
+    rb = str(tmp_path / "rebuilt")
+    land_ivfpq_index(
+        spark, sf_oracle, rb, ncells=len(cents), cents=cents, codebooks=cb
+    )
+    rebuilt = sorted(
+        tuple(r) for r in ann_ivfpq_indexed(spark, sf_oracle, rb).collect()
+    )
+    assert grown == rebuilt and grown
+
+    n_rows = spark.read.parquet(f"{path}/cells").count()
+    append_ivfpq_index(spark, pts.filter(F.col("vec_id") >= cut), path)
+    assert spark.read.parquet(f"{path}/cells").count() == n_rows
+    assert (
+        sorted(
+            tuple(r)
+            for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+        )
+        == grown
+    )
