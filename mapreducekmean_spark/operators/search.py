@@ -471,3 +471,87 @@ def hybrid_topk(
         "q_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, dense], k, rrf_k)
+
+
+def overlap_ratio_scorer(q_texts, d_texts):
+    """The DEFAULT rerank scorer — a deterministic lexical stand-in,
+    NOT a neural cross-encoder: |q∩d| / |q∪d| over distinct token
+    sets, computed per pair in plain Python over the Arrow batch.
+    Real deployments pass ``scorer=`` wrapping their model (ONNX /
+    torch session loaded once per executor via the closure); the
+    engine-side contract — Arrow batching, pair schema, deterministic
+    tie-break — is identical either way and is what the tests pin."""
+    import re
+
+    from mapreducekmean_spark.operators.text import TOKEN_RE
+
+    out = []
+    for q, d in zip(q_texts, d_texts):
+        qt = set(re.findall(TOKEN_RE, (q or "").lower()))
+        dt = set(re.findall(TOKEN_RE, (d or "").lower()))
+        out.append(len(qt & dt) / len(qt | dt) if qt | dt else 0.0)
+    return out
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    k: int = 3,
+    scorer=None,
+) -> DataFrame:
+    """The rerank stage of the retrieval chain (retrieve → fuse →
+    rerank): join each (q_id, doc_id) candidate with both texts and
+    score the PAIR with an Arrow-batched ``mapInPandas`` pass — the
+    cross-encoder shape, where query and document are scored jointly
+    rather than matched in a precomputed index. Output: (q_id, doc_id,
+    rank, ce_score rounded to 6 dp), top ``k`` per query by score
+    desc, doc_id tie-break.
+
+    Scale shape: candidates arrive ALREADY per-query bounded (the
+    fuser's top-n), so the pair join, the Python scoring batches, and
+    the final window all move n_queries × n_cand rows — never the
+    corpus. The scorer runs executor-side over Arrow record batches
+    (the multimodal codec discipline: payloads never transit the
+    driver); the default is an honest deterministic stand-in
+    (:func:`overlap_ratio_scorer`), swapped for a real model by
+    passing ``scorer=``."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if scorer is None:
+        scorer = overlap_ratio_scorer
+    texts = docs.select("doc_id", "text")
+    q_texts = texts.select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    pairs = (
+        candidates.select("q_id", "doc_id")
+        .join(F.broadcast(q_texts), "q_id")
+        .join(texts, "doc_id")
+        .withColumnRenamed("text", "d_text")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "doc_id": pdf["doc_id"],
+                    "ce_raw": scorer(pdf["q_text"], pdf["d_text"]),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score, "q_id bigint, doc_id bigint, ce_raw double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("ce_raw").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "doc_id", "rank", F.round("ce_raw", 6).alias("ce_score")
+        )
+    )

@@ -405,3 +405,79 @@ def test_hybrid_topk_runs_and_ranks(spark, sf_oracle):
         assert sorted(r.rank for r in rs) == [1, 2, 3]
         for r in rs:
             assert 0 < r.rrf_score <= 2 / (RRF_K + 1) + 1e-9
+
+
+def test_cross_encoder_rerank_full_chain(spark, sf_oracle):
+    """retrieve → fuse → rerank, pinned end to end: reranking the
+    hybrid candidates with the deterministic default scorer must equal
+    a pure-Python replay (same pair set, same overlap-ratio arithmetic,
+    same (score desc, doc_id) tie-break) — the plumbing contract a
+    real cross-encoder model drops into via scorer=."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        cross_encoder_rerank,
+        hybrid_topk,
+    )
+    from mapreducekmean_spark.operators.text import TOKEN_RE
+
+    docs = documents(spark, sf_oracle)
+    cands = hybrid_topk(spark, sf_oracle, k=10).localCheckpoint()
+    got = sorted(
+        tuple(r) for r in cross_encoder_rerank(cands, docs, k=3).collect()
+    )
+
+    text = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def toks(t):
+        return set(re.findall(TOKEN_RE, (t or "").lower()))
+
+    expect = []
+    by_q: dict[int, list[int]] = {}
+    for r in cands.collect():
+        by_q.setdefault(r.q_id, []).append(r.doc_id)
+    for q_id, dids in by_q.items():
+        qt = toks(text.get(q_id))
+        scored = []
+        for d in dids:
+            dt = toks(text.get(d))
+            s = len(qt & dt) / len(qt | dt) if qt | dt else 0.0
+            scored.append((s, d))
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:3]
+        for i, (s, d) in enumerate(top):
+            expect.append((q_id, d, i + 1, round(s, 6)))
+    assert got == sorted(expect) and got
+
+
+def test_cross_encoder_rerank_custom_scorer(spark, sf_oracle):
+    """scorer= is the model integration point: a custom callable sees
+    the Arrow batch's pair columns and fully controls the ordering
+    (here: score by doc text length, verifying the engine applies the
+    injected scores rather than any built-in)."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        cross_encoder_rerank,
+        hybrid_topk,
+    )
+
+    docs = documents(spark, sf_oracle)
+    cands = hybrid_topk(spark, sf_oracle, k=5).localCheckpoint()
+
+    def by_len(q_texts, d_texts):
+        return [float(len(d or "")) for d in d_texts]
+
+    got = cross_encoder_rerank(cands, docs, k=2, scorer=by_len).collect()
+    text_len = {
+        r.doc_id: len(r.text or "")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2]
+        for r in rs:
+            assert r.ce_score == float(text_len[r.doc_id])
