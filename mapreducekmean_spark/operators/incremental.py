@@ -402,3 +402,21 @@ def dedup_delta(
         .join(dup_of, "doc_id", "left")
         .select("doc_id", F.col("dup_of").isNull().alias("kept"), "dup_of")
     )
+
+
+def compact_dedup_index(spark: SparkSession, name: str) -> dict[str, dict]:
+    """Small-file maintenance for the landed dedup index: every
+    ``append_to_index`` adds one file per bucket per table, so after N
+    batches each delta join opens N files per bucket. Routes all three
+    tables through ``sources.compact_bucketed`` — the bucket/sort spec
+    is introspected from the catalog, so the (band, bucket) composite
+    key and the doc_id keys each rewrite under their own landed
+    layout and the Exchange-free delta joins survive verbatim (pinned
+    in tests/test_incremental.py). Returns per-table file counts."""
+    from mapreducekmean_spark.sources.bucketing import compact_bucketed
+
+    _require_index(spark, name, "compact_dedup_index")
+    return {
+        suffix: compact_bucketed(spark, f"{name}_{suffix}")
+        for suffix, _schema, _key in _INDEX_TABLES
+    }

@@ -193,3 +193,77 @@ def test_attach_restores_index_in_fresh_catalog(spark, sf_oracle, tmp_path):
     append_to_index(spark, new, "t_inc_att")  # and the upsert works
     n_rows = spark.table("t_inc_att_sizes").count()
     assert n_rows == old.count() + new.count()
+
+
+def test_compact_dedup_index_keeps_verdicts_and_exchange_free_join(
+    spark, sf_small, tmp_path
+):
+    """Compacting the appended index must be invisible to the delta
+    path: per-table file counts drop back to the bucket grain, the
+    next batch's verdicts are unchanged, and the band join still reads
+    the index without re-shuffling it (Bucketed: true, no Exchange on
+    the index branch)."""
+    import os
+
+    from mapreducekmean_spark.operators.dedup import minhash_bands
+    from mapreducekmean_spark.operators.incremental import (
+        compact_dedup_index,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+    from mapreducekmean_spark.sources.bucketing import read_bucketed
+
+    docs = documents(spark, sf_small)
+    c1, c2 = 150, 300
+    idx_path = str(tmp_path / "idx")
+    land_dedup_index(
+        spark, docs.filter(F.col("doc_id") < c1), "t_inc_cp", idx_path
+    )
+    append_to_index(
+        spark,
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        "t_inc_cp",
+    )
+    batch3 = docs.filter(F.col("doc_id") >= c2)
+    before = sorted(
+        tuple(r) for r in dedup_delta(spark, batch3, "t_inc_cp").collect()
+    )
+
+    def files(suffix):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(f"{idx_path}/{suffix}")
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    pre = {s: files(s) for s in ("bands", "grams", "sizes")}
+    stats = compact_dedup_index(spark, "t_inc_cp")
+    for s in ("bands", "grams", "sizes"):
+        assert stats[s]["files_after"] < pre[s] == stats[s]["files_before"]
+
+    after = sorted(
+        tuple(r) for r in dedup_delta(spark, batch3, "t_inc_cp").collect()
+    )
+    assert after == before and after
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_bucketed(spark, "t_inc_cp_bands")
+        j = idx.select(
+            F.col("doc_id").alias("doc_a"), "band", "bucket"
+        ).join(
+            minhash_bands(batch3).select(
+                F.col("doc_id").alias("doc_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        plan = formatted_plan(j)
+        tree = plan.split("\n\n")[0]
+        index_branch = [ln for ln in tree.splitlines() if ":" in ln]
+        assert index_branch and not any(
+            "Exchange" in ln for ln in index_branch
+        ), tree
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
