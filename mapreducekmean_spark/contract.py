@@ -2796,14 +2796,14 @@ _CHECK_FIRST = (
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: whose latest driver row is two rounds old because the round's one red
-#: row + one new query displaced them from the 50-entry window. The
-#: rotation tripwire test ENFORCES: a green value-hash row in one of the
-#: last TWO driver artifacts (so an entry left here cannot quietly age
-#: past the two-round bound). That their code is untouched since is a
-#: rotation-time judgment recorded in the _CHECK_FIRST comment, not
-#: machine-checked — keep this list to queries no current-round commit
-#: touches.
+#: whose latest driver row is two rounds old because this round's TWO
+#: new queries plus the 51-query stale backlog displaced them from the
+#: 50-entry window. The rotation tripwire test ENFORCES: a green
+#: value-hash row in one of the last TWO driver artifacts (so an entry
+#: left here cannot quietly age past the two-round bound). That their
+#: code is untouched since is a rotation-time judgment recorded in the
+#: _CHECK_FIRST comment, not machine-checked — keep this list to
+#: queries no current-round commit touches.
 _STALE_OK = (
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
@@ -2813,8 +2813,8 @@ _STALE_OK = (
 _CHECK_LAST = (
     # all value-hash green on round-6 code (CORRECTNESS_r06.json) AND
     # covered by pytest oracle twins at sf0.001/0.01 (+ the sf0.1
-    # sweep); the one _STALE_OK entry (r5-green, relational.py
-    # untouched this round) lands last.
+    # sweep); the three _STALE_OK entries (r5-green, relational.py
+    # untouched this round) land last.
     "embedding_quantize",
     "sketch_cms",
     "kmeans_full",

@@ -267,9 +267,12 @@ def prepare_training_data_incremental(
         # only rows landed by EARLIER batches count: a crashed prior
         # attempt of THIS batch landed its hashes with doc_id >=
         # batch_min, and trusting those would drop the whole rerun as
-        # duplicates of itself (monotone ids make provenance a filter)
+        # duplicates of itself (monotone ids make provenance a filter).
+        # A NULL doc_id (a hash table written before the provenance
+        # column existed) must count as landed-earlier, not silently
+        # drop out of the filter and wave its duplicates through.
         landed = read_bucketed(spark, f"{name}_hashes").filter(
-            F.col("doc_id") < batch_min
+            F.col("doc_id").isNull() | (F.col("doc_id") < batch_min)
         )
         ek = ek.join(
             landed.select("content_hash").withColumn("_seen", F.lit(True)),
@@ -410,8 +413,11 @@ def _latest_packstate_version(state_path: str, below: int) -> int | None:
     if not os.path.isdir(state_path):
         return None
     versions = []
+    flat_files = False
     for d in os.listdir(state_path):
         if not d.startswith("asof="):
+            if d.endswith(".parquet"):
+                flat_files = True
             continue
         try:
             v = int(d.split("=", 1)[1])
@@ -421,4 +427,14 @@ def _latest_packstate_version(state_path: str, below: int) -> int | None:
             os.path.join(state_path, d, "_SUCCESS")
         ):
             versions.append(v)
+    if flat_files and not versions:
+        # a packstate written by the pre-versioning layout (flat
+        # parquet, overwritten in place): silently treating it as
+        # empty would restart every sequence offset at 0 and collide
+        # with landed output — refuse loudly instead
+        raise ValueError(
+            f"packstate at {state_path} uses the old flat layout; "
+            f"move it to {state_path}/asof=<last-batch-max-doc-id>/ "
+            f"(with a _SUCCESS marker) before running new batches"
+        )
     return max(versions) if versions else None

@@ -438,38 +438,17 @@ def append_ivfpq_index(
     vec_id is quantized driver-side to its one cell and that single
     partition directory is probed for the row — present means a prior
     attempt completed and the replay no-ops."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    m = 1 + max(r.sub for r in cb_rows)
-    codes_k = 1 + max(r.code for r in cb_rows)
-    codebooks = [[None] * codes_k for _ in range(m)]
-    for r in cb_rows:
-        codebooks[r.sub][r.code] = list(r.vec)
-    dim = m * len(codebooks[0][0])
+    from mapreducekmean_spark.operators.similarity import (
+        batch_tail_already_in_cells,
+    )
 
-    head = (
-        new_points.select("vec_id", "emb")
-        .orderBy(F.col("vec_id").desc())
-        .take(1)
+    cents, codebooks = _load_ivfpq_params(spark, path)
+    dim = len(codebooks) * len(codebooks[0][0])
+    empty, already = batch_tail_already_in_cells(
+        spark, path, new_points, cents
     )
-    if not head:
-        return
-    max_id, max_emb = int(head[0]["vec_id"]), list(head[0]["emb"])
-    max_cell = min(
-        range(len(cents)),
-        key=lambda i: (
-            sum((a - b) * (a - b) for a, b in zip(max_emb, cents[i])),
-            i,
-        ),
-    )
-    already = bool(
-        spark.read.parquet(f"{path}/cells")
-        .filter((F.col("cell") == max_cell) & (F.col("vec_id") == max_id))
-        .take(1)
-    )
-    if already:
-        return  # replayed append of a completed batch: no-op
+    if empty or already:
+        return  # nothing to append / replay of a completed batch
     assigned = km.assign(
         new_points.select("vec_id", "emb"), cents
     ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
@@ -482,6 +461,26 @@ def append_ivfpq_index(
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
     write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+
+
+def _load_ivfpq_params(
+    spark: SparkSession, path: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, codebooks) of a landed IVF-PQ index — the one copy
+    of the codebook-table reconstruction, shared by the query and
+    append paths."""
+    from mapreducekmean_spark.operators.similarity import (
+        load_index_centroids,
+    )
+
+    cents = load_index_centroids(spark, path)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    codes_k = 1 + max(r.code for r in cb_rows)
+    codebooks: list[list] = [[None] * codes_k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r.sub][r.code] = list(r.vec)
+    return cents, codebooks
 
 
 def _residual_col(cents: list[list[float]], dim: int) -> Column:
@@ -525,15 +524,10 @@ def ann_ivfpq_indexed(
 
     if nprobe is None:
         nprobe = N_PROBE
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cents, codebooks = _load_ivfpq_params(spark, path)
     ncells = len(cents)
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    m = 1 + max(r.sub for r in cb_rows)
-    codes_k = 1 + max(r.code for r in cb_rows)
-    codebooks = [[None] * codes_k for _ in range(m)]
-    for r in cb_rows:
-        codebooks[r.sub][r.code] = list(r.vec)
+    m = len(codebooks)
+    codes_k = len(codebooks[0])
     ds = len(codebooks[0][0])
 
     qs, _ = _queries_and_points(spark, sf_dir)

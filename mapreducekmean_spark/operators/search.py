@@ -210,7 +210,11 @@ def _corpus_totals(docs: DataFrame) -> tuple[int, int, int]:
         ).alias("t"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]
-    return int(row["n"]), int(row["t"] or 0), int(row["mx"] or -1)
+    # NOT `row["mx"] or -1`: doc_ids start at 0 in this engine, and the
+    # falsy zero would corrupt the append replay-guard ceiling (a batch
+    # whose max id is 0 would read as already-appended forever)
+    mx = row["mx"]
+    return int(row["n"]), int(row["t"] or 0), -1 if mx is None else int(mx)
 
 
 def attach_bm25_index(

@@ -237,15 +237,48 @@ def append_ivf_index(
     that single ``cell=`` directory is probed for the row — present
     means a prior attempt's append completed and the replay is a
     no-op. The probe reads one partition directory, never the index."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cents = load_index_centroids(spark, path)
+    empty, already = batch_tail_already_in_cells(
+        spark, path, new_points, cents
+    )
+    if empty or already:
+        return  # nothing to append / replay of a completed batch
+    cells = km.assign(
+        new_points.select("vec_id", "emb"), cents
+    ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+
+
+def load_index_centroids(
+    spark: SparkSession, path: str
+) -> list[list[float]]:
+    """The landed coarse quantizer, cell-ordered — shared by every
+    consumer of a cell-partitioned index (raw IVF and IVF-PQ)."""
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return [r.centroid for r in sorted(rows, key=lambda r: r.cell)]
+
+
+def batch_tail_already_in_cells(
+    spark: SparkSession,
+    path: str,
+    new_points: DataFrame,
+    cents: list[list[float]],
+) -> tuple[bool, bool]:
+    """(batch is empty, batch tail already landed) — the shared replay
+    guard of the cell-partitioned appends: the batch's max vec_id is
+    quantized DRIVER-side (same sequential-fold distance and first-wins
+    tie-break as ``km.assign``, so the probe looks in the cell the
+    append would write) and that ONE ``cell=`` directory is probed for
+    the row."""
     head = (
         new_points.select("vec_id", "emb")
         .orderBy(F.col("vec_id").desc())
         .take(1)
     )
     if not head:
-        return
+        return True, False
     max_id, max_emb = int(head[0]["vec_id"]), list(head[0]["emb"])
     max_cell = min(
         range(len(cents)),
@@ -259,14 +292,7 @@ def append_ivf_index(
         .filter((F.col("cell") == max_cell) & (F.col("vec_id") == max_id))
         .take(1)
     )
-    if already:
-        return  # replayed append of a completed batch: no-op
-    cells = km.assign(
-        new_points.select("vec_id", "emb"), cents
-    ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
-    from mapreducekmean_spark.sources.bucketing import write_partitioned
-
-    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+    return False, already
 
 
 def ann_ivf_indexed_dpp(
@@ -296,8 +322,7 @@ def ann_ivf_indexed_dpp(
     a selective-looking predicate (the ``q_id >= 0`` filter, a
     semantic no-op) because Spark's PartitionPruning rule only fires
     for filtering sides that carry one."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cents = load_index_centroids(spark, path)
     ncells = len(cents)
     qs, _ = _queries_and_points(spark, sf_dir)
     q_cells = _probe_cells(qs, cents, ncells, nprobe).localCheckpoint()
@@ -338,8 +363,7 @@ def ann_ivf_indexed(
     pushed as a LITERAL ``isin`` filter so the pruning is static — the
     scan plans with only the probed directories, no full-index pass
     anywhere."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    cents = load_index_centroids(spark, path)
     ncells = len(cents)
     qs, _ = _queries_and_points(spark, sf_dir)
     q_cells = _probe_cells(qs, cents, ncells, nprobe).localCheckpoint()

@@ -193,7 +193,20 @@ def compact_bucketed(
     path = parsed.path or loc
     buckets = int(desc["Num Buckets"])
     keys = [c.strip(" `") for c in desc["Bucket Columns"].strip("[]").split(",")]
-    sort_cols = desc.get("Sort Columns", "[]").strip("[]")
+    sort_raw = desc.get("Sort Columns", "[]").strip("[]")
+    sort_cols = [c.strip(" `") for c in sort_raw.split(",") if c.strip(" `")]
+    if sort_cols and sort_cols != keys:
+        # write_bucketed always sorts by the bucket keys; rewriting a
+        # table sorted by OTHER columns would silently change its
+        # landed sort spec — the exact class of quiet re-layout this
+        # compactor exists to prevent. (Every index this engine lands
+        # sorts by its bucket key, so this gate is future-proofing.)
+        raise NotImplementedError(
+            f"compact_bucketed: table {table} sorts by {sort_cols} but "
+            f"buckets by {keys}; rewriting would replace the sort spec "
+            f"with the bucket keys. Extend write_bucketed with an "
+            f"independent sort spec first."
+        )
 
     def count_files(p: str) -> int:
         return sum(

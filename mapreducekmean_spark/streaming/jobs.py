@@ -23,7 +23,6 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     get picked up per micro-batch). The fixtures are single files, so stage
     a per-table directory of symlinks under /tmp — in production this is
     simply the landing directory the upstream writer appends to."""
-    import os
     import tempfile
 
     src = os.path.abspath(f"{sf_dir}/{table}.parquet")
@@ -514,8 +513,6 @@ def ingest_dedup_batch(
     guards, so the crash-between-step-and-marker window stays safe;
     (6) the high-water mark advances last, so every step a replay
     re-runs is individually idempotent."""
-    import os
-
     from mapreducekmean_spark.operators.dedup import (
         VERIFY_THRESHOLD,
         gram_rows,
@@ -548,9 +545,15 @@ def ingest_dedup_batch(
     else:
         sh = None
         verdict = minhash_verified_dedup(batch_df, threshold)
+    # checkpoint: kept feeds SEVERAL actions below (output upsert, the
+    # BM25 totals/tf/probe, the IVF head + write), and the index
+    # upserts in between MUTATE the landed state the lazy verdict is
+    # derived from — the same hazard pipeline.py checkpoints against
+    # (dedup_delta's tail-state tolerance would mask it, but only by
+    # re-running the whole candidate join per action)
     kept = batch_df.join(
         verdict.filter("kept").select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint()
     upsert_partitions(
         kept.withColumn("ingest_batch", F.lit(int(batch_id))),
         out_path,
