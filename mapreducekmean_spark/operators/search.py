@@ -559,3 +559,73 @@ def cross_encoder_rerank(
             "q_id", "doc_id", "rank", F.round("ce_raw", 6).alias("ce_score")
         )
     )
+
+
+def compact_bm25_index(spark, name: str) -> dict[str, dict]:
+    """Small-file maintenance for the landed BM25 index: the postings
+    table compacts back to its one-file-per-bucket grain
+    (``sources.compact_bucketed``), and the stats APPEND LOG — one
+    tiny delta row per land/append — collapses to a single summary row
+    ``(max(max_doc_id), sum(n_docs), sum(total_dl))``. The collapse is
+    semantics-preserving by construction: readers SUM the log (integer
+    sums are associative) and the append replay guard keys on
+    ``max(max_doc_id)``, both of which one summary row reproduces
+    exactly. The new stats land beside the old and swap in by rename
+    (same discipline as compact_bucketed; don't run concurrently with
+    appends). Returns per-part file counts."""
+    import os
+    import shutil
+    import urllib.parse
+
+    from mapreducekmean_spark.sources.bucketing import compact_bucketed
+
+    tf_stats = compact_bucketed(spark, f"{name}_tf")
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}_stats")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    stats_path = urllib.parse.urlparse(loc).path or loc
+
+    def count_files(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    files_before = count_files(stats_path)
+    summary = spark.table(f"{name}_stats").agg(
+        F.max("max_doc_id").alias("max_doc_id"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+    ).collect()[0]
+    tmp = f"{stats_path}.__compact"
+    (
+        spark.createDataFrame(
+            [
+                (
+                    int(summary["max_doc_id"]),
+                    int(summary["n_docs"] or 0),
+                    int(summary["total_dl"] or 0),
+                )
+            ],
+            "max_doc_id bigint, n_docs bigint, total_dl bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{stats_path}.__old"
+    os.rename(stats_path, old)
+    os.rename(tmp, stats_path)
+    shutil.rmtree(old)
+    spark.sql(f"REFRESH TABLE {name}_stats")
+    return {
+        "tf": tf_stats,
+        "stats": {
+            "files_before": files_before,
+            "files_after": count_files(stats_path),
+        },
+    }

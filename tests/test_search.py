@@ -481,3 +481,65 @@ def test_cross_encoder_rerank_custom_scorer(spark, sf_oracle):
         assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2]
         for r in rs:
             assert r.ce_score == float(text_len[r.doc_id])
+
+
+def test_bm25_full_compaction_collapses_stats_log(
+    spark, sf_oracle, tmp_path
+):
+    """compact_bm25_index after several appends: postings back to one
+    file per bucket, the stats append log collapsed to one summary row
+    that preserves BOTH reader semantics (summed totals) and the append
+    replay guard's ceiling — a replayed append must still no-op, and a
+    genuinely new batch must still append."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.search import (
+        BM25_INDEX_BUCKETS,
+        append_bm25_index,
+        bm25_search_indexed,
+        compact_bm25_index,
+        land_bm25_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    qs = docs.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
+    c1, c2, c3 = int(qs[0]), int(qs[1]), int(qs[2])
+    land_bm25_index(
+        spark, docs.filter(F.col("doc_id") < c1), "t_bm25_fc",
+        str(tmp_path / "idx"),
+    )
+    append_bm25_index(
+        spark,
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        "t_bm25_fc",
+    )
+    b3 = docs.filter((F.col("doc_id") >= c2) & (F.col("doc_id") < c3))
+    append_bm25_index(spark, b3, "t_bm25_fc")
+    before = [
+        tuple(r)
+        for q in ("table scan", "shuffle partition")
+        for r in bm25_search_indexed(spark, q, "t_bm25_fc").collect()
+    ]
+    assert spark.table("t_bm25_fc_stats").count() == 3
+
+    stats = compact_bm25_index(spark, "t_bm25_fc")
+    assert stats["tf"]["files_after"] == BM25_INDEX_BUCKETS
+    assert stats["stats"]["files_after"] < stats["stats"]["files_before"]
+    assert spark.table("t_bm25_fc_stats").count() == 1
+
+    after = [
+        tuple(r)
+        for q in ("table scan", "shuffle partition")
+        for r in bm25_search_indexed(spark, q, "t_bm25_fc").collect()
+    ]
+    assert after == before
+
+    # replay of the last batch: the collapsed ceiling must still catch it
+    tf_rows = spark.table("t_bm25_fc_tf").count()
+    append_bm25_index(spark, b3, "t_bm25_fc")
+    assert spark.table("t_bm25_fc_tf").count() == tf_rows
+    # a genuinely new batch still appends
+    append_bm25_index(
+        spark, docs.filter(F.col("doc_id") >= c3), "t_bm25_fc"
+    )
+    assert spark.table("t_bm25_fc_tf").count() > tf_rows
