@@ -525,14 +525,22 @@ def cross_encoder_rerank(
 
     if scorer is None:
         scorer = overlap_ratio_scorer
+    # the candidate set is bounded by construction (the fuser's top-n
+    # per query), so its ids collect cheaply and push into the docs
+    # scan as literal filters — without this the text joins would scan
+    # the whole corpus per rerank batch (measured: the 500k-doc
+    # retrieval probe's serve path)
+    cand_rows = candidates.select("q_id", "doc_id").collect()
+    q_ids = sorted({r.q_id for r in cand_rows})
+    d_ids = sorted({r.doc_id for r in cand_rows})
     texts = docs.select("doc_id", "text")
-    q_texts = texts.select(
+    q_texts = texts.filter(F.col("doc_id").isin(q_ids)).select(
         F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
     )
     pairs = (
         candidates.select("q_id", "doc_id")
         .join(F.broadcast(q_texts), "q_id")
-        .join(texts, "doc_id")
+        .join(F.broadcast(texts.filter(F.col("doc_id").isin(d_ids))), "doc_id")
         .withColumnRenamed("text", "d_text")
     )
 

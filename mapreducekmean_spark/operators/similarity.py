@@ -207,7 +207,14 @@ def land_ivf_index_points(
     cells = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
-    write_partitioned(cells, f"{path}/cells", "cell")
+    # repartition ON THE PARTITION KEY before the write: the input's
+    # own partitioning is whatever the caller produced (a 1-partition
+    # frame would serialize the whole land on one core — measured 259 s
+    # vs 36 s at 500k in the round-7 retrieval probe), and hashing by
+    # cell puts each cell in exactly one task, so every land/append
+    # emits exactly ONE file per touched cell — the append-friendly
+    # grain the compactor restores
+    write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
     (
         spark.createDataFrame(
             [(i, list(c)) for i, c in enumerate(cents)],
@@ -248,7 +255,10 @@ def append_ivf_index(
     ).select("vec_id", "emb", F.col("cluster_id").alias("cell"))
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
-    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+    # one task (and so one file) per touched cell — see land's comment
+    write_partitioned(
+        cells.repartition("cell"), f"{path}/cells", "cell", mode="append"
+    )
 
 
 def load_index_centroids(

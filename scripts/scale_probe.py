@@ -1053,6 +1053,119 @@ def probe_ivfpq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     }
 
 
+def probe_retrieval(
+    spark, results: dict, sf_dir: str, repl: int = 100
+) -> None:
+    """The full retrieval chain at 500k docs: land both indexes once
+    (term-bucketed BM25 + cell-partitioned IVF over per-doc synthetic
+    embeddings), then serve a 3-query batch end-to-end — sparse ranks
+    from the landed postings, dense ranks from the probed cells, RRF
+    fusion, cross-encoder-shaped rerank of the fused top-10. The
+    serving side never touches the corpus: postings are bucket-pruned,
+    cells partition-pruned, and fusion/rerank move only the bounded
+    candidate lists."""
+    import tempfile
+
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        cross_encoder_rerank,
+        land_bm25_index,
+        rrf_fuse,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _score_probed_cells,
+        land_ivf_index_points,
+        load_index_centroids,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count() * repl
+    # repartition: the crossJoin of a 1-file fixture inherits ONE
+    # partition, which would serialize every downstream pass (the
+    # first probe run spent 240 s generating embeddings on one core)
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    # materialize the synthetic embeddings BEFORE the land: an unmateri-
+    # alized transform(...sin...) column would re-evaluate inside every
+    # per-cell distance lambda of the assign (64x the generation cost);
+    # production embeddings arrive materialized, so the probe's should too
+    vecs = big.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "sin(CAST((doc_id + 1) * i AS DOUBLE)))"
+        ).alias("emb"),
+    ).localCheckpoint()
+
+    bm25_dir = tempfile.mkdtemp(prefix="mrkm_ret_bm25_")
+    t0 = time.perf_counter()
+    land_bm25_index(spark, big, "probe_ret_bm25", bm25_dir)
+    t_bm25_land = time.perf_counter() - t0
+    ivf_dir = tempfile.mkdtemp(prefix="mrkm_ret_ivf_")
+    t0 = time.perf_counter()
+    land_ivf_index_points(spark, vecs, ivf_dir, ncells=64)
+    t_ivf_land = time.perf_counter() - t0
+
+    q_rows = big.filter(F.col("doc_id") < 3).select(
+        "doc_id", "text"
+    ).collect()
+    cents = load_index_centroids(spark, ivf_dir)
+
+    def serve():
+        sparse_rows = []
+        for r in q_rows:
+            hits = bm25_search_indexed(
+                spark, r.text or "the", "probe_ret_bm25", top_n=10
+            ).collect()
+            rank = 0
+            for h in hits:
+                if h.doc_id != r.doc_id:
+                    rank += 1
+                    sparse_rows.append((r.doc_id, h.doc_id, rank))
+        sparse = spark.createDataFrame(
+            sparse_rows, "q_id bigint, doc_id bigint, rank bigint"
+        )
+        qs = vecs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        q_cells = _probe_cells(qs, cents, len(cents), N_PROBE)
+        probed = sorted(
+            r.cell for r in q_cells.select("cell").distinct().collect()
+        )
+        cells = (
+            spark.read.parquet(f"{ivf_dir}/cells")
+            .filter(F.col("cell").isin(probed))
+            .select(
+                "vec_id", "emb",
+                F.col("cell").cast("bigint").alias("cell"),
+            )
+        )
+        dense = _score_probed_cells(cells, q_cells, 10).select(
+            "q_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        fused = rrf_fuse([sparse, dense], k=10).localCheckpoint()
+        return cross_encoder_rerank(fused, big, k=3).collect()
+
+    serve()  # warm
+    t0 = time.perf_counter()
+    out = serve()
+    t_serve = time.perf_counter() - t0
+    results["retrieval_chain"] = {
+        "docs": n,
+        "bm25_land_sec": round(t_bm25_land, 2),
+        "ivf_land_sec": round(t_ivf_land, 2),
+        "serve_3q_sec": round(t_serve, 2),
+        "result_rows": len(out),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -1065,7 +1178,7 @@ def main() -> None:
         "--only",
         default="",
         help="comma list: core,events,skew,cc,corpus,corpuslow,decon,"
-        "textops,bucketing,sketch,incdedup,ivf,pq,ivfpq,pipeline (default: all)",
+        "textops,bucketing,sketch,incdedup,ivf,pq,ivfpq,retrieval,pipeline (default: all)",
     )
     args = ap.parse_args()
     groups = {
@@ -1083,6 +1196,7 @@ def main() -> None:
         "ivf",
         "pq",
         "ivfpq",
+        "retrieval",
         "pipeline",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -1119,6 +1233,8 @@ def main() -> None:
         probe_pq(spark, results)
     if "ivfpq" in only:
         probe_ivfpq(spark, results)
+    if "retrieval" in only:
+        probe_retrieval(spark, results, args.sf_dir)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
