@@ -376,9 +376,36 @@ def land_ivfpq_index(
     ``cents``/``codebooks`` pin an externally-chosen frozen quantizer
     and codebook set (skipping init/training) — the rebuild-equivalence
     hook for the append test, mirroring ``land_ivf_index_points``."""
+    land_ivfpq_index_points(
+        spark,
+        km.embeddings(spark, sf_dir).select("vec_id", "emb"),
+        path,
+        ncells=ncells,
+        m=m,
+        codes_k=codes_k,
+        iters=iters,
+        cents=cents,
+        codebooks=codebooks,
+    )
+
+
+def land_ivfpq_index_points(
+    spark: SparkSession,
+    pts: DataFrame,
+    path: str,
+    ncells: int | None = None,
+    m: int = PQ_M,
+    codes_k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    cents: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """:func:`land_ivfpq_index` over an explicit ``(vec_id, emb)``
+    frame — the composable form an ingest pipeline feeds batch by
+    batch (mirrors ``similarity.land_ivf_index_points``)."""
     if ncells is None:
         ncells = km.DEFAULT_K
-    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    pts = pts.select("vec_id", "emb")
     dim = len(pts.select("emb").first()["emb"])
     if cents is None:
         cents = km.collect_centroids(km.deterministic_init(pts, ncells))
@@ -397,7 +424,9 @@ def land_ivfpq_index(
     )
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
-    write_partitioned(cells, f"{path}/cells", "cell")
+    # one task/file per cell regardless of the input's partitioning —
+    # same rationale as similarity.land_ivf_index_points
+    write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
     (
         spark.createDataFrame(
             [(i, list(map(float, c))) for i, c in enumerate(cents)],
@@ -460,7 +489,10 @@ def append_ivfpq_index(
     )
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
-    write_partitioned(cells, f"{path}/cells", "cell", mode="append")
+    # one task/file per touched cell — see land_ivf_index_points
+    write_partitioned(
+        cells.repartition("cell"), f"{path}/cells", "cell", mode="append"
+    )
 
 
 def _load_ivfpq_params(
@@ -507,6 +539,7 @@ def ann_ivfpq_indexed(
     path: str,
     k: int = 3,
     nprobe: int | None = None,
+    qs: DataFrame | None = None,
 ) -> DataFrame:
     """Query the landed IVF-PQ index: probe each query's ``nprobe``
     nearest cells (same probe kernel as the raw-IVF path), build the
@@ -515,7 +548,10 @@ def ann_ivfpq_indexed(
     and score only the probed cells' code rows — the scan is partition-
     pruned AND codes-only by layout. Ranks ascending by approximate
     squared L2 (residual ADC), ties by neighbor id; output shape
-    matches :func:`pq_adc_topk`."""
+    matches :func:`pq_adc_topk`. ``qs`` overrides the default
+    fixture-derived query batch with an explicit ``(q_id, q_emb)``
+    frame (bounded — its probed cells collect driver-side), the form
+    an ingest-maintained index is queried with."""
     from mapreducekmean_spark.operators.similarity import (
         N_PROBE,
         _probe_cells,
@@ -530,7 +566,8 @@ def ann_ivfpq_indexed(
     codes_k = len(codebooks[0])
     ds = len(codebooks[0][0])
 
-    qs, _ = _queries_and_points(spark, sf_dir)
+    if qs is None:
+        qs, _ = _queries_and_points(spark, sf_dir)
     q_cells = _probe_cells(qs, cents, ncells, nprobe)
     probe_rows = q_cells.collect()  # ≤ n_queries × nprobe — bounded
     lut_rows = []

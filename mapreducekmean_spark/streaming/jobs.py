@@ -476,6 +476,7 @@ def ingest_dedup_batch(
     bm25_path: str | None = None,
     ivf_path: str | None = None,
     ivf_ncells: int | None = None,
+    ivfpq_path: str | None = None,
 ) -> None:
     """One micro-batch of the deduplicating ingest — the ``foreachBatch``
     body of :func:`stream_ingest_dedup`, public so tests (and batch
@@ -507,9 +508,12 @@ def ingest_dedup_batch(
     index (``search.land/append_bm25_index``) over the KEPT docs, and
     ``ivf_path`` (for batches carrying an ``embedding`` column) keeps
     a cell-partitioned IVF ANN index (``similarity.land/
-    append_ivf_index``, quantizer frozen from the first batch) — so
+    append_ivf_index``, quantizer frozen from the first batch), and
+    ``ivfpq_path`` likewise keeps the compressed IVF-PQ (IVFADC)
+    vector store (``pq.land_ivfpq_index_points/append_ivfpq_index``,
+    coarse centroids AND codebooks frozen from the first batch) — so
     the landed corpus is searchable everywhere without manual index
-    maintenance; both appends carry their own content-checked replay
+    maintenance; all appends carry their own content-checked replay
     guards, so the crash-between-step-and-marker window stays safe;
     (6) the high-water mark advances last, so every step a replay
     re-runs is individually idempotent."""
@@ -576,25 +580,43 @@ def ingest_dedup_batch(
             append_bm25_index(spark, kept, bm25_name)
         else:
             land_bm25_index(spark, kept, bm25_name, bm25_path)
-    if ivf_path is not None and "embedding" in batch_df.columns:
+    if (
+        ivf_path is not None or ivfpq_path is not None
+    ) and "embedding" in batch_df.columns:
         from mapreducekmean_spark.functions.vector import as_double_array
-        from mapreducekmean_spark.operators.similarity import (
-            append_ivf_index,
-            land_ivf_index_points,
-        )
 
         vecs = kept.select(
             F.col("doc_id").alias("vec_id"),
             as_double_array("embedding").alias("emb"),
         )
-        if os.path.exists(os.path.join(ivf_path, "centroids")):
-            append_ivf_index(spark, vecs, ivf_path)
-        else:
-            land_ivf_index_points(
-                spark, vecs, ivf_path, **(
-                    {"ncells": ivf_ncells} if ivf_ncells else {}
-                )
+        if ivf_path is not None:
+            from mapreducekmean_spark.operators.similarity import (
+                append_ivf_index,
+                land_ivf_index_points,
             )
+
+            if os.path.exists(os.path.join(ivf_path, "centroids")):
+                append_ivf_index(spark, vecs, ivf_path)
+            else:
+                land_ivf_index_points(
+                    spark, vecs, ivf_path, **(
+                        {"ncells": ivf_ncells} if ivf_ncells else {}
+                    )
+                )
+        if ivfpq_path is not None:
+            from mapreducekmean_spark.operators.pq import (
+                append_ivfpq_index,
+                land_ivfpq_index_points,
+            )
+
+            if os.path.exists(os.path.join(ivfpq_path, "centroids")):
+                append_ivfpq_index(spark, vecs, ivfpq_path)
+            else:
+                land_ivfpq_index_points(
+                    spark, vecs, ivfpq_path, **(
+                        {"ncells": ivf_ncells} if ivf_ncells else {}
+                    )
+                )
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
@@ -608,6 +630,7 @@ def stream_ingest_dedup(
     out_path: str,
     bm25_path: str | None = None,
     ivf_path: str | None = None,
+    ivfpq_path: str | None = None,
 ) -> None:
     """Deduplicating ingest: the composition a production corpus
     pipeline actually runs — a document stream lands APPEND-ONLY clean
@@ -638,6 +661,7 @@ def stream_ingest_dedup(
             lambda df, bid: ingest_dedup_batch(
                 spark, df, bid, name, index_path, out_path,
                 bm25_path=bm25_path, ivf_path=ivf_path,
+                ivfpq_path=ivfpq_path,
             )
         )
         .start()

@@ -278,3 +278,104 @@ def test_ingest_survives_driver_restart_without_relanding(
     # index grew instead of being re-landed from scratch
     assert landed.filter(F.col("doc_id") >= shift).count() == 0
     assert spark.table("t_ing_e_sizes").count() == n0 + b1.count()
+
+
+def test_ingest_composes_ivfpq_index(spark, sf_oracle, tmp_path):
+    """The ingest also maintains the compressed IVF-PQ vector store:
+    batches driven with ivfpq_path keep the codes-only cells table in
+    lockstep with the landed corpus. Post-ingest queries must equal a
+    from-scratch rebuild over exactly the landed rows under the
+    ingest's own frozen centroids AND codebooks, and a replay (marker
+    rolled back so the index's tail-cell guard must fire) changes
+    neither the result nor the row count."""
+    import os
+
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        land_ivfpq_index_points,
+    )
+
+    docs = documents(spark, sf_oracle).withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "cast(sin(cast((doc_id + 1) * i as double)) as float))"
+        ),
+    )
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    batches = [
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+    ]
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ivfpq = str(tmp_path / "ivfpq")
+    for bid, b in enumerate(batches):
+        ingest_dedup_batch(
+            spark, b, bid, "t_ing_pq", idx, out, ivfpq_path=ivfpq,
+        )
+
+    landed = spark.read.parquet(out).localCheckpoint()
+    qs = (
+        landed.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.expr("transform(embedding, v -> cast(v as double))").alias(
+                "q_emb"
+            ),
+        )
+    )
+
+    def results(path):
+        return sorted(
+            tuple(r)
+            for r in ann_ivfpq_indexed(
+                spark, sf_oracle, path, qs=qs
+            ).collect()
+        )
+
+    grown = results(ivfpq)
+    assert grown
+
+    # from-scratch rebuild over exactly the landed corpus, pinned to
+    # the ingest's frozen quantizer + codebooks
+    cents = [
+        r.centroid
+        for r in sorted(
+            spark.read.parquet(f"{ivfpq}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    cb_rows = spark.read.parquet(f"{ivfpq}/codebooks").collect()
+    m = 1 + max(r.sub for r in cb_rows)
+    kc = 1 + max(r.code for r in cb_rows)
+    cb = [[None] * kc for _ in range(m)]
+    for r in cb_rows:
+        cb[r.sub][r.code] = list(r.vec)
+    rb = str(tmp_path / "ivfpq_rb")
+    land_ivfpq_index_points(
+        spark,
+        landed.select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr("transform(embedding, v -> cast(v as double))").alias(
+                "emb"
+            ),
+        ),
+        rb,
+        ncells=len(cents),
+        cents=cents,
+        codebooks=cb,
+    )
+    assert results(rb) == grown
+
+    # replay with the marker rolled back: the tail-cell guard no-ops
+    n_rows = spark.read.parquet(f"{ivfpq}/cells").count()
+    with open(os.path.join(idx, "_ingest_high_water"), "w") as f:
+        f.write("0")
+    ingest_dedup_batch(
+        spark, batches[1], 1, "t_ing_pq", idx, out, ivfpq_path=ivfpq,
+    )
+    assert spark.read.parquet(f"{ivfpq}/cells").count() == n_rows
+    assert results(ivfpq) == grown
+    assert n_rows == landed.count()
