@@ -32,7 +32,7 @@ implementation in pytest rather than a DuckDB value-hash twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators.text import tokens
@@ -355,6 +355,101 @@ def bm25_search_indexed(
     )
 
 
+def bm25_search_indexed_batch(
+    spark,
+    queries: DataFrame,
+    name: str,
+    top_n: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Serve a whole QUERY BATCH against the landed index in one pass —
+    the production serving shape. :func:`bm25_search_indexed` launches
+    one Spark query per search string, so an n-query batch pays n
+    sequential job rounds even though every round reads the same
+    postings buckets (measured: the 500k-doc retrieval probe's serve
+    path was dominated by exactly this). Here ``queries`` is a bounded
+    ``(q_id, text)`` frame; its tokens collect driver-side (bounded by
+    construction, same stance as the ANN probe paths), the UNION of all
+    terms prunes the bucketed tf scan ONCE, per-term df/idf come from
+    one zero-Exchange aggregate on that scan, and per-(q_id, doc_id)
+    scores fall out of a single broadcast join + aggregate. Scores and
+    ranking are IDENTICAL to the per-query path (same idf form, same
+    tie-break; pinned in tests/test_search.py).
+
+    Output: (q_id, doc_id, score, n_matched_terms, rank) with rank
+    1..top_n per query by (score desc, doc_id asc). Queries with no
+    tokens raise, matching ``bm25_search``."""
+    import re
+
+    from mapreducekmean_spark.operators.text import TOKEN_RE
+    from mapreducekmean_spark.sources.bucketing import read_bucketed
+
+    q_rows = queries.select("q_id", "text").collect()
+    pairs = []
+    for r in q_rows:
+        terms = sorted(set(re.findall(TOKEN_RE, (r.text or "").lower())))
+        if not terms:
+            raise ValueError(f"empty query (q_id={r.q_id})")
+        pairs.extend((int(r.q_id), t) for t in terms)
+    all_terms = sorted({t for _, t in pairs})
+
+    st = spark.table(f"{name}_stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+    ).collect()[0]
+    n_docs = int(st["n_docs"] or 0)
+    if n_docs == 0:
+        raise ValueError(f"BM25 index {name!r} is empty")
+    avgdl = int(st["total_dl"]) / n_docs
+
+    # ONE bucket-pruned pass over the union of every query's terms
+    tf = read_bucketed(spark, f"{name}_tf").filter(
+        F.col("term").isin(all_terms)
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    q_terms = spark.createDataFrame(pairs, "q_id bigint, term string")
+    scored = (
+        tf.join(F.broadcast(q_terms.join(idf, "term")), "term")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("s"),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("q_id", "doc_id", "score", "n_matched_terms", "rank")
+    )
+
+
 # --- hybrid retrieval: reciprocal-rank fusion -----------------------------
 
 #: Cormack/Clarke/Büttcher's standard RRF constant (SIGIR 2009).
@@ -502,6 +597,7 @@ def cross_encoder_rerank(
     docs: DataFrame,
     k: int = 3,
     scorer=None,
+    q_texts: DataFrame | None = None,
 ) -> DataFrame:
     """The rerank stage of the retrieval chain (retrieve → fuse →
     rerank): join each (q_id, doc_id) candidate with both texts and
@@ -518,7 +614,12 @@ def cross_encoder_rerank(
     (the multimodal codec discipline: payloads never transit the
     driver); the default is an honest deterministic stand-in
     (:func:`overlap_ratio_scorer`), swapped for a real model by
-    passing ``scorer=``."""
+    passing ``scorer=``.
+
+    Query texts default to looking the q_ids up in ``docs`` (the
+    queries-are-corpus-docs fixture convention); pass ``q_texts`` as a
+    bounded ``(q_id, q_text)`` frame when queries are free-standing
+    strings, as in :func:`serve_retrieval`."""
     import pandas as pd
 
     from pyspark.sql import Window
@@ -534,9 +635,12 @@ def cross_encoder_rerank(
     q_ids = sorted({r.q_id for r in cand_rows})
     d_ids = sorted({r.doc_id for r in cand_rows})
     texts = docs.select("doc_id", "text")
-    q_texts = texts.filter(F.col("doc_id").isin(q_ids)).select(
-        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
-    )
+    if q_texts is None:
+        q_texts = texts.filter(F.col("doc_id").isin(q_ids)).select(
+            F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+        )
+    else:
+        q_texts = q_texts.select("q_id", "q_text")
     pairs = (
         candidates.select("q_id", "doc_id")
         .join(F.broadcast(q_texts), "q_id")
@@ -566,6 +670,80 @@ def cross_encoder_rerank(
         .select(
             "q_id", "doc_id", "rank", F.round("ce_raw", 6).alias("ce_score")
         )
+    )
+
+
+def serve_retrieval(
+    spark,
+    queries: DataFrame,
+    bm25_name: str,
+    ivf_path: str,
+    docs: DataFrame,
+    k: int = 3,
+    n_cand: int = 10,
+    nprobe: int | None = None,
+    rrf_k: int = RRF_K,
+    exclude_self: bool = False,
+    scorer=None,
+) -> DataFrame:
+    """The composed serving chain over the LANDED indexes — retrieve →
+    fuse → rerank as ONE operator, the loop a RAG stack runs per query
+    batch: sparse candidates from the term-bucketed BM25 index in one
+    bucket-pruned pass (:func:`bm25_search_indexed_batch`), dense
+    candidates from the cell-partitioned IVF index in one partition-
+    pruned pass (``similarity.ann_ivf_indexed`` with the batch's own
+    query vectors), reciprocal-rank fusion (:func:`rrf_fuse`), and a
+    cross-encoder-shaped rerank of the fused top-``n_cand``
+    (:func:`cross_encoder_rerank`, query texts from the batch itself).
+
+    ``queries`` is a bounded ``(q_id, text, q_emb)`` frame. The corpus
+    is touched only through the two indexes' pruned scans and the
+    rerank's candidate-id-filtered text lookups — serving cost scales
+    with the batch and the pruned read volume, never the corpus (the
+    500k-doc `--only retrieval` probe in SCALE.md measures exactly
+    this composition). ``exclude_self`` drops candidates whose doc_id
+    equals their q_id before fusion — for evaluation setups where the
+    query batch is drawn from the corpus itself. q_ids must not
+    collide with corpus doc_ids otherwise (the dense path's self-join
+    guard keys on id equality — the engine-wide doc_id == vec_id
+    convention).
+
+    Output: (q_id, doc_id, rank, ce_score), top ``k`` per query."""
+    from mapreducekmean_spark.operators.similarity import ann_ivf_indexed
+
+    queries = queries.localCheckpoint()  # bounded; read by three stages
+    top_s = n_cand + 1 if exclude_self else n_cand
+    sparse = bm25_search_indexed_batch(
+        spark, queries.select("q_id", "text"), bm25_name, top_n=top_s
+    )
+    if exclude_self:
+        w = Window.partitionBy("q_id").orderBy(F.col("rank").asc())
+        sparse = (
+            sparse.filter(F.col("doc_id") != F.col("q_id"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= n_cand)
+        )
+    dense = ann_ivf_indexed(
+        spark,
+        "",  # unused: qs supplied
+        ivf_path,
+        k=n_cand,
+        qs=queries.select("q_id", "q_emb"),
+        **({"nprobe": nprobe} if nprobe is not None else {}),
+    ).select("q_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(
+        [sparse.select("q_id", "doc_id", "rank"), dense],
+        k=n_cand,
+        rrf_k=rrf_k,
+    ).localCheckpoint()  # bounded; rerank reads it twice (ids + join)
+    return cross_encoder_rerank(
+        fused,
+        docs,
+        k=k,
+        scorer=scorer,
+        q_texts=queries.select(
+            "q_id", F.col("text").alias("q_text")
+        ),
     )
 
 

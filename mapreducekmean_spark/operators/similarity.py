@@ -363,6 +363,7 @@ def ann_ivf_indexed(
     path: str,
     k: int = 3,
     nprobe: int = N_PROBE,
+    qs: DataFrame | None = None,
 ) -> DataFrame:
     """``ivf_topk`` against the LANDED index: centroids from the
     persisted table (ncells rows — the bounded-collect class), probed
@@ -372,10 +373,13 @@ def ann_ivf_indexed(
     The probed cell ids are collected (≤ n_queries × nprobe values) and
     pushed as a LITERAL ``isin`` filter so the pruning is static — the
     scan plans with only the probed directories, no full-index pass
-    anywhere."""
+    anywhere. ``qs`` overrides the fixture-derived query batch with an
+    explicit bounded ``(q_id, q_emb)`` frame — the form an
+    ingest-maintained index is served with."""
     cents = load_index_centroids(spark, path)
     ncells = len(cents)
-    qs, _ = _queries_and_points(spark, sf_dir)
+    if qs is None:
+        qs, _ = _queries_and_points(spark, sf_dir)
     q_cells = _probe_cells(qs, cents, ncells, nprobe).localCheckpoint()
     probed = sorted(
         r.cell for r in q_cells.select("cell").distinct().collect()

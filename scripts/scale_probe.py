@@ -1067,17 +1067,11 @@ def probe_retrieval(
     import tempfile
 
     from mapreducekmean_spark.operators.search import (
-        bm25_search_indexed,
-        cross_encoder_rerank,
         land_bm25_index,
-        rrf_fuse,
+        serve_retrieval,
     )
     from mapreducekmean_spark.operators.similarity import (
-        N_PROBE,
-        _probe_cells,
-        _score_probed_cells,
         land_ivf_index_points,
-        load_index_centroids,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1113,45 +1107,25 @@ def probe_retrieval(
     land_ivf_index_points(spark, vecs, ivf_dir, ncells=64)
     t_ivf_land = time.perf_counter() - t0
 
-    q_rows = big.filter(F.col("doc_id") < 3).select(
-        "doc_id", "text"
-    ).collect()
-    cents = load_index_centroids(spark, ivf_dir)
+    # the public composed operator end-to-end: queries are 3 corpus
+    # docs (text + embedding), self-matches excluded
+    queries = (
+        big.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("q_id"), "text")
+        .join(
+            vecs.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("emb").alias("q_emb"),
+            ),
+            "q_id",
+        )
+    )
 
     def serve():
-        sparse_rows = []
-        for r in q_rows:
-            hits = bm25_search_indexed(
-                spark, r.text or "the", "probe_ret_bm25", top_n=10
-            ).collect()
-            rank = 0
-            for h in hits:
-                if h.doc_id != r.doc_id:
-                    rank += 1
-                    sparse_rows.append((r.doc_id, h.doc_id, rank))
-        sparse = spark.createDataFrame(
-            sparse_rows, "q_id bigint, doc_id bigint, rank bigint"
-        )
-        qs = vecs.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
-        )
-        q_cells = _probe_cells(qs, cents, len(cents), N_PROBE)
-        probed = sorted(
-            r.cell for r in q_cells.select("cell").distinct().collect()
-        )
-        cells = (
-            spark.read.parquet(f"{ivf_dir}/cells")
-            .filter(F.col("cell").isin(probed))
-            .select(
-                "vec_id", "emb",
-                F.col("cell").cast("bigint").alias("cell"),
-            )
-        )
-        dense = _score_probed_cells(cells, q_cells, 10).select(
-            "q_id", F.col("neighbor_id").alias("doc_id"), "rank"
-        )
-        fused = rrf_fuse([sparse, dense], k=10).localCheckpoint()
-        return cross_encoder_rerank(fused, big, k=3).collect()
+        return serve_retrieval(
+            spark, queries, "probe_ret_bm25", ivf_dir, big,
+            k=3, n_cand=10, exclude_self=True,
+        ).collect()
 
     serve()  # warm
     t0 = time.perf_counter()

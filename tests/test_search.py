@@ -8,6 +8,7 @@ import math
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators.search import (
     BM25_B,
@@ -128,6 +129,150 @@ def test_bm25_indexed_matches_in_session_path(spark, sf_oracle, tmp_path):
             for r in bm25_search_indexed(spark, q, "t_bm25_eq").collect()
         ]
         assert indexed == direct
+
+
+def test_bm25_batch_serve_matches_per_query_path(
+    spark, sf_oracle, tmp_path
+):
+    """The one-pass batch serve path must rank and score IDENTICALLY to
+    a per-query bm25_search_indexed loop (same idf, same tie-break),
+    and its single postings scan must stay bucket-pruned to the union
+    of the batch's terms (SelectedBucketsCount < total) — otherwise the
+    batch form would silently trade n job rounds for a full index
+    scan. An empty query in the batch raises like the per-query path."""
+    from mapreducekmean_spark.operators.search import (
+        BM25_INDEX_BUCKETS,
+        bm25_search_indexed,
+        bm25_search_indexed_batch,
+        land_bm25_index,
+    )
+
+    docs = documents(spark, sf_oracle)
+    land_bm25_index(spark, docs, "t_bm25_batch", str(tmp_path / "idx"))
+    queries = [
+        (0, "table scan"),
+        (1, "shuffle partition"),
+        (2, "window"),
+    ]
+    q_df = spark.createDataFrame(queries, "q_id bigint, text string")
+    batch_df = bm25_search_indexed_batch(spark, q_df, "t_bm25_batch")
+    got = {
+        (r.q_id, r.rank): (r.doc_id, r.score, r.n_matched_terms)
+        for r in batch_df.collect()
+    }
+    want = {}
+    for q_id, text in queries:
+        for rank, r in enumerate(
+            bm25_search_indexed(spark, text, "t_bm25_batch").collect(), 1
+        ):
+            want[(q_id, rank)] = (r.doc_id, r.score, r.n_matched_terms)
+    assert got == want and got
+
+    plan = batch_df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "batch serve scan lost its bucket pruning"
+    assert int(m.group(1)) < int(m.group(2)) == BM25_INDEX_BUCKETS
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search_indexed_batch(
+            spark,
+            spark.createDataFrame(
+                [(0, "table"), (1, "...")], "q_id bigint, text string"
+            ),
+            "t_bm25_batch",
+        )
+
+
+def test_serve_retrieval_equals_hand_composed_chain(
+    spark, sf_oracle, tmp_path
+):
+    """The composed serving operator must equal wiring its four stages
+    by hand — batch BM25 over the landed postings (self-filtered and
+    re-ranked), IVF candidates over the landed cells with the batch's
+    own vectors, RRF fusion, rerank with the batch's own query texts.
+    Also: a free-standing query (text + vector NOT in the corpus)
+    serves fine with exclude_self off."""
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        cross_encoder_rerank,
+        land_bm25_index,
+        rrf_fuse,
+        serve_retrieval,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        ann_ivf_indexed,
+        land_ivf_index_points,
+    )
+
+    docs = documents(spark, sf_oracle).withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "sin(cast((doc_id + 1) * i as double)))"
+        ),
+    ).localCheckpoint()
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding").alias("emb")
+    )
+    bm25_dir = str(tmp_path / "bm25")
+    ivf_dir = str(tmp_path / "ivf")
+    land_bm25_index(spark, docs, "t_srv_bm25", bm25_dir)
+    land_ivf_index_points(spark, vecs, ivf_dir, ncells=4)
+
+    queries = docs.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("q_id"),
+        "text",
+        F.col("embedding").alias("q_emb"),
+    ).localCheckpoint()
+
+    got = sorted(
+        tuple(r)
+        for r in serve_retrieval(
+            spark, queries, "t_srv_bm25", ivf_dir, docs,
+            k=3, n_cand=5, exclude_self=True,
+        ).collect()
+    )
+
+    # hand-composed expectation
+    sparse_rows = []
+    for q in queries.collect():
+        rank = 0
+        for h in bm25_search_indexed(
+            spark, q.text, "t_srv_bm25", top_n=6
+        ).collect():
+            if h.doc_id != q.q_id and rank < 5:
+                rank += 1
+                sparse_rows.append((q.q_id, h.doc_id, rank))
+    sparse = spark.createDataFrame(
+        sparse_rows, "q_id bigint, doc_id bigint, rank bigint"
+    )
+    dense = ann_ivf_indexed(
+        spark, sf_oracle, ivf_dir, k=5,
+        qs=queries.select("q_id", "q_emb"),
+    ).select("q_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([sparse, dense], k=5).localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in cross_encoder_rerank(
+            fused, docs, k=3,
+            q_texts=queries.select("q_id", F.col("text").alias("q_text")),
+        ).collect()
+    )
+    assert got == want and len(got) == 9
+
+    # free-standing query: its text/vector exist only in the batch
+    free_q = spark.createDataFrame(
+        [(10_000_000, "table scan shuffle partition",
+          [0.5] * 8)],
+        "q_id bigint, text string, q_emb array<double>",
+    )
+    out = serve_retrieval(
+        spark, free_q, "t_srv_bm25", ivf_dir, docs, k=3, n_cand=5
+    ).collect()
+    assert len(out) == 3
+    assert all(r.ce_score > 0 for r in out)  # batch text reached the scorer
 
 
 def test_corpus_stats_null_text_and_empty_corpus(spark):
