@@ -280,6 +280,91 @@ def test_ingest_survives_driver_restart_without_relanding(
     assert spark.table("t_ing_e_sizes").count() == n0 + b1.count()
 
 
+def test_ingested_indexes_serve_the_composed_retrieval_chain(
+    spark, sf_oracle, tmp_path
+):
+    """The full production loop: batches flow through the deduplicating
+    ingest (landing corpus + BM25 + IVF indexes), then serve_retrieval
+    answers a query batch straight off the ingest-maintained indexes —
+    and the answers equal serving over indexes rebuilt from scratch on
+    the landed corpus (under the ingest's frozen IVF quantizer). No
+    manual index maintenance anywhere between ingest and serve."""
+    from mapreducekmean_spark.operators.search import (
+        land_bm25_index,
+        serve_retrieval,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    docs = documents(spark, sf_oracle).withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "cast(sin(cast((doc_id + 1) * i as double)) as float))"
+        ),
+    )
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    batches = [
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+    ]
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    for bid, b in enumerate(batches):
+        ingest_dedup_batch(
+            spark, b, bid, "t_ing_srv", idx, out,
+            bm25_path=bm25, ivf_path=ivf,
+        )
+
+    landed = spark.read.parquet(out).localCheckpoint()
+    queries = landed.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("q_id"),
+        "text",
+        F.expr("transform(embedding, v -> cast(v as double))").alias(
+            "q_emb"
+        ),
+    ).localCheckpoint()
+
+    def srv(bm25_name, ivf_path):
+        return sorted(
+            tuple(r)
+            for r in serve_retrieval(
+                spark, queries, bm25_name, ivf_path, landed,
+                k=3, n_cand=5, exclude_self=True,
+            ).collect()
+        )
+
+    got = srv("t_ing_srv_bm25", ivf)
+    assert got and len(got) == 9
+
+    # rebuild both indexes from scratch over exactly the landed corpus
+    land_bm25_index(spark, landed, "t_ing_srv_rb", str(tmp_path / "brb"))
+    cents = [
+        r.centroid
+        for r in sorted(
+            spark.read.parquet(f"{ivf}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    ivf_rb = str(tmp_path / "ivf_rb")
+    land_ivf_index_points(
+        spark,
+        landed.select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr("transform(embedding, v -> cast(v as double))").alias(
+                "emb"
+            ),
+        ),
+        ivf_rb,
+        ncells=len(cents),
+        cents=cents,
+    )
+    assert srv("t_ing_srv_rb", ivf_rb) == got
+
+
 def test_ingest_composes_ivfpq_index(spark, sf_oracle, tmp_path):
     """The ingest also maintains the compressed IVF-PQ vector store:
     batches driven with ivfpq_path keep the codes-only cells table in
