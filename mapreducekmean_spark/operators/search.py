@@ -685,14 +685,18 @@ def serve_retrieval(
     rrf_k: int = RRF_K,
     exclude_self: bool = False,
     scorer=None,
+    dense_kind: str = "ivf",
 ) -> DataFrame:
     """The composed serving chain over the LANDED indexes — retrieve →
     fuse → rerank as ONE operator, the loop a RAG stack runs per query
     batch: sparse candidates from the term-bucketed BM25 index in one
     bucket-pruned pass (:func:`bm25_search_indexed_batch`), dense
-    candidates from the cell-partitioned IVF index in one partition-
-    pruned pass (``similarity.ann_ivf_indexed`` with the batch's own
-    query vectors), reciprocal-rank fusion (:func:`rrf_fuse`), and a
+    candidates from the cell-partitioned vector index in one partition-
+    pruned pass with the batch's own query vectors
+    (``dense_kind="ivf"`` → ``similarity.ann_ivf_indexed`` over raw
+    vectors; ``"ivfpq"`` → ``pq.ann_ivfpq_indexed`` over the
+    compressed IVFADC store, the read-volume choice at 100 TB),
+    reciprocal-rank fusion (:func:`rrf_fuse`), and a
     cross-encoder-shaped rerank of the fused top-``n_cand``
     (:func:`cross_encoder_rerank`, query texts from the batch itself).
 
@@ -709,7 +713,18 @@ def serve_retrieval(
     convention).
 
     Output: (q_id, doc_id, rank, ce_score), top ``k`` per query."""
-    from mapreducekmean_spark.operators.similarity import ann_ivf_indexed
+    if dense_kind == "ivf":
+        from mapreducekmean_spark.operators.similarity import (
+            ann_ivf_indexed as dense_fn,
+        )
+    elif dense_kind == "ivfpq":
+        from mapreducekmean_spark.operators.pq import (
+            ann_ivfpq_indexed as dense_fn,
+        )
+    else:
+        raise ValueError(
+            f"dense_kind must be 'ivf' or 'ivfpq', got {dense_kind!r}"
+        )
 
     queries = queries.localCheckpoint()  # bounded; read by three stages
     top_s = n_cand + 1 if exclude_self else n_cand
@@ -723,7 +738,7 @@ def serve_retrieval(
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= n_cand)
         )
-    dense = ann_ivf_indexed(
+    dense = dense_fn(
         spark,
         "",  # unused: qs supplied
         ivf_path,

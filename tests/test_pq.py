@@ -317,3 +317,49 @@ def test_ivfpq_append_matches_frozen_rebuild_and_replays_safely(
         )
         == grown
     )
+
+
+def test_ivfpq_compaction_restores_grain_and_keeps_results(
+    spark, sf_oracle, tmp_path
+):
+    """The IVF-PQ cells share the plain ``cell=`` partitioned layout,
+    so ``similarity.compact_ivf_index`` applies verbatim: after a
+    land + append each touched cell holds 2 files; compaction rewrites
+    every cell to its byte-sized file count (1 here) and queries are
+    row-identical before/after."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        append_ivfpq_index,
+        land_ivfpq_index_points,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    pts = _pts(spark, sf_oracle)
+    cut = int(pts.approxQuantile("vec_id", [0.5], 0.0)[0])
+    path = str(tmp_path / "pqidx")
+    land_ivfpq_index_points(spark, pts.filter(F.col("vec_id") < cut), path)
+    append_ivfpq_index(spark, pts.filter(F.col("vec_id") >= cut), path)
+
+    def files_per_cell():
+        return {
+            d: len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(f"{path}/cells/cell=*")
+        }
+
+    before = sorted(
+        tuple(r) for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+    )
+    assert any(n > 1 for n in files_per_cell().values())
+    compact_ivf_index(spark, path)
+    assert all(n == 1 for n in files_per_cell().values())
+    after = sorted(
+        tuple(r) for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+    )
+    assert after == before and before

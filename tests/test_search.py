@@ -275,6 +275,92 @@ def test_serve_retrieval_equals_hand_composed_chain(
     assert all(r.ce_score > 0 for r in out)  # batch text reached the scorer
 
 
+def test_serve_retrieval_over_compressed_ivfpq_store(
+    spark, sf_oracle, tmp_path
+):
+    """dense_kind='ivfpq' serves the chain off the compressed IVFADC
+    store — pinned equal to hand-wiring batch sparse + ann_ivfpq_indexed
+    ranks + fusion + rerank. An unknown dense_kind refuses."""
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        land_ivfpq_index_points,
+    )
+    from mapreducekmean_spark.operators.search import (
+        cross_encoder_rerank,
+        land_bm25_index,
+        rrf_fuse,
+        serve_retrieval,
+    )
+
+    docs = documents(spark, sf_oracle).withColumn(
+        "embedding",
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "sin(cast((doc_id + 1) * i as double)))"
+        ),
+    ).localCheckpoint()
+    land_bm25_index(spark, docs, "t_srv_pq_bm25", str(tmp_path / "bm25"))
+    pq_dir = str(tmp_path / "ivfpq")
+    land_ivfpq_index_points(
+        spark,
+        docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("embedding").alias("emb"),
+        ),
+        pq_dir,
+        ncells=4,
+    )
+    queries = docs.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("q_id"),
+        "text",
+        F.col("embedding").alias("q_emb"),
+    ).localCheckpoint()
+
+    got = sorted(
+        tuple(r)
+        for r in serve_retrieval(
+            spark, queries, "t_srv_pq_bm25", pq_dir, docs,
+            k=3, n_cand=5, dense_kind="ivfpq", exclude_self=True,
+        ).collect()
+    )
+
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    sparse_rows = []
+    for q in queries.collect():
+        rank = 0
+        for h in bm25_search_indexed(
+            spark, q.text, "t_srv_pq_bm25", top_n=6
+        ).collect():
+            if h.doc_id != q.q_id and rank < 5:
+                rank += 1
+                sparse_rows.append((q.q_id, h.doc_id, rank))
+    sparse = spark.createDataFrame(
+        sparse_rows, "q_id bigint, doc_id bigint, rank bigint"
+    )
+    dense = ann_ivfpq_indexed(
+        spark, sf_oracle, pq_dir, k=5,
+        qs=queries.select("q_id", "q_emb"),
+    ).select("q_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([sparse, dense], k=5).localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in cross_encoder_rerank(
+            fused, docs, k=3,
+            q_texts=queries.select("q_id", F.col("text").alias("q_text")),
+        ).collect()
+    )
+    assert got == want and len(got) == 9
+
+    with pytest.raises(ValueError, match="dense_kind"):
+        serve_retrieval(
+            spark, queries, "t_srv_pq_bm25", pq_dir, docs,
+            dense_kind="hnsw",
+        )
+
+
 def test_corpus_stats_null_text_and_empty_corpus(spark):
     """NULL text counts as a zero-length document in avgdl (not skipped,
     not -1 under legacy sizeOfNull); an empty corpus refuses with a
