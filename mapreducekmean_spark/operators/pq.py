@@ -399,16 +399,24 @@ def land_ivfpq_index_points(
     iters: int = PQ_ITERS,
     cents: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    train_iters: int = 0,
 ) -> None:
     """:func:`land_ivfpq_index` over an explicit ``(vec_id, emb)``
     frame — the composable form an ingest pipeline feeds batch by
-    batch (mirrors ``similarity.land_ivf_index_points``)."""
+    batch (mirrors ``similarity.land_ivf_index_points``, including the
+    ``train_iters`` Lloyd refinement of the coarse quantizer — see the
+    cell-skew rationale there; residual PQ benefits doubly, since
+    tighter cells mean smaller residuals and lower quantization
+    error)."""
     if ncells is None:
         ncells = km.DEFAULT_K
     pts = pts.select("vec_id", "emb")
     dim = len(pts.select("emb").first()["emb"])
     if cents is None:
-        cents = km.collect_centroids(km.deterministic_init(pts, ncells))
+        if train_iters > 0:
+            cents = km.lloyd(pts, ncells, max_iter=train_iters).centroids
+        else:
+            cents = km.collect_centroids(km.deterministic_init(pts, ncells))
     assigned = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )

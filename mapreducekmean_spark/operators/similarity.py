@@ -194,16 +194,30 @@ def land_ivf_index_points(
     path: str,
     ncells: int = km.DEFAULT_K,
     cents: list[list[float]] | None = None,
+    train_iters: int = 0,
 ) -> None:
     """:func:`land_ivf_index` over an explicit ``(vec_id, emb)`` frame —
     the composable form an ingest pipeline feeds batch by batch.
     ``cents`` pins an externally-chosen frozen quantizer (e.g. to
     rebuild an appended index under ITS centroids for an equivalence
-    check); default is the deterministic k-sample over ``pts``."""
+    check); default is the deterministic k-sample over ``pts``.
+
+    ``train_iters`` > 0 refines the quantizer with that many Lloyd
+    passes (``kmeans.lloyd``, the numpy-block treeReduce loop) before
+    assignment. A raw k-sample Voronoi is fine on near-uniform
+    fixtures, but real embedding corpora CLUSTER — untrained cells go
+    badly skewed, and a skewed cell both breaks the nprobe/ncells
+    read-volume bound (one hot cell holds a corpus fraction ≫ 1/k)
+    and hurts recall (probe budget spent on one huge region). Training
+    is a land-time-only cost; append/query paths freeze whatever
+    quantizer the land chose."""
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
     if cents is None:
-        cents = km.collect_centroids(km.deterministic_init(pts, ncells))
+        if train_iters > 0:
+            cents = km.lloyd(pts, ncells, max_iter=train_iters).centroids
+        else:
+            cents = km.collect_centroids(km.deterministic_init(pts, ncells))
     cells = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )

@@ -363,3 +363,23 @@ def test_ivfpq_compaction_restores_grain_and_keeps_results(
         tuple(r) for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
     )
     assert after == before and before
+
+
+def test_ivfpq_trained_quantizer_lands_and_serves(spark, sf_oracle, tmp_path):
+    """train_iters on the IVF-PQ land: the Lloyd-refined coarse
+    quantizer plugs into the same residual-encode flow and the landed
+    index answers queries (smoke + shape; the balance rationale is
+    pinned on the raw-IVF side, which shares the training code path)."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        land_ivfpq_index_points,
+    )
+
+    pts = _pts(spark, sf_oracle)
+    path = str(tmp_path / "trained")
+    land_ivfpq_index_points(spark, pts, path, ncells=4, train_iters=2)
+    out = ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+    assert len(out) == 30
+    assert spark.read.parquet(f"{path}/cells").count() == pts.count()

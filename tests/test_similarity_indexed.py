@@ -196,3 +196,64 @@ def test_ivf_dpp_variant_matches_literal_path_and_prunes(
     assert dpp == literal and dpp
     plan = formatted_plan(dpp_df)
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_ivf_trained_quantizer_balances_clustered_cells(spark, tmp_path):
+    """train_iters: on a CLUSTERED corpus (4 tight, well-separated
+    clusters) the raw k-sample quantizer lands skewed cells — multiple
+    samples fall in one cluster, so one Voronoi cell swallows several
+    clusters and the nprobe/ncells read-volume bound breaks. A few
+    Lloyd passes at land time restore balance. Also pins that the
+    trained land is the same frozen-quantizer flow: a rebuild pinned
+    to the trained centroids is row-identical."""
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    # 1000 points in 4 tight clusters at (0,..), (100,..), (200,..),
+    # (300,..) — deterministic, no RNG
+    pts = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "CAST((id % 4) * 100 AS DOUBLE)"
+            " + CAST((id * i) % 7 AS DOUBLE) / 10.0)"
+        ).alias("emb"),
+    ).localCheckpoint()
+
+    def max_cell_frac(path):
+        counts = [
+            r.n
+            for r in spark.read.parquet(f"{path}/cells")
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(counts) / sum(counts)
+
+    raw = str(tmp_path / "raw")
+    land_ivf_index_points(spark, pts, raw, ncells=4)
+    trained = str(tmp_path / "trained")
+    land_ivf_index_points(spark, pts, trained, ncells=4, train_iters=5)
+
+    assert max_cell_frac(trained) <= max_cell_frac(raw)
+    # 4 clusters x 4 trained cells: balance must be exact on this data
+    assert max_cell_frac(trained) == 0.25
+
+    # the trained land is the ordinary frozen-quantizer flow
+    cents = [
+        r.centroid
+        for r in sorted(
+            spark.read.parquet(f"{trained}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    rb = str(tmp_path / "rb")
+    land_ivf_index_points(spark, pts, rb, ncells=4, cents=cents)
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{trained}/cells").collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{rb}/cells").collect()
+    )
+    assert a == b
