@@ -137,17 +137,147 @@ def _score_probed_cells(
     cells: DataFrame, q_cells: DataFrame, k: int
 ) -> DataFrame:
     """Exact cosine scoring + per-query top-k over the probed cells —
-    the shared tail of both IVF paths."""
+    the shared tail of both IVF paths.
+
+    Scoring is a vectorized Arrow-batched pass, NOT the interpreted
+    ``cosine_sim`` HOF: a hot cell lands on one task (the cells table
+    is one file per cell by layout), and an interpreted fold there was
+    measured at ~100 s for a 24-query batch against a 272k-row cell at
+    500k corpus — the straggler WAS the query time. The numpy kernel
+    accumulates dot and both squared norms **sequentially over
+    dimensions** (one fused multiply-add per dim across the batch), so
+    every pair performs the identical IEEE operation sequence as the
+    ``functions/vector.py`` fold — bit-identical results (the
+    ``embedding_near_dup`` discipline), ~2 orders of magnitude faster.
+    """
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["q_emb"].to_numpy())
+            E = np.vstack(pdf["emb"].to_numpy())
+            dots = np.zeros(len(pdf))
+            qss = np.zeros(len(pdf))
+            ess = np.zeros(len(pdf))
+            for d in range(Q.shape[1]):
+                dots = dots + Q[:, d] * E[:, d]
+                qss = qss + Q[:, d] * Q[:, d]
+                ess = ess + E[:, d] * E[:, d]
+            sims = dots / (np.sqrt(qss) * np.sqrt(ess))
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "vec_id": pdf["vec_id"],
+                    "sim_raw": sims,
+                }
+            )
+
     cands = cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    sim = cosine_sim(F.col("q_emb"), F.col("emb"))
+    scored = cands.select("q_id", "vec_id", "q_emb", "emb").mapInPandas(
+        score, "q_id bigint, vec_id bigint, sim_raw double"
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("sim_raw").desc(), F.col("vec_id").asc()
     )
     return (
-        cands.withColumn("sim_raw", sim)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+def _score_probed_cells_bc(
+    cells: DataFrame, q_cells: DataFrame, k: int
+) -> DataFrame:
+    """:func:`_score_probed_cells` with the QUERY side broadcast as a
+    plain dict instead of joined: the join tail ships ``q_emb`` per
+    candidate PAIR through Arrow, so a hot cell probed by most of the
+    batch moves |cell| × n_queries × d doubles on one task — measured
+    as the 37-of-101-second residue of the 24-query batch at 500k
+    (SCALE.md). Here the bounded probe frame collects driver-side
+    (n_queries × nprobe rows — the same bounded class as the probe-cell
+    literal), per-cell query matrices broadcast, and one ``mapInPandas``
+    pass over the CELLS ROWS ONLY expands pairs inside numpy (outer
+    products over the dimension loop) — Arrow volume is the corpus
+    slice, never the pair set. Same sequential-dimension fold, same
+    pair set, same tie-breaks: results are bit-identical to the join
+    tail (pinned in tests/test_similarity_indexed.py).
+
+    Use this for bounded query batches (the serving path); the join
+    tail remains for the DPP variant, whose partition pruning IS the
+    join."""
+    import numpy as np
+
+    spark = cells.sparkSession
+    by_cell: dict[int, list] = {}
+    for r in q_cells.collect():  # bounded: n_queries × nprobe
+        by_cell.setdefault(int(r.cell), []).append(
+            (int(r.q_id), list(r.q_emb))
+        )
+    prep = {}
+    for cell, lst in by_cell.items():
+        qids = np.array([q for q, _ in lst], dtype=np.int64)
+        Q = np.array([v for _, v in lst], dtype=np.float64)
+        qss = np.zeros(len(lst))
+        for d in range(Q.shape[1]):
+            qss = qss + Q[:, d] * Q[:, d]
+        prep[cell] = (qids, Q, np.sqrt(qss))
+    bc = spark.sparkContext.broadcast(prep)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        pr = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for cell, grp in pdf.groupby("cell"):
+                got = pr.get(int(cell))
+                if got is None:
+                    continue
+                qids, Q, qn = got
+                vids = grp["vec_id"].to_numpy(dtype=np.int64)
+                E = np.vstack(grp["emb"].to_numpy())
+                ess = np.zeros(len(grp))
+                dots = np.zeros((len(qids), len(grp)))
+                for d in range(E.shape[1]):
+                    ess = ess + E[:, d] * E[:, d]
+                    dots = dots + np.multiply.outer(Q[:, d], E[:, d])
+                sims = dots / np.multiply.outer(qn, np.sqrt(ess))
+                ia, ib = np.nonzero(qids[:, None] != vids[None, :])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qids[ia],
+                            "vec_id": vids[ib],
+                            "sim_raw": sims[ia, ib],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = cells.select(
+        "vec_id", "emb", F.col("cell").cast("bigint").alias("cell")
+    ).mapInPandas(score, "q_id bigint, vec_id bigint, sim_raw double")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
             "q_id",
@@ -403,7 +533,7 @@ def ann_ivf_indexed(
         .filter(F.col("cell").isin(probed))
         .select("vec_id", "emb", F.col("cell").cast("bigint").alias("cell"))
     )
-    return _score_probed_cells(cells, q_cells, k)
+    return _score_probed_cells_bc(cells, q_cells, k)
 
 
 def embedding_near_dup(

@@ -257,3 +257,35 @@ def test_ivf_trained_quantizer_balances_clustered_cells(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{rb}/cells").collect()
     )
     assert a == b
+
+
+def test_broadcast_scoring_tail_matches_join_tail(spark, sf_oracle):
+    """_score_probed_cells_bc (query matrices broadcast, pairs expanded
+    inside numpy — the serving tail for bounded batches) must be
+    BIT-IDENTICAL to the join tail on the same probe frame: same pair
+    set, same sequential-dimension IEEE fold, same tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        _probe_cells,
+        _queries_and_points,
+        _score_probed_cells,
+        _score_probed_cells_bc,
+    )
+
+    qs, pts = _queries_and_points(spark, sf_oracle)
+    cents = km.collect_centroids(
+        km.deterministic_init(km.embeddings(spark, sf_oracle), 8)
+    )
+    cells = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    q_cells = _probe_cells(qs, cents, 8, 2).localCheckpoint()
+    a = sorted(
+        tuple(r) for r in _score_probed_cells(cells, q_cells, 3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in _score_probed_cells_bc(cells, q_cells, 3).collect()
+    )
+    assert a == b and a
