@@ -371,11 +371,25 @@ def bm25_search_indexed_batch(
     path was dominated by exactly this). Here ``queries`` is a bounded
     ``(q_id, text)`` frame; its tokens collect driver-side (bounded by
     construction, same stance as the ANN probe paths), the UNION of all
-    terms prunes the bucketed tf scan ONCE, per-term df/idf come from
-    one zero-Exchange aggregate on that scan, and per-(q_id, doc_id)
-    scores fall out of a single broadcast join + aggregate. Scores and
-    ranking are IDENTICAL to the per-query path (same idf form, same
-    tie-break; pinned in tests/test_search.py).
+    terms prunes the bucketed tf scan ONCE, and per-term df/idf come
+    from one zero-Exchange aggregate on that scan.
+
+    Scoring deliberately does NOT join postings against the (q_id,
+    term) pairs: common terms shared by many queries multiply — at 500k
+    docs a 24-query batch expanded 11.6M postings into 68M pair rows,
+    and the (q_id, doc_id) aggregate over them was 17 of the 24 serve
+    seconds. Instead each posting's query-independent contribution
+    (idf x tf-norm — computed ONCE per posting, JVM codegen, the exact
+    expression the per-query path evaluates) is shuffled by doc_id, and
+    one Arrow-batched numpy pass per partition resolves every query at
+    once: a broadcast (term x query) membership matrix turns per-query
+    scoring into one bincount over the partition's postings, and each
+    task emits only its per-query top-n — shuffle volume is the
+    postings themselves, output is n_tasks x n_queries x top_n rows.
+    The final rounding (F.round, exact decimal semantics) and global
+    rank stay in Spark, so scores and ranking are IDENTICAL to the
+    per-query path (same idf form, same tie-break; pinned in
+    tests/test_search.py).
 
     Output: (q_id, doc_id, score, n_matched_terms, rank) with rank
     1..top_n per query by (score desc, doc_id asc). Queries with no
@@ -407,7 +421,10 @@ def bm25_search_indexed_batch(
     tf = read_bucketed(spark, f"{name}_tf").filter(
         F.col("term").isin(all_terms)
     )
-    idf = (
+    # idf stays a JVM expression (log's last ulp must match the
+    # per-query path) — collected driver-side, bounded by the batch's
+    # distinct terms.
+    idf_rows = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
         .select(
@@ -418,13 +435,36 @@ def bm25_search_indexed_batch(
                 / (F.col("df") + 0.5)
             ).alias("idf"),
         )
+        .collect()
     )
-    q_terms = spark.createDataFrame(pairs, "q_id bigint, term string")
-    scored = (
-        tf.join(F.broadcast(q_terms.join(idf, "term")), "term")
+    terms_present = sorted(r.term for r in idf_rows)
+    t_idx = {t: i for i, t in enumerate(terms_present)}
+    term_df = spark.createDataFrame(
+        [(r.term, t_idx[r.term], float(r.idf)) for r in idf_rows],
+        "term string, t_i int, idf double",
+    )
+
+    import numpy as np
+
+    q_ids = sorted({q for q, _ in pairs})
+    q_pos = {q: i for i, q in enumerate(q_ids)}
+    nq = len(q_ids)
+    member = np.zeros((len(terms_present), nq))
+    for q, t in pairs:
+        ti = t_idx.get(t)
+        if ti is not None:
+            member[ti, q_pos[q]] = 1.0
+    bc = spark.sparkContext.broadcast(
+        (member, np.array(q_ids, dtype=np.int64))
+    )
+
+    # query-independent contribution, once per posting (JVM codegen —
+    # the per-query path's exact expression), shuffled narrow by doc
+    narrow = (
+        tf.join(F.broadcast(term_df), "term")
         .select(
-            "q_id",
             "doc_id",
+            "t_i",
             (
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1))
@@ -432,14 +472,62 @@ def bm25_search_indexed_batch(
                     F.col("tf")
                     + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
                 )
-            ).alias("s"),
+            ).alias("contrib"),
         )
-        .groupBy("q_id", "doc_id")
-        .agg(
-            F.round(F.sum("s"), 6).alias("score"),
-            F.count("*").cast("bigint").alias("n_matched_terms"),
-        )
+        .repartition("doc_id")
     )
+
+    def task_topn(batches):
+        import numpy as np
+        import pandas as pd
+
+        M, qid_arr = bc.value
+        doc_l, ti_l, c_l = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                doc_l.append(pdf["doc_id"].to_numpy(np.int64))
+                ti_l.append(pdf["t_i"].to_numpy(np.int64))
+                c_l.append(pdf["contrib"].to_numpy(np.float64))
+        if not doc_l:
+            return
+        doc = np.concatenate(doc_l)
+        ti = np.concatenate(ti_l)
+        contrib = np.concatenate(c_l)
+        uniq, codes = np.unique(doc, return_inverse=True)
+        out = []
+        for qi in range(M.shape[1]):
+            memb = M[ti, qi]
+            cnt = np.bincount(
+                codes, weights=memb, minlength=len(uniq)
+            ).astype(np.int64)
+            hit = cnt > 0
+            if not hit.any():
+                continue
+            score = np.bincount(
+                codes, weights=contrib * memb, minlength=len(uniq)
+            )[hit]
+            ds = uniq[hit]
+            # per-task preselection orders by np.round; the emitted
+            # score is the RAW sum — exact decimal rounding and the
+            # global rank happen in Spark below
+            order = np.lexsort((ds, -np.round(score, 6)))[:top_n]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q_id": qid_arr[qi],
+                        "doc_id": ds[order],
+                        "s": score[order],
+                        "n_matched_terms": cnt[hit][order],
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    scored = narrow.mapInPandas(
+        task_topn,
+        "q_id bigint, doc_id bigint, s double, n_matched_terms bigint",
+    ).withColumn("score", F.round(F.col("s"), 6))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
