@@ -793,6 +793,7 @@ FROM documents
             ),
             _SKETCH_CMS_SQL,
         ),
+        Query("term_lift", _term_lift_topk, _TERM_LIFT_SQL),
     ]
 
 
@@ -1425,6 +1426,128 @@ FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU}
 """
 
 
+# --- graph analytics over the near-dup pair graph -------------------------
+
+#: shared edge CTE: the near-dup pair set (same membership arithmetic as
+#: _NEAR_DUP_SQL — the bit-identical cosine fold) as (u, v) edges.
+_NEAR_DUP_EDGES_CTE = f"""
+WITH pts AS ({_PTS}),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_expr("a.emb", "b.emb")} AS sim_raw
+  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+),
+e AS (SELECT id_a AS u, id_b AS v FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU})
+"""
+
+
+def _near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py:triangle_counts over the embedding near-dup
+    graph — degree-ordered wedge enumeration on the Spark side; the
+    twin counts each triangle once via the canonical (a < b < c)
+    triple join. Exact integers end to end."""
+    from mapreducekmean_spark.operators.graph import near_dup_triangles
+
+    return near_dup_triangles(spark, sf_dir)
+
+
+_TRIANGLES_SQL = f"""{_NEAR_DUP_EDGES_CTE},
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS triangles
+FROM (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+GROUP BY node
+"""
+
+
+def _near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py:pagerank over the embedding near-dup graph.
+    Ranks are BIT-identical across engines: the per-node neighbor sum
+    is a sequential fold over contributions sorted by source id on
+    both sides (F.aggregate over array_sort vs list_sum over
+    list(... ORDER BY src)) — the functions/vector.py discipline, so
+    the 6-dp rounding is display grain, not tolerance."""
+    from mapreducekmean_spark.operators.graph import near_dup_pagerank
+
+    return near_dup_pagerank(spark, sf_dir)
+
+
+def _pagerank_sql() -> str:
+    from mapreducekmean_spark.operators.graph import (
+        PAGERANK_DAMPING as _D,
+        PAGERANK_ITERS as _ITERS,
+    )
+
+    body = ""
+    for i in range(1, _ITERS + 1):
+        body += f""",
+r{i} AS (
+  SELECT dst AS node,
+         (1 - {_D}) / (SELECT n FROM nn)
+           + {_D} * list_sum(list(rank / od ORDER BY src)) AS rank
+  FROM adj
+  JOIN r{i - 1} ON r{i - 1}.node = adj.src
+  JOIN od USING (src)
+  GROUP BY dst
+)"""
+    return f"""{_NEAR_DUP_EDGES_CTE},
+adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS od FROM adj GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes){body}
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r{_ITERS}
+"""
+
+
+def _term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py:term_lift_topk — association mining by lift
+    (ratio-based on purpose: PMI's ln() is not cross-engine hashable,
+    the BM25 lesson; lift is integer supports + ONE IEEE division, so
+    the twin value-hashes exactly)."""
+    from mapreducekmean_spark.operators.text import term_lift_topk
+
+    return term_lift_topk(tx.documents(spark, sf_dir))
+
+
+_TERM_LIFT_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+df AS (
+  SELECT term, count(*) AS df FROM toks GROUP BY term
+  HAVING count(*) >= 5
+),
+ft AS (SELECT t.doc_id, t.term FROM toks t JOIN df USING (term)),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+l AS (
+  SELECT t1, t2, c_xy,
+         round(CAST((SELECT n FROM nn) * c_xy AS DOUBLE)
+               / CAST(d1.df * d2.df AS DOUBLE), 6) AS lift
+  FROM pairs
+  JOIN df d1 ON d1.term = pairs.t1
+  JOIN df d2 ON d2.term = pairs.t2
+)
+SELECT t1, t2, c_xy, lift FROM l
+ORDER BY lift DESC, t1, t2 LIMIT 20
+"""
+
+
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(spark, sf_dir)
 
@@ -1758,6 +1881,8 @@ FROM documents
         Query("pq_adc_topk", _pq_adc_topk, _pq_adc_oracle_sql()),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
+        Query("graph_triangles", _near_dup_triangles, _TRIANGLES_SQL),
+        Query("graph_pagerank", _near_dup_pagerank, _pagerank_sql()),
     ]
 
 
@@ -2816,6 +2941,16 @@ _CHECK_FIRST = (
     # rerank_topk was declared mid-round-7 (the 104th query) and needs
     # its first driver row, so it leads; ann_quantized (r5-green,
     # position 51) pays the displacement and re-enters at round 8.
+    # Late round 7 adds three more new queries (graph_triangles,
+    # graph_pagerank, term_lift — the 105th-107th); they lead too, and
+    # the price is that the THREE r5-green entries they push past the
+    # 50-entry window (multimodal_frame_plan, decontaminate,
+    # ann_quantized) miss this round's driver run and must rotate back
+    # in at round 8 (their r5 evidence is still within the two-artifact
+    # bound today; it will not be after CORRECTNESS_r07 lands).
+    "graph_triangles",
+    "graph_pagerank",
+    "term_lift",
     "rerank_topk",
     "pq_adc_topk",
     "hybrid_topk",

@@ -1,0 +1,209 @@
+"""Graph analytics over derived document graphs.
+
+The reference engine has no graph operators (its 3 Java files run one
+iterative K-Means job, ``/root/reference/src/MapReduceKMean/
+KMeans.java``); the engine's dedup family, however, already BUILDS pair
+graphs — MinHash candidate pairs, embedding near-dups — and runs
+pointer-jumping connected components over them
+(``operators/dedup.py:446``). This module adds the two standard
+analytics a corpus pipeline runs on those same graphs:
+
+- **triangle counting** — how clustered is the near-dup neighborhood; a
+  transitivity check on the pair graph (pairs that close triangles are
+  far more likely true duplicates than isolated edges);
+- **PageRank** — centrality over the near-dup graph; the top-ranked
+  document inside a duplicate cluster is the natural CANONICAL
+  representative to keep (most-connected ≈ most-central copy).
+
+Scale design:
+
+- Triangles use the degree-ordered algorithm (Suri & Vassilvitskii,
+  WWW 2011): every edge is DIRECTED from its lower-(degree, id)
+  endpoint to its higher one, and wedges are enumerated only at each
+  triangle's lowest-degree corner. Out-degree after this orientation is
+  O(sqrt(m)), so the wedge join materializes at most m^{3/2} rows
+  regardless of skew — a power-law hub of degree d contributes
+  O(m) wedges, not O(d^2). Everything is equi-joins + one aggregate;
+  no driver collects anywhere.
+- PageRank is the classic contribution-push loop: one shuffle per
+  iteration (contributions grouped by destination), state is one
+  (node, rank) row per node. Cross-engine determinism follows the
+  engine-wide fold discipline (``functions/vector.py``): per-node
+  in-contributions are summed by a SEQUENTIAL fold over the
+  neighbor-sorted contribution list, so Spark and the DuckDB twin
+  perform float additions in the identical order and ranks are
+  bit-identical — no per-iteration rounding tricks needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixed iteration count for the declared PageRank query (the oracle
+#: unrolls exactly this many CTE passes).
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+def canonical_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Undirected edge list in canonical form: (u < v), self-loops
+    dropped, duplicates collapsed. Accepts edges in either orientation."""
+    return (
+        edges.select(
+            F.least(F.col(u), F.col(v)).alias("u"),
+            F.greatest(F.col(u), F.col(v)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — degree-ordered
+    (Suri & Vassilvitskii 2011), so wedge volume is bounded by m^{3/2}
+    even on power-law graphs.
+
+    Each undirected edge is directed from its lower (degree, id)
+    endpoint to the higher; a triangle {a, b, c} with degree-order
+    a < b < c then appears as the unique wedge (a→b, a→c) closed by the
+    directed edge b→c, so it is found exactly once. The found triangle
+    explodes to its three corners for the per-node aggregate.
+
+    Input: any (u, v) frame (either orientation, dupes fine). Output:
+    (node, triangles) for nodes on >= 1 triangle."""
+    e = canonical_edges(edges)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    d = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    w = (
+        d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            d.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            "a",
+        )
+        .filter(F.col("b") != F.col("c"))
+    )
+    t = w.join(
+        d.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    corners = (
+        t.select(F.col("a").alias("node"))
+        .unionAll(t.select(F.col("b").alias("node")))
+        .unionAll(t.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED graph (each edge contributes both
+    directions), fixed iteration count, uniform init 1/N over the
+    graph's nodes.
+
+    Per iteration: rank'(v) = (1-d)/N + d * sum_{u in N(v)} rank(u)/deg(u).
+    The neighbor sum is a sequential fold over the contribution list
+    sorted by source id (``F.aggregate`` over ``array_sort(collect_list
+    (struct(src, c)))``), which the DuckDB twin mirrors with
+    ``list_sum(list(c ORDER BY src))`` — float additions happen in the
+    identical order in both engines, so ranks are bit-identical without
+    rounding (the ``functions/vector.py`` discipline). The per-node
+    collect_list is bounded by the node's degree — the same bound as
+    any adjacency representation.
+
+    In a symmetrized graph every node has in- and out-edges, so there
+    are no dangling nodes and rank mass is conserved. State per
+    iteration is one (node, rank) row per node, localCheckpoint-ed so
+    the plan stays one-iteration deep (the ``kmeans`` loop stance).
+
+    Output: (node, rank) with rank UNROUNDED (callers round for
+    display/oracles)."""
+    e = canonical_edges(edges)
+    adj = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    adj = adj.localCheckpoint()
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = adj.groupBy("src").agg(F.count("*").alias("od"))
+    base = (1.0 - damping) / n
+    r = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            adj.join(r, adj.src == r.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                F.col("src"),
+                (F.col("rank") / F.col("od")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("src"), F.col("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        r = summed.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+        ).localCheckpoint()
+    return r
+
+
+# --- declared-query composers over the near-dup graph ---------------------
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding near-dup pair graph (operators/similarity.py:
+    embedding_near_dup) as a canonical (u, v) edge list."""
+    from mapreducekmean_spark.operators.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(spark, sf_dir)
+    return pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-document triangle counts on the near-dup
+    graph — the transitivity signal for duplicate-cluster quality."""
+    return triangle_counts(_near_dup_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "triangles"
+    )
+
+
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: PageRank centrality on the near-dup graph — the
+    canonical-representative score for duplicate clusters. Rounded to
+    6 dp for the cross-engine hash (ranks are bit-identical; rounding
+    is display-grain only)."""
+    return pagerank(_near_dup_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )

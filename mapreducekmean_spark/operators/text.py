@@ -701,3 +701,72 @@ def seq_coords(placed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             "seq_offset"
         ),
     )
+
+
+def term_lift_topk(
+    docs: DataFrame,
+    min_support: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top co-occurring term pairs by LIFT — association mining over the
+    corpus vocabulary (lift(x,y) = P(x,y) / (P(x)P(y)) on document
+    presence), the classic "which terms travel together" signal a
+    corpus pipeline uses for topic leakage and boilerplate discovery.
+
+    Deliberately ratio-based, NOT PMI: PMI is log(lift), and ln() is
+    not cross-engine hashable (the BM25 lesson, operators/search.py:28)
+    — lift keeps the arithmetic exact: integer supports, one
+    integer-product cast, ONE IEEE division, so the DuckDB twin
+    value-hashes without tolerance.
+
+    Scale shape: per-doc distinct tokens self-join under a LOSSLESS
+    support pushdown — a pair's support is at most min(df(x), df(y)),
+    so terms with df < min_support are filtered BEFORE pairing without
+    changing any surviving pair. Pair volume is then bounded by
+    sum_docs t_doc^2 over the FILTERED vocabulary; the aggregate is an
+    ordinary partial/final group-by on (t1, t2) and the final top-n is
+    a TakeOrdered, never a full sort.
+
+    Output: (t1, t2, c_xy, lift) — top_n by (lift desc, t1, t2)."""
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    df = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= int(min_support))
+    )
+    ft = toks.join(df.select("term"), "term")
+    a = ft.select("doc_id", F.col("term").alias("t1"))
+    b = ft.select("doc_id", F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= int(min_support))
+    )
+    lifted = (
+        pairs.join(
+            df.select(F.col("term").alias("t1"), F.col("df").alias("c_x")),
+            "t1",
+        )
+        .join(
+            df.select(F.col("term").alias("t2"), F.col("df").alias("c_y")),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            F.round(
+                (F.lit(int(n_docs)) * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(
+        F.desc("lift"), F.asc("t1"), F.asc("t2")
+    ).limit(int(top_n))
