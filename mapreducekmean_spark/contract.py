@@ -1374,6 +1374,24 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(spark, sf_dir)
 
 
+def _ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LANDED-index IVF path as a driver-checked row: land the
+    ``cell=``-partitioned index to a fresh temp dir (the land is the
+    one-time layout cost the index form exists to amortize — at
+    fixture scale it is sub-second, and paying it in-query keeps the
+    row hermetic), then serve the standard query batch off it with
+    static partition pruning. Same deterministic quantizer as the
+    in-session ``ivf_topk`` (k-sample init, no training passes), so
+    results are identical to ``ann_ivf`` — pinned in
+    tests/test_similarity_indexed.py — and the SAME DuckDB twin
+    value-hashes both."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="mrkm_ivf_contract_")
+    sim.land_ivf_index(spark, sf_dir, path)
+    return sim.ann_ivf_indexed(spark, sf_dir, path)
+
+
 _ANN_IVF_SQL = f"""
 {_KM_CTES},
 q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts WHERE vec_id < {sim.N_QUERIES}),
@@ -1857,6 +1875,7 @@ FROM documents
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
         Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
+        Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
             "ann_lsh",
             lambda spark, sf_dir: sim.ann_lsh_topk(spark, sf_dir),
@@ -2948,6 +2967,11 @@ _CHECK_FIRST = (
     # ann_quantized) miss this round's driver run and must rotate back
     # in at round 8 (their r5 evidence is still within the two-artifact
     # bound today; it will not be after CORRECTNESS_r07 lands).
+    # ann_ivf_indexed (the 108th, the landed-index ANN form finally
+    # driver-checked) leads for the same reason and pushes a fourth
+    # r5-green entry (tpch_q20_excess_volume) past the window on the
+    # same terms.
+    "ann_ivf_indexed",
     "graph_triangles",
     "graph_pagerank",
     "term_lift",

@@ -775,6 +775,122 @@ def probe_cc(spark, results: dict, n_edges: int) -> None:
     }
 
 
+def probe_graph(
+    spark, results: dict, sf_dir: str, n_edges: int = 5_000_000, repl: int = 100
+) -> None:
+    """Graph analytics + term-lift mining at volume, four rows:
+
+    - ``triangles_throughput``: ~n_edges edges of disjoint K5 cliques
+      (the near-dup cluster shape) — every node sits on exactly 6
+      triangles, so the run self-verifies (sum == 30 × cliques, one
+      distinct per-node value); measures the wedge join + corner
+      aggregate at volume.
+    - ``triangles_hub_skew``: the same graph plus ONE 200k-degree hub
+      (an edge into each of 200k cliques — closes nothing). Naive
+      wedge enumeration at the hub materializes deg² = 4e10 rows; the
+      degree-ordered orientation points every hub edge AT the hub
+      (out-degree 0), so this row must land in the same ballpark as
+      the hub-free graph with identical triangle totals — the
+      power-law-resilience claim, measured.
+    - ``pagerank``: 5 fixed iterations over the clique graph; rank
+      mass conserved to 1e-6 (symmetrized graph → no dangling leaks).
+    - ``term_lift``: pair mining over repl× documents (~500k docs).
+      Pair volume is Σ_docs t_distinct² (~253/doc on the fixture mix)
+      flowing into an ordinary partial/final aggregate — the row pins
+      that the quadratic-per-doc blowup stays doc-length-bounded and
+      map-side-combined, never corpus-quadratic.
+    """
+    from mapreducekmean_spark.operators.graph import pagerank, triangle_counts
+    from mapreducekmean_spark.operators.text import term_lift_topk
+
+    n_cliques = n_edges // 10
+    k5 = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(5)
+            for j in range(i + 1, 5)
+        ]
+    )
+    cliques = (
+        spark.range(n_cliques)
+        .select("id", F.explode(k5).alias("p"))
+        .select(
+            (F.col("id") * 5 + F.col("p.i")).alias("u"),
+            (F.col("id") * 5 + F.col("p.j")).alias("v"),
+        )
+    )
+    cliques.write.mode("overwrite").parquet(f"{BASE}/graph_cliques")
+    cliques = spark.read.parquet(f"{BASE}/graph_cliques")
+
+    t0 = time.perf_counter()
+    chk = (
+        triangle_counts(cliques)
+        .agg(
+            F.sum("triangles").alias("total"),
+            F.count_distinct("triangles").alias("nvals"),
+            F.min("triangles").alias("lo"),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert chk["total"] == 30 * n_cliques and chk["nvals"] == 1 and chk["lo"] == 6
+    results["triangles_throughput"] = {
+        "edges": n_cliques * 10,
+        "triangles": 10 * n_cliques,
+        "sec": round(dt, 2),
+        "edges_per_sec": int(n_cliques * 10 / dt),
+    }
+
+    hub_deg = 200_000
+    hub_id = 5 * n_cliques
+    hub = spark.range(hub_deg).select(
+        (F.col("id") * 5).alias("u"), F.lit(hub_id).alias("v")
+    )
+    t0 = time.perf_counter()
+    chk = (
+        triangle_counts(cliques.unionAll(hub))
+        .agg(F.sum("triangles").alias("total"))
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert chk["total"] == 30 * n_cliques, "hub edges must close no triangles"
+    results["triangles_hub_skew"] = {
+        "edges": n_cliques * 10 + hub_deg,
+        "hub_degree": hub_deg,
+        "naive_hub_wedges": hub_deg * hub_deg,
+        "sec": round(dt, 2),
+    }
+
+    t0 = time.perf_counter()
+    mass = pagerank(cliques).agg(F.sum("rank")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    assert abs(mass - 1.0) < 1e-6, mass
+    results["pagerank"] = {
+        "edges": n_cliques * 10,
+        "nodes": n_cliques * 5,
+        "iters": 5,
+        "sec": round(dt, 2),
+        "edge_iters_per_sec": int(n_cliques * 10 * 5 / dt),
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    t0 = time.perf_counter()
+    top = term_lift_topk(big).collect()
+    dt = time.perf_counter() - t0
+    assert len(top) == 20
+    results["term_lift"] = {
+        "docs": n,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n / dt),
+    }
+
+
 def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Incremental dedup's scale claim, measured: per-batch work scales
     with the BATCH, never the landed corpus. Corpus construction reuses
@@ -1205,6 +1321,7 @@ def main() -> None:
         "ivfpq",
         "retrieval",
         "pipeline",
+        "graph",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1244,6 +1361,8 @@ def main() -> None:
         probe_retrieval(spark, results, args.sf_dir)
     if "pipeline" in only:
         probe_pipeline(spark, results, args.sf_dir)
+    if "graph" in only:
+        probe_graph(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 
