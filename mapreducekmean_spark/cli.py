@@ -23,7 +23,7 @@ import sys
 
 from pyspark.sql import functions as F
 
-from mapreducekmean_spark.session import get_spark
+from mapreducekmean_spark.session import get_spark, local_rows_df
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         out_rows = [
             (i, ", ".join(repr(v) for v in c)) for i, c in enumerate(cents)
         ]
-        spark.createDataFrame(out_rows, "cluster_id long, centroid string").coalesce(
+        local_rows_df(spark, out_rows, "cluster_id long, centroid string").coalesce(
             1
         ).select(
             F.concat_ws("\t", F.col("cluster_id"), F.col("centroid")).alias(

@@ -41,6 +41,8 @@ from mapreducekmean_spark.functions.vector import (
 )
 from mapreducekmean_spark.sources import load_table
 
+from mapreducekmean_spark.session import local_rows_df
+
 #: Fixture ground truth: embeddings carry labels 0..9 (FIXTURES.md).
 DEFAULT_K = 10
 
@@ -83,7 +85,7 @@ def deterministic_init(points: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     rows = ordered.collect()
     spark = points.sparkSession
     fields = {f.name: f.dataType.simpleString() for f in points.schema.fields}
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(i, r["vec_id"], list(r["emb"])) for i, r in enumerate(rows)],
         f"cluster_id bigint, vec_id {fields['vec_id']}, emb {fields['emb']}",
     )
@@ -125,7 +127,7 @@ def init_rows(
 
 def init_df(spark: SparkSession, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """The memoized init as a k-row LocalRelation (no job when memoized)."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         init_rows(spark, sf_dir, k),
         "cluster_id bigint, vec_id bigint, emb array<double>",
     )

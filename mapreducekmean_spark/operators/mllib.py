@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators import kmeans as km
 
+from mapreducekmean_spark.session import local_rows_df
+
 try:  # pragma: no cover - import gate
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.functions import array_to_vector
@@ -122,7 +124,7 @@ def mllib_verdict(
         rows = agg.collect()
     finally:
         pts.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "n_points bigint, labels_in_range bigint, wssse_ratio_ok boolean"
     )
 

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from mapreducekmean_spark.operators import dedup as dd
 from mapreducekmean_spark.operators import text as tx
 
+from mapreducekmean_spark.session import local_rows_df
+
 
 def corpus_clean(
     docs: DataFrame, threshold: float = dd.VERIFY_THRESHOLD
@@ -310,7 +312,7 @@ def prepare_training_data_incremental(
     if base_version is not None:
         state = spark.read.parquet(f"{state_path}/asof={base_version}")
     else:
-        state = spark.createDataFrame(
+        state = local_rows_df(spark, 
             [], "split string, source string, tok_total bigint"
         )
     packed = None

@@ -47,6 +47,8 @@ from pyspark.sql import functions as F
 from mapreducekmean_spark.functions.hashing import stable_order_key
 from mapreducekmean_spark.operators import kmeans as km
 
+from mapreducekmean_spark.session import local_rows_df
+
 #: Subspace count (d must divide evenly) and codes per subspace.
 PQ_M = 8
 PQ_K = 16
@@ -265,7 +267,7 @@ def pq_adc_score(
                     float(sum((a - b) * (a - b) for a, b in zip(sv, c)))
                 )
         lut_rows.append((int(q.vec_id), lut))
-    q_lut = spark.createDataFrame(
+    q_lut = local_rows_df(spark, 
         lut_rows, "q_id bigint, lut array<double>"
     )
     # ONE scan of the 4-byte-code table, broadcast nested loop against
@@ -436,7 +438,7 @@ def land_ivfpq_index_points(
     # same rationale as similarity.land_ivf_index_points
     write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, list(map(float, c))) for i, c in enumerate(cents)],
             "cell bigint, centroid array<double>",
         )
@@ -450,7 +452,7 @@ def land_ivfpq_index_points(
         for c in range(codes_k)
     ]
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             cb_rows, "sub int, code int, vec array<double>"
         )
         .coalesce(1)
@@ -590,7 +592,7 @@ def ann_ivfpq_indexed(
                     float(sum((a - b) * (a - b) for a, b in zip(sv, c)))
                 )
         lut_rows.append((int(r.q_id), int(r.cell), lut))
-    q_lut = spark.createDataFrame(
+    q_lut = local_rows_df(spark, 
         lut_rows, "q_id bigint, cell bigint, lut array<double>"
     )
     probed = sorted({int(r.cell) for r in probe_rows})

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 from mapreducekmean_spark.operators.text import tokens
 
+from mapreducekmean_spark.session import local_rows_df
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -185,7 +187,7 @@ def land_bm25_index(
     write_bucketed(tf, f"{name}_tf", "term", buckets, f"{path}/tf")
     n_docs, total_dl, max_doc = _corpus_totals(docs)
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(max_doc, n_docs, total_dl)],
             "max_doc_id bigint, n_docs bigint, total_dl bigint",
         )
@@ -305,7 +307,7 @@ def append_bm25_index(
     if not tf_already:
         write_bucketed(tf_new, f"{name}_tf", "term", buckets, mode="append")
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(batch_max, n_new, dl_new)],
             "max_doc_id bigint, n_docs bigint, total_dl bigint",
         )
@@ -439,7 +441,7 @@ def bm25_search_indexed_batch(
     )
     terms_present = sorted(r.term for r in idf_rows)
     t_idx = {t: i for i, t in enumerate(terms_present)}
-    term_df = spark.createDataFrame(
+    term_df = local_rows_df(spark, 
         [(r.term, t_idx[r.term], float(r.idf)) for r in idf_rows],
         "term string, t_i int, idf double",
     )
@@ -892,7 +894,7 @@ def compact_bm25_index(spark, name: str) -> dict[str, dict]:
     ).collect()[0]
     tmp = f"{stats_path}.__compact"
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     int(summary["max_doc_id"]),

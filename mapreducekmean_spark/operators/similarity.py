@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from mapreducekmean_spark.functions.vector import cosine_sim, dot
 from mapreducekmean_spark.operators import kmeans as km
 
+from mapreducekmean_spark.session import local_rows_df
+
 #: Number of query vectors (lowest vec_ids) in the demo top-k queries.
 N_QUERIES = 10
 TOP_K = 5
@@ -360,7 +362,7 @@ def land_ivf_index_points(
     # grain the compactor restores
     write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
     (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, list(c)) for i, c in enumerate(cents)],
             "cell bigint, centroid array<double>",
         )

@@ -58,3 +58,22 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str):
+    """``createDataFrame`` over a SMALL driver-local row list, pinned to
+    ONE partition.
+
+    The default local-data path parallelizes across
+    ``defaultParallelism`` slices (32 here), so a 10-row frame becomes
+    32 mostly-empty Python partitions; any downstream ``coalesce(1)``
+    — the natural move before writing a tiny table — then evaluates
+    every slice SERIALLY inside one task, each paying a Python-worker
+    round trip. Measured at local[32]: a 10-row centroid-table write
+    cost **4.5-5.5 s warm**; the same write off a 1-slice parallelize
+    is **~0.2 s**. Every bounded driver-side table in the engine
+    (centroids, PQ codebooks, index stats rows, pack state) goes
+    through here."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )

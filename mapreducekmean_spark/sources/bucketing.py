@@ -38,6 +38,8 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducekmean_spark.session import local_rows_df
+
 
 def write_bucketed(
     df: DataFrame,
@@ -389,7 +391,7 @@ def compact_partitions(
         # eqNullSafe matches the Hive NULL partition (r6 review).
         dtypes = dict(df.dtypes)
         plan_df = F.broadcast(
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(*v, pp) for v, pp in plans],
                 ", ".join(
                     [f"__pv_{c} string" for c in cols] + ["__pp int"]
