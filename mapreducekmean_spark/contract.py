@@ -707,6 +707,33 @@ SELECT doc_id, source,
 FROM r
 """
 
+#: mirrors text.dataset_mixture_temp: per-source keep rate
+#: sqrt(tok_min/tok_source) over TOKEN totals — sqrt and the division
+#: are IEEE-correctly-rounded so both engines derive the bit-identical
+#: rate and coin threshold; min-total sources keep by the explicit
+#: branch.
+_DATASET_MIXTURE_TEMP_SQL = """
+WITH c AS (SELECT source,
+                  CAST(sum(len(regexp_extract_all(lower(text),
+                                                  '[a-z0-9]+')))
+                       AS BIGINT) AS n_source
+           FROM documents GROUP BY source),
+m AS (SELECT min(n_source) AS n_min FROM c),
+r AS (
+  SELECT source, n_source, (SELECT n_min FROM m) AS n_min,
+         sqrt(CAST((SELECT n_min FROM m) AS DOUBLE)
+              / CAST(n_source AS DOUBLE)) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.source, r.n_source,
+       round(rate, 6) AS target_frac,
+       (r.n_source = r.n_min
+        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+           < lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+                  8, '0')) AS kept
+FROM documents d JOIN r USING (source)
+"""
+
 
 def _queries_text() -> list[Query]:
     return [
@@ -717,6 +744,13 @@ def _queries_text() -> list[Query]:
                 tx.documents(spark, sf_dir)
             ),
             _DATASET_MIXTURE_SQL,
+        ),
+        Query(
+            "dataset_mixture_temp",
+            lambda spark, sf_dir: tx.dataset_mixture_temp(
+                tx.documents(spark, sf_dir)
+            ),
+            _DATASET_MIXTURE_TEMP_SQL,
         ),
         Query(
             "word_count",
@@ -1892,6 +1926,13 @@ FROM documents
             _DECON_SQL,
         ),
         Query(
+            "decontaminate_fuzzy",
+            lambda spark, sf_dir: dd.decontaminate_fuzzy(
+                tx.documents(spark, sf_dir)
+            ),
+            _DECON_FUZZY_SQL,
+        ),
+        Query(
             "embedding_quantize",
             sim.quantize_embeddings_serialized,
             _QUANT_SQL,
@@ -2070,6 +2111,47 @@ SELECT d.doc_id,
        COALESCE(n_hits, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+#: mirrors dedup.decontaminate_fuzzy (trigram overlap RATIO vs the
+#: same doc_id%20==0 eval slice; verdict is the integer compare
+#: 100*n_hits >= 20*n_grams so no float threshold enters the hash).
+_DECON_FUZZY_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, md5(gram) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                       toks[i+2])) AS gram
+    FROM t WHERE len(toks) >= 3
+  )
+),
+ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, h FROM g WHERE doc_id % 20 <> 0),
+agg AS (
+  SELECT tr.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM tr LEFT JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       round(CAST(n_hits AS DOUBLE)
+             / CAST(greatest(n_grams, 1) AS DOUBLE), 6) AS overlap_ratio,
+       (100 * n_hits >= 20 * n_grams AND n_grams > 0)
+         AS contaminated_fuzzy
+FROM (
+  SELECT d.doc_id,
+         COALESCE(n_grams, 0) AS n_grams,
+         COALESCE(n_hits, 0) AS n_hits
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+  LEFT JOIN agg ON d.doc_id = agg.doc_id
+)
 """
 
 #: The quantization CTE prefix shared by BOTH quantization oracles —
@@ -2971,6 +3053,12 @@ _CHECK_FIRST = (
     # driver-checked) leads for the same reason and pushes a fourth
     # r5-green entry (tpch_q20_excess_volume) past the window on the
     # same terms.
+    # decontaminate_fuzzy and dataset_mixture_temp (109th-110th: the
+    # ratio-threshold contamination screen and temperature-flattened
+    # mixture rates) lead on the same terms, displacing two more
+    # r5-green rows (multimodal_resize_plan, tpch_q20 already counted).
+    "decontaminate_fuzzy",
+    "dataset_mixture_temp",
     "ann_ivf_indexed",
     "graph_triangles",
     "graph_pagerank",

@@ -702,3 +702,50 @@ def decontaminate(
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+#: Fuzzy decontamination: short grams make the collision signal dense
+#: enough for a RATIO to mean something; the verdict fires at
+#: DECON_FUZZY_TAU_PCT percent distinct-gram overlap with the eval
+#: slice.
+DECON_FUZZY_NGRAM = 3
+DECON_FUZZY_TAU_PCT = 20
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    n: int = DECON_FUZZY_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    tau_pct: int = DECON_FUZZY_TAU_PCT,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination — the screen exact matching
+    misses. :func:`decontaminate` flags a training doc only when a full
+    8-gram survives verbatim; a light paraphrase defeats that. Here the
+    flag fires when the doc's distinct short-gram (default trigram)
+    OVERLAP RATIO with the eval slice reaches ``tau_pct`` percent — the
+    "dirty document" definition of the GPT-3/PaLM-style contamination
+    appendices, where partial n-gram overlap marks a doc for removal.
+
+    Exactness discipline: the verdict compares INTEGERS
+    (``100 * n_hits >= tau_pct * n_grams``) so no float threshold
+    enters the cross-engine hash; ``overlap_ratio`` is display grain
+    (one IEEE division, rounded to 6 dp). Plan shape is
+    :func:`decontaminate`'s — one explode → distinct → hash join →
+    per-doc aggregate — with a projection on top; all linear at 100 TB.
+    """
+    base = decontaminate(docs, n=n, eval_mod=eval_mod)
+    hit_pct = F.lit(100) * F.col("n_hits")
+    floor_pct = F.lit(int(tau_pct)) * F.col("n_grams")
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("overlap_ratio"),
+        ((hit_pct >= floor_pct) & (F.col("n_grams") > 0)).alias(
+            "contaminated_fuzzy"
+        ),
+    )

@@ -770,3 +770,71 @@ def term_lift_topk(
     return lifted.orderBy(
         F.desc("lift"), F.asc("t1"), F.asc("t2")
     ).limit(int(top_n))
+
+
+#: Temperature for the flattened mixture: keep rate per source is
+#: (n_min / n_source) ** (1 - MIXTURE_TEMP). 0.5 means sqrt — chosen
+#: deliberately: sqrt and the one division are IEEE-correctly-rounded
+#: operations, so BOTH engines derive the bit-identical rate and coin
+#: threshold (a general pow() would not carry that guarantee).
+MIXTURE_TEMP = 0.5
+
+
+def dataset_mixture_temp(docs: DataFrame) -> DataFrame:
+    """Temperature-flattened mixture sampling (multilingual-LM style):
+    per-source keep rate ``sqrt(tok_min / tok_source)`` over TOKEN
+    totals — the token-lightest source keeps everything and heavier
+    sources are downsampled toward a uniform token share, the standard
+    τ-temperature move that stops a huge crawl from drowning curated
+    sources. Tokens, not documents, are the weighting unit on purpose:
+    LM mixture proportions are token budgets, and doc counts can be
+    uniform while token mass is not (exactly the fixture's shape).
+    Complements :func:`dataset_mixture` (config-driven rates): here the
+    rates are DERIVED from the corpus itself.
+
+    The keep coin is the same deterministic md5-hex compare as
+    :func:`dataset_mixture` (fixed-width lowercase hex, string order ==
+    numeric order); min-total sources keep by an explicit branch so the
+    rate-1.0 threshold never has to round-trip through an 8-hex-char
+    window it does not fit in. sqrt and the one division are
+    IEEE-correctly-rounded, so both engines derive the bit-identical
+    rate and threshold.
+
+    Shape: one per-source token-sum aggregate (sources, not docs) and
+    its 1-row min, broadcast back onto the scan — the verdict is
+    computable at scan site; no corpus-sized shuffle anywhere. Output:
+    one row per doc with the source token total, derived rate, and
+    verdict."""
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("n_source")
+    )
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "source",
+            "n_source",
+            "n_min",
+            F.sqrt(
+                F.col("n_min").cast("double")
+                / F.col("n_source").cast("double")
+            ).alias("rate"),
+        )
+    )
+    thresh_hex = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col("rate") * F.lit(float(2**32))).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_source",
+        F.round("rate", 6).alias("target_frac"),
+        (
+            (F.col("n_source") == F.col("n_min")) | (coin_hex < thresh_hex)
+        ).alias("kept"),
+    )

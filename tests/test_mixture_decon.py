@@ -1,0 +1,103 @@
+"""Fuzzy decontamination (operators/dedup.py:decontaminate_fuzzy) and
+temperature-flattened mixture sampling
+(operators/text.py:dataset_mixture_temp) — the properties the oracle
+twins can't state: fuzzy-vs-exact discrimination on paraphrases, and
+rate monotonicity in source token mass."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_fuzzy_flags_paraphrase_exact_misses(spark):
+    """A training doc that copies an eval doc but swaps every 4th word
+    shares NO verbatim 8-gram (exact decon passes it) yet keeps a high
+    trigram-overlap ratio (fuzzy flags it). An unrelated doc passes
+    both. This is the discrimination the fuzzy screen exists for."""
+    from mapreducekmean_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    eval_words = [f"w{i}" for i in range(40)]
+    para = list(eval_words)
+    for i in range(0, 40, 4):
+        para[i] = f"sub{i}"
+    unrelated = [f"z{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(eval_words)),          # doc_id % 20 == 0 → eval
+        (1, " ".join(para)),                # paraphrased copy
+        (2, " ".join(unrelated)),           # clean
+    ]
+    docs = _docs(spark, rows)
+    exact = {r.doc_id: r.contaminated for r in decontaminate(docs).collect()}
+    fuzzy = {
+        r.doc_id: r.contaminated_fuzzy
+        for r in decontaminate_fuzzy(docs).collect()
+    }
+    assert exact == {1: False, 2: False}  # no verbatim 8-gram survives
+    assert fuzzy[1] is True and fuzzy[2] is False
+    ratios = {
+        r.doc_id: r.overlap_ratio
+        for r in decontaminate_fuzzy(docs).collect()
+    }
+    assert ratios[1] > 0.2 > ratios[2]
+
+
+def test_temp_mixture_rates_monotone_and_min_keeps_all(spark):
+    """Keep rate must be 1.0 for the token-lightest source, strictly
+    decrease as source token mass grows (sqrt(min/n)), and every doc of
+    the min source must be kept via the explicit branch."""
+    from mapreducekmean_spark.operators.text import dataset_mixture_temp
+
+    rows = []
+    did = 0
+    # source s_k holds 10 docs of (k+1)*8 tokens each
+    for k in range(4):
+        for _ in range(10):
+            rows.append((did, f"s{k}", " ".join(["tok"] * ((k + 1) * 8))))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = dataset_mixture_temp(docs)
+    per_src = {
+        r.source: (r.n_source, r.target_frac)
+        for r in out.select("source", "n_source", "target_frac")
+        .distinct()
+        .collect()
+    }
+    fracs = [per_src[f"s{k}"][1] for k in range(4)]
+    assert fracs[0] == 1.0
+    assert all(a > b for a, b in zip(fracs, fracs[1:]))
+    # sqrt law: n_source quadruples from s0 to s3 → rate halves
+    assert abs(fracs[3] - 0.5) < 1e-9
+    kept_min = out.filter("source = 's0'").agg(
+        F.min(F.col("kept").cast("int"))
+    ).collect()[0][0]
+    assert kept_min == 1
+
+
+def test_temp_mixture_is_deterministic_and_rate_faithful(spark):
+    """The coin is md5-deterministic: two runs agree row-for-row, and
+    the realized keep fraction of a big downsampled source lands near
+    its target rate (binomial 3-sigma band)."""
+    from mapreducekmean_spark.operators.text import dataset_mixture_temp
+
+    rows = [(i, "small", "a b c d") for i in range(50)]
+    rows += [(1000 + i, "big", " ".join(["x"] * 16)) for i in range(2000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    a = sorted(tuple(r) for r in dataset_mixture_temp(docs).collect())
+    b = sorted(tuple(r) for r in dataset_mixture_temp(docs).collect())
+    assert a == b
+    big = [r for r in a if r[1] == "big"]
+    rate = big[0][3]
+    kept = sum(1 for r in big if r[4])
+    import math
+
+    sigma = math.sqrt(len(big) * rate * (1 - rate))
+    assert abs(kept - len(big) * rate) < 3 * sigma
