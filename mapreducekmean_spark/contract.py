@@ -1560,6 +1560,50 @@ SELECT node AS doc_id, round(rank, 6) AS rank FROM r{_ITERS}
 """
 
 
+def _near_dup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py:k_core (k=2) over the embedding near-dup
+    graph — documents on duplicate cycles, with in-core degree. The
+    Spark side peels K_CORE_PASSES fixed passes and RAISES if the
+    graph is not stable by then, so the twin's equal-depth unroll can
+    never silently compare against a half-peeled set. Exact integers
+    end to end."""
+    from mapreducekmean_spark.operators.graph import near_dup_k_core
+
+    return near_dup_k_core(spark, sf_dir)
+
+
+def _k_core_sql() -> str:
+    from mapreducekmean_spark.operators.graph import (
+        K_CORE_K as _K,
+        K_CORE_PASSES as _P,
+    )
+
+    # every e{i} is referenced three times by pass i+1 (FROM + two IN
+    # probes); DuckDB inlines plain CTEs, so an un-materialized unroll
+    # expands 3^passes copies of the pairwise-similarity base scan
+    # ("Too many open files" at 12 passes). MATERIALIZED pins each
+    # pass to one evaluation — the kmeans_full/pq twin discipline.
+    body = ""
+    for i in range(1, _P + 1):
+        body += f""",
+d{i} AS MATERIALIZED (
+  SELECT x, count(*) AS deg
+  FROM (SELECT u AS x FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+  GROUP BY x
+),
+s{i} AS MATERIALIZED (SELECT x FROM d{i} WHERE deg >= {_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i - 1}
+  WHERE u IN (SELECT x FROM s{i}) AND v IN (SELECT x FROM s{i})
+)"""
+    return f"""{_NEAR_DUP_EDGES_CTE},
+e0 AS MATERIALIZED (SELECT u, v FROM e){body}
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT u AS node FROM e{_P} UNION ALL SELECT v FROM e{_P})
+GROUP BY node
+"""
+
+
 def _term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/text.py:term_lift_topk — association mining by lift
     (ratio-based on purpose: PMI's ln() is not cross-engine hashable,
@@ -1943,6 +1987,7 @@ FROM documents
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
         Query("graph_triangles", _near_dup_triangles, _TRIANGLES_SQL),
         Query("graph_pagerank", _near_dup_pagerank, _pagerank_sql()),
+        Query("graph_k_core", _near_dup_k_core, _k_core_sql()),
     ]
 
 
@@ -3057,6 +3102,9 @@ _CHECK_FIRST = (
     # ratio-threshold contamination screen and temperature-flattened
     # mixture rates) lead on the same terms, displacing two more
     # r5-green rows (multimodal_resize_plan, tpch_q20 already counted).
+    # graph_k_core (111th) completes the graph quartet (CC, triangles,
+    # pagerank, k-core) on the same displacement terms.
+    "graph_k_core",
     "decontaminate_fuzzy",
     "dataset_mixture_temp",
     "ann_ivf_indexed",

@@ -216,3 +216,75 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_near_dup_edges(spark, sf_dir)).select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+#: Declared-query k-core parameters: the 2-core of the near-dup graph
+#: (nodes on at least one cycle through duplicates — isolated pair
+#: edges peel away), with the peel unrolled to a FIXED pass count so
+#: the DuckDB twin can mirror it CTE-for-CTE (the ``kmeans_full``
+#: discipline). The operator RAISES if the graph needs more passes, so
+#: the fixed unroll can never silently return a half-peeled set.
+K_CORE_K = 2
+K_CORE_PASSES = 12  # measured fixture peel depth: 10 (sf0.001) — margin of 2
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = K_CORE_K,
+    passes: int = K_CORE_PASSES,
+    require_converged: bool = True,
+) -> DataFrame:
+    """The k-core: iteratively peel nodes of degree < k until the
+    induced subgraph is stable. Output: ``(node, deg)`` for the
+    survivors, with ``deg`` the degree INSIDE the core.
+
+    Each pass is one degree aggregate + two semi-joins (keep edges
+    whose endpoints both survive), with a localCheckpoint so the plan
+    stays one-pass deep (the loop stance of ``kmeans``/``pagerank``).
+    Passes are FIXED at ``passes`` and convergence is verified by one
+    extra degree check — a still-peelable node raises with the
+    actionable fix (raise ``passes``) rather than returning a
+    non-core. Scale honesty: peel DEPTH is the graph's degeneracy
+    ordering depth — 1-2 passes on cliquey dup graphs (the target
+    workload), but Θ(n) on a bare path peeled end-in (k=2), the same
+    chain pathology ``connected_components`` dodges with pointer
+    jumping and a peel cannot; for adversarial chain graphs run with
+    ``require_converged=False`` and iterate externally."""
+    e = canonical_edges(edges).localCheckpoint()
+    for _ in range(passes):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("deg"))
+        )
+        strong = deg.filter(F.col("deg") >= int(k)).select("x")
+        e = (
+            e.join(strong.withColumnRenamed("x", "u"), "u", "leftsemi")
+            .join(strong.withColumnRenamed("x", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    ).localCheckpoint()
+    if require_converged:
+        weak = deg.filter(F.col("deg") < int(k)).count()
+        if weak:
+            raise ValueError(
+                f"k_core did not converge in {passes} passes "
+                f"({weak} nodes still below degree {k}); raise passes="
+            )
+    return deg
+
+
+def near_dup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the 2-core of the embedding near-dup graph —
+    documents on duplicate CYCLES (a much stronger dup signal than a
+    lone pair edge), with their in-core degree."""
+    return k_core(_near_dup_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "deg"
+    )

@@ -145,3 +145,63 @@ def test_term_lift_support_pushdown_is_lossless(spark):
     want.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == want[:10] and got
     assert not any(t.startswith("rare") for r in got for t in (r[0], r[1]))
+
+
+def _naive_k_core(edges, k):
+    es = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_k_core_matches_naive_peeling(spark):
+    """Fixed-pass distributed peel == pure-Python peel-to-fixpoint on
+    random graphs (passes raised so every case converges; the K5 core
+    and pendant chains both exercised)."""
+    from mapreducekmean_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    for n, m in [(15, 35), (30, 60)]:
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        got = {
+            r.node: r.deg
+            for r in k_core(_edges_df(spark, edges), passes=12).collect()
+        }
+        assert got == _naive_k_core(edges, 2)
+    # K5 plus a pendant path hanging off node 0: the path peels away
+    # over multiple passes, the clique survives with degree 4
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(0, 10), (10, 11), (11, 12)]
+    got = {
+        r.node: r.deg
+        for r in k_core(_edges_df(spark, edges), passes=6).collect()
+    }
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_k_core_raises_when_unconverged(spark):
+    """A long path needs ~n/2 peel passes for k=2; with passes=2 the
+    operator must refuse with the actionable error, never return the
+    half-peeled set."""
+    import pytest
+
+    from mapreducekmean_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(12)]
+    with pytest.raises(ValueError, match="raise passes"):
+        k_core(_edges_df(spark, path), passes=2)
+    # and with enough passes the path's 2-core is empty
+    assert k_core(_edges_df(spark, path), passes=8).count() == 0
