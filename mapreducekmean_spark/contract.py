@@ -712,6 +712,16 @@ FROM r
 #: are IEEE-correctly-rounded so both engines derive the bit-identical
 #: rate and coin threshold; min-total sources keep by the explicit
 #: branch.
+def _bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.py:bpe_token_stats — train the corpus's BPE merge
+    table (distributed Sennrich over the distinct-word dict), then
+    count each document's REAL tokenizer tokens via a broadcast dict
+    join."""
+    from mapreducekmean_spark.operators.bpe import bpe_token_stats
+
+    return bpe_token_stats(tx.documents(spark, sf_dir))
+
+
 _DATASET_MIXTURE_TEMP_SQL = """
 WITH c AS (SELECT source,
                   CAST(sum(len(regexp_extract_all(lower(text),
@@ -751,6 +761,17 @@ def _queries_text() -> list[Query]:
                 tx.documents(spark, sf_dir)
             ),
             _DATASET_MIXTURE_TEMP_SQL,
+        ),
+        # rows-only BY DESIGN (the kmeans_mllib precedent): the merge
+        # table is corpus-derived state, so a DuckDB twin would have to
+        # replay the full 40-round training loop; training and the
+        # greedy merge are instead pinned EXACTLY against a pure-Python
+        # Sennrich reference (tests/test_bpe.py) — merges, final
+        # segmentation, and per-doc counts all equal.
+        Query(
+            "bpe_token_stats",
+            lambda spark, sf_dir: _bpe_token_stats_q(spark, sf_dir),
+            None,
         ),
         Query(
             "word_count",
@@ -3103,7 +3124,10 @@ _CHECK_FIRST = (
     # mixture rates) lead on the same terms, displacing two more
     # r5-green rows (multimodal_resize_plan, tpch_q20 already counted).
     # graph_k_core (111th) completes the graph quartet (CC, triangles,
-    # pagerank, k-core) on the same displacement terms.
+    # pagerank, k-core) on the same displacement terms; bpe_token_stats
+    # (112th, rows-only like kmeans_mllib) is the distributed BPE
+    # trainer's driver row.
+    "bpe_token_stats",
     "graph_k_core",
     "decontaminate_fuzzy",
     "dataset_mixture_temp",

@@ -891,6 +891,40 @@ def probe_graph(
     }
 
 
+def probe_bpe(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """The BPE trainer's scale claim, measured: training operates on
+    the DISTINCT-WORD dict, so a repl× corpus (identical vocabulary)
+    must cost the same per merge round — only the one corpus-sized
+    ``word_counts`` aggregate and the final encode join may grow.
+    Rows: full train+stats at 1× and repl×, with the dict size printed
+    so the claim is checkable from the record."""
+    from mapreducekmean_spark.operators.bpe import (
+        bpe_token_stats,
+        word_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    vocab = word_counts(docs).count()
+    for tag, d, n in (
+        ("bpe_base", docs, docs.count()),
+        ("bpe_100x", big, docs.count() * repl),
+    ):
+        t0 = time.perf_counter()
+        rows = bpe_token_stats(d).count()
+        dt = time.perf_counter() - t0
+        results[tag] = {
+            "docs": n,
+            "vocab": vocab,
+            "rows": rows,
+            "sec": round(dt, 2),
+        }
+
+
 def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Incremental dedup's scale claim, measured: per-batch work scales
     with the BATCH, never the landed corpus. Corpus construction reuses
@@ -1322,6 +1356,7 @@ def main() -> None:
         "retrieval",
         "pipeline",
         "graph",
+        "bpe",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1363,6 +1398,8 @@ def main() -> None:
         probe_pipeline(spark, results, args.sf_dir)
     if "graph" in only:
         probe_graph(spark, results, args.sf_dir)
+    if "bpe" in only:
+        probe_bpe(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 
