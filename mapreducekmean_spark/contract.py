@@ -1819,40 +1819,32 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(spark, sf_dir)
 
 
-def _pq_adc_oracle_sql(
-    m: int = 8,
-    kc: int = 16,
-    dim: int = DIM,
-    iters: int = 4,
-    n_queries: int = 10,
-    topk: int = 3,
-) -> str:
-    """``pq.pq_adc_topk`` as one DuckDB statement: md5-deterministic
-    seed slices → ``iters`` unrolled simultaneous-subspace Lloyd stages
-    (assign per (point, subspace), per-(sub, code) means, empty cells
-    keep their previous code vector) → encode → asymmetric-distance
-    top-k. All-integer output except adc_dist (rounded to 6 dp on both
-    engine sides); cross-engine float noise ~1e-15 can flip a rank only
-    on a near-exact tie — the same accepted risk class as
-    ``kmeans_full``."""
-    ds = dim // m
+def _pq_train_parts(
+    m: int, kc: int, ds: int, iters: int, src: str
+) -> tuple[list[str], str]:
+    """The PQ training loop as generated MATERIALIZED CTE stages over a
+    source CTE ``src`` with columns (vec_id, emb DOUBLE[]): md5 seed
+    slices → ``iters`` simultaneous-subspace Lloyd stages (assign per
+    (point, subspace), per-(sub, code) means, empty cells keep their
+    previous code vector) → ``enc`` (vec_id, codes). Shared verbatim by
+    the flat-PQ twin (``src`` = raw embeddings) and the IVF-PQ twin
+    (``src`` = residuals) so the load-bearing arithmetic can never
+    drift between them. Returns (parts, final_codebook_cte)."""
 
-    def dists(emb: str, cbs: str, s: str) -> str:
+    def dists(emb: str, cbs: str, sub: str) -> str:
         return (
             f"list_transform(range(1, {kc} + 1), c -> "
             f"list_sum(list_transform(range(1, {ds} + 1), d -> "
-            f"({emb}[({s} - 1) * {ds} + d] - {cbs}[{s}][c][d]) * "
-            f"({emb}[({s} - 1) * {ds} + d] - {cbs}[{s}][c][d]))))"
+            f"({emb}[({sub} - 1) * {ds} + d] - {cbs}[{sub}][c][d]) * "
+            f"({emb}[({sub} - 1) * {ds} + d] - {cbs}[{sub}][c][d]))))"
         )
 
     avgs = ", ".join(f"avg(sv[{d}])" for d in range(1, ds + 1))
     parts = [
         f"""
-pts AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 seed AS MATERIALIZED (
   SELECT list(emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seeds
-  FROM (SELECT vec_id, emb FROM pts
+  FROM (SELECT vec_id, emb FROM {src}
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc})),
 c0 AS MATERIALIZED (
   SELECT list_transform(range(1, {m} + 1), s ->
@@ -1873,7 +1865,7 @@ a{n} AS MATERIALIZED (
            list_transform(range(1, {ds} + 1), d ->
              p.emb[(s.s - 1) * {ds} + d]) AS sv,
            {dists("p.emb", "cb.cbs", "s.s")} AS dists
-    FROM pts p CROSS JOIN range(1, {m} + 1) s(s)
+    FROM {src} p CROSS JOIN range(1, {m} + 1) s(s)
     CROSS JOIN {prev} cb)
 ),
 u{n} AS MATERIALIZED (
@@ -1902,10 +1894,40 @@ enc AS MATERIALIZED (
            CAST(array_position(dists, list_min(dists)) AS INT) AS code
     FROM (
       SELECT p.vec_id, s.s AS s, {dists("p.emb", "cb.cbs", "s.s")} AS dists
-      FROM pts p CROSS JOIN range(1, {m} + 1) s(s)
+      FROM {src} p CROSS JOIN range(1, {m} + 1) s(s)
       CROSS JOIN {final} cb)
   ) GROUP BY vec_id
-),
+)"""
+    )
+    return parts, final
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    n_queries: int = 10,
+    topk: int = 3,
+) -> str:
+    """``pq.pq_adc_topk`` as one DuckDB statement: md5-deterministic
+    seed slices → ``iters`` unrolled simultaneous-subspace Lloyd stages
+    (assign per (point, subspace), per-(sub, code) means, empty cells
+    keep their previous code vector) → encode → asymmetric-distance
+    top-k. All-integer output except adc_dist (rounded to 6 dp on both
+    engine sides); cross-engine float noise ~1e-15 can flip a rank only
+    on a near-exact tie — the same accepted risk class as
+    ``kmeans_full``."""
+    ds = dim // m
+    parts = [
+        """
+pts AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"""
+    ]
+    train, final = _pq_train_parts(m, kc, ds, iters, "pts")
+    parts += train
+    parts.append(
+        f"""
 scored AS MATERIALIZED (
   SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, {m} + 1), s ->
@@ -1916,6 +1938,109 @@ scored AS MATERIALIZED (
   FROM (SELECT vec_id, emb FROM pts WHERE vec_id < {n_queries}) q
   CROSS JOIN enc e CROSS JOIN {final} cb
   WHERE e.vec_id <> q.vec_id
+)"""
+    )
+    return f"""
+WITH {",".join(parts)}
+SELECT q_id, neighbor_id, rank, ROUND(adc, 6) AS adc_dist
+FROM (
+  SELECT q_id, neighbor_id, adc,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {topk}
+"""
+
+
+def _ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ (IVFADC) vector store as a driver-checked
+    row: land the index to a fresh temp dir in-query (coarse k-sample
+    quantizer → residuals → 4-pass PQ training on residuals → 32-bit
+    codes into ``cell=`` partition dirs), then serve the standard query
+    batch off it — partition-pruned to the probed cells AND codes-only
+    by layout, ADC off the driver-built residual LUTs. The DuckDB twin
+    replays the whole construction: the coarse stage is the
+    ``_KM_CTES`` arithmetic, the PQ stage is the SHARED
+    ``_pq_train_parts`` generator over the residual CTE, the probe
+    stage is ``_ANN_IVF_SQL``'s."""
+    import tempfile
+
+    from mapreducekmean_spark.operators import pq
+
+    path = tempfile.mkdtemp(prefix="mrkm_ivfpq_contract_")
+    pq.land_ivfpq_index(spark, sf_dir, path)
+    return pq.ann_ivfpq_indexed(spark, sf_dir, path)
+
+
+def _ann_ivfpq_oracle_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+) -> str:
+    """``pq.ann_ivfpq_indexed`` over a freshly-landed default index as
+    one DuckDB statement: coarse quantizer = the ``_KM_CTES``
+    k-sample/assign arithmetic; residuals per point; PQ codebooks
+    trained on the residuals by the SHARED ``_pq_train_parts``
+    stages; query side probes N_PROBE cells (the ``_ANN_IVF_SQL``
+    probe arithmetic), forms each (query, cell) RESIDUAL, and scores
+    only code rows whose point was assigned to a probed cell —
+    exactly the landed layout's partition-pruned read set."""
+    ds = dim // m
+    parts = [
+        f"""
+pts AS MATERIALIZED ({_PTS}),
+init AS MATERIALIZED ({_INIT}),
+assign AS MATERIALIZED ({_ASSIGN}),
+res AS MATERIALIZED (
+  SELECT p.vec_id,
+         list_transform(range(1, {dim} + 1), d -> p.emb[d] - c.emb[d])
+           AS emb
+  FROM pts p
+  JOIN assign a ON a.vec_id = p.vec_id
+  JOIN init c ON c.cluster_id = a.cluster_id
+)"""
+    ]
+    train, final = _pq_train_parts(m, kc, ds, iters, "res")
+    parts += train
+    parts.append(
+        f"""
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts
+      WHERE vec_id < {sim.N_QUERIES}),
+qd AS (
+  SELECT q.q_id, q.q_emb, c.cluster_id AS cell,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.q_emb[i] - c.emb[i]) * (q.q_emb[i] - c.emb[i])))
+           AS dist
+  FROM q CROSS JOIN init c
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell)
+             AS pr
+    FROM qd
+  ) WHERE pr <= {sim.N_PROBE}
+),
+qres AS MATERIALIZED (
+  SELECT pr.q_id, pr.cell,
+         list_transform(range(1, {dim} + 1), d -> pr.q_emb[d] - c.emb[d])
+           AS emb
+  FROM probes pr JOIN init c ON c.cluster_id = pr.cell
+),
+scored AS MATERIALIZED (
+  SELECT qr.q_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, {m} + 1), s ->
+           list_sum(list_transform(range(1, {ds} + 1), d ->
+             (qr.emb[(s - 1) * {ds} + d] - cb.cbs[s][e.codes[s]][d]) *
+             (qr.emb[(s - 1) * {ds} + d] - cb.cbs[s][e.codes[s]][d])))))
+           AS adc
+  FROM qres qr
+  JOIN assign a ON a.cluster_id = qr.cell
+  JOIN enc e ON e.vec_id = a.vec_id
+  CROSS JOIN {final} cb
+  WHERE e.vec_id <> qr.q_id
 )"""
     )
     return f"""
@@ -2004,6 +2129,7 @@ FROM documents
         ),
         Query("ann_quantized", sim.ann_quantized_topk, _ANN_QUANT_SQL),
         Query("pq_adc_topk", _pq_adc_topk, _pq_adc_oracle_sql()),
+        Query("ann_ivfpq_indexed", _ann_ivfpq_indexed, _ann_ivfpq_oracle_sql()),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
         Query("graph_triangles", _near_dup_triangles, _TRIANGLES_SQL),
@@ -3126,7 +3252,10 @@ _CHECK_FIRST = (
     # graph_k_core (111th) completes the graph quartet (CC, triangles,
     # pagerank, k-core) on the same displacement terms; bpe_token_stats
     # (112th, rows-only like kmeans_mllib) is the distributed BPE
-    # trainer's driver row.
+    # trainer's driver row; ann_ivfpq_indexed (113th) gives the
+    # compressed vector store a full value-hash twin (coarse stage =
+    # _KM_CTES, PQ stage = the shared _pq_train_parts over residuals).
+    "ann_ivfpq_indexed",
     "bpe_token_stats",
     "graph_k_core",
     "decontaminate_fuzzy",
