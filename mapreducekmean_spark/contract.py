@@ -712,6 +712,42 @@ FROM r
 #: are IEEE-correctly-rounded so both engines derive the bit-identical
 #: rate and coin threshold; min-total sources keep by the explicit
 #: branch.
+def _rep_span_sql() -> str:
+    """dedup.repeated_ngram_spans as one DuckDB statement: positional
+    n-grams (two lockstep unnests give the gram and its 1-based start),
+    corpus-wide count filter, then the identical gaps-and-islands
+    collapse (pos − row_number). All-integer output."""
+    from mapreducekmean_spark.operators.dedup import (
+        REP_SPAN_MIN_DUP as _MD,
+        REP_SPAN_N as _N,
+    )
+
+    joins = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_N))
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, md5({joins}) AS h
+  FROM (SELECT doc_id, unnest(range(1, len(toks) - {_N - 2})) AS i, toks
+        FROM t WHERE len(toks) >= {_N})
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {_MD}),
+rep AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM rep
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_N - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def _bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bpe.py:bpe_token_stats — train the corpus's BPE merge
     table (distributed Sennrich over the distinct-word dict), then
@@ -2123,6 +2159,13 @@ FROM documents
             _DECON_FUZZY_SQL,
         ),
         Query(
+            "dedup_substring_spans",
+            lambda spark, sf_dir: dd.repeated_ngram_spans(
+                tx.documents(spark, sf_dir)
+            ),
+            _rep_span_sql(),
+        ),
+        Query(
             "embedding_quantize",
             sim.quantize_embeddings_serialized,
             _QUANT_SQL,
@@ -3254,7 +3297,10 @@ _CHECK_FIRST = (
     # (112th, rows-only like kmeans_mllib) is the distributed BPE
     # trainer's driver row; ann_ivfpq_indexed (113th) gives the
     # compressed vector store a full value-hash twin (coarse stage =
-    # _KM_CTES, PQ stage = the shared _pq_train_parts over residuals).
+    # _KM_CTES, PQ stage = the shared _pq_train_parts over residuals);
+    # dedup_substring_spans (114th) is the Lee-et-al sub-document
+    # repeated-span detector.
+    "dedup_substring_spans",
     "ann_ivfpq_indexed",
     "bpe_token_stats",
     "graph_k_core",

@@ -749,3 +749,63 @@ def decontaminate_fuzzy(
             "contaminated_fuzzy"
         ),
     )
+
+
+#: Repeated-substring span parameters (Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better", which removes VERBATIM
+#: repeated spans rather than whole near-dup documents): a span is
+#: flagged when its REP_SPAN_N-token grams recur REP_SPAN_MIN_DUP+
+#: times corpus-wide. 20 tokens is the fixture-scale stand-in for the
+#: paper's 50-token threshold (fixture docs cap at 100 tokens).
+REP_SPAN_N = 20
+REP_SPAN_MIN_DUP = 2
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = REP_SPAN_N,
+    min_dup: int = REP_SPAN_MIN_DUP,
+) -> DataFrame:
+    """Exact repeated-substring spans — the SUB-document dedup signal
+    document-level dedup cannot give: a doc may be 95% unique yet carry
+    a boilerplate paragraph pasted across the corpus, and removing the
+    SPAN (not the doc) is what Lee et al. 2022 showed improves the
+    trained model. A position is flagged when its n-gram occurs
+    ``min_dup``+ times corpus-wide; maximal runs of flagged positions
+    collapse to one span row via gaps-and-islands (pos − row_number
+    grouping — pure integer window arithmetic, so the DuckDB twin
+    value-hashes exactly).
+
+    Output: ``(doc_id, span_start, span_end, n_grams)`` with token
+    positions 0-based inclusive (``span_end`` covers the last flagged
+    gram's final token: max pos + n − 1).
+
+    100 TB shape: the gram stream is the codegen'd ``gram_rows`` volume
+    path (one exchange on doc_id), the corpus-wide count is one
+    aggregate on uniform md5 keys, the flag join is hash-on-md5, and
+    the island window rides the SAME doc_id partitioning the gram
+    build already established — a suffix-array construction (the
+    paper's single-node tool) is replaced by three linear passes."""
+    grams = gram_rows(docs, n=n, with_pos=True).select(
+        "doc_id", "pos", F.md5("sh").alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= int(min_dup))
+        .select("h")
+    )
+    rep = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(int(n) - 1))
+            .cast("bigint")
+            .alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

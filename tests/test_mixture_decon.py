@@ -101,3 +101,37 @@ def test_temp_mixture_is_deterministic_and_rate_faithful(spark):
 
     sigma = math.sqrt(len(big) * rate * (1 - rate))
     assert abs(kept - len(big) * rate) < 3 * sigma
+
+
+def test_repeated_spans_exact_boundaries_and_islands(spark):
+    """Two docs share a pasted 24-token paragraph at different offsets
+    → each gets ONE span covering exactly the paragraph (start at its
+    first token, end at its last). A doc with two separated pasted
+    regions gets TWO island rows. Unique docs get none."""
+    from mapreducekmean_spark.operators.dedup import repeated_ngram_spans
+
+    para = " ".join(f"p{i}" for i in range(24))
+    para2 = " ".join(f"q{i}" for i in range(22))
+    u = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        (0, u("a", 7) + " " + para + " " + u("b", 5)),
+        (1, para + " " + u("c", 9)),
+        (2, u("d", 4) + " " + para + " " + u("e", 3) + " " + para2),
+        (3, para2 + " " + u("f", 6)),
+        (4, u("g", 30)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in repeated_ngram_spans(docs, n=20, min_dup=2).collect()
+    )
+    # doc0: para at tokens 7..30 -> grams 7..11 flagged (5 grams)
+    # doc1: para at 0..23 -> grams 0..4; doc3: para2 at 0..21 -> 0..2
+    # doc2: para at 4..27 (grams 4..8) AND para2 at 31..52 (grams 31..33)
+    assert got == [
+        (0, 7, 30, 5),
+        (1, 0, 23, 5),
+        (2, 4, 27, 5),
+        (2, 31, 52, 3),
+        (3, 0, 21, 3),
+    ]
