@@ -890,6 +890,44 @@ def probe_graph(
         "docs_per_sec": int(n / dt),
     }
 
+    # k-core peel: the clique graph plus a 3-node pendant chain hanging
+    # off every 10th clique — chains peel away over 3 passes, cliques
+    # survive at degree 4; exact expected survivor count verifies.
+    from mapreducekmean_spark.operators.graph import k_core
+
+    chain_base = spark.range(0, n_cliques, 10).select(
+        (F.col("id") * 5).alias("anchor")
+    )
+    # segments: anchor->a1, a1->a2, a2->a3 (each pendant node id is
+    # anchor + off*1e7, unique per anchor since anchors < 1e7)
+    pend = None
+    for off in (1, 2, 3):
+        lo = (
+            F.col("anchor")
+            if off == 1
+            else F.col("anchor") + F.lit(10_000_000 * (off - 1))
+        )
+        seg = chain_base.select(
+            lo.alias("u"),
+            (F.col("anchor") + F.lit(10_000_000 * off)).alias("v"),
+        )
+        pend = seg if pend is None else pend.unionAll(seg)
+    g = cliques.unionAll(pend)
+    n_edges_kc = n_cliques * 10 + 3 * (n_cliques // 10)
+    t0 = time.perf_counter()
+    core = k_core(g, passes=5)
+    survivors = core.count()
+    dt = time.perf_counter() - t0
+    assert survivors == 5 * n_cliques, survivors
+    results["k_core"] = {
+        "edges": n_edges_kc,
+        "pendant_chains": n_cliques // 10,
+        "peel_passes": 5,
+        "survivors": survivors,
+        "sec": round(dt, 2),
+        "edges_per_sec": int(n_edges_kc / dt),
+    }
+
 
 def probe_bpe(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """The BPE trainer's scale claim, measured: training operates on
