@@ -712,11 +712,11 @@ FROM r
 #: are IEEE-correctly-rounded so both engines derive the bit-identical
 #: rate and coin threshold; min-total sources keep by the explicit
 #: branch.
-def _rep_span_sql() -> str:
-    """dedup.repeated_ngram_spans as one DuckDB statement: positional
-    n-grams (two lockstep unnests give the gram and its 1-based start),
-    corpus-wide count filter, then the identical gaps-and-islands
-    collapse (pos − row_number). All-integer output."""
+def _rep_span_ctes() -> str:
+    """The repeated-span CTE chain (tokens → positional grams →
+    corpus-wide dup filter → gaps-and-islands → island-collapsed
+    ``spans``), shared by the span-report twin and the apply twin so
+    the span arithmetic exists once."""
     from mapreducekmean_spark.operators.dedup import (
         REP_SPAN_MIN_DUP as _MD,
         REP_SPAN_N as _N,
@@ -724,9 +724,9 @@ def _rep_span_sql() -> str:
 
     joins = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_N))
     return f"""
-WITH t AS (SELECT doc_id,
-                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-           FROM documents),
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
 g AS MATERIALIZED (
   SELECT doc_id, i - 1 AS pos, md5({joins}) AS h
   FROM (SELECT doc_id, unnest(range(1, len(toks) - {_N - 2})) AS i, toks
@@ -739,12 +739,56 @@ isl AS (
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
            AS grp
   FROM rep
-)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {_N - 1} AS BIGINT) AS span_end,
-       CAST(count(*) AS BIGINT) AS n_grams
-FROM isl GROUP BY doc_id, grp
+),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_N - 1} AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_grams
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+
+def _rep_span_sql() -> str:
+    """dedup.repeated_ngram_spans as one DuckDB statement: positional
+    n-grams (two lockstep unnests give the gram and its 1-based start),
+    corpus-wide count filter, then the identical gaps-and-islands
+    collapse (pos − row_number). All-integer output."""
+    return f"""{_rep_span_ctes()}
+SELECT doc_id, span_start, span_end, n_grams FROM spans
+"""
+
+
+def _rep_span_apply_sql() -> str:
+    """dedup.apply_substring_dedup as one DuckDB statement: the shared
+    span CTE chain, then token positions NOT covered by any span
+    re-assemble in position order (``string_agg ... ORDER BY pos`` —
+    the twin of Spark's sorted collect_list). Every doc emits a row."""
+    return f"""{_rep_span_ctes()},
+tok AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM t),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tk.doc_id
+      AND tk.pos BETWEEN s.span_start AND s.span_end)
+),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_tokens, 0) - COALESCE(n_kept, 0) AS n_removed,
+       COALESCE(clean_text, '') AS clean_text
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN re USING (doc_id)
 """
 
 
@@ -2166,6 +2210,13 @@ FROM documents
             _rep_span_sql(),
         ),
         Query(
+            "dedup_substring_apply",
+            lambda spark, sf_dir: dd.apply_substring_dedup(
+                tx.documents(spark, sf_dir)
+            ),
+            _rep_span_apply_sql(),
+        ),
+        Query(
             "embedding_quantize",
             sim.quantize_embeddings_serialized,
             _QUANT_SQL,
@@ -3299,7 +3350,9 @@ _CHECK_FIRST = (
     # compressed vector store a full value-hash twin (coarse stage =
     # _KM_CTES, PQ stage = the shared _pq_train_parts over residuals);
     # dedup_substring_spans (114th) is the Lee-et-al sub-document
-    # repeated-span detector.
+    # repeated-span detector; dedup_substring_apply (115th) its apply
+    # step (span-cleaned text re-emission).
+    "dedup_substring_apply",
     "dedup_substring_spans",
     "ann_ivfpq_indexed",
     "bpe_token_stats",

@@ -809,3 +809,68 @@ def repeated_ngram_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+def apply_substring_dedup(
+    docs: DataFrame,
+    n: int = REP_SPAN_N,
+    min_dup: int = REP_SPAN_MIN_DUP,
+) -> DataFrame:
+    """The APPLY step for :func:`repeated_ngram_spans` — emit each
+    document with its corpus-repeated spans REMOVED (Lee et al. 2022
+    deletes the repeated substring and keeps the rest of the doc; this
+    is that, in tokenizer space: output text is the kept tokens
+    re-joined with single spaces, lowercase-alnum — a normalization the
+    docstring states rather than hides, since every downstream stage in
+    this engine tokenizes identically anyway).
+
+    Overlapping spans (islands closer than n tokens) compose correctly:
+    a token is dropped when ANY span covers it. Shape: one posexplode
+    of the token stream, a broadcast-able range join against the span
+    table (spans are island-collapsed — few rows per affected doc), a
+    per-doc ordered re-assembly; every stage linear, the assembly
+    reusing the doc_id partitioning. Output:
+    ``(doc_id, n_tokens, n_removed, clean_text)`` for EVERY input doc
+    (clean docs pass through; fully-duplicated docs emit '')."""
+    # alias the span side: it shares lineage with toks (both derive
+    # from docs), and unqualified doc_id == doc_id would be ambiguous
+    spans = repeated_ngram_spans(docs, n=n, min_dup=min_dup).select(
+        F.col("doc_id").alias("s_doc_id"), "span_start", "span_end"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    kept = toks.join(
+        F.broadcast(spans),
+        (F.col("doc_id") == F.col("s_doc_id"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "leftanti",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))), "
+                "s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -135,3 +135,45 @@ def test_repeated_spans_exact_boundaries_and_islands(spark):
         (2, 31, 52, 3),
         (3, 0, 21, 3),
     ]
+
+
+def test_apply_substring_dedup_removes_exact_spans(spark):
+    """The apply step composes with the span report: kept text is the
+    original token stream minus exactly the flagged spans, in order;
+    overlapping spans (islands < n apart) both apply; clean docs pass
+    through verbatim (tokenizer-space)."""
+    from mapreducekmean_spark.operators.dedup import (
+        apply_substring_dedup,
+        repeated_ngram_spans,
+    )
+
+    para = " ".join(f"p{i}" for i in range(24))
+    u = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        (0, u("a", 7) + " " + para + " " + u("b", 5)),
+        (1, para + " " + u("c", 9)),
+        (2, u("g", 30)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in repeated_ngram_spans(docs, n=20, min_dup=2).collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in apply_substring_dedup(docs, n=20, min_dup=2).collect()
+    }
+    for did, text in rows:
+        toks = text.split()
+        if did in spans:
+            s, e = spans[did]
+            kept = toks[:s] + toks[e + 1:]
+        else:
+            kept = toks
+        assert got[did] == (
+            len(toks),
+            len(toks) - len(kept),
+            " ".join(kept),
+        )
+    assert got[2][1] == 0 and got[2][2] == rows[2][1]
+    assert got[0][1] == 24  # exactly the pasted paragraph
