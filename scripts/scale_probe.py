@@ -962,6 +962,38 @@ def probe_bpe(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
             "sec": round(dt, 2),
         }
 
+    # the fixture vocabulary is tiny (31 words), which makes the
+    # dict-side cost trivially small; this row trains on a synthetic
+    # 500k-doc corpus whose 50k-word vocabulary has a power-law-ish
+    # frequency skew (word id = floor(sqrt(uniform)) — deterministic,
+    # hash-derived, no RNG), so every merge round pays a REAL
+    # dict-sized pair count.
+    V = 50_000
+    n_docs, doc_len = 500_000, 60
+    syn = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, {doc_len}), j -> "
+                f"concat('w', CAST(floor(sqrt(pmod(xxhash64(id, j), "
+                f"{V}::bigint * {V}::bigint))) AS BIGINT))))"
+            ).alias("text"),
+        )
+    )
+    syn.write.mode("overwrite").parquet(f"{BASE}/bpe_bigvocab")
+    syn = spark.read.parquet(f"{BASE}/bpe_bigvocab")
+    vocab_big = word_counts(syn).count()
+    t0 = time.perf_counter()
+    rows = bpe_token_stats(syn).count()
+    dt = time.perf_counter() - t0
+    results["bpe_bigvocab"] = {
+        "docs": n_docs,
+        "vocab": vocab_big,
+        "rows": rows,
+        "sec": round(dt, 2),
+    }
+
 
 def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Incremental dedup's scale claim, measured: per-batch work scales
