@@ -1243,6 +1243,38 @@ JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 """
 
 
+def _edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.edit_verified_pairs — LSH candidates verified by JVM-side
+    Levenshtein over normalized text. The DP metric is identical in
+    DuckDB, so distances are exact integers on both engines; the
+    verdict is integer arithmetic (100·dist ≤ 20·max_len)."""
+    return dd.edit_verified_pairs(tx.documents(spark, sf_dir))
+
+
+def _edit_verify_sql() -> str:
+    from mapreducekmean_spark.operators.dedup import EDIT_VERIFY_TAU_PCT
+
+    return rf"""
+WITH cand AS ({_minhash_pairs_sql()}),
+nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist,
+         CAST(greatest(len(a.nt), len(b.nt)) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN nrm a ON a.doc_id = c.doc_a
+  JOIN nrm b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist, max_len,
+       round(1.0 - CAST(edit_dist AS DOUBLE)
+                   / CAST(greatest(max_len, 1) AS DOUBLE), 6) AS edit_sim,
+       (100 * edit_dist <= {EDIT_VERIFY_TAU_PCT} * max_len) AS is_dup
+FROM scored
+"""
+
+
 def _dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_verified_dedup(tx.documents(spark, sf_dir))
 
@@ -2173,6 +2205,7 @@ FROM documents
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
         Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
+        Query("dedup_edit_verify", _edit_verify, _edit_verify_sql()),
         Query("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
         Query("corpus_clean", _corpus_clean, _corpus_clean_sql()),
         Query("ngram_jaccard", _ngram_jaccard, _NGRAM_JACCARD_SQL),
@@ -3351,7 +3384,9 @@ _CHECK_FIRST = (
     # _KM_CTES, PQ stage = the shared _pq_train_parts over residuals);
     # dedup_substring_spans (114th) is the Lee-et-al sub-document
     # repeated-span detector; dedup_substring_apply (115th) its apply
-    # step (span-cleaned text re-emission).
+    # step (span-cleaned text re-emission); dedup_edit_verify (116th)
+    # is the edit-distance verification of the LSH candidate set.
+    "dedup_edit_verify",
     "dedup_substring_apply",
     "dedup_substring_spans",
     "ann_ivfpq_indexed",

@@ -874,3 +874,65 @@ def apply_substring_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+#: Edit-distance verification: a candidate pair is a near-dup when the
+#: Levenshtein distance over normalized text is at most
+#: EDIT_VERIFY_TAU_PCT percent of the longer side.
+EDIT_VERIFY_TAU_PCT = 20
+
+
+def edit_verified_pairs(
+    docs: DataFrame, tau_pct: int = EDIT_VERIFY_TAU_PCT
+) -> DataFrame:
+    """MinHash candidate pairs verified by EDIT DISTANCE — the third
+    verification metric beside set Jaccard (`minhash_verified_dedup`)
+    and embedding cosine (`embedding_near_dup`): Levenshtein is the
+    right verifier when near-dups differ by small in-place edits
+    (typo-level mutation, template slot-filling) that barely move a
+    shingle set but are exactly what character-level distance counts.
+
+    Candidates come from the SAME banded LSH join as the Jaccard path
+    — never all pairs — and only the candidate pairs' normalized texts
+    (lowercase, whitespace-collapsed: the `dedup_exact` normalization)
+    meet the quadratic-cost `levenshtein` kernel, which runs JVM-side
+    (`F.levenshtein` — no Python in the loop) and is the identical DP
+    metric in DuckDB, so distances are exact integers on both engines.
+    The verdict stays integer-exact (100·dist ≤ tau_pct·max_len);
+    ``edit_sim`` is display grain (one IEEE division, rounded).
+
+    Output: (doc_a, doc_b, edit_dist, max_len, edit_sim, is_dup)."""
+    cand = minhash_candidate_pairs(docs)
+    norm = docs.select(
+        "doc_id", normalized_text().alias("nt")
+    ).localCheckpoint()
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("tb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "max_len",
+        F.round(
+            F.lit(1.0)
+            - F.col("edit_dist").cast("double")
+            / F.greatest(F.col("max_len"), F.lit(1)).cast("double"),
+            6,
+        ).alias("edit_sim"),
+        (
+            (F.lit(100) * F.col("edit_dist"))
+            <= (F.lit(int(tau_pct)) * F.col("max_len"))
+        ).alias("is_dup"),
+    )

@@ -177,3 +177,42 @@ def test_apply_substring_dedup_removes_exact_spans(spark):
         )
     assert got[2][1] == 0 and got[2][2] == rows[2][1]
     assert got[0][1] == 24  # exactly the pasted paragraph
+
+
+def test_edit_verify_discriminates_from_jaccard(spark):
+    """Edit distance and shingle Jaccard disagree in BOTH directions,
+    which is why both verifiers exist: scattered single-character typos
+    destroy 3 shingles each (Jaccard refuses at 0.5) while moving edit
+    distance a few characters (edit flags); block ROTATION keeps the
+    shingle bag nearly intact (Jaccard flags) while most characters
+    move (edit refuses). Both pairs come out of the SAME LSH candidate
+    set."""
+    import random
+
+    from mapreducekmean_spark.operators.dedup import (
+        edit_verified_pairs,
+        minhash_verified_dedup,
+    )
+
+    rng = random.Random(3)
+    words = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+        for _ in range(40)
+    ]
+    typo = list(words)
+    for i in range(0, 40, 6):
+        typo[i] = typo[i][:-1] + "z"
+    rot = words[20:] + words[:20]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(typo)), (2, " ".join(rot))],
+        "doc_id bigint, text string",
+    )
+    ev = {
+        (r.doc_a, r.doc_b): (r.edit_dist, r.is_dup)
+        for r in edit_verified_pairs(docs).collect()
+    }
+    assert ev[(0, 1)] == (7, True)  # typos: edit flags
+    assert ev[(0, 2)][1] is False  # rotation: edit refuses (218 edits)
+    jac = {r.doc_id: (r.kept, r.dup_of) for r in minhash_verified_dedup(docs).collect()}
+    assert jac[1] == (True, None)  # typos: Jaccard refuses
+    assert jac[2] == (False, 0)  # rotation: Jaccard flags
