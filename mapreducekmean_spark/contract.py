@@ -707,11 +707,6 @@ SELECT doc_id, source,
 FROM r
 """
 
-#: mirrors text.dataset_mixture_temp: per-source keep rate
-#: sqrt(tok_min/tok_source) over TOKEN totals — sqrt and the division
-#: are IEEE-correctly-rounded so both engines derive the bit-identical
-#: rate and coin threshold; min-total sources keep by the explicit
-#: branch.
 def _rep_span_ctes() -> str:
     """The repeated-span CTE chain (tokens → positional grams →
     corpus-wide dup filter → gaps-and-islands → island-collapsed
@@ -802,6 +797,11 @@ def _bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(tx.documents(spark, sf_dir))
 
 
+#: mirrors text.dataset_mixture_temp: per-source keep rate
+#: sqrt(tok_min/tok_source) over TOKEN totals — sqrt and the division
+#: are IEEE-correctly-rounded so both engines derive the bit-identical
+#: rate and coin threshold; min-total sources keep by the explicit
+#: branch.
 _DATASET_MIXTURE_TEMP_SQL = """
 WITH c AS (SELECT source,
                   CAST(sum(len(regexp_extract_all(lower(text),
@@ -928,7 +928,7 @@ FROM documents
             ),
             _SKETCH_CMS_SQL,
         ),
-        Query("term_lift", _term_lift_topk, _TERM_LIFT_SQL),
+        Query("term_lift", _term_lift_topk, _term_lift_sql()),
     ]
 
 
@@ -1541,6 +1541,31 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(spark, sf_dir)
 
 
+def _contract_index_dir(kind: str) -> str:
+    """One REUSED landing directory per (index kind, process) for the
+    in-query-landed index rows, removed at interpreter exit. The naive
+    mkdtemp-per-call leaked one full index tree per bench/driver
+    invocation (min-of-2 timing × 50-query rotation adds up); the land
+    paths write with mode=overwrite, so reuse is safe, and cleanup
+    cannot happen in-query because the returned DataFrame reads the
+    directory lazily."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"mrkm_{kind}_contract_{os.getpid()}"
+    )
+    if path not in _CONTRACT_INDEX_DIRS:
+        _CONTRACT_INDEX_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_CONTRACT_INDEX_DIRS: set[str] = set()
+
+
 def _ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LANDED-index IVF path as a driver-checked row: land the
     ``cell=``-partitioned index to a fresh temp dir (the land is the
@@ -1552,9 +1577,7 @@ def _ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are identical to ``ann_ivf`` — pinned in
     tests/test_similarity_indexed.py — and the SAME DuckDB twin
     value-hashes both."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="mrkm_ivf_contract_")
+    path = _contract_index_dir("ivf")
     sim.land_ivf_index(spark, sf_dir, path)
     return sim.ann_ivf_indexed(spark, sf_dir, path)
 
@@ -1615,14 +1638,19 @@ FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU}
 
 #: shared edge CTE: the near-dup pair set (same membership arithmetic as
 #: _NEAR_DUP_SQL — the bit-identical cosine fold) as (u, v) edges.
+#: MATERIALIZED throughout: ``e`` is referenced several times by every
+#: consumer (triangle corners, pagerank's symmetrize, k-core passes),
+#: and DuckDB inlines plain CTEs — each reference would replay the
+#: O(n²) pairwise-cosine scan (the _k_core_sql lesson).
 _NEAR_DUP_EDGES_CTE = f"""
-WITH pts AS ({_PTS}),
-sims AS (
+WITH pts AS MATERIALIZED ({_PTS}),
+sims AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_cos_expr("a.emb", "b.emb")} AS sim_raw
   FROM pts a JOIN pts b ON a.vec_id < b.vec_id
 ),
-e AS (SELECT id_a AS u, id_b AS v FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU})
+e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM sims WHERE sim_raw >= {sim.NEAR_DUP_TAU})
 """
 
 
@@ -1637,7 +1665,7 @@ def _near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_SQL = f"""{_NEAR_DUP_EDGES_CTE},
-t AS (
+t AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1
   JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -1674,7 +1702,7 @@ def _pagerank_sql() -> str:
     body = ""
     for i in range(1, _ITERS + 1):
         body += f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT dst AS node,
          (1 - {_D}) / (SELECT n FROM nn)
            + {_D} * list_sum(list(rank / od ORDER BY src)) AS rank
@@ -1684,11 +1712,13 @@ r{i} AS (
   GROUP BY dst
 )"""
     return f"""{_NEAR_DUP_EDGES_CTE},
-adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
-nodes AS (SELECT DISTINCT src AS node FROM adj),
-nn AS (SELECT count(*) AS n FROM nodes),
-od AS (SELECT src, count(*) AS od FROM adj GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes){body}
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM adj GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes){body}
 SELECT node AS doc_id, round(rank, 6) AS rank FROM r{_ITERS}
 """
 
@@ -1747,22 +1777,35 @@ def _term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_lift_topk(tx.documents(spark, sf_dir))
 
 
-_TERM_LIFT_SQL = """
-WITH toks AS (
+def _term_lift_sql() -> str:
+    """Mirrors text.term_lift_topk with the support floor and top-n
+    interpolated from the operator's defaults (engine and twin cannot
+    desynchronize); ``toks``/``ft`` MATERIALIZED because the df count
+    and both pairing sides read them."""
+    import inspect
+
+    from mapreducekmean_spark.operators.text import term_lift_topk
+
+    sig = inspect.signature(term_lift_topk)
+    ms = int(sig.parameters["min_support"].default)
+    tn = int(sig.parameters["top_n"].default)
+    return f"""
+WITH toks AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
   FROM documents
 ),
 nn AS (SELECT count(*) AS n FROM documents),
-df AS (
+df AS MATERIALIZED (
   SELECT term, count(*) AS df FROM toks GROUP BY term
-  HAVING count(*) >= 5
+  HAVING count(*) >= {ms}
 ),
-ft AS (SELECT t.doc_id, t.term FROM toks t JOIN df USING (term)),
+ft AS MATERIALIZED (
+  SELECT t.doc_id, t.term FROM toks t JOIN df USING (term)),
 pairs AS (
   SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS c_xy
   FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
-  GROUP BY 1, 2 HAVING count(*) >= 5
+  GROUP BY 1, 2 HAVING count(*) >= {ms}
 ),
 l AS (
   SELECT t1, t2, c_xy,
@@ -1773,7 +1816,7 @@ l AS (
   JOIN df d2 ON d2.term = pairs.t2
 )
 SELECT t1, t2, c_xy, lift FROM l
-ORDER BY lift DESC, t1, t2 LIMIT 20
+ORDER BY lift DESC, t1, t2 LIMIT {tn}
 """
 
 
@@ -2076,11 +2119,9 @@ def _ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_KM_CTES`` arithmetic, the PQ stage is the SHARED
     ``_pq_train_parts`` generator over the residual CTE, the probe
     stage is ``_ANN_IVF_SQL``'s."""
-    import tempfile
-
     from mapreducekmean_spark.operators import pq
 
-    path = tempfile.mkdtemp(prefix="mrkm_ivfpq_contract_")
+    path = _contract_index_dir("ivfpq")
     pq.land_ivfpq_index(spark, sf_dir, path)
     return pq.ann_ivfpq_indexed(spark, sf_dir, path)
 
@@ -2233,7 +2274,7 @@ FROM documents
             lambda spark, sf_dir: dd.decontaminate_fuzzy(
                 tx.documents(spark, sf_dir)
             ),
-            _DECON_FUZZY_SQL,
+            _decon_fuzzy_sql(),
         ),
         Query(
             "dedup_substring_spans",
@@ -2432,25 +2473,35 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
-#: mirrors dedup.decontaminate_fuzzy (trigram overlap RATIO vs the
-#: same doc_id%20==0 eval slice; verdict is the integer compare
-#: 100*n_hits >= 20*n_grams so no float threshold enters the hash).
-_DECON_FUZZY_SQL = """
+def _decon_fuzzy_sql() -> str:
+    """Mirrors dedup.decontaminate_fuzzy (trigram overlap RATIO vs the
+    doc_id % eval_mod == 0 eval slice; verdict is the integer compare
+    100·n_hits ≥ tau·n_grams so no float threshold enters the hash).
+    Constants interpolate from the operator's own definitions — the
+    engine and the twin cannot desynchronize. ``g`` is MATERIALIZED:
+    the eval and training branches both read it."""
+    from mapreducekmean_spark.operators.dedup import (
+        DECON_EVAL_MOD as _EM,
+        DECON_FUZZY_NGRAM as _FN,
+        DECON_FUZZY_TAU_PCT as _TAU,
+    )
+
+    gjoin = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_FN))
+    return f"""
 WITH t AS (SELECT doc_id,
                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
-g AS (
+g AS MATERIALIZED (
   SELECT DISTINCT doc_id, md5(gram) AS h
   FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, len(toks) - 1),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' ||
-                       toks[i+2])) AS gram
-    FROM t WHERE len(toks) >= 3
+           unnest(list_transform(range(1, len(toks) - {_FN - 2}),
+                  i -> {gjoin})) AS gram
+    FROM t WHERE len(toks) >= {_FN}
   )
 ),
-ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
-tr AS (SELECT doc_id, h FROM g WHERE doc_id % 20 <> 0),
+ev AS (SELECT DISTINCT h FROM g WHERE doc_id % {_EM} = 0),
+tr AS (SELECT doc_id, h FROM g WHERE doc_id % {_EM} <> 0),
 agg AS (
   SELECT tr.doc_id,
          count(*) AS n_grams,
@@ -2462,13 +2513,13 @@ agg AS (
 SELECT doc_id, n_grams, n_hits,
        round(CAST(n_hits AS DOUBLE)
              / CAST(greatest(n_grams, 1) AS DOUBLE), 6) AS overlap_ratio,
-       (100 * n_hits >= 20 * n_grams AND n_grams > 0)
+       (100 * n_hits >= {_TAU} * n_grams AND n_grams > 0)
          AS contaminated_fuzzy
 FROM (
   SELECT d.doc_id,
          COALESCE(n_grams, 0) AS n_grams,
          COALESCE(n_hits, 0) AS n_hits
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+  FROM (SELECT doc_id FROM documents WHERE doc_id % {_EM} <> 0) d
   LEFT JOIN agg ON d.doc_id = agg.doc_id
 )
 """

@@ -840,8 +840,13 @@ def apply_substring_dedup(
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
+    # no broadcast hint: the span table is corpus-derived (one row per
+    # repeated island — O(corpus) on a boilerplate-heavy corpus, the
+    # exact workload this operator targets), so forcing a broadcast
+    # would be an unbounded driver collect at scale; AQE broadcasts it
+    # on its own whenever it is actually small (fixture scale always)
     kept = toks.join(
-        F.broadcast(spans),
+        spans,
         (F.col("doc_id") == F.col("s_doc_id"))
         & (F.col("pos") >= F.col("span_start"))
         & (F.col("pos") <= F.col("span_end")),

@@ -97,16 +97,36 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "dst_deg"
+            ),
         )
         .localCheckpoint()
     )
+    # enumerate each out-neighbor PAIR once, not twice: the closure
+    # edge b→c exists only when b precedes c in the same (deg, id)
+    # orientation order, so the (c, b) ordering of every wedge is dead
+    # weight — filtering here halves the m^1.5-bounded wedge set, the
+    # algorithm's largest intermediate
+    b_first = (F.col("bd") < F.col("cd")) | (
+        (F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c"))
+    )
     w = (
-        d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        d.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("dst_deg").alias("bd"),
+        )
         .join(
-            d.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            d.select(
+                F.col("src").alias("a"),
+                F.col("dst").alias("c"),
+                F.col("dst_deg").alias("cd"),
+            ),
             "a",
         )
-        .filter(F.col("b") != F.col("c"))
+        .filter((F.col("b") != F.col("c")) & b_first)
+        .select("a", "b", "c")
     )
     t = w.join(
         d.select(F.col("src").alias("b"), F.col("dst").alias("c")),

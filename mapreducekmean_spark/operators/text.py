@@ -580,20 +580,31 @@ def _mixture_rate() -> Column:
     return (src_idx % 4 + 1).cast("double") / 4.0
 
 
+def _coin_kept(rate: Column, full_rate: Column) -> Column:
+    """THE deterministic mixture coin, shared by every sampling
+    variant so the determinism-critical construction exists once:
+    keep iff the first 8 hex chars of md5(doc_id) fall under
+    floor(rate · 2³²), compared as FIXED-WIDTH lowercase hex (string
+    order == numeric order). ``full_rate`` must be true wherever
+    rate == 1.0 exactly — floor(2³²) does not fit the 8-hex-char
+    window (lpad would TRUNCATE '100000000' to '10000000', which
+    string-compares BELOW 'ffffffff'), so rate-1.0 keeps by branch,
+    never by threshold."""
+    thresh_hex = F.lpad(
+        F.lower(F.hex(F.floor(rate * F.lit(float(2**32))).cast("bigint"))),
+        8,
+        "0",
+    )
+    coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return full_rate | (coin_hex < thresh_hex)
+
+
 def mixture_kept_col() -> Column:
     """The mixture-sampling verdict as a bare scan-site EXPRESSION over
     (doc_id, source) — composable with ``filter`` so pipelines apply
     the mixture without a self-join."""
     src_idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
-    thresh_hex = F.lpad(
-        F.lower(
-            F.hex(F.floor(_mixture_rate() * F.lit(float(2**32))).cast("bigint"))
-        ),
-        8,
-        "0",
-    )
-    coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    return (src_idx % 4 == 3) | (coin_hex < thresh_hex)
+    return _coin_kept(_mixture_rate(), src_idx % 4 == 3)
 
 
 #: pack_sequences: target sequence length in tokens (stand-in for the
@@ -729,15 +740,22 @@ def term_lift_topk(
 
     Output: (t1, t2, c_xy, lift) — top_n by (lift desc, t1, t2)."""
     n_docs = docs.count()
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    ).distinct()
+    # localCheckpoint the shared stages: toks feeds BOTH the df count
+    # and the pairing input, and ft self-joins — without lineage
+    # truncation Spark plans each consumer as an independent subtree
+    # and the explode+distinct pipeline runs 3× (the
+    # minhash_candidate_pairs lesson, measured 2.4× there)
+    toks = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .localCheckpoint()
+    )
     df = (
         toks.groupBy("term")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= int(min_support))
     )
-    ft = toks.join(df.select("term"), "term")
+    ft = toks.join(df.select("term"), "term").localCheckpoint()
     a = ft.select("doc_id", F.col("term").alias("t1"))
     b = ft.select("doc_id", F.col("term").alias("t2"))
     pairs = (
@@ -821,20 +839,12 @@ def dataset_mixture_temp(docs: DataFrame) -> DataFrame:
             ).alias("rate"),
         )
     )
-    thresh_hex = F.lpad(
-        F.lower(
-            F.hex(F.floor(F.col("rate") * F.lit(float(2**32))).cast("bigint"))
-        ),
-        8,
-        "0",
-    )
-    coin_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return docs.join(F.broadcast(rates), "source").select(
         "doc_id",
         "source",
         "n_source",
         F.round("rate", 6).alias("target_frac"),
-        (
-            (F.col("n_source") == F.col("n_min")) | (coin_hex < thresh_hex)
+        _coin_kept(
+            F.col("rate"), F.col("n_source") == F.col("n_min")
         ).alias("kept"),
     )

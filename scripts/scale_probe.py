@@ -18,10 +18,22 @@ Usage: python scripts/scale_probe.py [--vecs 1000000] [--repl 16]
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
+
+
+def probe_tmpdir(prefix: str) -> str:
+    """mkdtemp + remove-at-exit: probe runs land multi-hundred-MB index
+    trees; without cleanup each invocation leaks one (observed: 1.5 GB
+    of mrkm_ret_ivf_* after six retrieval probes)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -439,7 +451,7 @@ def probe_sketch(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
         land_bm25_index,
     )
 
-    idx_dir = tempfile.mkdtemp(prefix="mrkm_bm25_idx_")
+    idx_dir = probe_tmpdir(prefix="mrkm_bm25_idx_")
     t0 = time.perf_counter()
     land_bm25_index(spark, big, "probe_bm25", idx_dir)
     t_land = time.perf_counter() - t0
@@ -1068,7 +1080,7 @@ def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     batch = spark.read.parquet(batch_path)
     n_batch = batch.count()
 
-    idx_dir = tempfile.mkdtemp(prefix="mrkm_inc_idx_")
+    idx_dir = probe_tmpdir(prefix="mrkm_inc_idx_")
     t0 = time.perf_counter()
     land_dedup_index(spark, corpus, "probe_inc", idx_dir)
     t_land = time.perf_counter() - t0
@@ -1134,7 +1146,7 @@ def probe_ivf(
             .parquet(f"{sfdir}/embeddings.parquet")
         )
 
-    idx = tempfile.mkdtemp(prefix="mrkm_ivf_idx_")
+    idx = probe_tmpdir(prefix="mrkm_ivf_idx_")
     t0 = time.perf_counter()
     land_ivf_index(spark, sfdir, idx, ncells=ncells)
     t_land = time.perf_counter() - t0
@@ -1188,7 +1200,7 @@ def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     cbs = pq.train_pq_codebooks(pts, 64)
     t_train = time.perf_counter() - t0
 
-    enc_dir = tempfile.mkdtemp(prefix="mrkm_pq_enc_")
+    enc_dir = probe_tmpdir(prefix="mrkm_pq_enc_")
     t0 = time.perf_counter()
     pq.pq_encode(pts, cbs).write.mode("overwrite").parquet(enc_dir)
     t_encode = time.perf_counter() - t0
@@ -1245,7 +1257,7 @@ def probe_ivfpq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
             .write.mode("overwrite")
             .parquet(f"{sfdir}/embeddings.parquet")
         )
-    idx = tempfile.mkdtemp(prefix="mrkm_ivfpq_idx_")
+    idx = probe_tmpdir(prefix="mrkm_ivfpq_idx_")
     t0 = time.perf_counter()
     land_ivfpq_index(spark, sfdir, idx, ncells=64)
     t_land = time.perf_counter() - t0
@@ -1318,11 +1330,11 @@ def probe_retrieval(
         ).alias("emb"),
     ).localCheckpoint()
 
-    bm25_dir = tempfile.mkdtemp(prefix="mrkm_ret_bm25_")
+    bm25_dir = probe_tmpdir(prefix="mrkm_ret_bm25_")
     t0 = time.perf_counter()
     land_bm25_index(spark, big, "probe_ret_bm25", bm25_dir)
     t_bm25_land = time.perf_counter() - t0
-    ivf_dir = tempfile.mkdtemp(prefix="mrkm_ret_ivf_")
+    ivf_dir = probe_tmpdir(prefix="mrkm_ret_ivf_")
     t0 = time.perf_counter()
     land_ivf_index_points(spark, vecs, ivf_dir, ncells=64)
     t_ivf_land = time.perf_counter() - t0
