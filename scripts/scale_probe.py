@@ -1007,6 +1007,91 @@ def probe_bpe(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+def probe_spans(spark, results: dict, n_docs: int = 500_000) -> None:
+    """Repeated-substring spans + apply at volume, self-verifying: 10%
+    of docs carry ONE shared 25-token boilerplate paragraph at a
+    hash-derived offset inside unique filler (filler tokens are
+    doc-unique by construction, so they can never form a repeated
+    20-gram). Expected: exactly one span per carrier doc, 6 grams per
+    span (25-20+1), 25 tokens wide — checked in-aggregate, and the
+    apply step must remove exactly 25 tokens from every carrier."""
+    from mapreducekmean_spark.operators.dedup import (
+        apply_substring_dedup,
+        repeated_ngram_spans,
+    )
+
+    boiler = " ".join(f"bp{i}" for i in range(25))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, "
+                    "CAST(pmod(xxhash64(id, 7), 20) + 5 AS INT)), "
+                    "j -> concat('u', id, 'x', j)))"
+                ),
+                F.lit(boiler),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 10), "
+                    "j -> concat('v', id, 'x', j)))"
+                ),
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 40), "
+                "j -> concat('u', id, 'x', j)))"
+            )
+        )
+        .alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(f"{BASE}/span_corpus")
+    docs = spark.read.parquet(f"{BASE}/span_corpus")
+    carriers = n_docs // 10
+    t0 = time.perf_counter()
+    chk = (
+        repeated_ngram_spans(docs)
+        .agg(
+            F.count("*").alias("spans"),
+            F.count_distinct("doc_id").alias("docs_hit"),
+            F.sum("n_grams").alias("grams"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "toks"
+            ),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert chk["spans"] == carriers == chk["docs_hit"], chk
+    assert chk["grams"] == 6 * carriers and chk["toks"] == 25 * carriers
+    results["substring_spans"] = {
+        "docs": n_docs,
+        "carrier_docs": carriers,
+        "spans": chk["spans"],
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+    t0 = time.perf_counter()
+    rm = (
+        apply_substring_dedup(docs)
+        .agg(
+            F.sum("n_removed").alias("removed"),
+            F.count("*").alias("rows"),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    assert rm["removed"] == 25 * carriers and rm["rows"] == n_docs, rm
+    results["substring_apply"] = {
+        "docs": n_docs,
+        "removed_tokens": int(rm["removed"]),
+        "sec": round(dt, 2),
+        "docs_per_sec": int(n_docs / dt),
+    }
+
+
 def probe_incdedup(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Incremental dedup's scale claim, measured: per-batch work scales
     with the BATCH, never the landed corpus. Corpus construction reuses
@@ -1439,6 +1524,7 @@ def main() -> None:
         "pipeline",
         "graph",
         "bpe",
+        "spans",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1482,6 +1568,8 @@ def main() -> None:
         probe_graph(spark, results, args.sf_dir)
     if "bpe" in only:
         probe_bpe(spark, results, args.sf_dir)
+    if "spans" in only:
+        probe_spans(spark, results)
     print(json.dumps({"scale_probe": results}))
 
 
