@@ -797,6 +797,126 @@ def _bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(tx.documents(spark, sf_dir))
 
 
+def _bpe_dict_parts(
+    n_merges: int, docs: str = "documents"
+) -> tuple[list[str], str, str]:
+    """CTE parts replaying the full distributed BPE training loop
+    (operators/bpe.py: Sennrich greedy-left merge, lexicographic
+    tie-break on the pair, ``MIN_PAIR_COUNT`` early stop) as
+    ``n_merges`` unrolled SQL stages — the ``_pq_train_parts``
+    precedent applied to an iterative string algorithm. Each stage:
+    (1) weighted adjacent-pair counts over the previous dict, best
+    pair by (w DESC, a ASC, b ASC) with the ``w >= MIN_PAIR_COUNT``
+    stop folded in as an empty-CTE no-op; (2) greedy-left apply —
+    positions matching (a, b) conflict only inside runs of a repeated
+    symbol (a = b), so keeping alternating matches from the left of
+    each consecutive-position run is EXACTLY the fold in
+    ``bpe._apply_merge`` (the 'a a a' overlap case is pinned in
+    tests/test_bpe.py); a kept match emits a||b and suppresses its
+    successor position. Dict CTEs are MATERIALIZED (each is referenced
+    twice — plain CTE inlining would replay training 2^n times, the
+    round-7 k_core lesson). Cost is dict-bound, never corpus-bound:
+    the fixture vocabulary is 31 words, so 40 stages are milliseconds.
+
+    Returns ``(parts, final_dict_cte, merges_used_expr)``."""
+    from mapreducekmean_spark.operators.bpe import MIN_PAIR_COUNT
+
+    min_pair = int(MIN_PAIR_COUNT)
+    parts = [
+        f"""
+bpe_d0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         list_concat(regexp_extract_all(word, '.'), ['</w>']) AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          AS word FROM {docs})
+  GROUP BY word)"""
+    ]
+    for i in range(1, int(n_merges) + 1):
+        p = i - 1
+        parts.append(f"""
+bpe_b{i} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT s AS a, s2 AS b, sum(cnt) AS w FROM (
+      SELECT word, cnt, j, s,
+             lead(s) OVER (PARTITION BY word ORDER BY j) AS s2
+      FROM (SELECT word, cnt,
+                   unnest(range(1, len(syms) + 1)) AS j,
+                   unnest(syms) AS s
+            FROM bpe_d{p}))
+    WHERE s2 IS NOT NULL GROUP BY s, s2)
+  WHERE w >= {min_pair}
+  ORDER BY w DESC, a ASC, b ASC LIMIT 1)""")
+        parts.append(f"""
+bpe_r{i} AS (
+  SELECT word, list(sym ORDER BY j) AS syms FROM (
+    SELECT word, j,
+           CASE WHEN keep_m THEN s || mb ELSE s END AS sym,
+           COALESCE(lag(keep_m) OVER (PARTITION BY word ORDER BY j),
+                    FALSE) AS prev_kept
+    FROM (
+      SELECT word, j, s, mb,
+             CASE WHEN m THEN
+               (row_number() OVER (PARTITION BY word, grp ORDER BY j)
+                % 2 = 1)
+             ELSE FALSE END AS keep_m
+      FROM (
+        SELECT word, j, s, mb, m,
+               CASE WHEN m THEN j - (row_number() OVER (
+                 PARTITION BY word, m ORDER BY j)) END AS grp
+        FROM (
+          SELECT x.word, x.j, x.s,
+                 (x.s = bb.a AND x.s2 = bb.b) AS m, bb.b AS mb
+          FROM (
+            SELECT word, j, s,
+                   lead(s) OVER (PARTITION BY word ORDER BY j) AS s2
+            FROM (SELECT word,
+                         unnest(range(1, len(syms) + 1)) AS j,
+                         unnest(syms) AS s
+                  FROM bpe_d{p})) x
+          CROSS JOIN bpe_b{i} bb))))
+  WHERE NOT prev_kept
+  GROUP BY word)""")
+        parts.append(f"""
+bpe_d{i} AS MATERIALIZED (
+  SELECT d.word, d.cnt, COALESCE(r.syms, d.syms) AS syms
+  FROM bpe_d{p} d LEFT JOIN bpe_r{i} r USING (word))""")
+    used = " + ".join(
+        f"(SELECT count(*) FROM bpe_b{i})"
+        for i in range(1, int(n_merges) + 1)
+    )
+    return parts, f"bpe_d{int(n_merges)}", f"({used})"
+
+
+def _bpe_token_stats_sql(n_merges: int | None = None) -> str:
+    """``bpe.bpe_token_stats`` as one DuckDB statement: replay training
+    via ``_bpe_dict_parts``, then per-doc token counts are a join of
+    the corpus's words against the final dict's segment counts.
+    All-integer output → value-hash exact; the twin is additionally
+    pinned equal to a pure-Python Sennrich reference in
+    tests/test_bpe.py, so Spark, DuckDB, and plain Python agree."""
+    from mapreducekmean_spark.operators.bpe import BPE_MERGES
+
+    n = int(BPE_MERGES if n_merges is None else n_merges)
+    parts, final, used = _bpe_dict_parts(n)
+    return f"""
+WITH {",".join(parts)},
+enc AS (SELECT word, len(syms) AS tpw FROM {final}),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_words, sum(tpw) AS n_tokens
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS word
+        FROM documents) w
+  JOIN enc USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST({used} AS BIGINT) AS n_merges_used
+FROM documents d LEFT JOIN perdoc USING (doc_id)
+"""
+
+
 #: mirrors text.dataset_mixture_temp: per-source keep rate
 #: sqrt(tok_min/tok_source) over TOKEN totals — sqrt and the division
 #: are IEEE-correctly-rounded so both engines derive the bit-identical
@@ -842,16 +962,16 @@ def _queries_text() -> list[Query]:
             ),
             _DATASET_MIXTURE_TEMP_SQL,
         ),
-        # rows-only BY DESIGN (the kmeans_mllib precedent): the merge
-        # table is corpus-derived state, so a DuckDB twin would have to
-        # replay the full 40-round training loop; training and the
-        # greedy merge are instead pinned EXACTLY against a pure-Python
-        # Sennrich reference (tests/test_bpe.py) — merges, final
-        # segmentation, and per-doc counts all equal.
+        # FULL twin since round 8: the DuckDB side replays the whole
+        # 40-round training loop as unrolled SQL stages
+        # (_bpe_dict_parts — the _pq_train_parts precedent), so the
+        # corpus-derived merge table is no longer a rows-only excuse;
+        # training and the greedy merge are ADDITIONALLY pinned against
+        # a pure-Python Sennrich reference (tests/test_bpe.py).
         Query(
             "bpe_token_stats",
             lambda spark, sf_dir: _bpe_token_stats_q(spark, sf_dir),
-            None,
+            _bpe_token_stats_sql(),
         ),
         Query(
             "word_count",
