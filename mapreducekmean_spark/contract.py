@@ -917,6 +917,60 @@ FROM documents d LEFT JOIN perdoc USING (doc_id)
 """
 
 
+def _pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.py:pack_sequences_bpe — sequence packing measured
+    in REAL BPE tokenizer tokens (train on the corpus, count per doc,
+    drive the shared two-level prefix-sum packer)."""
+    from mapreducekmean_spark.operators.bpe import pack_sequences_bpe
+
+    return pack_sequences_bpe(tx.documents(spark, sf_dir))
+
+
+def _pack_sequences_bpe_sql() -> str:
+    """``bpe.pack_sequences_bpe`` as one DuckDB statement: replay BPE
+    training (``_bpe_dict_parts``), derive per-doc REAL token counts,
+    then the naive single-window prefix-sum pack — the deliberate
+    implementation-independence check against Spark's two-level
+    distributed prefix sum (the ``pack_sequences`` twin's stance).
+    Budget and merge count interpolated from the operator constants."""
+    from mapreducekmean_spark.operators.bpe import BPE_MERGES
+
+    b = int(tx.PACK_BUDGET)
+    parts, final, _ = _bpe_dict_parts(int(BPE_MERGES))
+    return f"""
+WITH {",".join(parts)},
+enc AS (SELECT word, len(syms) AS tpw FROM {final}),
+t AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(pd.n_tok, 0) AS BIGINT) AS n_tok
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(tpw) AS n_tok
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS word
+          FROM documents) w
+    JOIN enc USING (word) GROUP BY doc_id) pd USING (doc_id)
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, source, n_tok, start_tok,
+       CASE WHEN n_tok > 0 THEN start_tok // {b} END AS first_seq,
+       CASE WHEN n_tok > 0 THEN (start_tok + n_tok - 1) // {b} END
+         AS last_seq,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (start_tok + n_tok - 1) // {b} - start_tok // {b} + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs,
+       CASE WHEN n_tok > 0 THEN start_tok % {b} END AS seq_offset
+FROM c
+"""
+
+
 #: mirrors text.dataset_mixture_temp: per-source keep rate
 #: sqrt(tok_min/tok_source) over TOKEN totals — sqrt and the division
 #: are IEEE-correctly-rounded so both engines derive the bit-identical
@@ -1008,6 +1062,11 @@ def _queries_text() -> list[Query]:
                 tx.documents(spark, sf_dir)
             ),
             _PACK_SEQUENCES_SQL,
+        ),
+        Query(
+            "pack_sequences_bpe",
+            _pack_sequences_bpe_q,
+            _pack_sequences_bpe_sql(),
         ),
         Query(
             "doc_winnow",

@@ -639,17 +639,29 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     naive single window, a deliberate implementation-independence
     check — matches value-hash exact.
     """
+    n_tok = F.size(tokens("text")).cast("bigint")
+    return pack_from_counts(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")), budget
+    )
+
+
+def pack_from_counts(counts: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """The packing engine behind ``pack_sequences``, factored over an
+    explicit ``(doc_id, source, n_tok)`` frame so ANY tokenizer's
+    counts can drive it — the whitespace/regex counts (``pack_sequences``)
+    or real BPE tokenizer counts (``bpe.pack_sequences_bpe``). One copy
+    of the two-level distributed prefix sum; the cut arithmetic stays in
+    ``seq_coords`` (see ``pack_sequences`` for the scale rationale)."""
     from pyspark.sql import Window
 
-    n_tok = F.size(tokens("text")).cast("bigint")
     # floor (not truncate-toward-zero) keeps every bucket exactly
     # PACK_BUCKET_DOCS ids wide even for negative doc_ids; the double
     # division inside floor() is exact for |doc_id| < 2^53 — petascale
     # headroom the docstring's bounded-window guarantee relies on
-    d = docs.select(
+    d = counts.select(
         "doc_id",
         "source",
-        n_tok.alias("n_tok"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
         F.floor(F.col("doc_id") / PACK_BUCKET_DOCS)
         .cast("bigint")
         .alias("bkt"),

@@ -107,3 +107,57 @@ def test_bpe_token_stats_counts_encoded_tokens(spark):
     words0 = re.findall(r"[a-z0-9]+", texts[0].lower())
     chars0 = sum(len(w) + 1 for w in words0)  # +1 end-of-word sentinel
     assert out[0][1] < chars0
+
+
+def test_pack_sequences_bpe_matches_naive_reference(spark):
+    """Packing over BPE counts pinned against a pure-Python naive pack
+    (sequential prefix sum per source in doc_id order over the
+    reference tokenizer's counts) — independent of both the two-level
+    prefix sum AND the distributed trainer."""
+    from mapreducekmean_spark.operators.bpe import pack_sequences_bpe
+    from mapreducekmean_spark.operators.text import PACK_BUDGET
+
+    texts = [
+        "test testing tested tests rest rested",
+        "test rest resting testing tests",
+        "aaaa aa aaa test",
+        "",
+        "walk walked walking walks rest",
+        "zq zq zq test tests",
+    ]
+    docs = spark.createDataFrame(
+        [
+            (i, t, f"src{i % 2}")
+            for i, t in enumerate(texts)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    _, ref_dict, _ = _ref_bpe(texts, 40)
+    tpw = {w: len(s) for w, s in ref_dict.items()}
+    want = {}
+    offset = {}
+    b = PACK_BUDGET
+    for did, t in enumerate(texts):
+        src = f"src{did % 2}"
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        n_tok = sum(tpw[w] for w in words)
+        start = offset.get(src, 0)
+        offset[src] = start + n_tok
+        if n_tok > 0:
+            fs, ls = start // b, (start + n_tok - 1) // b
+            want[did] = (src, n_tok, start, fs, ls, ls - fs + 1, start % b)
+        else:
+            want[did] = (src, 0, start, None, None, 0, None)
+    got = {
+        r.doc_id: (
+            r.source,
+            r.n_tok,
+            r.start_tok,
+            r.first_seq,
+            r.last_seq,
+            r.n_seqs,
+            r.seq_offset,
+        )
+        for r in pack_sequences_bpe(docs).collect()
+    }
+    assert got == want
