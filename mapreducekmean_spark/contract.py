@@ -999,6 +999,38 @@ FROM documents d JOIN r USING (source)
 """
 
 
+def _shuffle_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/export.py:shuffle_export — deterministic seeded global
+    shuffle rank + round-robin shard for training export, computed with
+    the two-level bucketed rank (never a global window)."""
+    from mapreducekmean_spark.operators.export import shuffle_export
+
+    return shuffle_export(tx.documents(spark, sf_dir))
+
+
+def _shuffle_export_sql() -> str:
+    """Naive single-window global rank — the implementation-independence
+    check against Spark's two-level bucketed rank. Seed and shard count
+    interpolated from the operator constants."""
+    from mapreducekmean_spark.operators.export import (
+        N_SHARDS,
+        SHUFFLE_SEED,
+    )
+
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5('{int(SHUFFLE_SEED)}|' || CAST(doc_id AS VARCHAR)),
+                    doc_id) - 1 AS BIGINT) AS shuffle_rank
+  FROM documents)
+SELECT doc_id, shuffle_rank,
+       CAST(shuffle_rank % {int(N_SHARDS)} AS BIGINT) AS shard,
+       CAST(shuffle_rank // {int(N_SHARDS)} AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
@@ -1068,6 +1100,7 @@ def _queries_text() -> list[Query]:
             _pack_sequences_bpe_q,
             _pack_sequences_bpe_sql(),
         ),
+        Query("shuffle_export", _shuffle_export_q, _shuffle_export_sql()),
         Query(
             "doc_winnow",
             lambda spark, sf_dir: tx.winnow_fingerprint(

@@ -1,0 +1,107 @@
+"""Training-data export: deterministic global shuffle and sharding.
+
+A pretraining run wants the corpus in pseudo-random order, split into
+a fixed number of shard files, and it wants that order REPRODUCIBLE —
+re-running the export (or re-running it after a resume) must place
+every document at the same (shard, position). The reference engine has
+nothing like this (its 3 Java files run one K-Means job; see
+KMeans.java); this is part of the engine's LLM-pipeline surface.
+
+Scale design — the naive formulation is a global ``row_number()`` over
+``ORDER BY md5(seed || doc_id)``, a single-partition window that dies
+at 100 TB. The implementation is the same two-level trick as
+``text.pack_sequences``: the md5 key's leading 4 hex chars form 65 536
+buckets (a scan-site projection, no shuffle beyond the one the
+per-bucket aggregate needs), per-bucket counts are a 65 536-row table
+whose running offsets are a driver-scale window, and each document's
+global rank is its bucket offset plus a within-bucket ``row_number``
+whose partitions hold ~n/65 536 rows. Because hex digits sort the same
+lexicographically and numerically, (bucket, key) order IS global key
+order, so the distributed rank equals the naive one — the DuckDB twin
+uses the naive single window as the implementation-independence check.
+
+Spark's physical strategy for the final sort-by-key write would be a
+range-partitioned sort (sample-based partitioner); md5 keys are
+uniform, so there is no skew by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default shuffle seed and shard count for the declared query; a real
+#: export picks its own (both are plumbed through).
+SHUFFLE_SEED = 7
+N_SHARDS = 16
+
+#: leading hex chars of the md5 key used as the coarse rank bucket;
+#: 4 chars = 65 536 buckets bounds within-bucket window partitions at
+#: corpus/65 536 rows while the offsets table stays driver-scale.
+SHUFFLE_BUCKET_CHARS = 4
+
+
+def shuffle_export(
+    docs: DataFrame,
+    seed: int = SHUFFLE_SEED,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a deterministic global shuffle rank and a
+    round-robin shard: ``shuffle_rank`` is the document's position in
+    ``ORDER BY md5(seed || '|' || id), id`` (the id tie-break makes the
+    order total even under md5 collisions), ``shard = rank % n_shards``
+    and ``pos_in_shard = rank // n_shards``. Round-robin keeps shards
+    balanced to within one row — no shard skew regardless of corpus
+    size. Output: ``(doc_id, shuffle_rank, shard, pos_in_shard)``.
+
+    A writer partitions by ``shard`` and sorts by ``pos_in_shard``
+    within each; both are pure functions of (seed, id), so a resumed or
+    re-run export reproduces the identical layout.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col(id_col).cast("string")
+        )
+    )
+    d = docs.select(
+        F.col(id_col),
+        key.alias("skey"),
+    ).withColumn(
+        "bkt",
+        F.conv(F.substring("skey", 1, SHUFFLE_BUCKET_CHARS), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wd = (
+        Window.partitionBy("bkt")
+        .orderBy("skey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank = (F.col("off") + F.coalesce(F.count("*").over(wd), F.lit(0))).cast(
+        "bigint"
+    )
+    ns = F.lit(int(n_shards)).cast("bigint")
+    return (
+        d.join(F.broadcast(offsets), "bkt")
+        .select(F.col(id_col), rank.alias("shuffle_rank"))
+        .select(
+            id_col,
+            "shuffle_rank",
+            (F.col("shuffle_rank") % ns).alias("shard"),
+            F.floor(F.col("shuffle_rank") / ns)
+            .cast("bigint")
+            .alias("pos_in_shard"),
+        )
+    )

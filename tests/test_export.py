@@ -1,0 +1,105 @@
+"""Training export (operators/export.py): the two-level bucketed rank
+must be a permutation equal to the naive global order, shards must be
+round-robin balanced, and the whole layout must be a pure function of
+(seed, id)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mapreducekmean_spark.operators.export import (
+    N_SHARDS,
+    shuffle_export,
+)
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "doc_id bigint, text string"
+    )
+
+
+def _naive(ids, seed, n_shards):
+    keyed = sorted(
+        (hashlib.md5(f"{seed}|{i}".encode()).hexdigest(), i) for i in ids
+    )
+    return {
+        i: (r, r % n_shards, r // n_shards)
+        for r, (_, i) in enumerate(keyed)
+    }
+
+
+def test_rank_matches_naive_global_order(spark):
+    ids = list(range(0, 400, 3)) + [10_000_019, 2**40 + 5]
+    got = {
+        r.doc_id: (r.shuffle_rank, r.shard, r.pos_in_shard)
+        for r in shuffle_export(_docs(spark, ids), seed=7).collect()
+    }
+    assert got == _naive(ids, 7, N_SHARDS)
+
+
+def test_shards_balanced_and_rank_is_permutation(spark):
+    n = 501  # deliberately not a multiple of the shard count
+    rows = shuffle_export(_docs(spark, range(n)), seed=3).collect()
+    ranks = sorted(r.shuffle_rank for r in rows)
+    assert ranks == list(range(n))
+    per_shard = {}
+    for r in rows:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+    assert max(per_shard.values()) - min(per_shard.values()) <= 1
+    # positions within each shard are dense from 0
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_seed_changes_order_but_not_membership(spark):
+    ids = list(range(200))
+    a = {
+        r.doc_id: r.shuffle_rank
+        for r in shuffle_export(_docs(spark, ids), seed=1).collect()
+    }
+    b = {
+        r.doc_id: r.shuffle_rank
+        for r in shuffle_export(_docs(spark, ids), seed=2).collect()
+    }
+    assert set(a) == set(b) == set(ids)
+    assert a != b  # a different seed is a different permutation
+    # and the same seed reproduces the identical layout (resume safety)
+    a2 = {
+        r.doc_id: r.shuffle_rank
+        for r in shuffle_export(_docs(spark, ids), seed=1).collect()
+    }
+    assert a == a2
+
+
+def test_custom_id_column(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(50)], "uid string, x bigint"
+    )
+    rows = shuffle_export(df, seed=5, n_shards=4, id_col="uid").collect()
+    assert sorted(r.shuffle_rank for r in rows) == list(range(50))
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+
+
+def test_writer_layout_partitions_by_shard(spark, tmp_path):
+    """The export layout is writable as shard-partitioned parquet and
+    reads back with every shard's rows dense in pos_in_shard."""
+    out = shuffle_export(_docs(spark, range(100)), seed=9, n_shards=4)
+    path = str(tmp_path / "shards")
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    dense = (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("pos_in_shard").alias("mx"),
+            F.min("pos_in_shard").alias("mn"),
+        )
+        .collect()
+    )
+    for r in dense:
+        assert (r.mn, r.mx) == (0, r.n - 1)
