@@ -1031,6 +1031,22 @@ FROM r
 """
 
 
+def _domain_cap_sql() -> str:
+    """``tx.domain_cap`` twin — naive rank window + QUALIFY (DuckDB has
+    no group-limit rewrite to hide behind, which is the point: same
+    answer from the unoptimized formulation). Cap interpolated."""
+    return f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= {int(tx.DOMAIN_CAP_N)}
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
@@ -1101,6 +1117,11 @@ def _queries_text() -> list[Query]:
             _pack_sequences_bpe_sql(),
         ),
         Query("shuffle_export", _shuffle_export_q, _shuffle_export_sql()),
+        Query(
+            "domain_cap",
+            lambda spark, sf_dir: tx.domain_cap(tx.documents(spark, sf_dir)),
+            _domain_cap_sql(),
+        ),
         Query(
             "doc_winnow",
             lambda spark, sf_dir: tx.winnow_fingerprint(

@@ -860,3 +860,39 @@ def dataset_mixture_temp(docs: DataFrame) -> DataFrame:
             F.col("rate"), F.col("n_source") == F.col("n_min")
         ).alias("kept"),
     )
+
+
+#: domain_cap: per-source document budget for the declared query (the
+#: fixture has 25 docs/source at every sf, so a cap of 15 bites) and
+#: the deterministic-order namespace.
+DOMAIN_CAP_N = 15
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP_N) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/C4-style curation rule
+    that no single source may dominate the corpus: keep at most ``cap``
+    documents per source, chosen by a deterministic md5 order (a seeded
+    uniform sample without replacement, reproducible across runs and
+    engines — the ``dataset_mixture`` coin's discipline applied to
+    top-k selection). Output: the kept ``(doc_id, source, rk)`` rows,
+    ``rk`` the document's 1-based rank within its source.
+
+    Scale shape: a rank window + ``rk <= cap`` filter is exactly the
+    pattern Spark's WindowGroupLimit rewrite turns into a PARTIAL
+    top-k per group on the map side — every task prunes to ``cap``
+    rows per source it sees BEFORE the shuffle, so a mega-domain costs
+    tasks × cap intermediate rows, never its full row count (pinned in
+    test_plans.py). The reference engine has no curation surface; the
+    rule itself is public (Penedo et al. 2023, RefinedWeb).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= int(cap))
+    )

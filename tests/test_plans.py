@@ -507,3 +507,30 @@ def test_bm25_indexed_query_reads_only_its_buckets(spark, sf_small, tmp_path):
     ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert ms, plan
     assert all(int(a) < int(b) for a, b in ms), ms
+
+
+def test_domain_cap_partial_group_limit_before_shuffle(spark, sf_small):
+    """domain_cap's rank-filter must trigger Spark's WindowGroupLimit
+    rewrite with a PARTIAL pass before the exchange — every map task
+    prunes to cap rows per source it sees, so a mega-domain's shuffle
+    volume is tasks x cap, never its row count."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["domain_cap"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    # two WindowGroupLimit nodes (Partial + Final), the first upstream
+    # of the exchange: in the formatted tree the deepest node prints
+    # last, so the partial one appears AFTER the Exchange line.
+    assert plan.count("WindowGroupLimit") >= 2
+    exchange_pos = plan.find("Exchange")
+    partial_pos = plan.rfind("WindowGroupLimit")
+    assert 0 <= exchange_pos < partial_pos
+
+
+def test_shuffle_export_broadcasts_bucket_offsets(spark, sf_small):
+    """shuffle_export's rank join must broadcast the 65536-row offsets
+    table; the corpus side shuffles exactly once (by rank bucket)."""
+    from mapreducekmean_spark.plans import has_broadcast_join
+
+    df = REG["shuffle_export"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
