@@ -3490,9 +3490,114 @@ GROUP BY event_type
 """
 
 
+def _cdc_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cdc.py:orders_cdc_snapshot — MERGE INTO semantics
+    (matched-update / matched-delete / not-matched-insert, last-write-
+    wins per key) applied to the orders snapshot with a deterministic
+    synthetic change batch. Base is never shuffled: anti-join out the
+    changed keys, union the upserts."""
+    from mapreducekmean_spark.operators.cdc import orders_cdc_snapshot
+    from mapreducekmean_spark.sources import load_table
+
+    return orders_cdc_snapshot(load_table(spark, sf_dir, "orders"))
+
+
+def _cdc_merge_sql() -> str:
+    """The MERGE twin: same synthetic batch, max_by(seq) collapse,
+    anti-join + union. Mods and cent bumps interpolated from the
+    operator constants."""
+    from mapreducekmean_spark.operators import cdc
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderstatus
+  FROM orders),
+changes AS (
+  SELECT o_orderkey, 1 AS seq, 'D' AS op, o_custkey,
+         CAST(NULL AS BIGINT) AS price_cents,
+         CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM base WHERE o_orderkey % {cdc.DELETE_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'U', o_custkey,
+         price_cents + {cdc.UPDATE_BUMP_CENTS}, 'F'
+  FROM base
+  WHERE o_orderkey % {cdc.UPDATE_MOD} = 0
+    AND o_orderkey % {cdc.DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_custkey,
+         price_cents + {cdc.SECOND_BUMP_CENTS}, 'P'
+  FROM base
+  WHERE o_orderkey % {cdc.SECOND_UPDATE_MOD} = 0
+    AND o_orderkey % {cdc.DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {cdc.INSERT_KEY_OFFSET}, 1, 'I', o_custkey,
+         price_cents, 'O'
+  FROM base
+  WHERE o_orderkey % {cdc.INSERT_MOD} = 0
+    AND o_orderkey % {cdc.UPDATE_MOD} <> 0
+    AND o_orderkey % {cdc.DELETE_MOD} <> 0),
+final AS (
+  SELECT o_orderkey,
+         max_by(op, seq) AS op,
+         max_by(o_custkey, seq) AS o_custkey,
+         max_by(price_cents, seq) AS price_cents,
+         max_by(o_orderstatus, seq) AS o_orderstatus
+  FROM changes GROUP BY o_orderkey)
+SELECT b.o_orderkey, b.o_custkey, b.price_cents, b.o_orderstatus
+FROM base b ANTI JOIN final f ON b.o_orderkey = f.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_custkey, price_cents, o_orderstatus
+FROM final WHERE op <> 'D'
+"""
+
+
+def _scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cdc.py:scd2_history — type-2 validity segments of each
+    user's event_type stream (lag-flag + running-sum run collapse, two
+    user-partitioned windows)."""
+    from mapreducekmean_spark.operators.cdc import scd2_history
+
+    return scd2_history(ev.events(spark, sf_dir))
+
+
+_SCD2_HISTORY_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT *,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+  FROM flagged
+),
+segs AS (
+  SELECT user_id, seg_id,
+         min(event_type) AS status,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+         count(*) AS n_events
+  FROM seg GROUP BY user_id, seg_id
+)
+SELECT user_id, seg_id, status,
+       start_us AS valid_from_us,
+       lead(start_us) OVER ws AS valid_to_us,
+       lead(start_us) OVER ws IS NULL AS is_current,
+       n_events
+FROM segs WINDOW ws AS (PARTITION BY user_id ORDER BY seg_id)
+"""
+
+
 def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
+        Query("cdc_merge", _cdc_merge_q, _cdc_merge_sql()),
+        Query("scd2_history", _scd2_history_q, _SCD2_HISTORY_SQL),
         Query(
             "stream_sessions_closed", _closed_sessions, _CLOSED_SESSIONS_SQL
         ),
