@@ -1851,6 +1851,69 @@ WHERE rnk <= 3
 """
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py:ann_recall — recall@3 of the IVF probe
+    path vs the exact brute-force top-3: the index-quality evaluation,
+    integer hit counts + one IEEE division."""
+    return sim.ann_recall(spark, sf_dir)
+
+
+_ANN_RECALL_SQL = f"""
+{_KM_CTES},
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts WHERE vec_id < {sim.N_QUERIES}),
+bsims AS (
+  SELECT q.q_id, p.vec_id, {_cos_expr("q.q_emb", "p.emb")} AS sim_raw
+  FROM q JOIN pts p ON p.vec_id != q.q_id
+),
+brute AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+    FROM bsims
+  ) WHERE rnk <= 3
+),
+qd AS (
+  SELECT q.q_id, q.q_emb, c.cluster_id AS cell,
+         list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> (q.q_emb[i] - c.emb[i]) * (q.q_emb[i] - c.emb[i]))) AS dist
+  FROM q CROSS JOIN init c
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS pr
+    FROM qd
+  ) WHERE pr <= {sim.N_PROBE}
+),
+cands AS (
+  SELECT pr.q_id, pr.q_emb, a.vec_id, p.emb
+  FROM probes pr
+  JOIN assign a ON a.cluster_id = pr.cell
+  JOIN pts p USING (vec_id)
+  WHERE a.vec_id != pr.q_id
+),
+isims AS (
+  SELECT q_id, vec_id, {_cos_expr("q_emb", "emb")} AS sim_raw FROM cands
+),
+ivf AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+    FROM isims
+  ) WHERE rnk <= 3
+),
+hit AS (
+  SELECT b.q_id, count(*) AS n_hit
+  FROM ivf i JOIN brute b USING (q_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT qq.q_id,
+       CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(3 AS BIGINT) AS k,
+       round(CAST(coalesce(hit.n_hit, 0) AS BIGINT) / 3, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM brute) qq LEFT JOIN hit USING (q_id)
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(spark, sf_dir)
 
@@ -2486,6 +2549,7 @@ FROM documents
         Query("dedup_simhash", _simhash, _simhash_sql()),
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
         Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
+        Query("ann_recall", _ann_recall, _ANN_RECALL_SQL),
         Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
             "ann_lsh",

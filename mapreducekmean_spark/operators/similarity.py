@@ -945,3 +945,42 @@ def ann_quantized_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    nprobe: int = N_PROBE,
+    ncells: int = km.DEFAULT_K,
+) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force
+    baseline — the evaluation every ANN deployment runs before trusting
+    an index: per query, ``n_hit`` = |IVF top-k ∩ exact top-k| and
+    ``recall = n_hit / k``. Both rank sets are deterministic (sim desc,
+    vec_id tie-break), so the intersection is integer-exact and the one
+    IEEE division cross-hashes.
+
+    Scale shape: the exact side is the broadcast-query brute pass (the
+    priced baseline — an evaluation runs it over a SAMPLE of queries,
+    never the serving batch), the approx side probes cells by layout;
+    the intersection is a (q_id, neighbor_id) hash join between two
+    k·|queries|-row frames — driver-scale either way.
+    """
+    exact = cosine_topk(spark, sf_dir, k=k).select("q_id", "neighbor_id")
+    approx = ivf_topk(
+        spark, sf_dir, k=k, nprobe=nprobe, ncells=ncells
+    ).select("q_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("q_id").distinct()
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        n_hit.alias("n_hit"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.round(n_hit / F.lit(int(k)), 6).alias("recall"),
+    )

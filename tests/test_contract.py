@@ -73,6 +73,27 @@ def test_ann_recall_beats_random(spark, sf_oracle, name, floor):
     assert rec >= floor, rec
 
 
+def test_ann_recall_full_probe_is_exact(spark, sf_oracle):
+    """``ann_recall`` ground-truthing: probing EVERY cell makes IVF the
+    brute-force scan (all candidates considered), so recall@k must be
+    exactly 1.0 for every query; recall is also monotone in nprobe."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import ann_recall
+
+    full = ann_recall(spark, sf_oracle, nprobe=km.DEFAULT_K).collect()
+    assert full and all(r.recall == 1.0 for r in full)
+    lo = {
+        r.q_id: r.n_hit
+        for r in ann_recall(spark, sf_oracle, nprobe=1).collect()
+    }
+    mid = {
+        r.q_id: r.n_hit
+        for r in ann_recall(spark, sf_oracle, nprobe=2).collect()
+    }
+    assert set(lo) == set(mid)
+    assert all(lo[q] <= mid[q] for q in lo)
+
+
 def test_capped_range_join_exact_below_cap(spark, sf_oracle):
     """The capped range join's documented contract: identical to the
     uncapped join whenever no (user, bucket) exceeds the view cap —
