@@ -1047,9 +1047,58 @@ WHERE rk <= {int(tx.DOMAIN_CAP_N)}
 """
 
 
+def _doc_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py:doc_classifier — corpus-trained unigram
+    classifier (count-trained fasttext shape): tf-weighted positive-df
+    ratio, integer sums, one IEEE division, integer cross-multiplied
+    prior comparison."""
+    return tx.doc_classifier(tx.documents(spark, sf_dir))
+
+
+def _doc_classifier_sql() -> str:
+    from mapreducekmean_spark.operators.text import CLF_POSITIVE_LANG
+
+    return f"""
+WITH td AS (
+  SELECT doc_id,
+         CAST(lang = '{CLF_POSITIVE_LANG}' AS BIGINT) AS pos,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM td GROUP BY 1, 2
+),
+dft AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df_all,
+         CAST(sum(pos) AS BIGINT) AS df_pos
+  FROM (SELECT DISTINCT doc_id, pos, term FROM td)
+  GROUP BY term
+),
+prior AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(lang = '{CLF_POSITIVE_LANG}' AS BIGINT)) AS BIGINT)
+           AS n_pos
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(tf.tf * dft.df_pos) AS BIGINT) AS clf_num,
+         CAST(sum(tf.tf * dft.df_all) AS BIGINT) AS clf_den
+  FROM tf JOIN dft USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, clf_num, clf_den,
+       round(clf_num / clf_den, 6) AS clf_score,
+       clf_num * prior.n_docs > clf_den * prior.n_pos AS pred_pos
+FROM scored CROSS JOIN prior
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
+        Query("doc_classifier", _doc_classifier_q, _doc_classifier_sql()),
         Query(
             "dataset_mixture",
             lambda spark, sf_dir: tx.dataset_mixture(

@@ -896,3 +896,74 @@ def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP_N) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= int(cap))
     )
+
+
+#: positive class for the corpus-trained document classifier.
+CLF_POSITIVE_LANG = "en"
+
+
+def doc_classifier(
+    docs: DataFrame, positive: str = CLF_POSITIVE_LANG
+) -> DataFrame:
+    """Corpus-trained unigram document classifier — the fasttext shape
+    trained by COUNTING, not SGD, so it stays engine-exact: each term's
+    weight is its document frequency inside the positive class
+    (``lang == positive``) vs overall, and a document's score is the
+    tf-weighted ratio ``Σ tf·df_pos / Σ tf·df_all`` — integer sums with
+    ONE IEEE division at the end (the ``term_lift`` discipline; a
+    log-odds variant would put ln() in the hash). The prediction
+    compares the score against the corpus prior ``n_pos/n_docs`` by
+    exact integer cross-multiplication — no float compare anywhere.
+
+    Honest caveat (the ``lang_id`` one): the fixture's synthetic texts
+    share one vocabulary across langs, so scores cluster at the base
+    rate there — separation semantics are proven on disjoint-vocabulary
+    corpora in tests/test_classifier.py; the oracle grades determinism.
+
+    Scale shape: one token-keyed shuffle builds the per-(doc,term) tf,
+    one builds the vocabulary-sized df table (map-side partial
+    aggregation absorbs stopword skew, the ``word_count`` note), and
+    the scoring join is term-keyed. The prior is a 1-row broadcast.
+    Zero-token documents have no score and are omitted (a quality
+    pipeline drops them long before classification). Integer bounds:
+    ``Σ tf·df_all ≤ doc_tokens × n_docs`` and the cross-multiply adds
+    another ``× n_docs`` — overflows bigint only past ~10^9 docs with
+    10^9-token documents; partition the corpus before that.
+    """
+    term_doc = docs.select(
+        "doc_id",
+        (F.col("lang") == positive).cast("bigint").alias("pos"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    tf = term_doc.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        term_doc.select("doc_id", "pos", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df_all"),
+            F.sum("pos").alias("df_pos"),
+        )
+    )
+    prior = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang") == positive).cast("bigint")).alias("n_pos"),
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("df_pos")).alias("clf_num"),
+            F.sum(F.col("tf") * F.col("df_all")).alias("clf_den"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "clf_num",
+        "clf_den",
+        F.round(F.col("clf_num") / F.col("clf_den"), 6).alias("clf_score"),
+        (
+            F.col("clf_num") * F.col("n_docs")
+            > F.col("clf_den") * F.col("n_pos")
+        ).alias("pred_pos"),
+    )
