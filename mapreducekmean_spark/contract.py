@@ -1594,6 +1594,41 @@ FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
 """
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py:containment_pairs — LSH candidates scored by
+    the ASYMMETRIC containment measure |∩|/min(|A|,|B|) (Broder), the
+    test that flags a short doc pasted into a long one where symmetric
+    Jaccard stays low. Both scores emitted; filter on containment."""
+    return dd.containment_pairs(tx.documents(spark, sf_dir))
+
+
+def _dedup_containment_sql() -> str:
+    return f"""
+WITH cand AS ({_minhash_pairs_sql()}),
+tc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+sc AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                AS sh
+       FROM tc WHERE len(toks) >= 3),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
+         len(a.sh) AS n_a, len(b.sh) AS n_b
+  FROM cand c
+  JOIN sc a ON a.doc_id = c.doc_a
+  JOIN sc b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard,
+       round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6) AS containment
+FROM scored
+WHERE round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6)
+      >= {dd.CONTAINMENT_TAU}
+"""
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(tx.documents(spark, sf_dir))
 
@@ -2591,6 +2626,9 @@ FROM documents
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
         Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
+        Query(
+            "dedup_containment", _dedup_containment, _dedup_containment_sql()
+        ),
         Query("dedup_edit_verify", _edit_verify, _edit_verify_sql()),
         Query("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
         Query("corpus_clean", _corpus_clean, _corpus_clean_sql()),

@@ -390,6 +390,7 @@ def score_candidate_pairs(
     threshold: float,
     sh_b: DataFrame | None = None,
     sizes_b: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """True-Jaccard scoring of a ``(doc_a, doc_b)`` candidate list via
     the counting join — the ONE copy of the arithmetic that keeps
@@ -401,7 +402,17 @@ def score_candidate_pairs(
     ``sizes_*`` per-doc gram counts ``(doc_id, n_sh)``; the ``_b`` side
     defaults to the ``_a`` side (the self-dedup case). Zero-intersection
     candidates drop at the count join, so callers must hold
-    ``threshold > 0`` (enforced by the public entry points)."""
+    ``threshold > 0`` (enforced by the public entry points).
+
+    ``metric`` picks the score the threshold applies to: ``"jaccard"``
+    (default, |∩|/|∪| — the symmetric near-dup test) or
+    ``"containment"`` (|∩|/min(|A|,|B|) — the asymmetric test that
+    catches a short doc embedded in a long one, where Jaccard stays
+    low because the union is dominated by the long side). The
+    containment output keeps BOTH scores so callers can see exactly
+    which pairs only the asymmetric metric finds."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     if sh_b is None:
         sh_b = sh_a
     if sizes_b is None:
@@ -438,9 +449,16 @@ def score_candidate_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
         )
     )
-    return scored.filter(F.col("jaccard") >= threshold)
+    if metric == "containment":
+        return scored.filter(F.col("containment") >= threshold)
+    return scored.drop("containment").filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(
@@ -940,4 +958,38 @@ def edit_verified_pairs(
             (F.lit(100) * F.col("edit_dist"))
             <= (F.lit(int(tau_pct)) * F.col("max_len"))
         ).alias("is_dup"),
+    )
+
+
+#: Containment threshold for the asymmetric near-dup scorer: half of
+#: the smaller doc's distinct grams shared is a strong embed signal.
+CONTAINMENT_TAU = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_TAU
+) -> DataFrame:
+    """LSH candidate pairs scored by CONTAINMENT — |A∩B|/min(|A|,|B|)
+    over distinct 3-gram sets — the asymmetric duplication test: a
+    short document pasted inside a long one scores containment ~1.0
+    while its Jaccard stays low (the union is dominated by the long
+    side), so a symmetric-threshold pipeline never flags it. Broder's
+    containment companion to the resemblance (Jaccard) measure.
+
+    Output ``(doc_a, doc_b, jaccard, containment)`` filtered on
+    containment — keeping both scores makes the asymmetric-only catches
+    visible (rows with high containment, sub-threshold Jaccard).
+
+    Honest recall caveat: candidates still come from Jaccard-tuned
+    MinHash LSH bands, which under-sample extreme-size-ratio pairs; at
+    production scale, pair this scorer with a suffix/substring pass
+    (``repeated_ngram_spans``) for the within-doc form. Same counting-
+    join plumbing as ``verified_pairs`` — one copy of the arithmetic
+    (``score_candidate_pairs``), no per-pair array lambdas.
+    """
+    sh_rows = gram_rows(docs).distinct().localCheckpoint()
+    cand = minhash_candidate_pairs(docs, shingled=sh_rows)
+    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return score_candidate_pairs(
+        cand, sh_rows, sizes, threshold=threshold, metric="containment"
     )

@@ -216,3 +216,30 @@ def test_edit_verify_discriminates_from_jaccard(spark):
     jac = {r.doc_id: (r.kept, r.dup_of) for r in minhash_verified_dedup(docs).collect()}
     assert jac[1] == (True, None)  # typos: Jaccard refuses
     assert jac[2] == (False, 0)  # rotation: Jaccard flags
+
+
+def test_containment_catches_embedded_doc(spark):
+    """The asymmetric catch: a short doc pasted verbatim into a much
+    longer one scores containment 1.0 while Jaccard sits far below the
+    0.5 verify threshold — the pair a symmetric pipeline never flags.
+    (Content chosen so the pair still shares an LSH band: the embed
+    preserves the base's gram set, and these extras don't displace the
+    shared minhash minima.)"""
+    from mapreducekmean_spark.operators.dedup import containment_pairs
+
+    base = " ".join(f"alpha{i} beta{i}" for i in range(40))
+    extra = " ".join(f"zz2w{j}" for j in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base + " " + extra, "en", "s", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.5
