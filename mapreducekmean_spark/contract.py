@@ -1095,6 +1095,42 @@ FROM scored CROSS JOIN prior
 """
 
 
+def _curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/export.py:curriculum_order — tier-major training order
+    (quality band first, deterministic seeded shuffle within band) via
+    the two-level bucketed rank; never a global window."""
+    from mapreducekmean_spark.operators.export import curriculum_order
+
+    return curriculum_order(tx.documents(spark, sf_dir))
+
+
+def _curriculum_order_sql() -> str:
+    """Naive single-window twin: tier off the ROUNDED quality score
+    (the _QUALITY_SQL body as a derived table), then one global
+    row_number over (tier, md5 key, doc_id)."""
+    from mapreducekmean_spark.operators.export import (
+        CURRICULUM_EDGES,
+        CURRICULUM_SEED,
+    )
+
+    hi, mid = CURRICULUM_EDGES
+    return f"""
+SELECT doc_id,
+       CAST(tier AS BIGINT) AS tier,
+       CAST(row_number() OVER (
+         ORDER BY tier,
+                  md5('{int(CURRICULUM_SEED)}|' || CAST(doc_id AS VARCHAR)),
+                  doc_id) - 1 AS BIGINT) AS curriculum_rank
+FROM (
+  SELECT doc_id,
+         CASE WHEN quality >= {hi} THEN 0
+              WHEN quality >= {mid} THEN 1
+              ELSE 2 END AS tier
+  FROM ({_QUALITY_SQL})
+)
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
@@ -1166,6 +1202,9 @@ def _queries_text() -> list[Query]:
             _pack_sequences_bpe_sql(),
         ),
         Query("shuffle_export", _shuffle_export_q, _shuffle_export_sql()),
+        Query(
+            "curriculum_order", _curriculum_order_q, _curriculum_order_sql()
+        ),
         Query(
             "domain_cap",
             lambda spark, sf_dir: tx.domain_cap(tx.documents(spark, sf_dir)),

@@ -105,3 +105,82 @@ def shuffle_export(
             .alias("pos_in_shard"),
         )
     )
+
+
+#: curriculum knobs: seed for the within-tier shuffle; quality-band
+#: edges (applied to quality_score's ROUNDED 6-dp score, so the tier
+#: assignment is cross-engine exact). The fixture corpus scores in
+#: [0.77, 0.96], so these edges split it ~25/50/25 at every scale; a
+#: real run picks edges off its own score distribution.
+CURRICULUM_SEED = 11
+CURRICULUM_EDGES = (0.86, 0.80)
+
+
+def curriculum_order(docs: DataFrame, seed: int = CURRICULUM_SEED) -> DataFrame:
+    """Curriculum ordering for training: documents ranked tier-major —
+    highest quality band first (tier 0/1/2 split at ``CURRICULUM_EDGES``
+    over ``text.quality_score``'s rounded score) — with a deterministic
+    seeded shuffle WITHIN each tier, so every epoch shard sees a random
+    mix of its band rather than fixture order. ``curriculum_rank`` is
+    the document's position in ``ORDER BY tier, md5(seed|doc_id),
+    doc_id``; a training exporter feeds it straight into
+    ``shuffle_export``-style sharding.
+
+    Scale shape — same two-level rank as ``shuffle_export``: the
+    within-bucket windows partition on (tier, 4-hex-char bucket)
+    (≈ corpus/(3·65536) rows each), the offsets table is tiers×65536
+    rows computed in one driver-scale window, and hex ordering equals
+    key ordering, so the distributed rank equals the naive single
+    global window the DuckDB twin runs. No global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    from mapreducekmean_spark.operators.text import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    hi, mid = CURRICULUM_EDGES
+    tier = (
+        F.when(F.col("quality") >= hi, F.lit(0))
+        .when(F.col("quality") >= mid, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+    )
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col("doc_id").cast("string")
+        )
+    )
+    d = q.select(
+        "doc_id",
+        tier.alias("tier"),
+        key.alias("skey"),
+    ).withColumn(
+        "bkt",
+        F.conv(F.substring("skey", 1, SHUFFLE_BUCKET_CHARS), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    wb = Window.orderBy("tier", "bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("tier", "bkt")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "tier",
+            "bkt",
+            F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wd = (
+        Window.partitionBy("tier", "bkt")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank = (F.col("off") + F.coalesce(F.count("*").over(wd), F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        d.join(F.broadcast(offsets), ["tier", "bkt"])
+        .select("doc_id", "tier", rank.alias("curriculum_rank"))
+    )

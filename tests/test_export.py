@@ -103,3 +103,42 @@ def test_writer_layout_partitions_by_shard(spark, tmp_path):
     )
     for r in dense:
         assert (r.mn, r.mx) == (0, r.n - 1)
+
+
+def test_curriculum_order_matches_naive_and_is_tier_major(spark, sf_small):
+    """The distributed two-level rank must equal the naive global sort
+    by (tier, md5 key, doc_id); ranks form an exact permutation and the
+    tiers occupy contiguous, ordered rank ranges with every tier
+    populated (the edges are chosen to split the fixture)."""
+    import hashlib
+
+    from mapreducekmean_spark.operators.export import (
+        CURRICULUM_SEED,
+        curriculum_order,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+    rows = curriculum_order(docs).collect()
+    n = docs.count()
+    assert sorted(r.curriculum_rank for r in rows) == list(range(n))
+    assert {r.tier for r in rows} == {0, 1, 2}
+    key = lambda r: (  # noqa: E731
+        r.tier,
+        hashlib.md5(f"{CURRICULUM_SEED}|{r.doc_id}".encode()).hexdigest(),
+        r.doc_id,
+    )
+    naive = [r.doc_id for r in sorted(rows, key=key)]
+    dist = [
+        r.doc_id for r in sorted(rows, key=lambda r: r.curriculum_rank)
+    ]
+    assert naive == dist
+    # tier-major: rank ranges are contiguous per tier, in tier order
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r.tier, []).append(r.curriculum_rank)
+    hi = -1
+    for t in (0, 1, 2):
+        rk = sorted(by_tier[t])
+        assert rk[0] == hi + 1 and rk[-1] == hi + len(rk)
+        hi = rk[-1]
