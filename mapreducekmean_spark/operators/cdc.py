@@ -22,7 +22,9 @@ no global state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Synthetic-change knobs for the declared query (all interpolated into
@@ -107,6 +109,7 @@ def cdc_merge(
     key: str = "o_orderkey",
     seq: str = "seq",
     op: str = "op",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """MERGE the change batch into the snapshot with last-write-wins per
     key: the highest-``seq`` change decides — 'D' removes the key, 'U'/
@@ -121,6 +124,14 @@ def cdc_merge(
     anti-join and the upsert union branch, so it is localCheckpointed —
     one aggregate job, not a per-branch recompute. Payload columns =
     every non-(seq,op) column of ``changes``.
+
+    ``broadcast_batch`` (default True) plants an explicit broadcast
+    hint on the anti-join's batch side: the checkpointed batch is a
+    LogicalRDD with no size statistics, so without the hint the planner
+    assumes worst-case and sort-merges — shuffling the SNAPSHOT (the
+    15M-row probe caught exactly this). Disable only for change batches
+    too large to broadcast, accepting the snapshot shuffle that
+    genuinely requires.
     """
     payload = [c for c in changes.columns if c not in (seq, op)]
     # one struct-max pass: (seq) ordering picks the final change per key
@@ -142,7 +153,10 @@ def cdc_merge(
         )
         .localCheckpoint(eager=False)
     )
-    survivors = base.join(final.select(key), key, "left_anti")
+    keys = final.select(key)
+    if broadcast_batch:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, key, "left_anti")
     upserts = final.filter(F.col(op) != "D").drop(op)
     return survivors.unionByName(upserts)
 
@@ -213,3 +227,134 @@ def scd2_history(ev: DataFrame) -> DataFrame:
         F.lead(start_us).over(ws).isNull().alias("is_current"),
         "n_events",
     )
+
+
+#: key-bucket count for the partitioned snapshot layout; 64 keeps the
+#: fixture demo readable — a real table sizes buckets so one bucket's
+#: rewrite is a few files (e.g. 4096 buckets over 100 TB).
+MERGE_N_BUCKETS = 64
+
+
+def key_bucket(col: Column | str, n_buckets: int = MERGE_N_BUCKETS) -> Column:
+    """Uniform deterministic key bucket: leading 4 hex chars of
+    md5(key) mod n_buckets (md5 so the layout is engine-portable and
+    skew-free regardless of key distribution)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % int(n_buckets)
+    )
+
+
+def land_snapshot(
+    df: DataFrame,
+    path: str,
+    key: str = "o_orderkey",
+    n_buckets: int = MERGE_N_BUCKETS,
+) -> None:
+    """Initial land of a MERGE-maintained snapshot: parquet partitioned
+    by ``kb=`` (the md5 key bucket), so later merges can rewrite only
+    the buckets a change batch touches. The layout parameters land
+    beside the data (``_merge_meta.json``) — merges read them from the
+    snapshot itself, so a caller can never merge with a different
+    bucket count than the land used (which would write new ``kb=`` dirs
+    without replacing the old rows' homes)."""
+    import json
+
+    df.withColumn("kb", key_bucket(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("kb").parquet(path)
+    with open(os.path.join(path, "_merge_meta.json"), "w") as f:
+        json.dump({"key": key, "n_buckets": int(n_buckets)}, f)
+
+
+def _snapshot_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, "_merge_meta.json")) as f:
+        return json.load(f)
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    seq: str = "seq",
+    op: str = "op",
+    broadcast_batch: bool = True,
+) -> dict[str, int]:
+    """Copy-on-write MERGE into a ``kb=``-partitioned snapshot — the
+    plain-parquet shape of what Delta/Iceberg MERGE INTO does: collapse
+    the change batch per key, compute the set of TOUCHED buckets, read
+    only those partitions (partition-pruned scan), run :func:`cdc_merge`
+    against just them, and swap exactly those directories back in via
+    dynamic-partition-overwrite upsert. Untouched buckets' files are
+    never read or rewritten, so per-batch cost scales with the batch's
+    key spread, not the corpus. Buckets a delete empties are removed
+    explicitly (a dynamic overwrite only replaces partitions PRESENT in
+    the output — an emptied bucket would otherwise keep stale files).
+
+    Key column and bucket count come from the snapshot's own
+    ``_merge_meta.json`` (written by :func:`land_snapshot`), so a merge
+    can never disagree with the landed layout.
+
+    Returns ``{"touched_buckets": …, "rows_written": …}``.
+    """
+    import shutil
+
+    from mapreducekmean_spark.sources.bucketing import upsert_partitions
+
+    meta = _snapshot_meta(path)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    ch = changes.withColumn("kb", key_bucket(key, n_buckets))
+    touched = sorted(
+        r.kb for r in ch.select("kb").distinct().collect()
+    )  # bounded: ≤ n_buckets driver rows
+    snap = spark.read.parquet(path).filter(F.col("kb").isin(touched))
+    merged = cdc_merge(
+        snap.drop("kb"), ch.drop("kb"), key=key, seq=seq, op=op,
+        broadcast_batch=broadcast_batch,
+    ).withColumn("kb", key_bucket(key, n_buckets))
+    merged = merged.localCheckpoint()  # sever lineage from the files we
+    # are about to replace (read-before-overwrite hazard)
+    upsert_partitions(merged, path, "kb")
+    present = {r.kb for r in merged.select("kb").distinct().collect()}
+    for kb in touched:
+        if kb not in present:
+            shutil.rmtree(os.path.join(path, f"kb={kb}"), ignore_errors=True)
+    return {
+        "touched_buckets": len(touched),
+        "rows_written": merged.count(),
+    }
+
+
+def cdc_merge_stream_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    seq: str = "seq",
+    op: str = "op",
+) -> None:
+    """One micro-batch of the streaming MERGE — the ``foreachBatch``
+    body of ``streaming.jobs.stream_cdc_merge``, public so tests and
+    batch backfills drive the same code path. Batch-id replay guard
+    (the foreachBatch idempotency contract): a batch at or below the
+    high-water mark is a restart replay and must no-op — the mark
+    advances only after the merge completes, so a crash mid-merge
+    replays into a partially-updated snapshot, which is safe because
+    re-merging the same collapsed batch is idempotent (same final row
+    per key, same partitions rewritten). Cross-batch ordering needs no
+    seq namespacing: batches apply sequentially, so a later batch's
+    change wins by arriving later."""
+    marker = os.path.join(path, "_cdc_high_water")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return
+    batch_df = batch_df.localCheckpoint()
+    if batch_df.take(1):
+        merge_into_snapshot(spark, batch_df, path, seq=seq, op=op)
+    with open(marker, "w") as f:
+        f.write(str(int(batch_id)))

@@ -670,3 +670,42 @@ def stream_ingest_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_cdc_merge(
+    changes_stream: DataFrame,
+    snapshot_path: str,
+    seq: str = "seq",
+    op: str = "op",
+) -> None:
+    """Streaming MERGE: a CDC change stream (insert/update/delete rows)
+    maintains a ``kb=``-partitioned parquet snapshot, rewriting only the
+    key buckets each micro-batch touches — the plain-parquet form of a
+    streaming MERGE INTO. ``foreachBatch`` →
+    :func:`operators.cdc.cdc_merge_stream_batch`; the batch-id
+    high-water marker plus the durable checkpoint give the standard
+    restart/replay idempotency (same contract as
+    :func:`stream_ingest_dedup`, documented there). Batches apply
+    sequentially, so later batches win without seq namespacing.
+
+    Synchronous local-harness form like the other runners."""
+    from mapreducekmean_spark.operators.cdc import cdc_merge_stream_batch
+
+    spark = changes_stream.sparkSession
+    q = (
+        changes_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(snapshot_path, "_checkpoint"),
+        )
+        .foreachBatch(
+            lambda df, bid: cdc_merge_stream_batch(
+                spark, df, bid, snapshot_path, seq=seq, op=op
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1490,6 +1490,223 @@ def probe_retrieval(
     }
 
 
+def probe_export(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Round-8 export/order family at volume. shuffle_export ranks 5M
+    ids; curriculum_order ranks ``repl``× the documents table (~500k
+    docs — it must score quality first). Both are self-verifying by
+    algebra: ranks form an exact permutation (count == distinct ==
+    max+1), shards balance to within one row, and curriculum tiers
+    occupy disjoint contiguous rank ranges — full-corpus distributed
+    checks, not samples."""
+    from mapreducekmean_spark.operators.export import (
+        N_SHARDS,
+        curriculum_order,
+        shuffle_export,
+    )
+
+    n = 5_000_000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    shuffle_export(ids).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    ex = shuffle_export(ids)
+    chk = ex.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("shuffle_rank").alias("d"),
+        F.max("shuffle_rank").alias("mx"),
+    ).collect()[0]
+    balance = ex.groupBy("shard").count().agg(
+        (F.max("count") - F.min("count")).alias("spread"),
+        F.count("*").alias("shards"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert chk["rows"] == chk["d"] == n and chk["mx"] == n - 1
+    assert balance["shards"] == N_SHARDS and balance["spread"] <= 1
+    results["shuffle_export"] = {
+        "rows": n,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n / dt),
+        "shard_spread": int(balance["spread"]),
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nd = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    curriculum_order(big).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    cur = curriculum_order(big)
+    tiers = (
+        cur.groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("curriculum_rank").alias("d"),
+            F.min("curriculum_rank").alias("lo"),
+            F.max("curriculum_rank").alias("hi"),
+        )
+        .orderBy("tier")
+        .collect()
+    )
+    dt = time.perf_counter() - t0
+    assert sum(t["n"] for t in tiers) == nd
+    pos = 0
+    for t in tiers:  # contiguous, ordered, duplicate-free tier ranges
+        assert t["n"] == t["d"] and t["lo"] == pos and t["hi"] == pos + t["n"] - 1
+        pos += t["n"]
+    results["curriculum_order"] = {
+        "docs": nd,
+        "tiers": {int(t["tier"]): int(t["n"]) for t in tiers},
+        "sec": round(dt, 2),
+        "docs_per_sec": int(nd / dt),
+    }
+
+
+def probe_cdc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Round-8 warehouse maintenance at volume: cdc_merge over a
+    ``repl``× orders snapshot (~15M rows at sf0.1) with a realistic
+    SMALL change batch (~0.4% of keys), and scd2_history over 10M
+    synthetic events. Merge check: snapshot count moves by exactly
+    (inserts − deletes) and the plan keeps the broadcast anti-join
+    (base never shuffles). SCD2 check: segment event counts re-add to
+    the corpus total and current rows equal distinct users."""
+    from mapreducekmean_spark.operators.cdc import cdc_merge, scd2_history
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n_base = base.count()
+    k = F.col("k")
+    deletes = base.filter(k % 499 == 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("cust"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    updates = base.filter(k % 499 == 1).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "cust", (F.col("cents") + 500).alias("cents"),
+    )
+    inserts = base.filter(k % 499 == 2).select(
+        (k + 10_000_000_000).alias("k"), F.lit(1).alias("seq"),
+        F.lit("I").alias("op"), "cust", "cents",
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    n_del, n_ins = deletes.count(), inserts.count()
+    t0 = time.perf_counter()
+    merged = cdc_merge(base, changes, key="k")
+    n_after = merged.count()
+    dt = time.perf_counter() - t0
+    assert n_after == n_base - n_del + n_ins
+    plan = formatted_plan(merged)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    results["cdc_merge"] = {
+        "base_rows": n_base,
+        "batch_rows": int(n_del + n_ins + updates.count()),
+        "sec": round(dt, 2),
+        "rows_per_sec": int(n_base / dt),
+        "base_side_broadcast_anti": True,
+    }
+
+    # copy-on-write MERGE into a landed kb=512 snapshot: a 50-key batch
+    # touches ~45 buckets, so the merge reads ~9% of the corpus by
+    # partition pruning — vs cdc_merge's full-snapshot pass above.
+    from mapreducekmean_spark.operators.cdc import (
+        land_snapshot,
+        merge_into_snapshot,
+    )
+
+    snap_path = probe_tmpdir("cdcsnap")
+    t0 = time.perf_counter()
+    land_snapshot(base, snap_path, key="k", n_buckets=512)
+    t_land = time.perf_counter() - t0
+    small = base.filter(k % 299_993 == 7).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "cust", (F.col("cents") + 1).alias("cents"),
+    )
+    n_small = small.count()
+    t0 = time.perf_counter()
+    stats = merge_into_snapshot(spark, small, snap_path)
+    t_merge = time.perf_counter() - t0
+    assert spark.read.parquet(snap_path).count() == n_base
+    results["merge_into_snapshot"] = {
+        "base_rows": n_base,
+        "batch_keys": int(n_small),
+        "land_sec": round(t_land, 2),
+        "merge_sec": round(t_merge, 2),
+        "touched_buckets": stats["touched_buckets"],
+        "n_buckets": 512,
+    }
+
+    ev_path = ensure_events(spark, 10_000_000)
+    ev = spark.read.parquet(ev_path).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    scd2_history(ev).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    hist = scd2_history(ev)
+    chk = hist.agg(
+        F.sum("n_events").alias("tot"),
+        F.sum(F.col("is_current").cast("int")).alias("cur"),
+        F.count("*").alias("segs"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    n_users = ev.select("user_id").distinct().count()
+    assert chk["tot"] == 10_000_000 and chk["cur"] == n_users
+    results["scd2_history"] = {
+        "events": 10_000_000,
+        "users": n_users,
+        "segments": int(chk["segs"]),
+        "sec": round(dt, 2),
+        "events_per_sec": int(10_000_000 / dt),
+    }
+
+
+def probe_classifier(
+    spark, results: dict, sf_dir: str, repl: int = 100
+) -> None:
+    """doc_classifier at ``repl``× documents (~500k docs): the df table
+    sees the full replicated corpus (df counts scale with repl), scoring
+    joins stay term-keyed. Self-check: replicas of one doc score
+    identically (score depends on content + corpus, both replicated
+    uniformly), verified by distinct (base_id, score) counts."""
+    from mapreducekmean_spark.operators.text import doc_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nd = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    doc_classifier(big).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    out = doc_classifier(big)
+    chk = out.select(
+        (F.col("doc_id") % 10_000_000).alias("base_id"), "clf_score"
+    ).distinct().count()
+    dt = time.perf_counter() - t0
+    n_scored = out.count()
+    base_scored = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert chk == base_scored, (chk, base_scored)
+    results["doc_classifier"] = {
+        "docs": nd,
+        "scored": int(n_scored),
+        "sec": round(dt, 2),
+        "docs_per_sec": int(nd / dt),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -1525,6 +1742,9 @@ def main() -> None:
         "graph",
         "bpe",
         "spans",
+        "export",
+        "cdc",
+        "classifier",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1570,6 +1790,12 @@ def main() -> None:
         probe_bpe(spark, results, args.sf_dir)
     if "spans" in only:
         probe_spans(spark, results)
+    if "export" in only:
+        probe_export(spark, results, args.sf_dir)
+    if "cdc" in only:
+        probe_cdc(spark, results, args.sf_dir)
+    if "classifier" in only:
+        probe_classifier(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

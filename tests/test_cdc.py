@@ -123,3 +123,184 @@ def test_scd2_segments_tile_each_user(spark, sf_small):
             assert a.valid_to_us == b.valid_from_us
             assert a.status != b.status  # runs are maximal
         assert segs[-1].valid_to_us is None
+
+
+def _snap_files(path):
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("kb="):
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_merge_into_snapshot_equals_sequential_cdc_merge(spark, tmp_path):
+    """Copy-on-write MERGE ground truth: landing a base then merging two
+    batches through the partitioned snapshot yields exactly the rows of
+    applying cdc_merge twice in memory — and buckets no batch touches
+    keep their files byte-for-byte (same names, same mtimes)."""
+    from mapreducekmean_spark.operators import cdc
+
+    path = str(tmp_path / "snap")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cdc.land_snapshot(base, path, key="k", n_buckets=16)
+    b1 = spark.createDataFrame(
+        [(5, 1, "U", 555), (7, 1, "D", None), (1000, 1, "I", 1)],
+        "k bigint, seq int, op string, v bigint",
+    )
+    b2 = spark.createDataFrame(
+        [(5, 1, "U", 556), (1000, 1, "D", None), (6, 1, "U", 66)],
+        "k bigint, seq int, op string, v bigint",
+    )
+    before = _snap_files(path)
+    touched = {
+        r.kb
+        for r in b1.unionByName(b2)
+        .select(cdc.key_bucket("k", 16).alias("kb"))
+        .distinct()
+        .collect()
+    }
+    cdc.merge_into_snapshot(spark, b1, path)
+    cdc.merge_into_snapshot(spark, b2, path)
+    after = _snap_files(path)
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == files  # untouched bucket: files untouched
+    got = {
+        (r.k, r.v)
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    want = {
+        (r.k, r.v)
+        for r in cdc.cdc_merge(
+            cdc.cdc_merge(base, b1, key="k"), b2, key="k"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_merge_into_snapshot_clears_emptied_bucket(spark, tmp_path):
+    """A delete that empties a bucket must remove its directory —
+    dynamic overwrite alone would leave the stale files in place."""
+    import os
+
+    from mapreducekmean_spark.operators import cdc
+
+    path = str(tmp_path / "snap")
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cdc.land_snapshot(base, path, key="k", n_buckets=4)
+    # delete every key in key 1's bucket (other buckets keep rows)
+    (b1,) = spark.range(1).select(cdc.key_bucket(F.lit(1), 4).alias("kb")).collect()
+    keys_in_b1 = [
+        r.k
+        for r in base.select("k")
+        .withColumn("kb", cdc.key_bucket("k", 4))
+        .filter(F.col("kb") == b1.kb)
+        .collect()
+    ]
+    assert keys_in_b1 and len(keys_in_b1) < 40
+    changes = spark.createDataFrame(
+        [(k, 1, "D", None) for k in keys_in_b1],
+        "k bigint, seq int, op string, v bigint",
+    )
+    cdc.merge_into_snapshot(spark, changes, path)
+    assert not os.path.exists(os.path.join(path, f"kb={b1.kb}"))
+    left = {r.k for r in spark.read.parquet(path).select("k").collect()}
+    assert left == set(range(40)) - set(keys_in_b1)
+
+
+def test_cdc_stream_batch_replay_is_noop(spark, tmp_path):
+    from mapreducekmean_spark.operators import cdc
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    cdc.land_snapshot(base, path, key="k", n_buckets=4)
+    b = spark.createDataFrame(
+        [(1, 1, "U", 11)], "k bigint, seq int, op string, v bigint"
+    )
+    cdc.cdc_merge_stream_batch(spark, b, 0, path)
+    snap1 = {
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    assert snap1 == {(1, 11), (2, 20)}
+    # replay batch 0 with DIFFERENT content: must no-op (already applied)
+    b_evil = spark.createDataFrame(
+        [(2, 1, "D", None)], "k bigint, seq int, op string, v bigint"
+    )
+    cdc.cdc_merge_stream_batch(spark, b_evil, 0, path)
+    snap2 = {
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    assert snap2 == snap1
+
+
+def test_stream_cdc_merge_end_to_end(spark, tmp_path):
+    """Drive the streaming MERGE through a real rate-less file stream:
+    two change files arrive, the snapshot converges to the sequential
+    in-memory merge result."""
+    import json
+    import os
+
+    from mapreducekmean_spark.operators import cdc
+    from mapreducekmean_spark.streaming.jobs import stream_cdc_merge
+
+    path = str(tmp_path / "snap")
+    src = tmp_path / "changes"
+    src.mkdir()
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cdc.land_snapshot(base, path, key="k", n_buckets=8)
+    rows = [
+        {"k": 3, "seq": 1, "op": "U", "v": 33},
+        {"k": 4, "seq": 1, "op": "D", "v": None},
+        {"k": 900, "seq": 1, "op": "I", "v": 9},
+    ]
+    with open(src / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("k bigint, seq int, op string, v bigint")
+        .json(str(src))
+    )
+    stream_cdc_merge(stream, path)
+    got = {
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    b1 = spark.createDataFrame(
+        [(3, 1, "U", 33), (4, 1, "D", None), (900, 1, "I", 9)],
+        "k bigint, seq int, op string, v bigint",
+    )
+    want = {(r.k, r.v) for r in cdc.cdc_merge(base, b1, key="k").collect()}
+    assert got == want
+    # second stream run with one more file: resumes from the checkpoint
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"k": 900, "seq": 1, "op": "U", "v": 10}))
+    stream2 = (
+        spark.readStream.schema("k bigint, seq int, op string, v bigint")
+        .json(str(src))
+    )
+    stream_cdc_merge(stream2, path)
+    got2 = {
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    b2 = spark.createDataFrame(
+        [(900, 1, "U", 10)], "k bigint, seq int, op string, v bigint"
+    )
+    want2 = {
+        (r.k, r.v)
+        for r in cdc.cdc_merge(
+            cdc.cdc_merge(base, b1, key="k"), b2, key="k"
+        ).collect()
+    }
+    assert got2 == want2
+    assert os.path.exists(os.path.join(path, "_cdc_high_water"))
