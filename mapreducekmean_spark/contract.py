@@ -3941,6 +3941,26 @@ _CHECK_FIRST = (
     # files with dense pytest oracle twins that no round-8 work plans to
     # modify, each value-hash green in CORRECTNESS_r06.json (within the
     # two-artifact bound the tripwire enforces).
+    #
+    # MID-ROUND-8 REFRESH: the round's ten new/changed queries lead the
+    # window — nine brand-new declarations (pack_sequences_bpe,
+    # shuffle_export, domain_cap, cdc_merge, scd2_history, ann_recall,
+    # doc_classifier, dedup_containment, curriculum_order) plus
+    # bpe_token_stats, whose r7 row is rows-only and which gained a full
+    # value-hash oracle this round, so it needs its first hash-checked
+    # driver row. The ten displaced window-tail entries (events/TPC-H
+    # r6-green, files untouched this round) moved to _STALE_OK on the
+    # same two-artifact terms as the existing sixteen.
+    "bpe_token_stats",
+    "pack_sequences_bpe",
+    "shuffle_export",
+    "domain_cap",
+    "cdc_merge",
+    "scd2_history",
+    "ann_recall",
+    "doc_classifier",
+    "dedup_containment",
+    "curriculum_order",
     "tpch_q17_small_qty",
     "tpch_q22_idle_balance",
     "tpch_q9_profit",
@@ -3981,16 +4001,6 @@ _CHECK_FIRST = (
     "events_hourly",
     "user_funnel",
     "events_asof_purchase",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4019,6 +4029,19 @@ _STALE_OK = (
     "sql_nation_balance",
     "sql_above_nation_avg",
     "orders_list_per_customer",
+    # displaced by the mid-round-8 refresh (see _CHECK_FIRST comment):
+    # r6-green, operators/events.py + operators/relational.py untouched
+    # this round.
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
 )
 
 _CHECK_LAST = (
@@ -4030,7 +4053,8 @@ _CHECK_LAST = (
     "dedup_substring_apply",
     "dedup_substring_spans",
     "ann_ivfpq_indexed",
-    "bpe_token_stats",
+    # bpe_token_stats moved to _CHECK_FIRST mid-round-8: its r7 row is
+    # rows-only and the query gained a full value-hash oracle this round.
     "graph_k_core",
     "decontaminate_fuzzy",
     "dataset_mixture_temp",
