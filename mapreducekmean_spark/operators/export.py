@@ -184,3 +184,36 @@ def curriculum_order(docs: DataFrame, seed: int = CURRICULUM_SEED) -> DataFrame:
         d.join(F.broadcast(offsets), ["tier", "bkt"])
         .select("doc_id", "tier", rank.alias("curriculum_rank"))
     )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    seed: int = SHUFFLE_SEED,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the deterministic shuffle as training shard files:
+    one parquet file per ``shard=`` directory, rows stored in
+    ``pos_in_shard`` order, so a data loader streams each shard
+    sequentially and the global visit order is exactly
+    :func:`shuffle_export`'s rank order. Re-running the export rewrites
+    byte-identical shards (rank is a pure function of (seed, id)).
+
+    Physical shape: one hash exchange on ``shard`` (uniform by
+    construction — round-robin assignment), an in-partition sort by
+    position (no global sort), one file per shard via
+    ``repartition(shard)``. At 100 TB you raise ``n_shards`` until a
+    shard is a few GB; the plan is unchanged.
+    """
+    ranked = docs.join(
+        shuffle_export(docs, seed=seed, n_shards=n_shards, id_col=id_col),
+        id_col,
+    )
+    (
+        ranked.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

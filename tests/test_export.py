@@ -142,3 +142,49 @@ def test_curriculum_order_matches_naive_and_is_tier_major(spark, sf_small):
         rk = sorted(by_tier[t])
         assert rk[0] == hi + 1 and rk[-1] == hi + len(rk)
         hi = rk[-1]
+
+
+def test_write_shards_layout_and_order(spark, sf_small, tmp_path):
+    """The written shards are the shuffle_export order made physical:
+    every shard= dir holds exactly one parquet file, rows inside are in
+    pos_in_shard order, and re-reading reconstructs the full rank
+    permutation."""
+    import os
+
+    from mapreducekmean_spark.operators.export import (
+        N_SHARDS,
+        shuffle_export,
+        write_shards,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+    path = str(tmp_path / "shards")
+    write_shards(docs, path)
+    dirs = [d for d in os.listdir(path) if d.startswith("shard=")]
+    assert len(dirs) == N_SHARDS
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # one file per shard
+    back = spark.read.parquet(path)
+    want = {
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in shuffle_export(docs).collect()
+    }
+    got = {
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in back.select("doc_id", "shard", "pos_in_shard").collect()
+    }
+    assert got == want
+    # in-file order == pos order (read one shard file directly)
+    import pyarrow.parquet as pq
+
+    d0 = os.path.join(path, dirs[0])
+    f0 = os.path.join(
+        d0, [f for f in os.listdir(d0) if f.endswith(".parquet")][0]
+    )
+    pos = pq.read_table(f0, columns=["pos_in_shard"])["pos_in_shard"].to_pylist()
+    assert pos == sorted(pos)
