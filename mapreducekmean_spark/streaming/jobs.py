@@ -709,3 +709,84 @@ def stream_cdc_merge(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+_SCD2_OUT_SCHEMA = (
+    "user_id bigint, seg_id bigint, status string, "
+    "valid_from_us bigint, valid_to_us bigint, n_events bigint"
+)
+_SCD2_STATE_SCHEMA = "seg_id bigint, status string, start_us bigint, n bigint"
+
+
+def _scd2_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Per-user SCD2 accumulator: a status change closes the open
+    segment (emitted with ``valid_to_us`` = the new segment's start)
+    and opens the next; the open segment lives in the state store.
+    Within a batch, rows are ordered by (us, event_id) — the batch
+    operator's total order — and across batches the caller guarantees
+    append-only event time per user (a CDC/dimension feed's contract)."""
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        rows.extend(
+            (int(u), int(e), str(t))
+            for u, e, t in zip(pdf["us"], pdf["event_id"], pdf["event_type"])
+        )
+    rows.sort()
+    if state.exists:
+        seg_id, status, start_us, n = state.get
+    else:
+        seg_id, status, start_us, n = 0, None, -1, 0
+    out = []
+    for us, _eid, typ in rows:
+        if status is None:
+            seg_id, status, start_us, n = 1, typ, us, 1
+        elif typ != status:
+            out.append((user_id, seg_id, status, start_us, us, n))
+            seg_id, status, start_us, n = seg_id + 1, typ, us, 1
+        else:
+            n += 1
+    state.update((seg_id, status, start_us, n))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "seg_id",
+            "status",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+        ],
+    )
+
+
+def stream_scd2(events_stream: DataFrame) -> DataFrame:
+    """Streaming SCD type-2 maintenance via ``applyInPandasWithState``:
+    CLOSED validity segments are appended as each user's status changes;
+    the open (is_current) segment per user lives in the state store —
+    exactly the split a warehouse job wants (closed history is
+    append-only; current rows are the small mutable set). Logic mirrors
+    ``operators/cdc.py:scd2_history``; the one-batch stream output is
+    pytest-pinned equal to the batch operator's non-current rows, and
+    the multi-batch run equal to the one-batch run (append-only event
+    time per user is the feed's contract, as for any CDC stream)."""
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(events_stream.sparkSession)  # _scd2_fn pickles by ref
+    with_us = events_stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

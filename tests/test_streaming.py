@@ -1166,3 +1166,88 @@ def test_stream_land_partitions_idempotent_replay(spark, tmp_path):
         for r in spark.read.parquet(out).select("day", "id", "v").collect()
     )
     assert again == expect
+
+
+def test_stream_scd2_closed_segments_match_batch(spark, sf_small):
+    """The streaming SCD2 maintainer's appended (closed) segments must
+    equal the batch operator's non-current rows, column for column."""
+    from mapreducekmean_spark.operators.cdc import scd2_history
+    from mapreducekmean_spark.streaming.jobs import (
+        read_events_stream,
+        stream_scd2,
+    )
+
+    out = stream_scd2(read_events_stream(spark, sf_small))
+    run_to_memory(out, "scd2_out")
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, seg_id, status, valid_from_us, valid_to_us,"
+            " n_events FROM scd2_out"
+        ).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.seg_id, r.status, r.valid_from_us, r.valid_to_us,
+         r.n_events)
+        for r in scd2_history(ev.events(spark, sf_small)).collect()
+        if not r.is_current
+    )
+    assert streamed == batch and streamed
+
+
+def test_stream_scd2_multibatch_equals_onebatch(spark, sf_small, tmp_path):
+    """Two ts-ordered micro-batches (append-only event time — the CDC
+    feed contract) must close exactly the segments the one-batch run
+    closes: the open segment survives the batch boundary in state."""
+    import os
+    import time as _time
+
+    from mapreducekmean_spark.operators.cdc import scd2_history
+    from mapreducekmean_spark.streaming.jobs import (
+        normalize_event_ts,
+        stream_scd2,
+    )
+
+    events = ev.events(spark, sf_small).localCheckpoint()
+    (split,) = events.agg(
+        F.percentile_approx(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()
+    early = events.filter(F.unix_micros("ts") <= split.m)
+    late = events.filter(F.unix_micros("ts") > split.m)
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    early.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    late.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    # flatten: one file per batch dir, staged with increasing mtimes so
+    # the file source (maxFilesPerTrigger=1) picks them up in ts order
+    import glob
+    import shutil
+
+    for i, d in enumerate(("b1", "b2")):
+        (f,) = glob.glob(f"{src}/{d}/part-*.parquet")
+        dst = f"{src}/batch_{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        shutil.rmtree(f"{src}/{d}")
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_scd2(normalize_event_ts(stream))
+    run_to_memory(out, "scd2_mb")
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, seg_id, status, valid_from_us, valid_to_us,"
+            " n_events FROM scd2_mb"
+        ).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.seg_id, r.status, r.valid_from_us, r.valid_to_us,
+         r.n_events)
+        for r in scd2_history(events).collect()
+        if not r.is_current
+    )
+    assert streamed == batch and streamed
