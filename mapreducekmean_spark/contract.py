@@ -1372,6 +1372,57 @@ GROUP BY 1, 2
 """
 
 
+_GAPFILL_SQL = """
+WITH hour_counts AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+         event_type, count(*) AS n_raw
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS lo,
+         max(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start_s FROM bounds
+),
+grid AS (
+  SELECT s.hour_start_s, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.hour_start_s, g.event_type,
+       CAST(coalesce(hc.n_raw, 0) AS BIGINT) AS n,
+       hc.n_raw IS NULL AS filled
+FROM grid g LEFT JOIN hour_counts hc USING (hour_start_s, event_type)
+"""
+
+
+def _quality_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/analytic.py:quality_unpivot — native DataFrame.unpivot
+    (melt) of the quality_score metrics to long form."""
+    from mapreducekmean_spark.operators import analytic as an
+
+    return an.quality_unpivot(spark, sf_dir)
+
+
+def _quality_unpivot_sql() -> str:
+    """UNION-ALL melt of the _QUALITY_SQL derived table — the engine-
+    portable twin of DataFrame.unpivot."""
+    return f"""
+WITH wide AS ({_QUALITY_SQL})
+SELECT doc_id, 'len_kchars' AS metric, len_kchars AS value FROM wide
+UNION ALL
+SELECT doc_id, 'alpha_ratio', alpha_ratio FROM wide
+UNION ALL
+SELECT doc_id, 'ttr', ttr FROM wide
+UNION ALL
+SELECT doc_id, 'quality', quality FROM wide
+"""
+
+
+_QUALITY_UNPIVOT_SQL = _quality_unpivot_sql()
+
+
 def _user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_funnel(ev.events(spark, sf_dir))
 
@@ -3813,6 +3864,18 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
         ),
         Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
         Query(
+            "events_gapfill",
+            lambda spark, sf_dir: ev.hourly_gapfill(
+                ev.events(spark, sf_dir)
+            ),
+            _GAPFILL_SQL,
+        ),
+        Query(
+            "quality_unpivot",
+            _quality_unpivot_q,
+            _QUALITY_UNPIVOT_SQL,
+        ),
+        Query(
             "events_range_join",
             lambda spark, sf_dir: ev.purchases_with_recent_views(
                 ev.events(spark, sf_dir)
@@ -3948,10 +4011,16 @@ _CHECK_FIRST = (
     # doc_classifier, dedup_containment, curriculum_order) plus
     # bpe_token_stats, whose r7 row is rows-only and which gained a full
     # value-hash oracle this round, so it needs its first hash-checked
-    # driver row. The ten displaced window-tail entries (events/TPC-H
-    # r6-green, files untouched this round) moved to _STALE_OK on the
-    # same two-artifact terms as the existing sixteen.
+    # driver row. The displaced window-tail entries (events/TPC-H
+    # r6-green) moved to _STALE_OK on the same two-artifact terms as
+    # the existing sixteen: their modules received only ADDITIVE
+    # changes this round (new functions appended), and none of their
+    # own functions or shared helpers changed — the round-8 shared-
+    # helper change (dedup.score_candidate_pairs) affects only the
+    # dedup family, all of which sits inside the window.
     "bpe_token_stats",
+    "events_gapfill",
+    "quality_unpivot",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -3995,8 +4064,6 @@ _CHECK_FIRST = (
     "word_count",
     "bigram_lm",
     "corpus_stats",
-    "running_spend",
-    "customer_rank_stats",
     "events_sessionize",
     "events_hourly",
     "user_funnel",
@@ -4030,8 +4097,10 @@ _STALE_OK = (
     "sql_above_nation_avg",
     "orders_list_per_customer",
     # displaced by the mid-round-8 refresh (see _CHECK_FIRST comment):
-    # r6-green, operators/events.py + operators/relational.py untouched
-    # this round.
+    # r6-green; their own functions and shared helpers unchanged this
+    # round (their modules got only additive new functions).
+    "running_spend",
+    "customer_rank_stats",
     "events_cube",
     "events_time_rollup",
     "events_pivot",

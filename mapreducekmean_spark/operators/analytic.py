@@ -425,3 +425,21 @@ def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_days"),
     )
+
+
+def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the wide→long reshape the engine lacked: the
+    quality_score metrics as (doc_id, metric, value) rows via
+    ``DataFrame.unpivot`` (Spark's native melt; one narrow projection
+    per row, no shuffle — the reference has nothing comparable).
+    Values are the already-rounded 6-dp doubles, so the long form
+    hashes exactly like the wide form."""
+    from mapreducekmean_spark.operators.text import documents, quality_score
+
+    wide = quality_score(documents(spark, sf_dir))
+    return wide.unpivot(
+        "doc_id",
+        ["len_kchars", "alpha_ratio", "ttr", "quality"],
+        "metric",
+        "value",
+    )

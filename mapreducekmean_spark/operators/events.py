@@ -432,3 +432,39 @@ def view_purchase_attribution(
         )
         .select("v_user", "view_id", "buy_id", "view_us", "buy_us")
     )
+
+
+def hourly_gapfill(ev: DataFrame) -> DataFrame:
+    """Gap-filled hourly series: every (hour, event_type) cell between
+    the corpus's first and last hour, zero-filled where no events
+    landed — the time-series densification every dashboard/forecast
+    consumer needs before windowed math (a missing bucket is NOT the
+    same as a zero bucket to a moving average). The reference engine
+    has nothing like this (3 Java files, one K-Means job; KMeans.java).
+
+    Scale shape: the hour spine is ``explode(sequence(lo, hi))`` off a
+    1-row min/max aggregate — spine size = hours × types, time-bounded
+    not data-bounded — cross-joined with the distinct type list and
+    LEFT-joined against the hourly aggregate. Everything integer
+    (epoch-second hour starts, counts), so the twin hashes exactly.
+    """
+    hour_s = F.unix_seconds(F.date_trunc("hour", "ts"))
+    counts = ev.groupBy(hour_s.alias("hour_start_s"), "event_type").agg(
+        F.count("*").alias("n_raw")
+    )
+    bounds = ev.agg(
+        F.min(hour_s).alias("lo"), F.max(hour_s).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))
+        ).alias("hour_start_s")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return grid.join(counts, ["hour_start_s", "event_type"], "left").select(
+        "hour_start_s",
+        "event_type",
+        F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n"),
+        F.col("n_raw").isNull().alias("filled"),
+    )

@@ -534,3 +534,26 @@ def test_shuffle_export_broadcasts_bucket_offsets(spark, sf_small):
 
     df = REG["shuffle_export"].fn(spark, sf_small)
     assert has_broadcast_join(df)
+
+
+def test_gapfill_spine_broadcast_no_volume_shuffle(spark, sf_small):
+    """hourly_gapfill: the only Exchange carries the hourly AGGREGATE
+    (hours × types rows), never raw events — the spine/type grid joins
+    by broadcast."""
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    df = REG["events_gapfill"].fn(spark, sf_small)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_unpivot_is_shuffle_free(spark, sf_small):
+    """DataFrame.unpivot is a per-row Expand projection: zero
+    exchanges, wide→long without touching the shuffle system."""
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    df = REG["quality_unpivot"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert "Expand" in formatted_plan(df)
