@@ -1372,6 +1372,67 @@ GROUP BY 1, 2
 """
 
 
+def _data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/validate.py:data_expectations — the data-quality gate:
+    uniqueness / null / range / referential-integrity checks as one
+    uniform counts report."""
+    from mapreducekmean_spark.operators.validate import data_expectations
+
+    return data_expectations(spark, sf_dir)
+
+
+_EXPECTATIONS_SQL = """
+SELECT 'orders' AS tbl, 'o_orderkey_unique' AS check,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+         AS violations,
+       count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS ok
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice_positive',
+       CAST(sum(CAST(o_totalprice IS NULL OR o_totalprice <= 0
+                     AS BIGINT)) AS BIGINT),
+       sum(CAST(o_totalprice IS NULL OR o_totalprice <= 0 AS BIGINT)) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey_in_customer',
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+       count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem', 'quantity_in_bounds',
+       CAST(sum(CAST(l_quantity IS NULL OR l_quantity <= 0
+                     OR l_quantity > 100 AS BIGINT)) AS BIGINT),
+       sum(CAST(l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100
+                AS BIGINT)) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'orderkey_in_orders',
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+       count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer', 'c_custkey_unique',
+       CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+       count(c_custkey) - count(DISTINCT c_custkey) = 0
+FROM customer
+UNION ALL
+SELECT 'events', 'event_id_unique',
+       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+       count(event_id) - count(DISTINCT event_id) = 0
+FROM events
+UNION ALL
+SELECT 'events', 'ts_not_null',
+       CAST(sum(CAST(ts IS NULL AS BIGINT)) AS BIGINT),
+       sum(CAST(ts IS NULL AS BIGINT)) = 0
+FROM events
+UNION ALL
+SELECT 'documents', 'text_nonempty',
+       CAST(sum(CAST(text IS NULL OR length(text) = 0 AS BIGINT)) AS BIGINT),
+       sum(CAST(text IS NULL OR length(text) = 0 AS BIGINT)) = 0
+FROM documents
+"""
+
+
 _GAPFILL_SQL = """
 WITH hour_counts AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
@@ -3863,6 +3924,7 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
 """,
         ),
         Query("events_hourly", _hourly_rollup, _HOURLY_SQL),
+        Query("data_expectations", _data_expectations_q, _EXPECTATIONS_SQL),
         Query(
             "events_gapfill",
             lambda spark, sf_dir: ev.hourly_gapfill(
@@ -4021,6 +4083,7 @@ _CHECK_FIRST = (
     "bpe_token_stats",
     "events_gapfill",
     "quality_unpivot",
+    "data_expectations",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4067,7 +4130,6 @@ _CHECK_FIRST = (
     "events_sessionize",
     "events_hourly",
     "user_funnel",
-    "events_asof_purchase",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4101,6 +4163,7 @@ _STALE_OK = (
     # round (their modules got only additive new functions).
     "running_spend",
     "customer_rank_stats",
+    "events_asof_purchase",
     "events_cube",
     "events_time_rollup",
     "events_pivot",
