@@ -56,6 +56,19 @@ END_WORD = "</w>"
 #: merging pairs that occur once memorizes the corpus.
 MIN_PAIR_COUNT = 2
 
+#: word dicts at or below this many distinct words train DRIVER-LOCALLY:
+#: the training loop is inherently sequential (each merge depends on the
+#: last), so at small dict sizes its cost is n_merges × Spark job
+#: overhead, not data — the 40-round fixture loop spent ~6 s on ~150 ms
+#: rounds over a few-thousand-row dict. Collecting a bounded dict and
+#: running the identical greedy loop in Python is the same adaptive move
+#: as kmeans collecting k centroid rows; past the threshold the
+#: distributed loop engages unchanged (a pure-Python round over a big
+#: dict would itself be the bottleneck: ~2M pair increments per round
+#: at 200k words). Both paths are pinned identical (tests/test_bpe.py)
+#: — same tie-breaks, same stop rule.
+BPE_LOCAL_VOCAB = 20_000
+
 
 def word_counts(docs: DataFrame) -> DataFrame:
     """(word, cnt) over the corpus tokenizer — the relation BPE trains
@@ -122,14 +135,69 @@ def _apply_merge(d: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _bpe_train_local(
+    spark, wc_rows: list, n_merges: int
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Driver-local training over a collected (word, cnt) dict — the
+    exact greedy loop of the distributed path (max weighted pair, ties
+    lexicographic on (a, b), stop below MIN_PAIR_COUNT, greedy-left
+    merge), so merges and segmentations are identical by construction
+    and pinned so by test_bpe_local_equals_distributed."""
+    wc = {r["word"]: int(r["cnt"]) for r in wc_rows}
+    d = {w: list(w) + [END_WORD] for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in d.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), w_best = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if w_best < MIN_PAIR_COUNT:
+            break
+        merges.append((a, b))
+        m = a + b
+        for w, syms in d.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            d[w] = out
+    enc = spark.createDataFrame(
+        [(w, wc[w], d[w]) for w in sorted(d)],
+        "word string, cnt bigint, syms array<string>",
+    )
+    return merges, enc
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    local_vocab_threshold: int = BPE_LOCAL_VOCAB,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges from the corpus. Returns
     ``(merges, encoded_dict)`` where ``encoded_dict`` is the word dict
     with each word's final subword segmentation — training's own end
-    state, so encoding costs nothing extra."""
-    d = _initial_dict(word_counts(docs)).localCheckpoint()
+    state, so encoding costs nothing extra.
+
+    Adaptive execution: a dict at or below ``local_vocab_threshold``
+    distinct words trains driver-locally (the sequential loop's cost at
+    small dicts is pure job overhead — see BPE_LOCAL_VOCAB); a larger
+    dict takes the distributed per-round loop. Results are identical
+    either way (pinned)."""
+    wc = word_counts(docs)
+    if local_vocab_threshold and wc.count() <= int(local_vocab_threshold):
+        return _bpe_train_local(
+            docs.sparkSession, wc.collect(), n_merges
+        )
+    d = _initial_dict(wc).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):
         best = (

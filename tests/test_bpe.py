@@ -161,3 +161,23 @@ def test_pack_sequences_bpe_matches_naive_reference(spark):
         for r in pack_sequences_bpe(docs).collect()
     }
     assert got == want
+
+
+def test_bpe_local_equals_distributed(spark):
+    """The adaptive cutover must be invisible: the driver-local loop
+    (small-dict fast path) and the distributed per-round loop produce
+    identical merges and identical final segmentations on the same
+    corpus — same tie-breaks, same hapax stop rule."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide lowest",
+    ]
+    docs = _spark_docs(spark, texts)
+    m_loc, d_loc = bpe_train(docs, 12)  # vocab << threshold → local
+    m_dist, d_dist = bpe_train(docs, 12, local_vocab_threshold=0)
+    assert m_loc == m_dist and m_loc  # merges identical, loop ran
+    loc = {r.word: (r.cnt, tuple(r.syms)) for r in d_loc.collect()}
+    dist = {r.word: (r.cnt, tuple(r.syms)) for r in d_dist.collect()}
+    assert loc == dist
