@@ -2149,6 +2149,30 @@ FROM (SELECT DISTINCT q_id FROM brute) qq LEFT JOIN hit USING (q_id)
 """
 
 
+def _ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py:ivf_index_stats — cell-occupancy report
+    over the landed IVF index (land reused per process, the
+    ann_ivf_indexed stance): per cell, vector count and load ratio vs
+    uniform — the hot-cell monitoring an ANN deployment runs."""
+    path = _contract_index_dir("ivf")
+    sim.land_ivf_index(spark, sf_dir, path)
+    return sim.ivf_index_stats(spark, path)
+
+
+_IVF_CELL_STATS_SQL = f"""
+{_KM_CTES},
+per_cell AS (
+  SELECT cluster_id AS cell, count(*) AS n_vecs FROM assign GROUP BY 1
+),
+tot AS (SELECT sum(n_vecs) AS total, count(*) AS ncells FROM per_cell)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(CAST(n_vecs AS BIGINT) * CAST(ncells AS BIGINT)
+             / CAST(total AS BIGINT), 6) AS load_ratio
+FROM per_cell CROSS JOIN tot
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(spark, sf_dir)
 
@@ -2788,6 +2812,7 @@ FROM documents
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
         Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
         Query("ann_recall", _ann_recall, _ANN_RECALL_SQL),
+        Query("ivf_cell_stats", _ivf_cell_stats, _IVF_CELL_STATS_SQL),
         Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
             "ann_lsh",
@@ -4084,6 +4109,7 @@ _CHECK_FIRST = (
     "events_gapfill",
     "quality_unpivot",
     "data_expectations",
+    "ivf_cell_stats",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4129,7 +4155,6 @@ _CHECK_FIRST = (
     "corpus_stats",
     "events_sessionize",
     "events_hourly",
-    "user_funnel",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4164,6 +4189,7 @@ _STALE_OK = (
     "running_spend",
     "customer_rank_stats",
     "events_asof_purchase",
+    "user_funnel",
     "events_cube",
     "events_time_rollup",
     "events_pivot",

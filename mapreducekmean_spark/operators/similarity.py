@@ -984,3 +984,31 @@ def ann_recall(
         F.lit(int(k)).cast("bigint").alias("k"),
         F.round(n_hit / F.lit(int(k)), 6).alias("recall"),
     )
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Occupancy report over a landed IVF index — the monitoring query
+    an ANN deployment runs before trusting its latency budget: per
+    ``cell=`` partition, the vector count and its load ratio vs the
+    uniform ideal (``n_vecs × ncells / total``, one IEEE division,
+    rounded 6 dp). A hot cell (ratio ≫ 1) is the straggler that caps
+    probe latency; the fix is retraining the coarse quantizer or
+    raising ncells — this query is how you notice.
+
+    Scale shape: one column-pruned scan of the cells table (the ``cell``
+    partition column plus nothing else reaches the aggregate), one
+    partial+final count per cell, a 1-row total broadcast back. Output
+    is ncells rows."""
+    cells = spark.read.parquet(f"{path}/cells").select("cell")
+    per_cell = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    totals = per_cell.agg(
+        F.sum("n_vecs").alias("total"),
+        F.count("*").alias("ncells"),
+    )
+    return per_cell.crossJoin(F.broadcast(totals)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vecs",
+        F.round(
+            F.col("n_vecs") * F.col("ncells") / F.col("total"), 6
+        ).alias("load_ratio"),
+    )
