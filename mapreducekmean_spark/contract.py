@@ -1780,6 +1780,44 @@ WHERE round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6)
 """
 
 
+def _dedup_delta_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/incremental.py:dedup_delta as a driver-checked row:
+    land the dedup index over the LOW-id half of the corpus (reused per
+    process — the ann_ivf_indexed stance), then score the HIGH-id half
+    as an arriving batch against it. The module's pinned equivalence
+    (delta ≡ the one-shot full-corpus run restricted to the batch) is
+    what the DuckDB twin states: the dedup_verify SQL over ALL
+    documents, filtered to the batch's ids."""
+    import hashlib
+    import os
+
+    from mapreducekmean_spark.operators.incremental import (
+        attach_dedup_index,
+        dedup_delta,
+        land_dedup_index,
+    )
+
+    docs = tx.documents(spark, sf_dir)
+    (row,) = docs.agg(F.max("doc_id").alias("m")).collect()
+    split = (int(row.m) + 1) // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"deltadx_{tag}")
+    name = f"ctr_delta_{tag}"
+    b1 = docs.filter(F.col("doc_id") < split)
+    if not os.path.exists(os.path.join(path, "sizes")):
+        land_dedup_index(spark, b1, name, path)
+    else:
+        attach_dedup_index(spark, name, path)
+    return dedup_delta(spark, docs.filter(F.col("doc_id") >= split), name)
+
+
+def _dedup_delta_indexed_sql() -> str:
+    return f"""
+SELECT * FROM ({_dedup_verify_sql()})
+WHERE doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+"""
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(tx.documents(spark, sf_dir))
 
@@ -2803,6 +2841,11 @@ FROM documents
         Query("dedup_verify", _dedup_verify, _dedup_verify_sql()),
         Query(
             "dedup_containment", _dedup_containment, _dedup_containment_sql()
+        ),
+        Query(
+            "dedup_delta_indexed",
+            _dedup_delta_indexed,
+            _dedup_delta_indexed_sql(),
         ),
         Query("dedup_edit_verify", _edit_verify, _edit_verify_sql()),
         Query("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
@@ -4110,6 +4153,7 @@ _CHECK_FIRST = (
     "quality_unpivot",
     "data_expectations",
     "ivf_cell_stats",
+    "dedup_delta_indexed",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4154,7 +4198,6 @@ _CHECK_FIRST = (
     "bigram_lm",
     "corpus_stats",
     "events_sessionize",
-    "events_hourly",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4190,6 +4233,7 @@ _STALE_OK = (
     "customer_rank_stats",
     "events_asof_purchase",
     "user_funnel",
+    "events_hourly",
     "events_cube",
     "events_time_rollup",
     "events_pivot",
