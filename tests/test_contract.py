@@ -29,7 +29,7 @@ def test_oracle_match_sf001(spark, sf_oracle, name):
 def test_oracle_match_bench_scale(spark, sf_bench, name):
     """Opt-in bench-scale sweep (``pytest -m sweep``): every oracle
     query hash-compared at sf0.1 — a 10× scale-up over the driver's
-    gate. Last full run: 100/100 OK in 227 s (round 5)."""
+    gate. Last full run: 130/130 OK in 300 s (round 8)."""
     problems = compare_query(spark, sf_bench, QUERIES[name])
     assert not problems, f"{name}: " + "; ".join(problems)
 
