@@ -1131,6 +1131,46 @@ FROM (
 """
 
 
+def _budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/export.py:budget_sample — per-source token-budget
+    subsampling in deterministic md5 visit order (the "at-least-N
+    tokens per source" training-mix step), via the two-level bucketed
+    running sum."""
+    from mapreducekmean_spark.operators.export import budget_sample
+
+    return budget_sample(tx.documents(spark, sf_dir))
+
+
+def _budget_sample_sql() -> str:
+    """Naive per-source single-window running sum — the implementation-
+    independence twin of the distributed two-level form."""
+    from mapreducekmean_spark.operators.export import (
+        BUDGET_SEED,
+        TOKEN_BUDGET,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tok,
+         md5('{int(BUDGET_SEED)}|' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+                PARTITION BY source ORDER BY skey, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_before,
+       cum_before < {int(TOKEN_BUDGET)} AS kept
+FROM c
+"""
+
+
 def _queries_text() -> list[Query]:
     return [
         Query("text_stats", _text_stats, _TEXT_STATS_SQL),
@@ -1205,6 +1245,7 @@ def _queries_text() -> list[Query]:
         Query(
             "curriculum_order", _curriculum_order_q, _curriculum_order_sql()
         ),
+        Query("budget_sample", _budget_sample_q, _budget_sample_sql()),
         Query(
             "domain_cap",
             lambda spark, sf_dir: tx.domain_cap(tx.documents(spark, sf_dir)),
@@ -4154,6 +4195,7 @@ _CHECK_FIRST = (
     "data_expectations",
     "ivf_cell_stats",
     "dedup_delta_indexed",
+    "budget_sample",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4197,7 +4239,6 @@ _CHECK_FIRST = (
     "word_count",
     "bigram_lm",
     "corpus_stats",
-    "events_sessionize",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4234,6 +4275,7 @@ _STALE_OK = (
     "events_asof_purchase",
     "user_funnel",
     "events_hourly",
+    "events_sessionize",
     "events_cube",
     "events_time_rollup",
     "events_pivot",

@@ -217,3 +217,85 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+#: token budget per source for the declared query (bites at every
+#: fixture scale: the smallest source carries ~3.7k tokens at sf0.001);
+#: the seed drives the md5 visit order.
+TOKEN_BUDGET = 1000
+BUDGET_SEED = 13
+
+
+def budget_sample(
+    docs: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    seed: int = BUDGET_SEED,
+) -> DataFrame:
+    """Token-budget subsampling: per source, visit documents in
+    deterministic ``md5(seed|doc_id)`` order and keep each document
+    that STARTS while the source's token budget remains (the crossing
+    document is kept whole — budgets are floors, a training mixture
+    wants at-least-N tokens, and truncation is the packer's job).
+    The "sample 1B tokens per source" step of building a training mix,
+    reproducible by construction.
+
+    Scale shape — per-source running token sums via the same two-level
+    decomposition as ``curriculum_order``: within-bucket windows
+    partition on (source, 4-hex md5 bucket), the per-(source, bucket)
+    offsets table is driver-scale (sources × 65 536 worst case,
+    ~sources × occupied buckets in practice) and broadcast back, and
+    hex order equals key order so the distributed cumulative sum equals
+    the naive single per-source window the DuckDB twin runs.
+
+    Output: ``(doc_id, source, n_tok, cum_before, kept)``.
+    """
+    from pyspark.sql import Window
+
+    from mapreducekmean_spark.operators.text import tokens
+
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col("doc_id").cast("string")
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        key.alias("skey"),
+    ).withColumn(
+        "bkt",
+        F.conv(F.substring("skey", 1, SHUFFLE_BUCKET_CHARS), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    wb = Window.partitionBy("source").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("source", "bkt")
+        .agg(F.sum("n_tok").alias("t"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("t").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wd = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.col("off") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0))
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(offsets), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            cum_before.alias("cum_before"),
+            (cum_before < F.lit(int(budget))).alias("kept"),
+        )
+    )

@@ -188,3 +188,31 @@ def test_write_shards_layout_and_order(spark, sf_small, tmp_path):
     )
     pos = pq.read_table(f0, columns=["pos_in_shard"])["pos_in_shard"].to_pylist()
     assert pos == sorted(pos)
+
+
+def test_budget_sample_prefix_and_floor_semantics(spark, sf_small):
+    """Per source: kept docs are exactly the md5-order prefix whose
+    members start under the budget, and the kept token mass reaches the
+    budget (floor semantics — the crossing doc is kept whole) unless
+    the source ran out of tokens entirely."""
+    from mapreducekmean_spark.operators.export import (
+        TOKEN_BUDGET,
+        budget_sample,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    rows = budget_sample(documents(spark, sf_small)).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert any(not r.kept for r in rows)  # the budget bites somewhere
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.cum_before)
+        # cum_before is the running sum of the previous docs' tokens
+        run = 0
+        for r in rs:
+            assert r.cum_before == run
+            assert r.kept == (run < TOKEN_BUDGET)
+            run += r.n_tok
+        kept_toks = sum(r.n_tok for r in rs if r.kept)
+        assert kept_toks >= min(TOKEN_BUDGET, sum(r.n_tok for r in rs))
