@@ -1707,6 +1707,72 @@ def probe_classifier(
     }
 
 
+def probe_r8misc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Late round-8 probes: hourly_gapfill over 10M synthetic events
+    (grid = hours × types; verified: row count equals the full grid and
+    raw counts re-add to the corpus) and the data-expectations report
+    over a ~15M-row replicated orders + 6M-row lineitem set (all checks
+    aggregate-only; verified all-green on the clean replicas)."""
+    from mapreducekmean_spark.operators.events import hourly_gapfill
+    from mapreducekmean_spark.operators.validate import expectations_report
+
+    ev_path = ensure_events(spark, 10_000_000)
+    # ensure_events' us column is a 32-bit hash (~35 minutes of µs);
+    # re-spread it over 30 days of SECONDS so the grid is ~720 hours
+    ev = spark.read.parquet(ev_path).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.col("us") % (30 * 86400)).alias("ts"),
+    )
+    hourly_gapfill(ev).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    g = hourly_gapfill(ev)
+    chk = g.agg(
+        F.count("*").alias("cells"),
+        F.sum("n").alias("total"),
+        F.countDistinct("hour_start_s").alias("hours"),
+        F.countDistinct("event_type").alias("types"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert chk["cells"] == chk["hours"] * chk["types"]
+    assert chk["total"] == 10_000_000
+    results["hourly_gapfill"] = {
+        "events": 10_000_000,
+        "grid_cells": int(chk["cells"]),
+        "sec": round(dt, 2),
+        "events_per_sec": int(10_000_000 / dt),
+    }
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(0)
+    # replicate orders 100× with shifted keys; reuse original lineitem
+    # replicated 10× so the referential join has real volume both sides
+    rep = lambda df, n, key, cust=None: (  # noqa: E731
+        df.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
+        .withColumn(key, F.col(key) + F.col("rep") * 100_000_000)
+        .drop("rep")
+    )
+    big_orders = rep(orders, repl, "o_orderkey")
+    big_li = rep(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), 10, "l_orderkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    events_small = spark.read.parquet(f"{sf_dir}/events.parquet")
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_o, n_l = big_orders.count(), big_li.count()
+    t0 = time.perf_counter()
+    rows = expectations_report(
+        big_orders, big_li, customer, events_small, documents
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 9 and all(r.ok for r in rows)
+    results["data_expectations"] = {
+        "orders_rows": n_o,
+        "lineitem_rows": n_l,
+        "checks": 9,
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
@@ -1745,6 +1811,7 @@ def main() -> None:
         "export",
         "cdc",
         "classifier",
+        "r8misc",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1796,6 +1863,8 @@ def main() -> None:
         probe_cdc(spark, results, args.sf_dir)
     if "classifier" in only:
         probe_classifier(spark, results, args.sf_dir)
+    if "r8misc" in only:
+        probe_r8misc(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 
