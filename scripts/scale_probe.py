@@ -1743,9 +1743,8 @@ def probe_r8misc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(0)
-    # replicate orders 100× with shifted keys; reuse original lineitem
-    # replicated 10× so the referential join has real volume both sides
+    # replicate orders 100× with shifted keys; lineitem replicated 10×
+    # so the referential join has real volume on both sides
     rep = lambda df, n, key, cust=None: (  # noqa: E731
         df.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
         .withColumn(key, F.col(key) + F.col("rep") * 100_000_000)
