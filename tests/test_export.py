@@ -216,3 +216,41 @@ def test_budget_sample_prefix_and_floor_semantics(spark, sf_small):
             run += r.n_tok
         kept_toks = sum(r.n_tok for r in rs if r.kept)
         assert kept_toks >= min(TOKEN_BUDGET, sum(r.n_tok for r in rs))
+
+
+def test_write_shards_rerun_is_identical(spark, sf_small, tmp_path):
+    """The docstring's reproducibility claim, pinned: two independent
+    exports of the same corpus produce content-identical shard files
+    (rank is a pure function of (seed, id); the in-partition sort fixes
+    row order, so even the parquet bytes' row sequence agrees)."""
+    import hashlib
+    import os
+
+    from mapreducekmean_spark.operators.export import write_shards
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_small)
+
+    def digest(root):
+        out = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            (f,) = [
+                x
+                for x in os.listdir(os.path.join(root, d))
+                if x.endswith(".parquet")
+            ]
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(root, d, f))
+            out[d] = hashlib.md5(
+                repr(t.to_pydict()).encode()
+            ).hexdigest()
+        return out
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_shards(docs, p1)
+    write_shards(docs, p2)
+    d1, d2 = digest(p1), digest(p2)
+    assert d1 and d1 == d2
