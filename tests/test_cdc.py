@@ -304,3 +304,32 @@ def test_stream_cdc_merge_end_to_end(spark, tmp_path):
     }
     assert got2 == want2
     assert os.path.exists(os.path.join(path, "_cdc_high_water"))
+
+
+def test_merge_into_snapshot_is_idempotent(spark, tmp_path):
+    """The crash-replay safety argument, pinned: applying the SAME
+    change batch twice leaves the snapshot exactly as one application
+    does (a replay after a crash between merge and high-water write is
+    a re-merge of an already-applied batch)."""
+    from mapreducekmean_spark.operators import cdc
+
+    path = str(tmp_path / "snap")
+    base = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    cdc.land_snapshot(base, path, key="k", n_buckets=8)
+    b = spark.createDataFrame(
+        [(5, 1, "U", 55), (6, 1, "D", None), (500, 1, "I", 5)],
+        "k bigint, seq int, op string, v bigint",
+    )
+    cdc.merge_into_snapshot(spark, b, path)
+    once = sorted(
+        (r.k, r.v)
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    )
+    cdc.merge_into_snapshot(spark, b, path)
+    twice = sorted(
+        (r.k, r.v)
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    )
+    assert once == twice
