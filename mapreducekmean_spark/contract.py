@@ -1499,6 +1499,59 @@ FROM grid g LEFT JOIN hour_counts hc USING (hour_start_s, event_type)
 """
 
 
+def _anomaly_sql() -> str:
+    """``ev.hourly_anomaly`` twin: the gapfill SQL as the dense base,
+    then two positional-median passes (histogram + cumulative count,
+    1-based ceil(n/2) pick) and the exact integer MAD verdict."""
+    from mapreducekmean_spark.operators.events import MAD_K
+
+    return f"""
+WITH g AS (
+  SELECT hour_start_s, event_type, n FROM ({_GAPFILL_SQL})
+),
+h1 AS (SELECT event_type, n AS v, count(*) AS cnt FROM g GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, v,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM h1
+),
+m1 AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS med
+  FROM c1 GROUP BY 1
+),
+d AS (
+  SELECT g.hour_start_s, g.event_type, g.n, m1.med,
+         abs(g.n - m1.med) AS dev
+  FROM g JOIN m1 USING (event_type)
+),
+h2 AS (SELECT event_type, dev AS v, count(*) AS cnt FROM d GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, v,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM h2
+),
+m2 AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS mad
+  FROM c2 GROUP BY 1
+)
+SELECT d.hour_start_s, d.event_type,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(m2.mad AS BIGINT) AS mad,
+       d.dev > {int(MAD_K)} * m2.mad AS is_anomaly
+FROM d JOIN m2 USING (event_type)
+"""
+
+
+_ANOMALY_SQL = _anomaly_sql()
+
+
 def _quality_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/analytic.py:quality_unpivot — native DataFrame.unpivot
     (melt) of the quality_score metrics to long form."""
@@ -4047,6 +4100,13 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
             _QUALITY_UNPIVOT_SQL,
         ),
         Query(
+            "events_anomaly",
+            lambda spark, sf_dir: ev.hourly_anomaly(
+                ev.events(spark, sf_dir)
+            ),
+            _ANOMALY_SQL,
+        ),
+        Query(
             "events_range_join",
             lambda spark, sf_dir: ev.purchases_with_recent_views(
                 ev.events(spark, sf_dir)
@@ -4196,6 +4256,7 @@ _CHECK_FIRST = (
     "ivf_cell_stats",
     "dedup_delta_indexed",
     "budget_sample",
+    "events_anomaly",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4238,7 +4299,6 @@ _CHECK_FIRST = (
     "doc_lm_coverage",
     "word_count",
     "bigram_lm",
-    "corpus_stats",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4276,6 +4336,7 @@ _STALE_OK = (
     "user_funnel",
     "events_hourly",
     "events_sessionize",
+    "corpus_stats",
     "events_cube",
     "events_time_rollup",
     "events_pivot",

@@ -468,3 +468,65 @@ def hourly_gapfill(ev: DataFrame) -> DataFrame:
         F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n"),
         F.col("n_raw").isNull().alias("filled"),
     )
+
+
+def _group_median(
+    df: DataFrame, group_col: str, val_col: str, out_col: str
+) -> DataFrame:
+    """Type-1 (inverted-CDF) median of an INTEGER column per group via
+    the histogram+cumsum positional pick — the ``value_quantiles``
+    machinery, shared so the anomaly detector's two median passes are
+    one copy of the arithmetic. Exact: pure integer index math over
+    actual data values."""
+    hist = df.groupBy(group_col, val_col).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy(group_col))
+    )
+    pos = F.expr("(tot + 1) div 2")  # 1-based ceil(tot/2)
+    return cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("cum") >= pos, F.col(val_col))).alias(out_col)
+    )
+
+
+#: anomaly threshold: |n − median| > MAD_K × MAD flags the bucket.
+MAD_K = 3
+
+
+def hourly_anomaly(ev: DataFrame) -> DataFrame:
+    """Robust anomaly detection over the DENSIFIED hourly series:
+    per event type, flag hours whose count deviates from the type's
+    median by more than ``MAD_K`` × the median absolute deviation —
+    median/MAD instead of mean/stddev so the detector itself is not
+    dragged by the outliers it hunts, and the zero-filled grid
+    (:func:`hourly_gapfill`) so silent hours are anomalies too (the
+    classic monitoring miss). Every quantity is an integer (counts,
+    type-1 medians of counts, integer deviations), so the verdict is
+    an exact integer comparison — no float anywhere.
+
+    Scale shape: gapfill's grid (hours × types) is time-bounded; both
+    median passes run the histogram+cumsum positional pick over that
+    bounded table (never a per-group row sort); one broadcast-sized
+    (type, med, mad) table joins back.
+    """
+    g = hourly_gapfill(ev).select("hour_start_s", "event_type", "n")
+    med = _group_median(g, "event_type", "n", "med")
+    d = g.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = _group_median(d, "event_type", "dev", "mad")
+    return (
+        d.join(mad, "event_type")
+        .select(
+            "hour_start_s",
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            (F.col("dev") > MAD_K * F.col("mad")).alias("is_anomaly"),
+        )
+    )

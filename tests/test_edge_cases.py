@@ -852,3 +852,44 @@ def test_pack_sequences_two_level_matches_naive(spark):
             assert r.seq_offset == start % PACK_BUDGET
     assert got[999].n_seqs == 2  # the long doc straddles a cut
     assert got[998].first_seq == 0 and got[998].last_seq == 0
+
+
+def test_hourly_anomaly_flags_spike_and_silence(spark):
+    """MAD detector semantics on a constructed stream: a steady 5
+    events/hour for two days, one 60-event spike hour, one silent hour
+    (present only via gap-fill) — exactly those two cells flag."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.events import hourly_anomaly
+
+    rows = []
+    eid = 0
+    for h in range(48):
+        if h == 20:
+            n = 60  # spike
+        elif h == 30:
+            n = 0  # silence — only the gap-filled grid can see it
+        else:
+            n = 5
+        for i in range(n):
+            rows.append((eid, h * 3600 + i, 1, "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, s bigint, user_id bigint, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("s").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = {
+        r.hour_start_s: r
+        for r in hourly_anomaly(ev).filter("event_type = 'view'").collect()
+    }
+    assert len(out) == 48  # dense grid incl. the silent hour
+    flagged = {h for h, r in out.items() if r.is_anomaly}
+    assert flagged == {20 * 3600, 30 * 3600}
+    assert out[20 * 3600].n == 60 and out[30 * 3600].n == 0
+    assert out[0].med == 5 and out[0].mad == 0
