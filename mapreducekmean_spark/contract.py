@@ -4216,39 +4216,124 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # round-8 rotation. CORRECTNESS_r07.json checked the first 50 of the
-    # 116 declared queries; the other 66 are stale. The 16 with
-    # round-5-vintage evidence (the r7 window pushed them out before the
-    # driver reached them; their r5 rows are now past the two-artifact
-    # _STALE_OK bound) CANNOT be exempted and lead the window. 34 of the
-    # 50 round-6-green queries fill the rest — dedup/similarity/text
-    # first (operators this round is most likely to touch, so a fresh
-    # driver row is worth most there), events/relational TPC-H tail last
-    # (untouched files; if round-8 additions displace the window tail,
-    # the displaced entries move to _STALE_OK on the same r6-green
-    # terms). The 16 r6-green queries left past the window take the
-    # _STALE_OK slots: kmeans one-step family + kmeans_full +
-    # kmeans_mllib_verdict (operators/kmeans.py, operators/mllib.py),
-    # filter_valid, points_csv_scan (sources/points_datasource.py),
-    # multimodal_checksums (multimodal.py), sketch_cms (sketch.py),
-    # tpch_q15 / sql_* / orders_list_per_customer (relational.py) —
-    # files with dense pytest oracle twins that no round-8 work plans to
-    # modify, each value-hash green in CORRECTNESS_r06.json (within the
-    # two-artifact bound the tripwire enforces).
-    #
-    # MID-ROUND-8 REFRESH: the round's ten new/changed queries lead the
-    # window — nine brand-new declarations (pack_sequences_bpe,
-    # shuffle_export, domain_cap, cdc_merge, scd2_history, ann_recall,
-    # doc_classifier, dedup_containment, curriculum_order) plus
-    # bpe_token_stats, whose r7 row is rows-only and which gained a full
-    # value-hash oracle this round, so it needs its first hash-checked
-    # driver row. The displaced window-tail entries (events/TPC-H
-    # r6-green) moved to _STALE_OK on the same two-artifact terms as
-    # the existing sixteen: their modules received only ADDITIVE
-    # changes this round (new functions appended), and none of their
-    # own functions or shared helpers changed — the round-8 shared-
-    # helper change (dedup.score_candidate_pairs) affects only the
-    # dedup family, all of which sits inside the window.
+    # ROUND-9 ROTATION. CORRECTNESS_r08.json checked the first 50 of the
+    # 132 declared queries (the r8 window: all green). That leaves 82
+    # with older evidence, in two vintages:
+    #   * 33 queries whose latest green row is CORRECTNESS_r06.json (the
+    #     kmeans one-step family, sql_*/tpch relational tail, events
+    #     windows/cubes, sketches) — THREE rounds old, past the
+    #     two-artifact _STALE_OK bound, so they MUST re-enter the window;
+    #   * 49 queries green in CORRECTNESS_r07.json (the r7 window) — 
+    #     within the two-artifact bound, eligible for _STALE_OK.
+    # The window therefore takes the 33 r6-vintage queries (oldest
+    # evidence first) plus the 17 r7-vintage queries the round-8 verdict
+    # named (including kmeans_mllib, which is rows-only by design and
+    # can never satisfy _STALE_OK's value-hash requirement, so it rides
+    # the window whenever it is stale). 33 + 17 = 50 exactly. As round-9
+    # queries are declared they are PREPENDED here and displace the
+    # r7-green window tail (tpch_q4/q19, graph family) into _STALE_OK on
+    # the two-artifact terms.
+    # r6-vintage block (oldest evidence — highest audit priority):
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "sample_init_det",
+    "kmeans_full",
+    "kmeans_mllib_verdict",
+    "filter_valid",
+    "points_csv_scan",
+    "multimodal_checksums",
+    "sketch_cms",
+    "tpch_q15_top_supplier",
+    "sql_nation_balance",
+    "sql_above_nation_avg",
+    "orders_list_per_customer",
+    "running_spend",
+    "customer_rank_stats",
+    "events_asof_purchase",
+    "user_funnel",
+    "events_hourly",
+    "events_sessionize",
+    "corpus_stats",
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    # r7-vintage block (the r8 verdict's named 17, kmeans_mllib first
+    # since it can never sit in _STALE_OK; the tail of this block is
+    # what round-9 declarations displace into _STALE_OK):
+    "kmeans_mllib",
+    "dedup_edit_verify",
+    "dedup_substring_apply",
+    "dedup_substring_spans",
+    "ann_ivfpq_indexed",
+    "ann_ivf_indexed",
+    "pq_adc_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "decontaminate_fuzzy",
+    "dataset_mixture_temp",
+    "term_lift",
+    "graph_k_core",
+    "graph_triangles",
+    "graph_pagerank",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
+#: left past the 50-entry window whose latest green value-hash row is in
+#: one of the last TWO driver artifacts (r7 or r8) — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. Two
+#: sub-populations: the 50 round-8-window queries (r8-green, the
+#: freshest evidence in the repo) and the r7-green queries that did not
+#: fit the round-9 window. Queries displaced from _CHECK_FIRST by new
+#: round-9 declarations join the r7 block here.
+_STALE_OK = (
+    # r7-green, did not fit the round-9 window (within two-artifact
+    # bound; dense pytest oracle twins at sf0.001/0.01 + sf0.1 sweep):
+    "dedup_semantic",
+    "lang_id",
+    "scan_points",
+    "doc_winnow",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "dedup_exact",
+    "dedup_apply",
+    "text_redact",
+    "token_count",
+    "doc_fingerprint",
+    "dataset_split",
+    "quality_score",
+    "text_stats",
+    "sample_stratified",
+    "set_ops_customers",
+    "set_ops_bag",
+    "dataset_mixture",
+    "doc_repetition",
+    "pack_sequences",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "tpch_q7_volume",
+    # r8-green (the whole round-8 window — checked in
+    # CORRECTNESS_r08.json, 50/50 value-hash green):
     "bpe_token_stats",
     "events_gapfill",
     "quality_unpivot",
@@ -4301,110 +4386,59 @@ _CHECK_FIRST = (
     "bigram_lm",
 )
 
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: whose latest driver row is CORRECTNESS_r06.json because the 16
-#: r5-vintage entries plus 34 peers filled the 50-entry window first.
-#: The rotation tripwire test ENFORCES: a green value-hash row in one of
-#: the last TWO driver artifacts (so an entry left here cannot quietly
-#: age past the two-round bound). That their code is untouched this
-#: round is a rotation-time judgment recorded in the _CHECK_FIRST
-#: comment, not machine-checked — keep this list to queries no
-#: current-round commit touches.
-_STALE_OK = (
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "sample_init_det",
-    "kmeans_full",
-    "kmeans_mllib_verdict",
-    "filter_valid",
-    "points_csv_scan",
-    "multimodal_checksums",
-    "sketch_cms",
-    "tpch_q15_top_supplier",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    # displaced by the mid-round-8 refresh (see _CHECK_FIRST comment):
-    # r6-green; their own functions and shared helpers unchanged this
-    # round (their modules got only additive new functions).
-    "running_spend",
-    "customer_rank_stats",
-    "events_asof_purchase",
-    "user_funnel",
-    "events_hourly",
-    "events_sessionize",
-    "corpus_stats",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-)
-
 _CHECK_LAST = (
-    # the 50 queries value-hash green (or rows-only by design:
-    # kmeans_mllib, bpe_token_stats) in CORRECTNESS_r07.json, in their
-    # r7 window order — the freshest evidence in the repo, plus pytest
-    # oracle twins at sf0.001/0.01 and the sf0.1 sweep.
-    "dedup_edit_verify",
-    "dedup_substring_apply",
-    "dedup_substring_spans",
-    "ann_ivfpq_indexed",
-    # bpe_token_stats moved to _CHECK_FIRST mid-round-8: its r7 row is
-    # rows-only and the query gained a full value-hash oracle this round.
-    "graph_k_core",
-    "decontaminate_fuzzy",
-    "dataset_mixture_temp",
-    "ann_ivf_indexed",
-    "graph_triangles",
-    "graph_pagerank",
-    "term_lift",
-    "rerank_topk",
-    "pq_adc_topk",
-    "hybrid_topk",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-    "kmeans_mllib",
-    "dedup_semantic",
-    "lang_id",
-    "scan_points",
-    "doc_winnow",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "dedup_exact",
-    "dedup_apply",
-    "text_redact",
-    "token_count",
-    "doc_fingerprint",
-    "dataset_split",
-    "quality_score",
-    "text_stats",
-    "sample_stratified",
-    "set_ops_customers",
-    "set_ops_bag",
-    "dataset_mixture",
-    "doc_repetition",
-    "pack_sequences",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "tpch_q7_volume",
+    # the round-8 window (r8-green, freshest evidence — safest past any
+    # cutoff), in its r8 window order:
+    "bpe_token_stats",
+    "events_gapfill",
+    "quality_unpivot",
+    "data_expectations",
+    "ivf_cell_stats",
+    "dedup_delta_indexed",
+    "budget_sample",
+    "events_anomaly",
+    "pack_sequences_bpe",
+    "shuffle_export",
+    "domain_cap",
+    "cdc_merge",
+    "scd2_history",
+    "ann_recall",
+    "doc_classifier",
+    "dedup_containment",
+    "curriculum_order",
+    "tpch_q17_small_qty",
+    "tpch_q22_idle_balance",
+    "tpch_q9_profit",
+    "tpch_q8_mkt_share",
+    "tpch_q12_late_priority",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_part_value",
+    "tpch_q2_best_supplier",
+    "tpch_q20_excess_volume",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
+    "decontaminate",
+    "ann_quantized",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q1_pricing",
+    "embedding_quantize",
+    "dedup_embedding",
+    "ann_ivf",
+    "cosine_topk",
+    "ann_lsh",
+    "embedding_lsh_sig",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_verify",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "corpus_clean",
+    "doc_lm_coverage",
+    "word_count",
+    "bigram_lm",
 )
 
 
