@@ -3967,9 +3967,12 @@ def _cdc_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_merge_sql() -> str:
-    """The MERGE twin: same synthetic batch, max_by(seq) collapse,
-    anti-join + union. Mods and cent bumps interpolated from the
-    operator constants."""
+    """The MERGE twin: same synthetic batch (insert offset DERIVED as
+    max(o_orderkey), collision-free at any sf), deterministic
+    last-write-wins collapse via max over a (seq, op, payload…) struct
+    — the exact total order cdc_merge's struct-max uses, so equal-seq
+    ties can never diverge between the engines. Mods and cent bumps
+    interpolated from the operator constants."""
     from mapreducekmean_spark.operators import cdc
 
     return f"""
@@ -3978,6 +3981,7 @@ WITH base AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
          o_orderstatus
   FROM orders),
+mx AS MATERIALIZED (SELECT max(o_orderkey) AS max_key FROM orders),
 changes AS (
   SELECT o_orderkey, 1 AS seq, 'D' AS op, o_custkey,
          CAST(NULL AS BIGINT) AS price_cents,
@@ -3996,7 +4000,7 @@ changes AS (
   WHERE o_orderkey % {cdc.SECOND_UPDATE_MOD} = 0
     AND o_orderkey % {cdc.DELETE_MOD} <> 0
   UNION ALL
-  SELECT o_orderkey + {cdc.INSERT_KEY_OFFSET}, 1, 'I', o_custkey,
+  SELECT o_orderkey + (SELECT max_key FROM mx), 1, 'I', o_custkey,
          price_cents, 'O'
   FROM base
   WHERE o_orderkey % {cdc.INSERT_MOD} = 0
@@ -4004,11 +4008,16 @@ changes AS (
     AND o_orderkey % {cdc.DELETE_MOD} <> 0),
 final AS (
   SELECT o_orderkey,
-         max_by(op, seq) AS op,
-         max_by(o_custkey, seq) AS o_custkey,
-         max_by(price_cents, seq) AS price_cents,
-         max_by(o_orderstatus, seq) AS o_orderstatus
-  FROM changes GROUP BY o_orderkey)
+         struct_extract(w, 'op') AS op,
+         struct_extract(w, 'o_custkey') AS o_custkey,
+         struct_extract(w, 'price_cents') AS price_cents,
+         struct_extract(w, 'o_orderstatus') AS o_orderstatus
+  FROM (
+    SELECT o_orderkey,
+           max(struct_pack(seq := seq, op := op, o_custkey := o_custkey,
+                           price_cents := price_cents,
+                           o_orderstatus := o_orderstatus)) AS w
+    FROM changes GROUP BY o_orderkey))
 SELECT b.o_orderkey, b.o_custkey, b.price_cents, b.o_orderstatus
 FROM base b ANTI JOIN final f ON b.o_orderkey = f.o_orderkey
 UNION ALL
@@ -4233,6 +4242,14 @@ _CHECK_FIRST = (
     # queries are declared they are PREPENDED here and displace the
     # r7-green window tail (tpch_q4/q19, graph family) into _STALE_OK on
     # the two-artifact terms.
+    # round-9 changed queries lead (fresh driver rows required):
+    # cdc_merge's insert offset is now DERIVED from max(o_orderkey)
+    # (collision-free at any sf) and its oracle collapse is the
+    # deterministic struct-max — output changed at the insert keys;
+    # bpe_token_stats' training path gained the word-dict checkpoint
+    # (output unchanged, but the touched path earns a fresh check).
+    "cdc_merge",
+    "bpe_token_stats",
     # r6-vintage block (oldest evidence — highest audit priority):
     "assign_nearest",
     "centroid_update",
@@ -4285,8 +4302,6 @@ _CHECK_FIRST = (
     "graph_k_core",
     "graph_triangles",
     "graph_pagerank",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4332,9 +4347,12 @@ _STALE_OK = (
     "stream_sessions_closed",
     "stream_attribution",
     "tpch_q7_volume",
+    # displaced from the round-9 window by the changed-query rotation
+    # (r7-green, relational.py untouched this round):
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
-    "bpe_token_stats",
     "events_gapfill",
     "quality_unpivot",
     "data_expectations",
@@ -4345,7 +4363,6 @@ _STALE_OK = (
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
-    "cdc_merge",
     "scd2_history",
     "ann_recall",
     "doc_classifier",
@@ -4389,7 +4406,6 @@ _STALE_OK = (
 _CHECK_LAST = (
     # the round-8 window (r8-green, freshest evidence — safest past any
     # cutoff), in its r8 window order:
-    "bpe_token_stats",
     "events_gapfill",
     "quality_unpivot",
     "data_expectations",
@@ -4400,7 +4416,6 @@ _CHECK_LAST = (
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
-    "cdc_merge",
     "scd2_history",
     "ann_recall",
     "doc_classifier",

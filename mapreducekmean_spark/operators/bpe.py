@@ -192,7 +192,11 @@ def bpe_train(
     small dicts is pure job overhead — see BPE_LOCAL_VOCAB); a larger
     dict takes the distributed per-round loop. Results are identical
     either way (pinned)."""
-    wc = word_counts(docs)
+    # checkpoint the word dict BEFORE the threshold gate: the gate's
+    # count() materializes it once, and whichever branch runs (collect
+    # or _initial_dict) reuses the materialized blocks instead of
+    # re-aggregating the corpus a second time.
+    wc = word_counts(docs).localCheckpoint(eager=False)
     if local_vocab_threshold and wc.count() <= int(local_vocab_threshold):
         return _bpe_train_local(
             docs.sparkSession, wc.collect(), n_merges

@@ -35,9 +35,16 @@ DELETE_MOD = 13
 UPDATE_MOD = 7
 SECOND_UPDATE_MOD = 21  # subset of UPDATE_MOD keys get a 2nd change row
 INSERT_MOD = 11
-INSERT_KEY_OFFSET = 10_000_000
 UPDATE_BUMP_CENTS = 500
 SECOND_BUMP_CENTS = 700
+
+#: Collapsed change batches at or below this many rows broadcast their
+#: key set to the anti-join (the no-snapshot-shuffle fast path); larger
+#: batches fall back to the sort-merge the snapshot shuffle genuinely
+#: requires, instead of OOMing the executors on a blind broadcast hint.
+#: 10M bigint keys ≈ 80 MB broadcast — well under executor memory, far
+#: cheaper than shuffling a 100 TB snapshot.
+BROADCAST_BATCH_MAX_ROWS = 10_000_000
 
 
 def _cents(col) -> Column:
@@ -53,6 +60,13 @@ def synthetic_changes(orders: DataFrame) -> DataFrame:
     == 0`` — exercising last-write-wins — and inserts (key + offset,
     status 'O') for keys ``% INSERT_MOD == 0``. Precedence mirrors a
     real feed: a key can appear multiple times with increasing ``seq``.
+
+    The insert-key offset is ``max(o_orderkey)`` DERIVED from the
+    fixture (a broadcast 1-row aggregate), not a constant: every
+    inserted key ``k + max_key`` then exceeds every base key at ANY
+    scale factor, so inserts can never collide with base keys and
+    produce duplicate ``(key, seq)`` change rows (a fixed 10M offset
+    collides once o_orderkey reaches 6M×sf ≥ 10M, i.e. sf ≈ 1.7).
 
     Output: ``(o_orderkey, seq, op, o_custkey, price_cents, o_orderstatus)``.
     """
@@ -88,10 +102,11 @@ def synthetic_changes(orders: DataFrame) -> DataFrame:
         (F.col("price_cents") + SECOND_BUMP_CENTS).alias("price_cents"),
         F.lit("P").alias("o_orderstatus"),
     )
+    mx = orders.agg(F.max("o_orderkey").alias("_max_key"))
     inserts = base.filter(
         (k % INSERT_MOD == 0) & (k % UPDATE_MOD != 0) & (k % DELETE_MOD != 0)
-    ).select(
-        (F.col("o_orderkey") + INSERT_KEY_OFFSET).alias("o_orderkey"),
+    ).crossJoin(F.broadcast(mx)).select(
+        (F.col("o_orderkey") + F.col("_max_key")).alias("o_orderkey"),
         F.lit(1).alias("seq"),
         F.lit("I").alias("op"),
         "o_custkey",
@@ -109,13 +124,22 @@ def cdc_merge(
     key: str = "o_orderkey",
     seq: str = "seq",
     op: str = "op",
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """MERGE the change batch into the snapshot with last-write-wins per
     key: the highest-``seq`` change decides — 'D' removes the key, 'U'/
     'I' upsert the change row's payload. Exactly ANSI ``MERGE INTO``
     (matched-update, matched-delete, not-matched-insert) plus the
     multi-change collapse real CDC feeds need.
+
+    Equal-``seq`` ties (a feed that emits two changes for a key at one
+    sequence number) resolve DETERMINISTICALLY by the struct ordering
+    ``(seq, op, payload…)``: op compares 'U' > 'I' > 'D', so an upsert
+    outranks a delete at the same seq, and identical-op ties fall
+    through to the payload columns in ``changes`` order. Payload fields
+    only break ties between same-op rows, which carry non-null
+    payloads, so null-ordering never decides — the DuckDB twin's
+    ``max(struct_pack(…))`` replays the exact same total order.
 
     The base is never shuffled: changed keys leave via one LEFT ANTI
     join (broadcast under AQE when the batch is small — the common
@@ -125,13 +149,16 @@ def cdc_merge(
     one aggregate job, not a per-branch recompute. Payload columns =
     every non-(seq,op) column of ``changes``.
 
-    ``broadcast_batch`` (default True) plants an explicit broadcast
-    hint on the anti-join's batch side: the checkpointed batch is a
-    LogicalRDD with no size statistics, so without the hint the planner
-    assumes worst-case and sort-merges — shuffling the SNAPSHOT (the
-    15M-row probe caught exactly this). Disable only for change batches
-    too large to broadcast, accepting the snapshot shuffle that
-    genuinely requires.
+    ``broadcast_batch`` plants an explicit broadcast hint on the
+    anti-join's batch side: the checkpointed batch is a LogicalRDD with
+    no size statistics, so without the hint the planner assumes
+    worst-case and sort-merges — shuffling the SNAPSHOT (the 15M-row
+    probe caught exactly this). The default ``None`` decides by SIZE:
+    the collapsed batch is already being materialized (checkpoint), so
+    one cheap count picks broadcast iff it has at most
+    ``BROADCAST_BATCH_MAX_ROWS`` rows — a huge batch degrades to the
+    slow-but-safe snapshot shuffle instead of OOMing on a blind hint.
+    Pass True/False to override the heuristic either way.
     """
     payload = [c for c in changes.columns if c not in (seq, op)]
     # one struct-max pass: (seq) ordering picks the final change per key
@@ -153,6 +180,10 @@ def cdc_merge(
         )
         .localCheckpoint(eager=False)
     )
+    if broadcast_batch is None:
+        # materializes the checkpoint (reused by both branches below),
+        # so the size probe costs one local count over cached blocks
+        broadcast_batch = final.count() <= BROADCAST_BATCH_MAX_ROWS
     keys = final.select(key)
     if broadcast_batch:
         keys = F.broadcast(keys)
@@ -282,7 +313,7 @@ def merge_into_snapshot(
     path: str,
     seq: str = "seq",
     op: str = "op",
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
 ) -> dict[str, int]:
     """Copy-on-write MERGE into a ``kb=``-partitioned snapshot — the
     plain-parquet shape of what Delta/Iceberg MERGE INTO does: collapse
@@ -347,14 +378,31 @@ def cdc_merge_stream_batch(
     re-merging the same collapsed batch is idempotent (same final row
     per key, same partitions rewritten). Cross-batch ordering needs no
     seq namespacing: batches apply sequentially, so a later batch's
-    change wins by arriving later."""
+    change wins by arriving later.
+
+    The marker write is crash-safe: temp file + ``os.replace`` (atomic
+    on POSIX), and an unreadable/torn marker reads as ABSENT (mark -1)
+    rather than raising — the worst case is one extra idempotent
+    re-merge, never a wedged stream."""
     marker = os.path.join(path, "_cdc_high_water")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if batch_id <= int(f.read().strip()):
-                return
+    if batch_id <= _read_high_water(marker):
+        return
     batch_df = batch_df.localCheckpoint()
     if batch_df.take(1):
         merge_into_snapshot(spark, batch_df, path, seq=seq, op=op)
-    with open(marker, "w") as f:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
+    os.replace(tmp, marker)
+
+
+def _read_high_water(marker: str) -> int:
+    """Batch-id high-water mark, tolerant of absence and torn writes
+    (both read as -1: 'nothing applied yet', the safe direction —
+    re-merging an applied batch is idempotent, skipping an unapplied
+    one would lose data)."""
+    try:
+        with open(marker) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1

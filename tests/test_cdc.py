@@ -47,6 +47,29 @@ def test_cdc_merge_delete_wins_when_last(spark):
     assert cdc.cdc_merge(base, changes, key="k").count() == 0
 
 
+def test_cdc_merge_equal_seq_tie_is_deterministic(spark):
+    """A feed that emits two changes for one key at the SAME seq must
+    resolve by the documented struct order (seq, op, payload…): 'U'
+    outranks 'D' (string order), and same-op ties fall through to the
+    payload max. Run twice to pin run-to-run stability."""
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", 11),  # ties with the delete below …
+            (1, 1, "D", None),  # … and loses: 'U' > 'D'
+            (2, 1, "U", 21),  # same-op tie …
+            (2, 1, "U", 22),  # … payload max wins
+        ],
+        "k bigint, seq int, op string, v bigint",
+    )
+    for _ in range(2):
+        got = {
+            (r.k, r.v)
+            for r in cdc.cdc_merge(base, changes, key="k").collect()
+        }
+        assert got == {(1, 11), (2, 22)}
+
+
 def test_orders_cdc_snapshot_invariants(spark, sf_small):
     orders = load_table(spark, sf_small, "orders")
     snap = cdc.orders_cdc_snapshot(orders).cache()
@@ -54,14 +77,18 @@ def test_orders_cdc_snapshot_invariants(spark, sf_small):
     snap_rows = snap.collect()
     snap_keys = {r.o_orderkey for r in snap_rows}
     deleted = {k for k in base_keys if k % cdc.DELETE_MOD == 0}
+    # insert offset is DERIVED (max base key), so inserted keys always
+    # clear the base key range — no (key, seq) collision at any sf
+    offset = max(base_keys)
     inserted = {
-        k + cdc.INSERT_KEY_OFFSET
+        k + offset
         for k in base_keys
         if k % cdc.INSERT_MOD == 0
         and k % cdc.UPDATE_MOD != 0
         and k % cdc.DELETE_MOD != 0
     }
     assert deleted and inserted  # fixture exercises every branch
+    assert min(inserted) > max(base_keys)
     assert snap_keys == (base_keys - deleted) | inserted
     # updated keys carry the bumped price; second update wins on %21
     base_cents = {
@@ -96,10 +123,13 @@ def test_cdc_merge_never_shuffles_base(spark, sf_small):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    # zero shuffles in the merge plan itself: the batch's max-by-seq
-    # aggregate ran once inside the localCheckpoint job, and the
-    # snapshot scan feeds the anti-join directly
-    assert count_exchanges(df) == 0
+    # the merge itself is shuffle-free (the batch's max-by-seq aggregate
+    # ran once inside the localCheckpoint job; the snapshot scan feeds
+    # the anti-join directly) — the ONLY exchange allowed is the
+    # SinglePartition gather of the 1-row max-key aggregate that
+    # derives the insert offset
+    assert count_exchanges(df) <= 1
+    assert "hashpartitioning" not in plan
 
 
 def test_scd2_segments_tile_each_user(spark, sf_small):
@@ -242,6 +272,32 @@ def test_cdc_stream_batch_replay_is_noop(spark, tmp_path):
         (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
     }
     assert snap2 == snap1
+
+
+def test_cdc_stream_batch_tolerates_torn_marker(spark, tmp_path):
+    """A torn/empty high-water marker (crash mid-write in an old
+    version; the write is atomic now) must read as ABSENT — the batch
+    re-applies idempotently instead of every micro-batch raising."""
+    import os
+
+    from mapreducekmean_spark.operators import cdc
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    cdc.land_snapshot(base, path, key="k", n_buckets=4)
+    marker = os.path.join(path, "_cdc_high_water")
+    with open(marker, "w") as f:
+        f.write("")  # torn write: empty marker
+    b = spark.createDataFrame(
+        [(1, 1, "U", 11)], "k bigint, seq int, op string, v bigint"
+    )
+    cdc.cdc_merge_stream_batch(spark, b, 0, path)
+    got = {
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    assert got == {(1, 11), (2, 20)}
+    with open(marker) as f:
+        assert f.read() == "0"  # marker recovered atomically
 
 
 def test_stream_cdc_merge_end_to_end(spark, tmp_path):
