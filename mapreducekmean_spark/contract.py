@@ -2744,22 +2744,12 @@ enc AS MATERIALIZED (
     return parts, final
 
 
-def _pq_adc_oracle_sql(
-    m: int = 8,
-    kc: int = 16,
-    dim: int = DIM,
-    iters: int = 4,
-    n_queries: int = 10,
-    topk: int = 3,
-) -> str:
-    """``pq.pq_adc_topk`` as one DuckDB statement: md5-deterministic
-    seed slices → ``iters`` unrolled simultaneous-subspace Lloyd stages
-    (assign per (point, subspace), per-(sub, code) means, empty cells
-    keep their previous code vector) → encode → asymmetric-distance
-    top-k. All-integer output except adc_dist (rounded to 6 dp on both
-    engine sides); cross-engine float noise ~1e-15 can flip a rank only
-    on a near-exact tie — the same accepted risk class as
-    ``kmeans_full``."""
+def _pq_scored_parts(
+    m: int, kc: int, dim: int, iters: int, n_queries: int
+) -> list[str]:
+    """The flat-PQ replay up to the ``scored`` CTE (q_id, neighbor_id,
+    adc) — shared by the top-k twin and the recall twin so the training
+    + ADC arithmetic cannot drift between them."""
     ds = dim // m
     parts = [
         """
@@ -2782,6 +2772,26 @@ scored AS MATERIALIZED (
   WHERE e.vec_id <> q.vec_id
 )"""
     )
+    return parts
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    n_queries: int = 10,
+    topk: int = 3,
+) -> str:
+    """``pq.pq_adc_topk`` as one DuckDB statement: md5-deterministic
+    seed slices → ``iters`` unrolled simultaneous-subspace Lloyd stages
+    (assign per (point, subspace), per-(sub, code) means, empty cells
+    keep their previous code vector) → encode → asymmetric-distance
+    top-k. All-integer output except adc_dist (rounded to 6 dp on both
+    engine sides); cross-engine float noise ~1e-15 can flip a rank only
+    on a near-exact tie — the same accepted risk class as
+    ``kmeans_full``."""
+    parts = _pq_scored_parts(m, kc, dim, iters, n_queries)
     return f"""
 WITH {",".join(parts)}
 SELECT q_id, neighbor_id, rank, ROUND(adc, 6) AS adc_dist
@@ -2793,6 +2803,60 @@ FROM (
   FROM scored)
 WHERE rank <= {topk}
 """
+
+
+def _recall_tail_sql(dim: int, n_queries: int, topk: int) -> str:
+    """Recall@k scoring appended after a ``scored`` CTE (q_id,
+    neighbor_id, adc): the exact squared-L2 brute-force baseline
+    (``sim.l2_topk``'s arithmetic — same fold order), the approximate
+    top-k by ascending adc, integer hit counts, one IEEE division —
+    ``sim.recall_vs_exact``'s exact output shape. Shared by both
+    compressed-tier recall twins."""
+    return f""",
+approx AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc ASC, neighbor_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {topk}),
+exsc AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, p.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, {dim} + 1), d ->
+           (q.emb[d] - p.emb[d]) * (q.emb[d] - p.emb[d]))) AS dist
+  FROM (SELECT vec_id, emb FROM pts WHERE vec_id < {n_queries}) q
+  JOIN pts p ON p.vec_id <> q.vec_id),
+exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM exsc) WHERE rnk <= {topk}),
+hit AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM approx a JOIN exact e USING (q_id, neighbor_id)
+  GROUP BY 1)
+SELECT qq.q_id,
+       CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST({topk} AS BIGINT) AS k,
+       round(CAST(coalesce(hit.n_hit, 0) AS BIGINT) / {topk}, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM exact) qq LEFT JOIN hit USING (q_id)
+"""
+
+
+def _ann_pq_recall_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    n_queries: int = 10,
+    topk: int = 3,
+) -> str:
+    """``pq.pq_adc_recall``: the full flat-PQ replay (shared
+    ``_pq_scored_parts``) scored for recall@k against the exact
+    squared-L2 baseline (shared ``_recall_tail_sql``)."""
+    parts = _pq_scored_parts(m, kc, dim, iters, n_queries)
+    return f"""
+WITH {",".join(parts)}{_recall_tail_sql(dim, n_queries, topk)}"""
 
 
 def _ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2813,21 +2877,30 @@ def _ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ann_ivfpq_indexed(spark, sf_dir, path)
 
 
-def _ann_ivfpq_oracle_sql(
-    m: int = 8,
-    kc: int = 16,
-    dim: int = DIM,
-    iters: int = 4,
-    topk: int = 3,
-) -> str:
-    """``pq.ann_ivfpq_indexed`` over a freshly-landed default index as
-    one DuckDB statement: coarse quantizer = the ``_KM_CTES``
-    k-sample/assign arithmetic; residuals per point; PQ codebooks
-    trained on the residuals by the SHARED ``_pq_train_parts``
-    stages; query side probes N_PROBE cells (the ``_ANN_IVF_SQL``
-    probe arithmetic), forms each (query, cell) RESIDUAL, and scores
-    only code rows whose point was assigned to a probed cell —
-    exactly the landed layout's partition-pruned read set."""
+def _ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pq.py:pq_adc_recall — recall@3 of the flat-PQ ADC tier
+    vs the exact squared-L2 top-k (integer hits, one IEEE division):
+    the quantization-loss-only retrieval-quality number."""
+    from mapreducekmean_spark.operators import pq
+
+    return pq.pq_adc_recall(spark, sf_dir)
+
+
+def _ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pq.py:ivfpq_recall — recall@3 of the landed IVF-PQ
+    store (cell pruning + quantization) vs the exact squared-L2 top-k;
+    lands the default index in-query (hermetic, dir reused per
+    process like ann_ivfpq_indexed)."""
+    from mapreducekmean_spark.operators import pq
+
+    path = _contract_index_dir("ivfpq")
+    pq.land_ivfpq_index(spark, sf_dir, path)
+    return pq.ivfpq_recall(spark, sf_dir, path)
+
+
+def _ivfpq_scored_parts(m: int, kc: int, dim: int, iters: int) -> list[str]:
+    """The IVF-PQ replay up to the ``scored`` CTE (q_id, neighbor_id,
+    adc) — shared by the top-k twin and the recall twin."""
     ds = dim // m
     parts = [
         f"""
@@ -2883,6 +2956,25 @@ scored AS MATERIALIZED (
   WHERE e.vec_id <> qr.q_id
 )"""
     )
+    return parts
+
+
+def _ann_ivfpq_oracle_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+) -> str:
+    """``pq.ann_ivfpq_indexed`` over a freshly-landed default index as
+    one DuckDB statement: coarse quantizer = the ``_KM_CTES``
+    k-sample/assign arithmetic; residuals per point; PQ codebooks
+    trained on the residuals by the SHARED ``_pq_train_parts``
+    stages; query side probes N_PROBE cells (the ``_ANN_IVF_SQL``
+    probe arithmetic), forms each (query, cell) RESIDUAL, and scores
+    only code rows whose point was assigned to a probed cell —
+    exactly the landed layout's partition-pruned read set."""
+    parts = _ivfpq_scored_parts(m, kc, dim, iters)
     return f"""
 WITH {",".join(parts)}
 SELECT q_id, neighbor_id, rank, ROUND(adc, 6) AS adc_dist
@@ -2894,6 +2986,23 @@ FROM (
   FROM scored)
 WHERE rank <= {topk}
 """
+
+
+def _ann_ivfpq_recall_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+) -> str:
+    """``pq.ivfpq_recall`` over the freshly-landed default index: the
+    full IVF-PQ replay (shared ``_ivfpq_scored_parts``) scored for
+    recall@k against the exact squared-L2 baseline (shared
+    ``_recall_tail_sql``) — both compression losses (cell pruning +
+    quantization) priced in one driver-checked number."""
+    parts = _ivfpq_scored_parts(m, kc, dim, iters)
+    return f"""
+WITH {",".join(parts)}{_recall_tail_sql(dim, sim.N_QUERIES, topk)}"""
 
 
 def _queries_dedup_similarity() -> list[Query]:
@@ -2995,6 +3104,10 @@ FROM documents
         Query("ann_quantized", sim.ann_quantized_topk, _ANN_QUANT_SQL),
         Query("pq_adc_topk", _pq_adc_topk, _pq_adc_oracle_sql()),
         Query("ann_ivfpq_indexed", _ann_ivfpq_indexed, _ann_ivfpq_oracle_sql()),
+        Query("ann_pq_recall", _ann_pq_recall_q, _ann_pq_recall_sql()),
+        Query(
+            "ann_ivfpq_recall", _ann_ivfpq_recall_q, _ann_ivfpq_recall_sql()
+        ),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
         Query("graph_triangles", _near_dup_triangles, _TRIANGLES_SQL),
@@ -4248,6 +4361,10 @@ _CHECK_FIRST = (
     # deterministic struct-max — output changed at the insert keys;
     # bpe_token_stats' training path gained the word-dict checkpoint
     # (output unchanged, but the touched path earns a fresh check).
+    # the round-9 compressed-ANN recall queries (brand-new, first
+    # driver rows needed):
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
     "cdc_merge",
     "bpe_token_stats",
     # r6-vintage block (oldest evidence — highest audit priority):
@@ -4300,8 +4417,6 @@ _CHECK_FIRST = (
     "dataset_mixture_temp",
     "term_lift",
     "graph_k_core",
-    "graph_triangles",
-    "graph_pagerank",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4347,10 +4462,13 @@ _STALE_OK = (
     "stream_sessions_closed",
     "stream_attribution",
     "tpch_q7_volume",
-    # displaced from the round-9 window by the changed-query rotation
-    # (r7-green, relational.py untouched this round):
+    # displaced from the round-9 window by the changed/new-query
+    # rotation (r7-green; relational.py and graph.py untouched this
+    # round):
     "tpch_q4_priority",
     "tpch_q19_brackets",
+    "graph_triangles",
+    "graph_pagerank",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
     "events_gapfill",

@@ -635,3 +635,59 @@ def ann_ivfpq_indexed(
             F.round("adc_dist", 6).alias("adc_dist"),
         )
     )
+
+
+def pq_adc_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    m: int = PQ_M,
+    codes_k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Recall@k of the flat-PQ ADC tier against the EXACT squared-L2
+    top-k — the retrieval-quality number a user sizing a compressed
+    store needs next to ``pq_reconstruction_mse``'s training-quality
+    number. The baseline is L2 (the metric ADC approximates), so the
+    measurement isolates quantization loss: recall < 1 here is the
+    price of 32-byte→4-byte compression, nothing else.
+
+    Output per query: ``(q_id, n_hit, k, recall)`` — integer hit
+    counts, one IEEE division (the ``ann_recall`` discipline).
+    Sensitivity contracts pinned in tests/test_pq.py: recall is
+    non-decreasing as ``m`` grows (finer subquantizers), and the
+    exact-rerank bound caps every compressed tier."""
+    from mapreducekmean_spark.operators.similarity import (
+        l2_topk,
+        recall_vs_exact,
+    )
+
+    approx = pq_adc_topk(spark, sf_dir, k=k, m=m, codes_k=codes_k,
+                         iters=iters)
+    exact = l2_topk(spark, sf_dir, k=k)
+    return recall_vs_exact(exact, approx, k)
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 3,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Recall@k of the landed IVF-PQ (IVFADC) store against the exact
+    squared-L2 top-k — the end-to-end number that prices BOTH losses a
+    served compressed index takes: cell pruning (only ``nprobe`` cells
+    scanned) and PQ quantization (4-byte codes). Compare with
+    ``pq_adc_recall`` (quantization only) to attribute a recall drop to
+    probing vs compression, and with ``ann_recall`` (pruning only, raw
+    vectors) to size ``nprobe``. Monotone-in-nprobe and the
+    exact-rerank upper bound are pinned in tests/test_pq.py."""
+    from mapreducekmean_spark.operators.similarity import (
+        l2_topk,
+        recall_vs_exact,
+    )
+
+    approx = ann_ivfpq_indexed(spark, sf_dir, path, k=k, nprobe=nprobe)
+    exact = l2_topk(spark, sf_dir, k=k)
+    return recall_vs_exact(exact, approx, k)

@@ -947,6 +947,55 @@ def ann_quantized_topk(
     )
 
 
+def l2_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Exact squared-L2 brute-force top-k — the recall-1.0 baseline in
+    the metric the PQ compression tiers approximate (ADC estimates
+    squared L2, not cosine, so PQ recall must be scored against an L2
+    ground truth or the measurement conflates quantization error with
+    metric mismatch). Same broadcast-query shape as ``cosine_topk``;
+    rank ascending by distance, neighbor-id tie-break. The fold order
+    of ``sq_dist`` matches the DuckDB twin's ``list_sum`` exactly
+    (functions/vector.py contract), so the rank sets are deterministic
+    cross-engine up to near-exact ties."""
+    from mapreducekmean_spark.functions.vector import sq_dist
+
+    qs, pts = _queries_and_points(spark, sf_dir)
+    joined = pts.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("dist", sq_dist(F.col("q_emb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate (q_id, neighbor_id) rank
+    set against the exact one: ``n_hit = |approx ∩ exact|`` per query
+    (integer), ``recall = n_hit / k`` (ONE IEEE division, rounded 6 dp
+    — cross-engine exact). Shared by every ANN evaluation query so the
+    scoring arithmetic cannot drift between tiers. Driver-scale frames
+    (k·|queries| rows each side)."""
+    exact = exact.select("q_id", "neighbor_id")
+    approx = approx.select("q_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("q_id").distinct()
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        n_hit.alias("n_hit"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.round(n_hit / F.lit(int(k)), 6).alias("recall"),
+    )
+
+
 def ann_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -967,23 +1016,9 @@ def ann_recall(
     the intersection is a (q_id, neighbor_id) hash join between two
     k·|queries|-row frames — driver-scale either way.
     """
-    exact = cosine_topk(spark, sf_dir, k=k).select("q_id", "neighbor_id")
-    approx = ivf_topk(
-        spark, sf_dir, k=k, nprobe=nprobe, ncells=ncells
-    ).select("q_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["q_id", "neighbor_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    qids = exact.select("q_id").distinct()
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
-    return qids.join(hits, "q_id", "left").select(
-        "q_id",
-        n_hit.alias("n_hit"),
-        F.lit(int(k)).cast("bigint").alias("k"),
-        F.round(n_hit / F.lit(int(k)), 6).alias("recall"),
-    )
+    exact = cosine_topk(spark, sf_dir, k=k)
+    approx = ivf_topk(spark, sf_dir, k=k, nprobe=nprobe, ncells=ncells)
+    return recall_vs_exact(exact, approx, k)
 
 
 def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:

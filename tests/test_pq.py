@@ -383,3 +383,97 @@ def test_ivfpq_trained_quantizer_lands_and_serves(spark, sf_oracle, tmp_path):
     out = ann_ivfpq_indexed(spark, sf_oracle, path).collect()
     assert len(out) == 30
     assert spark.read.parquet(f"{path}/cells").count() == pts.count()
+
+
+def test_l2_topk_matches_python(spark, sf_small):
+    """The exact-L2 recall baseline must BE exact: per query, the same
+    id set and rank order as a pure-Python sort over squared L2."""
+    from mapreducekmean_spark.operators.similarity import l2_topk
+
+    rows = {r.vec_id: r.emb for r in _pts(spark, sf_small).collect()}
+    got: dict[int, list[int]] = {}
+    for r in sorted(l2_topk(spark, sf_small, k=3).collect(),
+                    key=lambda r: (r.q_id, r.rank)):
+        got.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert len(got) == 10
+    for q_id, ids in got.items():
+        qv = rows[q_id]
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, v)), vid)
+            for vid, v in rows.items()
+            if vid != q_id
+        )
+        assert ids == [vid for _d, vid in dists[:3]]
+
+
+def test_pq_recall_m_sensitivity(spark, sf_oracle):
+    """Finer subquantization cannot hurt retrieval on the fixture: the
+    m=16 (4-dim subspaces) total hit count is at least the m=4 (16-dim
+    subspaces) one — the knob a user turns when recall is short."""
+    from mapreducekmean_spark.operators.pq import pq_adc_recall
+
+    totals = {}
+    for m in (4, 16):
+        totals[m] = sum(
+            r.n_hit for r in pq_adc_recall(spark, sf_oracle, m=m).collect()
+        )
+    assert totals[16] >= totals[4]
+    assert totals[16] > 0
+
+
+def test_ivfpq_recall_nprobe_monotone_and_exact_bound(
+    spark, sf_oracle, tmp_path
+):
+    """Two contracts a served compressed index is sized by: (1) total
+    hits are non-decreasing in nprobe (more cells probed → candidate
+    superset); (2) per query, the IVF-PQ hit count can never exceed
+    the EXACT-rerank bound |true top-3 ∩ probed candidates| — ADC is a
+    selection rule over the probed cells, and no selection rule beats
+    exact scoring of the same candidates."""
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        ivfpq_recall,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        _probe_cells,
+        _queries_and_points,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    land_ivfpq_index(spark, sf_oracle, path)
+    totals = {}
+    per_q = {}
+    for nprobe in (1, 2, 4):
+        rows = ivfpq_recall(spark, sf_oracle, path, nprobe=nprobe).collect()
+        totals[nprobe] = sum(r.n_hit for r in rows)
+        per_q[nprobe] = {r.q_id: r.n_hit for r in rows}
+    assert totals[1] <= totals[2] <= totals[4]
+    assert totals[4] > 0
+
+    # exact-rerank bound at nprobe=2 (the default serving config)
+    cents, _cb = _load_ivfpq_params(spark, path)
+    qs, _pts_df = _queries_and_points(spark, sf_oracle)
+    probed = {}
+    for r in _probe_cells(qs, cents, len(cents), 2).collect():
+        probed.setdefault(r.q_id, set()).add(r.cell)
+    cell_of = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    emb = {r.vec_id: r.emb for r in _pts(spark, sf_oracle).collect()}
+    for q_id, n_hit in per_q[2].items():
+        qv = emb[q_id]
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, v)), vid)
+            for vid, v in emb.items()
+            if vid != q_id
+        )
+        true3 = {vid for _d, vid in dists[:3]}
+        cand_hits = sum(
+            1 for vid in true3 if int(cell_of[vid]) in
+            {int(c) for c in probed[q_id]}
+        )
+        assert n_hit <= cand_hits
