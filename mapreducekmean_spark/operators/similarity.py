@@ -624,12 +624,51 @@ SEM_DUP_TAU = 0.30
 SEM_DUP_MAX_CELL = 100_000
 
 
+def _sem_dup_of(ids, mat, tau: float, target_idx=None):
+    """The SemDeDup pair kernel over one cell block: for each target row
+    (default: all rows), the smallest LOWER id whose cosine reaches
+    ``tau``, or an int64 sentinel meaning kept. ``ids``/``mat`` must be
+    id-sorted. Every dot product accumulates per-dimension in index
+    order (one fused multiply-add per dim across the whole block) — the
+    identical IEEE sequence as ``functions/vector.py``'s fold and the
+    DuckDB twin's ``list_sum``, so the ``sim >= tau`` verdict is
+    bit-identical regardless of which columns are kept. Shared by the
+    full in-session pass and the incremental delta so the arithmetic
+    cannot drift; row blocks of 1024 bound the pair matrix."""
+    import numpy as np
+
+    n, dim = mat.shape
+    if target_idx is None:
+        target_idx = np.arange(n)
+    tm = mat[target_idx]
+    tids = ids[target_idx]
+    ssq = np.zeros(n)
+    for d in range(dim):
+        ssq = ssq + mat[:, d] * mat[:, d]
+    norms = np.sqrt(ssq)
+    tnorms = norms[target_idx]
+    sentinel = np.iinfo(np.int64).max
+    dup_of = np.full(len(target_idx), sentinel, dtype=np.int64)
+    for lo in range(0, n, 1024):
+        hi = min(lo + 1024, n)
+        dots = np.zeros((hi - lo, len(target_idx)))
+        for d in range(dim):
+            dots = dots + np.multiply.outer(mat[lo:hi, d], tm[:, d])
+        sims = dots / np.multiply.outer(norms[lo:hi], tnorms)
+        # row i (the lower id) marks target column j as its duplicate
+        mask = (ids[lo:hi][:, None] < tids[None, :]) & (sims >= tau)
+        cand = np.where(mask, ids[lo:hi][:, None], sentinel).min(axis=0)
+        dup_of = np.minimum(dup_of, cand)
+    return dup_of, sentinel
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     tau: float = SEM_DUP_TAU,
     ncells: int = km.DEFAULT_K,
     max_cell_rows: int = SEM_DUP_MAX_CELL,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: coarse-cluster embeddings into IVF
     cells (deterministic K-Means init, same quantizer as ``ivf_topk``),
@@ -664,9 +703,10 @@ def semantic_dedup(
     import pandas as pd
 
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
-    cents = km.collect_centroids(
-        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
-    )
+    if cents is None:
+        cents = km.collect_centroids(
+            km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
+        )
     bucketed = km.assign(pts, cents).select(
         "vec_id", "emb", F.col("cluster_id").alias("cell")
     )
@@ -694,23 +734,7 @@ def semantic_dedup(
         ids = pdf["vec_id"].to_numpy()[order]
         mat = np.array([list(e) for e in pdf["emb"].to_numpy()[order]],
                        dtype=np.float64)
-        n, dim = mat.shape
-        ssq = np.zeros(n)
-        for d in range(dim):
-            ssq = ssq + mat[:, d] * mat[:, d]
-        norms = np.sqrt(ssq)
-        sentinel = np.iinfo(np.int64).max
-        dup_of = np.full(n, sentinel, dtype=np.int64)
-        for lo in range(0, n, 1024):
-            hi = min(lo + 1024, n)
-            dots = np.zeros((hi - lo, n))
-            for d in range(dim):
-                dots = dots + np.multiply.outer(mat[lo:hi, d], mat[:, d])
-            sims = dots / np.multiply.outer(norms[lo:hi], norms)
-            # row i (the lower id) marks column j as its duplicate
-            mask = (ids[lo:hi][:, None] < ids[None, :]) & (sims >= tau)
-            cand = np.where(mask, ids[lo:hi][:, None], sentinel).min(axis=0)
-            dup_of = np.minimum(dup_of, cand)
+        dup_of, sentinel = _sem_dup_of(ids, mat, tau)
         kept = dup_of == sentinel
         return pd.DataFrame(
             {
@@ -727,6 +751,162 @@ def semantic_dedup(
 
     ship_package(spark)
     return bucketed.groupBy("cell").applyInPandas(
+        per_cell, "vec_id bigint, cell bigint, kept boolean, dup_of bigint"
+    )
+
+
+def _landed_cells_scan(
+    spark: SparkSession, path: str, touched: list[int]
+) -> DataFrame:
+    """The delta's index read: ONLY the touched ``cell=`` partition
+    directories (PartitionFilters on the scan — pinned in
+    tests/test_similarity_indexed.py against this very frame, since the
+    operator checkpoints it and the final plan shows the checkpoint,
+    not the scan it materialized)."""
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(touched))
+        .select("vec_id", "emb", F.col("cell").cast("bigint").alias("cell"))
+    )
+
+
+def semantic_dedup_delta(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    tau: float = SEM_DUP_TAU,
+    max_cell_rows: int = SEM_DUP_MAX_CELL,
+) -> DataFrame:
+    """Incremental SemDeDup against a LANDED IVF index — the form a
+    100 TB embedding dedup actually runs: an arriving batch is
+    quantized by the index's FROZEN coarse quantizer, the index
+    contributes ONLY the batch's touched ``cell=`` partition
+    directories (physical partition pruning — same economics as
+    ``incremental.dedup_delta``'s bucketed tables), and each batch
+    vector's verdict is the smallest lower-id cellmate (landed or
+    batch) with cosine ≥ ``tau``. Per-batch cost scales with
+    |batch| × touched-cell occupancy, never with the corpus.
+
+    Equivalence contract (pinned in tests/test_similarity_indexed.py):
+    given monotone ids (every batch id above the landed ceiling — the
+    ``append_ivf_index`` contract, enforced here per touched cell), the
+    verdicts equal :func:`semantic_dedup` over the UNION under the same
+    frozen quantizer, restricted to the batch — because a batch row's
+    dup_of depends only on its LOWER-id cellmates, all of which are
+    landed or in-batch. The pair arithmetic is the shared
+    :func:`_sem_dup_of` kernel, so the equality is bit-exact.
+
+    Replay-safe: landed copies of batch ids are anti-joined out before
+    scoring, so re-scoring a batch that a crashed caller already
+    appended yields the identical verdicts instead of wedging.
+
+    Output: ``(vec_id, cell, kept, dup_of)`` for the batch rows only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = load_index_centroids(spark, path)
+    b = (
+        km.assign(batch.select("vec_id", "emb"), cents)
+        .select("vec_id", "emb", F.col("cluster_id").alias("cell"))
+        .localCheckpoint()
+    )
+    touched = sorted(
+        int(r.cell) for r in b.select("cell").distinct().collect()
+    )  # bounded: ≤ ncells driver rows
+    landed_raw = _landed_cells_scan(spark, path, touched)
+    # landed copies of batch ids are a crashed-append replay ONLY if
+    # the payload matches bit-for-bit; the same id carrying a different
+    # embedding is an id collision the verdict orientation cannot
+    # survive, so it refuses instead of silently dropping a landed row
+    collision = (
+        landed_raw.join(
+            F.broadcast(b.select("vec_id", F.col("emb").alias("b_emb"))),
+            "vec_id",
+        )
+        .filter(F.col("emb") != F.col("b_emb"))
+        .limit(1)
+        .collect()
+    )
+    if collision:
+        raise ValueError(
+            f"semantic_dedup_delta id collision: landed vec_id "
+            f"{collision[0]['vec_id']} carries a different embedding "
+            f"than the batch row with the same id — not a replay. "
+            f"Re-id the batch above the landed ceiling."
+        )
+    landed = (
+        # drop landed copies of batch ids (crashed-append replay)
+        landed_raw.join(F.broadcast(b.select("vec_id")), "vec_id",
+                        "left_anti")
+    ).localCheckpoint()
+    # monotone-id contract, per the cells that actually interact: a
+    # landed id ABOVE a batch id in a shared cell would have needed
+    # this batch as a dup candidate when ITS verdict was emitted
+    bounds = (
+        landed.groupBy("cell").agg(F.max("vec_id").alias("max_landed"))
+        .join(b.groupBy("cell").agg(F.min("vec_id").alias("min_new")),
+              "cell")
+        .filter(F.col("min_new") <= F.col("max_landed"))
+        .limit(1)
+        .collect()
+    )
+    if bounds:
+        r = bounds[0]
+        raise ValueError(
+            f"semantic_dedup_delta requires append-only monotone ids: "
+            f"cell {r['cell']} has batch min vec_id {r['min_new']} <= "
+            f"landed max {r['max_landed']}. The keep-lowest policy "
+            f"orients every cross pair as landed < new; re-id the "
+            f"batch above the landed ceiling."
+        )
+    combined = landed.select("cell").unionByName(b.select("cell"))
+    oversized = (
+        combined.groupBy("cell")
+        .count()
+        .filter(F.col("count") > max_cell_rows)
+        .orderBy(F.col("count").desc())
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        r = oversized[0]
+        raise ValueError(
+            f"semantic_dedup_delta cell {r['cell']} holds {r['count']} "
+            f"rows (landed + batch), over the {max_cell_rows}-row "
+            f"per-cell bound — the same sigma-n_cell^2 contract as "
+            f"semantic_dedup. Re-land the index with a larger ncells."
+        )
+
+    both = landed.withColumn("is_new", F.lit(False)).unionByName(
+        b.withColumn("is_new", F.lit(True))
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array(
+            [list(e) for e in pdf["emb"].to_numpy()[order]],
+            dtype=np.float64,
+        )
+        target_idx = np.where(pdf["is_new"].to_numpy()[order])[0]
+        dup_of, sentinel = _sem_dup_of(ids, mat, tau, target_idx)
+        kept = dup_of == sentinel
+        return pd.DataFrame(
+            {
+                "vec_id": ids[target_idx],
+                "cell": pdf["cell"].to_numpy()[order][target_idx],
+                "kept": kept,
+                "dup_of": [
+                    None if k else int(v) for k, v in zip(kept, dup_of)
+                ],
+            }
+        )
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(spark)
+    return both.groupBy("cell").applyInPandas(
         per_cell, "vec_id bigint, cell bigint, kept boolean, dup_of bigint"
     )
 

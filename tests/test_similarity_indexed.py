@@ -289,3 +289,176 @@ def test_broadcast_scoring_tail_matches_join_tail(spark, sf_oracle):
         tuple(r) for r in _score_probed_cells_bc(cells, q_cells, 3).collect()
     )
     assert a == b and a
+
+
+def _sem_union_restricted(spark, sf_dir, cents, split):
+    """Ground truth for the delta contract: the full in-session
+    SemDeDup under the given frozen quantizer, restricted to the
+    high-id half."""
+    from mapreducekmean_spark.operators.similarity import semantic_dedup
+
+    return {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup(spark, sf_dir, cents=cents).collect()
+        if r.vec_id >= split
+    }
+
+
+def test_semantic_dedup_delta_equals_full_run(spark, sf_oracle, tmp_path):
+    """The batch≡full contract, over TWO sequential batches with an
+    append between them: land the index over the low-id half, score
+    the third quarter, append it, score the fourth quarter — the
+    union of delta verdicts must equal the one-shot full run under
+    the same frozen quantizer restricted to the high half, bit-exact
+    (shared _sem_dup_of kernel both sides)."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        append_ivf_index,
+        land_ivf_index_points,
+        semantic_dedup_delta,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split, q3 = (mx + 1) // 2, (mx + 1) * 3 // 4
+    cents = km.collect_centroids(km.deterministic_init(pts, km.DEFAULT_K))
+    path = str(tmp_path / "semivf")
+    land_ivf_index_points(
+        spark, pts.filter(F.col("vec_id") < split), path, cents=cents
+    )
+    b1 = pts.filter((F.col("vec_id") >= split) & (F.col("vec_id") < q3))
+    b2 = pts.filter(F.col("vec_id") >= q3)
+    got = {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup_delta(spark, b1, path).collect()
+    }
+    append_ivf_index(spark, b1, path)
+    got |= {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup_delta(spark, b2, path).collect()
+    }
+    assert got == _sem_union_restricted(spark, sf_oracle, cents, split)
+    assert any(not k for (_v, _c, k, _d) in got)  # fixture has dups
+
+
+def test_semantic_dedup_delta_replay_after_append_is_identical(
+    spark, sf_oracle, tmp_path
+):
+    """A crashed caller that appended the batch before recording
+    verdicts re-scores it on restart: the landed copies of the batch
+    ids are anti-joined out, so the replay verdicts equal the
+    originals."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        append_ivf_index,
+        land_ivf_index_points,
+        semantic_dedup_delta,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split = (mx + 1) // 2
+    path = str(tmp_path / "semivf")
+    land_ivf_index_points(
+        spark, pts.filter(F.col("vec_id") < split), path
+    )
+    batch = pts.filter(F.col("vec_id") >= split)
+    first = sorted(
+        tuple(r) for r in semantic_dedup_delta(spark, batch, path).collect()
+    )
+    append_ivf_index(spark, batch, path)
+    replay = sorted(
+        tuple(r) for r in semantic_dedup_delta(spark, batch, path).collect()
+    )
+    assert replay == first
+
+
+def test_semantic_dedup_delta_guards(spark, sf_oracle, tmp_path):
+    """All three refusals fire with actionable messages: an id
+    collision (same id, different payload — NOT a replay), genuinely
+    interleaved ids (a new batch id below a landed cellmate), and an
+    oversized combined cell."""
+    import pytest
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        semantic_dedup_delta,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split = (mx + 1) // 2
+    path = str(tmp_path / "semivf")
+    land_ivf_index_points(
+        spark,
+        pts.filter((F.col("vec_id") < split) & (F.col("vec_id") != split - 2)),
+        path,
+    )
+    # id collision: shifted ids reuse landed id values with other
+    # rows' embeddings
+    bad = pts.filter(F.col("vec_id") >= split - 10).withColumn(
+        "vec_id", F.col("vec_id") - F.lit(5)
+    )
+    with pytest.raises(ValueError, match="collision"):
+        semantic_dedup_delta(spark, bad, path)
+    # genuine interleave, no id overlap: a NEW id (split-2 was never
+    # landed) carrying the embedding of landed id split-1 — same cell
+    # by identical assignment, below that cell's landed max
+    emb_top = pts.filter(F.col("vec_id") == split - 1).collect()[0].emb
+    interleaved = spark.createDataFrame(
+        [(split - 2, list(emb_top))], "vec_id bigint, emb array<double>"
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        semantic_dedup_delta(spark, interleaved, path)
+    with pytest.raises(ValueError, match="per-cell bound"):
+        semantic_dedup_delta(
+            spark, pts.filter(F.col("vec_id") >= split), path,
+            max_cell_rows=3,
+        )
+
+
+def test_semantic_dedup_delta_scan_prunes_to_touched_cells(
+    spark, sf_oracle, tmp_path
+):
+    """The delta's index read must be PHYSICAL partition pruning: with
+    a tiny batch (few touched cells out of 25), the cells scan plans
+    with a partition IN-filter strictly smaller than ncells. Pinned on
+    `_landed_cells_scan` — the exact frame the operator checkpoints
+    (the operator's own final plan shows the checkpoint RDD, not the
+    scan that fed it) — plus an end-to-end run for the verdict shape."""
+    import re
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        _landed_cells_scan,
+        land_ivf_index_points,
+        load_index_centroids,
+        semantic_dedup_delta,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+
+    ncells = 25
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split = mx - 3  # 4-vector batch: at most 4 touched cells
+    path = str(tmp_path / "semivf")
+    land_ivf_index_points(
+        spark, pts.filter(F.col("vec_id") < split), path, ncells=ncells
+    )
+    batch = pts.filter(F.col("vec_id") >= split)
+    cents = load_index_centroids(spark, path)
+    touched = sorted(
+        int(r.cluster_id)
+        for r in km.assign(batch, cents).select("cluster_id").distinct()
+        .collect()
+    )
+    assert semantic_dedup_delta(spark, batch, path).count() == 4
+    plan = formatted_plan(_landed_cells_scan(spark, path, touched))
+    m = re.search(r"PartitionFilters: \[cell[^\]]*\]", plan)
+    assert m, plan
+    values_part = re.sub(r"cell#\d+", "cell",
+                         m.group(0).split("isnotnull")[0])
+    probed = re.findall(r"\b\d+\b", values_part)
+    assert 0 < len(probed) <= 4
+    assert len(probed) < ncells
