@@ -389,3 +389,110 @@ def test_merge_into_snapshot_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(path).select("k", "v").collect()
     )
     assert once == twice
+
+
+def test_stream_cdc_merge_killed_midstream_restarts_from_checkpoint(
+    spark, tmp_path
+):
+    """The real restart contract: a CHECKPOINTED streaming MERGE is
+    killed mid-stream in the harshest window — batch 1's snapshot
+    merge has completed but neither the high-water marker nor the
+    checkpoint commit were written — then restarted from the same
+    checkpoint with the production runner. Structured Streaming
+    replays the uncommitted batch under the same batch id, the marker
+    says it never applied, and the re-merge is idempotent: the final
+    snapshot is row-identical to an uninterrupted sequential merge
+    (the batch cdc_merge composition), and the marker converges."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mapreducekmean_spark.streaming.jobs import stream_cdc_merge
+
+    path = str(tmp_path / "snap")
+    src = tmp_path / "changes"
+    src.mkdir()
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cdc.land_snapshot(base, path, key="k", n_buckets=8)
+    rows1 = [
+        {"k": 3, "seq": 1, "op": "U", "v": 33},
+        {"k": 4, "seq": 1, "op": "D", "v": None},
+        {"k": 900, "seq": 1, "op": "I", "v": 9},
+    ]
+    rows2 = [
+        {"k": 900, "seq": 1, "op": "U", "v": 10},
+        {"k": 7, "seq": 1, "op": "D", "v": None},
+    ]
+    with open(src / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows1))
+    with open(src / "b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows2))
+    # distinct mtimes pin the file→batch order (b1 = batch 0)
+    os.utime(src / "b1.json", (1_000_000, 1_000_000))
+    os.utime(src / "b2.json", (1_000_100, 1_000_100))
+    schema = "k bigint, seq int, op string, v bigint"
+
+    crashed = {}
+
+    def crash_before_commit(df, bid):
+        if bid >= 1 and not crashed:
+            # replicate the batch body UP TO the crash point: the merge
+            # lands, the marker write never happens, the checkpoint
+            # commit never happens
+            df = df.localCheckpoint()
+            if df.take(1):
+                cdc.merge_into_snapshot(spark, df, path)
+            crashed["at"] = bid
+            raise RuntimeError("injected crash before marker commit")
+        cdc.cdc_merge_stream_batch(spark, df, bid, path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+        .foreachBatch(crash_before_commit)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+    assert crashed["at"] == 1  # died mid-stream, after batch 0 committed
+    with open(os.path.join(path, "_cdc_high_water")) as f:
+        assert int(f.read()) == 0  # marker never saw batch 1
+
+    # restart with the PRODUCTION runner on the same checkpoint
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    stream_cdc_merge(stream2, path)
+
+    got = {
+        (r.k, r.v)
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+    b1 = spark.createDataFrame(
+        [(3, 1, "U", 33), (4, 1, "D", None), (900, 1, "I", 9)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(900, 1, "U", 10), (7, 1, "D", None)], schema
+    )
+    want = {
+        (r.k, r.v)
+        for r in cdc.cdc_merge(
+            cdc.cdc_merge(base, b1, key="k"), b2, key="k"
+        ).collect()
+    }
+    assert got == want
+    with open(os.path.join(path, "_cdc_high_water")) as f:
+        assert int(f.read()) == 1  # marker converged past the replay
