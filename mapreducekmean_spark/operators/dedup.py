@@ -31,6 +31,15 @@ N_HASHES = 8
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+#: Hot-bucket bound for the LSH band self-join: a (band, bucket) with
+#: more rows than this degrades from the full candidate clique to a
+#: STAR centered on the bucket's minimum doc_id (linear, not
+#: quadratic). Far above any legitimate bucket (sf0.1 fixture max: 12);
+#: only byte-identical mass that skipped the staged exact dedup
+#: (pipeline.corpus_clean runs it BEFORE MinHash) collapses a bucket
+#: this far.
+LSH_MAX_BUCKET = 1024
+
 #: SimHash: 32 bits (one per md5 hex nibble's high bit).
 SIMHASH_BITS = 32
 HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -216,6 +225,7 @@ def minhash_candidate_pairs(
     docs: DataFrame,
     shingled: DataFrame | None = None,
     bands: DataFrame | None = None,
+    max_bucket_rows: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, bucket), deduped.
     Shuffles on uniform md5 buckets — never all-pairs.
@@ -228,23 +238,57 @@ def minhash_candidate_pairs(
     that stage standalone); the checkpoint is its in-session form.
     ``bands``: an already-CHECKPOINTED band table, for callers (the
     incremental delta path) that built one — passing it skips the whole
-    signature rebuild, not just the tokenize pass."""
+    signature rebuild, not just the tokenize pass.
+
+    Hot-bucket guard: a direct caller on a NOT-exact-deduped corpus can
+    collapse thousands of byte-identical docs into one band bucket,
+    making the self-join quadratic in that bucket. Buckets over
+    ``max_bucket_rows`` therefore degrade from the candidate CLIQUE to a
+    STAR centered on the bucket's minimum doc_id — linear in bucket
+    size, and lossless for the mass that causes it: identical docs all
+    verify against the star center, and the connected-components
+    clustering (``dedup_clusters``) groups the whole bucket through it.
+    The only edges dropped are between NON-center members of an
+    oversized bucket — pairs the staged pipeline (exact dedup first,
+    ``pipeline.corpus_clean``) never produces, pinned in
+    tests/test_mixture_decon.py: with every bucket under the cap the
+    output is identical to the uncapped clique. The oversized-bucket
+    list is one aggregate over the checkpointed bands, broadcast back
+    (bounded by rows/cap entries — driver-safe for any real corpus)."""
     if bands is None:
         bands = minhash_bands(docs, shingled).localCheckpoint()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    over = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canon"))
+        .filter(F.col("n") > max_bucket_rows)
+        .localCheckpoint()
     )
+    small = bands.join(
+        F.broadcast(over.select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    star = (
+        bands.join(
+            F.broadcast(over.select("band", "bucket", "canon")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            F.col("canon").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    return clique.unionByName(star).distinct()
 
 
 def _jaccard(sa: Column, sb: Column) -> Column:

@@ -471,24 +471,26 @@ def hourly_gapfill(ev: DataFrame) -> DataFrame:
 
 
 def _group_median(
-    df: DataFrame, group_col: str, val_col: str, out_col: str
+    df: DataFrame, group_col: str | list[str], val_col: str, out_col: str
 ) -> DataFrame:
     """Type-1 (inverted-CDF) median of an INTEGER column per group via
     the histogram+cumsum positional pick — the ``value_quantiles``
-    machinery, shared so the anomaly detector's two median passes are
+    machinery, shared so the anomaly detectors' median passes are
     one copy of the arithmetic. Exact: pure integer index math over
-    actual data values."""
-    hist = df.groupBy(group_col, val_col).agg(F.count("*").alias("cnt"))
+    actual data values. ``group_col`` may be a composite key (the
+    seasonal detector groups by (event_type, hour-of-day))."""
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    hist = df.groupBy(*cols, val_col).agg(F.count("*").alias("cnt"))
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*cols)
         .orderBy(val_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "tot", F.sum("cnt").over(Window.partitionBy(group_col))
+        "tot", F.sum("cnt").over(Window.partitionBy(*cols))
     )
     pos = F.expr("(tot + 1) div 2")  # 1-based ceil(tot/2)
-    return cum.groupBy(group_col).agg(
+    return cum.groupBy(*cols).agg(
         F.min(F.when(F.col("cum") >= pos, F.col(val_col))).alias(out_col)
     )
 
@@ -529,4 +531,47 @@ def hourly_anomaly(ev: DataFrame) -> DataFrame:
             "mad",
             (F.col("dev") > MAD_K * F.col("mad")).alias("is_anomaly"),
         )
+    )
+
+
+def hourly_anomaly_seasonal(ev: DataFrame) -> DataFrame:
+    """Seasonal-baseline anomaly detection: :func:`hourly_anomaly` with
+    the median/MAD baseline per (event_type, HOUR-OF-DAY) instead of a
+    single global baseline per type. A daily-periodic stream (busy
+    noon, quiet 3am) makes the global detector flag every normal quiet
+    night as anomalous; here each hour is judged against other
+    instances of the SAME wall-clock hour, so periodic lows are the
+    baseline and only genuine deviations (a silent noon, a 3am spike)
+    fire — pinned against the global form's false positive in
+    tests/test_edge_cases.py.
+
+    Hour-of-day is ``(hour_start_s div 3600) % 24`` (UTC) — pure
+    integer arithmetic, identical in the DuckDB twin; everything else
+    is the shared :func:`_group_median` histogram+cumsum pick, so the
+    verdict stays an exact integer comparison.
+
+    Scale shape: identical to the global form — the grouped medians run
+    over the time-bounded gapfilled grid; the baseline join-back table
+    grows only 24× (types × 24), still broadcast-sized.
+    """
+    hod = F.expr("(hour_start_s div 3600) % 24")
+    g = (
+        hourly_gapfill(ev)
+        .select("hour_start_s", "event_type", "n")
+        .withColumn("hod", hod)
+    )
+    keys = ["event_type", "hod"]
+    med = _group_median(g, keys, "n", "med")
+    d = g.join(med, keys).withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = _group_median(d, keys, "dev", "mad")
+    return d.join(mad, keys).select(
+        "hour_start_s",
+        "event_type",
+        F.col("hod").cast("bigint").alias("hod"),
+        "n",
+        "med",
+        "mad",
+        (F.col("dev") > MAD_K * F.col("mad")).alias("is_anomaly"),
     )

@@ -893,3 +893,116 @@ def test_hourly_anomaly_flags_spike_and_silence(spark):
     assert flagged == {20 * 3600, 30 * 3600}
     assert out[20 * 3600].n == 60 and out[30 * 3600].n == 0
     assert out[0].med == 5 and out[0].mad == 0
+
+
+def test_lsh_hot_bucket_degrades_to_star_and_stays_bounded(spark):
+    """The hot-bucket guard: 10k byte-identical docs that SKIPPED the
+    staged exact dedup collapse into one bucket per band; the
+    candidate set must complete as the linear STAR centered on the
+    minimum doc_id (9,999 pairs), never the ~50M-pair clique — and the
+    duplicate clustering still groups the entire mass through the
+    center."""
+    from mapreducekmean_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_candidate_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the quiet green meadow beside the old stone bridge"
+    )
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(base).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+    )
+    pairs = minhash_candidate_pairs(docs).collect()
+    assert len(pairs) == 9_999
+    assert all(r.doc_a == 0 and r.doc_b > 0 for r in pairs)
+    clusters = {
+        r.doc_id: (r.rep, r.cluster_size)
+        for r in duplicate_clusters(docs).collect()
+    }
+    assert len(clusters) == 10_000
+    assert all(v == (0, 10_000) for v in clusters.values())
+
+
+def test_lsh_hot_bucket_cap_is_lossless_below_cap(spark):
+    """The staging contract's losslessness pin: when every bucket is
+    under the cap (any exact-deduped corpus — here the standard mixed
+    fixture), the guarded output is IDENTICAL to the uncapped clique."""
+    from mapreducekmean_spark.operators.dedup import minhash_candidate_pairs
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, "/root/testdata/sf0.001")
+    capped = sorted(
+        tuple(r) for r in minhash_candidate_pairs(docs).collect()
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs(
+            docs, max_bucket_rows=10**9
+        ).collect()
+    )
+    assert capped == uncapped and capped
+
+
+def test_seasonal_anomaly_ignores_periodic_nights(spark):
+    """The seasonal baseline's reason to exist, pinned: a daily-periodic
+    stream (20 events/hour daytime, 1 event/hour at night, 14 days) plus
+    ONE genuinely silent noon. The global detector false-positives on
+    every normal quiet night (the type-wide median is the daytime rate,
+    MAD 0); the seasonal detector judges each hour against its own
+    wall-clock hour and flags EXACTLY the silent noon."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.events import (
+        hourly_anomaly,
+        hourly_anomaly_seasonal,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(14):
+        for hod in range(24):
+            if day == 7 and hod == 12:
+                n = 0  # the one real anomaly: a silent noon
+            elif 8 <= hod <= 20:
+                n = 20  # daytime
+            else:
+                n = 1  # normal quiet night — NOT an anomaly
+            for i in range(n):
+                rows.append((eid, (day * 24 + hod) * 3600 + i, 1, "view"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, s bigint, user_id bigint, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("s").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    night_hours = {
+        (day * 24 + hod) * 3600
+        for day in range(14)
+        for hod in list(range(8)) + [21, 22, 23]
+    }
+    silent_noon = (7 * 24 + 12) * 3600
+
+    global_flags = {
+        r.hour_start_s
+        for r in hourly_anomaly(ev).filter("is_anomaly").collect()
+    }
+    assert silent_noon in global_flags  # both see the real anomaly
+    assert night_hours <= global_flags  # …but global drowns in nights
+
+    seasonal = hourly_anomaly_seasonal(ev).collect()
+    assert len(seasonal) == 14 * 24  # dense grid preserved
+    seasonal_flags = {r.hour_start_s for r in seasonal if r.is_anomaly}
+    assert seasonal_flags == {silent_noon}
+    by_hour = {r.hour_start_s: r for r in seasonal}
+    assert by_hour[silent_noon].med == 20 and by_hour[silent_noon].n == 0
+    assert by_hour[3 * 3600].med == 1  # 3am judged against other 3ams
