@@ -1552,6 +1552,67 @@ FROM d JOIN m2 USING (event_type)
 _ANOMALY_SQL = _anomaly_sql()
 
 
+def _anomaly_seasonal_sql() -> str:
+    """``ev.hourly_anomaly_seasonal`` twin: the same gapfill base and
+    positional-median passes, but the baseline key is
+    (event_type, hour-of-day) — ``(hour_start_s // 3600) % 24``,
+    integer arithmetic on both engines."""
+    from mapreducekmean_spark.operators.events import MAD_K
+
+    return f"""
+WITH g AS (
+  SELECT hour_start_s, event_type,
+         (hour_start_s // 3600) % 24 AS hod, n
+  FROM ({_GAPFILL_SQL})
+),
+h1 AS (
+  SELECT event_type, hod, n AS v, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT event_type, hod, v,
+         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, hod) AS tot
+  FROM h1
+),
+m1 AS (
+  SELECT event_type, hod,
+         min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS med
+  FROM c1 GROUP BY 1, 2
+),
+d AS (
+  SELECT g.hour_start_s, g.event_type, g.hod, g.n, m1.med,
+         abs(g.n - m1.med) AS dev
+  FROM g JOIN m1 USING (event_type, hod)
+),
+h2 AS (
+  SELECT event_type, hod, dev AS v, count(*) AS cnt FROM d GROUP BY 1, 2, 3
+),
+c2 AS (
+  SELECT event_type, hod, v,
+         sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, hod) AS tot
+  FROM h2
+),
+m2 AS (
+  SELECT event_type, hod,
+         min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS mad
+  FROM c2 GROUP BY 1, 2
+)
+SELECT d.hour_start_s, d.event_type,
+       CAST(d.hod AS BIGINT) AS hod,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(m2.mad AS BIGINT) AS mad,
+       d.dev > {int(MAD_K)} * m2.mad AS is_anomaly
+FROM d JOIN m2 USING (event_type, hod)
+"""
+
+
+_ANOMALY_SEASONAL_SQL = _anomaly_seasonal_sql()
+
+
 def _quality_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/analytic.py:quality_unpivot — native DataFrame.unpivot
     (melt) of the quality_score metrics to long form."""
@@ -2511,6 +2572,33 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(spark, sf_dir)
 
 
+def _semantic_dedup_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py:semantic_dedup_delta — incremental
+    SemDeDup as a driver row: land the IVF index over the LOW-id half
+    of the embeddings under the FULL-corpus deterministic-init
+    quantizer (the quantizer the twin replays; reused per process, the
+    ann_ivf_indexed stance), then score the HIGH-id half as an arriving
+    batch against only its touched ``cell=`` partitions. The module's
+    pinned batch≡full equivalence is what the twin states: the full
+    in-session SemDeDup SQL restricted to the batch ids."""
+    import hashlib
+    import os
+
+    pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
+    (row,) = pts.agg(F.max("vec_id").alias("m")).collect()
+    split = (int(row.m) + 1) // 2
+    cents = km.collect_centroids(km.deterministic_init(pts, km.DEFAULT_K))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"semdx_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        sim.land_ivf_index_points(
+            spark, pts.filter(F.col("vec_id") < split), path, cents=cents
+        )
+    return sim.semantic_dedup_delta(
+        spark, pts.filter(F.col("vec_id") >= split), path
+    )
+
+
 _DEDUP_SEMANTIC_SQL = f"""
 {_KM_CTES},
 cells AS (
@@ -2529,6 +2617,11 @@ dups AS (
 )
 SELECT c.vec_id, c.cell, d.id_b IS NULL AS kept, d.dup_of
 FROM cells c LEFT JOIN dups d ON c.vec_id = d.id_b
+"""
+
+_SEMANTIC_DELTA_SQL = f"""
+SELECT * FROM ({_DEDUP_SEMANTIC_SQL})
+WHERE vec_id >= (SELECT (max(vec_id) + 1) // 2 FROM embeddings)
 """
 
 
@@ -3067,6 +3160,10 @@ FROM documents
         ),
         Query("dedup_embedding", _embedding_near_dup, _NEAR_DUP_SQL),
         Query("dedup_semantic", _dedup_semantic, _DEDUP_SEMANTIC_SQL),
+        Query(
+            "dedup_semantic_delta", _semantic_dedup_delta_q,
+            _SEMANTIC_DELTA_SQL,
+        ),
         Query("embedding_lsh_sig", _hyperplane_sig, _hyperplane_sig_sql()),
         Query(
             "decontaminate",
@@ -4229,6 +4326,13 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
             _ANOMALY_SQL,
         ),
         Query(
+            "events_anomaly_seasonal",
+            lambda spark, sf_dir: ev.hourly_anomaly_seasonal(
+                ev.events(spark, sf_dir)
+            ),
+            _ANOMALY_SEASONAL_SQL,
+        ),
+        Query(
             "events_range_join",
             lambda spark, sf_dir: ev.purchases_with_recent_views(
                 ev.events(spark, sf_dir)
@@ -4361,12 +4465,18 @@ _CHECK_FIRST = (
     # deterministic struct-max — output changed at the insert keys;
     # bpe_token_stats' training path gained the word-dict checkpoint
     # (output unchanged, but the touched path earns a fresh check).
-    # the round-9 compressed-ANN recall queries (brand-new, first
-    # driver rows needed):
+    # round-9 brand-new queries (first driver rows needed):
+    "dedup_semantic_delta",
     "ann_pq_recall",
     "ann_ivfpq_recall",
+    "events_anomaly_seasonal",
     "cdc_merge",
     "bpe_token_stats",
+    # round-9 touched paths (output pinned unchanged, fresh check
+    # earned): the LSH hot-bucket guard rewrote the candidate join;
+    # the anomaly detectors now share the composite-key group median.
+    "dedup_minhash_pairs",
+    "events_anomaly",
     # r6-vintage block (oldest evidence — highest audit priority):
     "assign_nearest",
     "centroid_update",
@@ -4413,10 +4523,6 @@ _CHECK_FIRST = (
     "pq_adc_topk",
     "hybrid_topk",
     "rerank_topk",
-    "decontaminate_fuzzy",
-    "dataset_mixture_temp",
-    "term_lift",
-    "graph_k_core",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4469,6 +4575,10 @@ _STALE_OK = (
     "tpch_q19_brackets",
     "graph_triangles",
     "graph_pagerank",
+    "graph_k_core",
+    "decontaminate_fuzzy",
+    "dataset_mixture_temp",
+    "term_lift",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
     "events_gapfill",
@@ -4477,7 +4587,6 @@ _STALE_OK = (
     "ivf_cell_stats",
     "dedup_delta_indexed",
     "budget_sample",
-    "events_anomaly",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4511,7 +4620,6 @@ _STALE_OK = (
     "dedup_clusters",
     "dedup_minhash_sig",
     "dedup_minhash",
-    "dedup_minhash_pairs",
     "dedup_verify",
     "dedup_simhash",
     "ngram_jaccard",
@@ -4530,7 +4638,6 @@ _CHECK_LAST = (
     "ivf_cell_stats",
     "dedup_delta_indexed",
     "budget_sample",
-    "events_anomaly",
     "pack_sequences_bpe",
     "shuffle_export",
     "domain_cap",
@@ -4564,7 +4671,6 @@ _CHECK_LAST = (
     "dedup_clusters",
     "dedup_minhash_sig",
     "dedup_minhash",
-    "dedup_minhash_pairs",
     "dedup_verify",
     "dedup_simhash",
     "ngram_jaccard",
