@@ -790,3 +790,110 @@ def stream_scd2(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def semantic_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    ncells: int | None = None,
+) -> None:
+    """One micro-batch of the streaming SEMANTIC dedup — the
+    ``foreachBatch`` body of :func:`stream_semantic_dedup`, public so
+    tests and batch backfills drive the same code path. The embedding
+    twin of :func:`ingest_dedup_batch`, built from the same replayable
+    parts:
+
+    (1) batch-id high-water guard (atomic temp + ``os.replace``; a
+    replayed completed batch no-ops); (2) index discovery from the
+    FILESYSTEM — the first batch LANDS the IVF index from itself
+    (quantizer frozen forever after, the vector-store contract), later
+    batches leave it to step (4); (3) verdicts via
+    ``similarity.semantic_dedup_delta`` against the landed index — on
+    the first batch the landed rows ARE the batch, and the delta's
+    replay anti-join reduces it to exactly the in-batch self-dedup, so
+    one code path covers both cases AND the crash-after-append replay;
+    (4) the batch's vectors join the index (``append_ivf_index``, its
+    own content-checked replay guard) — dropped vectors included,
+    since a dropped vector still canonicalizes later duplicates;
+    (5) verdicts land as the ``sem_batch=<id>`` partition via
+    partition UPSERT (a replay REPLACES its own partition,
+    row-identical); (6) the marker advances LAST, so every step a
+    replay re-runs is individually idempotent.
+
+    Batch-prefix equivalence (pinned in tests/test_streaming_ingest.py):
+    after any prefix of batches, the landed verdicts equal the one-shot
+    ``semantic_dedup`` over the union under the first batch's frozen
+    quantizer. PRECONDITION: vec_ids append-only monotone across
+    batches (the delta guard refuses otherwise)."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        append_ivf_index,
+        land_ivf_index_points,
+        semantic_dedup_delta,
+    )
+    from mapreducekmean_spark.sources.bucketing import upsert_partitions
+
+    marker = os.path.join(index_path, "_semdedup_high_water")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                mark = int(f.read().strip())
+        except ValueError:
+            mark = -1  # torn marker reads as absent (re-run is idempotent)
+        if batch_id <= mark:
+            return
+    batch_df = batch_df.select("vec_id", "emb").localCheckpoint()
+    if not batch_df.take(1):
+        return
+    if not os.path.exists(os.path.join(index_path, "centroids")):
+        land_ivf_index_points(
+            spark, batch_df, index_path,
+            **({"ncells": ncells} if ncells else {}),
+        )
+    verdicts = semantic_dedup_delta(spark, batch_df, index_path)
+    upsert_partitions(
+        verdicts.withColumn("sem_batch", F.lit(int(batch_id))),
+        out_path,
+        "sem_batch",
+    )
+    append_ivf_index(spark, batch_df, index_path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, marker)
+
+
+def stream_semantic_dedup(
+    vec_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    ncells: int | None = None,
+) -> None:
+    """Streaming semantic (embedding) dedup: the composition a 100 TB
+    embedding pipeline runs — each arriving vector batch is scored
+    against the LANDED IVF index's touched cells only, verdicts land
+    append-only, and the index grows with every batch. ``foreachBatch``
+    → :func:`semantic_dedup_batch`; semantics, replay behavior, and the
+    batch-prefix ≡ one-shot equivalence are documented there. The
+    checkpoint makes batch ids durable across driver restarts (the
+    ``stream_ingest_dedup`` rationale, documented there).
+
+    Synchronous local-harness form like the other runners."""
+    spark = vec_stream.sparkSession
+    q = (
+        vec_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(index_path, "_checkpoint"))
+        .foreachBatch(
+            lambda df, bid: semantic_dedup_batch(
+                spark, df, bid, index_path, out_path, ncells=ncells
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

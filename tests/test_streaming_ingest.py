@@ -464,3 +464,97 @@ def test_ingest_composes_ivfpq_index(spark, sf_oracle, tmp_path):
     assert spark.read.parquet(f"{ivfpq}/cells").count() == n_rows
     assert results(ivfpq) == grown
     assert n_rows == landed.count()
+
+
+def test_stream_semantic_dedup_prefix_equals_one_shot(
+    spark, sf_oracle, tmp_path
+):
+    """The embedding twin of the ingest equivalence: three vector
+    batches arrive through a real checkpointed file stream
+    (maxFilesPerTrigger=1); the landed verdicts over all batches must
+    equal the one-shot semantic_dedup over the union under the FIRST
+    batch's frozen quantizer — bit-exact, shared _sem_dup_of kernel."""
+    import os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import semantic_dedup
+    from mapreducekmean_spark.streaming.jobs import stream_semantic_dedup
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    c1, c2 = (mx + 1) // 2, (mx + 1) * 3 // 4
+    src = tmp_path / "vecs"
+    src.mkdir()
+    batches = [
+        pts.filter(F.col("vec_id") < c1),
+        pts.filter((F.col("vec_id") >= c1) & (F.col("vec_id") < c2)),
+        pts.filter(F.col("vec_id") >= c2),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src / f"b{i}"))
+        for f_ in (src / f"b{i}").rglob("*"):
+            os.utime(f_, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    idx = str(tmp_path / "semidx")
+    out = str(tmp_path / "semout")
+    stream = (
+        spark.readStream.schema("vec_id bigint, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    stream_semantic_dedup(stream, idx, out)
+
+    landed = spark.read.parquet(out)
+    got = {
+        (r.vec_id, r.cell, r.kept, r.dup_of) for r in landed.collect()
+    }
+    # one-shot ground truth under the FIRST batch's frozen quantizer
+    cents = km.collect_centroids(
+        km.deterministic_init(batches[0], km.DEFAULT_K)
+    )
+    want = {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup(spark, sf_oracle, cents=cents).collect()
+    }
+    assert got == want
+    assert any(not k for (_v, _c, k, _d) in got)  # fixture has dups
+    # three batch partitions landed; marker at the last batch id
+    parts = {d for d in os.listdir(out) if d.startswith("sem_batch=")}
+    assert parts == {"sem_batch=0", "sem_batch=1", "sem_batch=2"}
+    with open(os.path.join(idx, "_semdedup_high_water")) as f:
+        assert int(f.read()) == 2
+
+
+def test_semantic_dedup_batch_replay_windows(spark, sf_oracle, tmp_path):
+    """Both replay windows of the streaming semantic dedup: a batch at
+    or below the high-water mark no-ops even with different content,
+    and the crash-after-append window (marker rolled back, vectors
+    already in the index) re-lands the identical verdict partition."""
+    import os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.streaming.jobs import semantic_dedup_batch
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split = (mx + 1) // 2
+    b0 = pts.filter(F.col("vec_id") < split)
+    b1 = pts.filter(F.col("vec_id") >= split)
+    idx = str(tmp_path / "semidx")
+    out = str(tmp_path / "semout")
+    semantic_dedup_batch(spark, b0, 0, idx, out)
+    semantic_dedup_batch(spark, b1, 1, idx, out)
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    # replay at the mark with DIFFERENT content: must no-op
+    semantic_dedup_batch(spark, b0, 1, idx, out)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows
+
+    # crash-after-append window: marker back to 0, batch 1's vectors
+    # already appended — the delta's anti-join re-scores identically
+    marker = os.path.join(idx, "_semdedup_high_water")
+    with open(marker, "w") as f:
+        f.write("0")
+    semantic_dedup_batch(spark, b1, 1, idx, out)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows
+    with open(marker) as f:
+        assert int(f.read()) == 1
