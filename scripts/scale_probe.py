@@ -1266,6 +1266,102 @@ def probe_ivf(
 
 
 
+def probe_semdelta(spark, results: dict, n_vecs: int = 500_000) -> None:
+    """Incremental SemDeDup against the landed IVF index at 500k x 64-d:
+    land the low 95% once, then score a 25k-vector arriving batch —
+    delta cost must track the BATCH (touched cells' occupancy), not the
+    corpus, and the verdicts must equal the full in-session SemDeDup
+    restricted to the batch (the pinned equivalence, asserted here at
+    probe scale under the same frozen quantizer). Reports touched-cell
+    fraction: the index read volume is touched/ncells of the corpus by
+    layout."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        semantic_dedup_delta,
+    )
+
+    ncells = 256
+    # Clustered synthetic data with KNOWN centers: the raw-sin corpus
+    # (probe_ivf's) is near-isotropic, and deterministic-INIT Voronoi
+    # cells over isotropic data skew badly (measured: one cell held 21%
+    # of 500k vectors, making the O(cell x targets) pair kernel the
+    # probe's bottleneck instead of the delta economics under test).
+    # Here every vector is its cluster's center plus small noise and
+    # the TRUE centers are the frozen quantizer, so cells stay at
+    # ~n/ncells rows — the regime SemDeDup's own per-cell bound
+    # contractually requires anyway. Clusters are CONTIGUOUS id blocks
+    # (cluster = id*ncells // n), so the arriving high-id batch
+    # concentrates in the top few cells — the realistic shape (a new
+    # crawl slice is topically clustered, not uniform over the
+    # embedding space) and the one partition pruning exists for.
+    sfdir = f"{BASE}/semdx_sfdir_{n_vecs}"
+    if not os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(1, 64), i -> cast("
+                    f"4.0d * sin(CAST((((id * {ncells}) div {n_vecs}) + 1)"
+                    f" * i AS DOUBLE) * 0.7d)"
+                    f" + 0.1d * sin(CAST((id + 1) * i AS DOUBLE))"
+                    f" AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    pts = km.embeddings(spark, sfdir).select("vec_id", "emb")
+    split = n_vecs * 95 // 100
+    import math
+
+    cents = [
+        [4.0 * math.sin((c + 1) * i * 0.7) for i in range(1, 65)]
+        for c in range(ncells)
+    ]
+    idx = probe_tmpdir(prefix="mrkm_semdx_")
+    t0 = time.perf_counter()
+    land_ivf_index_points(
+        spark, pts.filter(F.col("vec_id") < split), idx, cents=cents
+    )
+    t_land = time.perf_counter() - t0
+
+    batch = pts.filter(F.col("vec_id") >= split)
+    t0 = time.perf_counter()
+    delta = semantic_dedup_delta(spark, batch, idx).collect()
+    t_delta = time.perf_counter() - t0
+    touched = len({r.cell for r in delta})
+
+    # equivalence at probe scale: full run under the same quantizer,
+    # restricted to the batch
+    from mapreducekmean_spark.operators.similarity import semantic_dedup
+
+    t0 = time.perf_counter()
+    full = {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup(
+            spark, sfdir, ncells=ncells, cents=cents
+        ).collect()
+        if r.vec_id >= split
+    }
+    t_full = time.perf_counter() - t0
+    got = {(r.vec_id, r.cell, r.kept, r.dup_of) for r in delta}
+    assert got == full, "delta != full-run-restricted at probe scale"
+    results["semantic_dedup_delta"] = {
+        "vectors": n_vecs,
+        "ncells": ncells,
+        "batch_rows": n_vecs - split,
+        "index_land_sec": round(t_land, 2),
+        "delta_sec": round(t_delta, 2),
+        "full_run_sec": round(t_full, 2),
+        "touched_cells": touched,
+        "touched_fraction": round(touched / ncells, 3),
+        "matches_full_restricted": True,
+    }
+
+
 def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     """Product quantization at 1M x 64-d: train (4 simultaneous-subspace
     Lloyd passes), encode the corpus to 32-bit codes, and ADC-score the
@@ -1707,6 +1803,104 @@ def probe_classifier(
     }
 
 
+def probe_exportskew(spark, results: dict, n_docs: int = 2_000_000) -> None:
+    """Round-9: the export family under BENCH-SCALE SOURCE SKEW — one
+    mega source holds 90% of a 2M-doc corpus (the uniform-md5 probes in
+    probe_export never stress this). Verifies the two scale claims:
+
+    - domain_cap: the mega source costs tasks × cap intermediate rows,
+      never its 1.8M — the WindowGroupLimit PARTIAL stays upstream of
+      the exchange in the actual skewed plan, and the output is exactly
+      min(cap, n_source) rows per source.
+    - budget_sample: the per-(source, bucket) offsets table stays
+      driver-scale (≤ sources × 65 536 by construction, reported
+      measured), every source's kept set covers its budget (or the
+      whole source), and cum_before is a per-source permutation-sum
+      (max+its n_tok == source total) — full-corpus checks.
+    """
+    from pyspark.sql import Window
+
+    from mapreducekmean_spark.operators.export import budget_sample
+    from mapreducekmean_spark.operators.text import domain_cap
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    # 90% of ids → source "mega"; the rest spread over 100 long-tail
+    # sources. Short deterministic text keeps tokenization cheap.
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("mega"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 1000).cast("string")))
+        .alias("source"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta token "),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    ).localCheckpoint()
+
+    cap = 1000
+    plan = formatted_plan(domain_cap(docs, cap=cap))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert 0 <= plan.find("Exchange") < plan.rfind("WindowGroupLimit")
+    domain_cap(docs, cap=cap).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    kept = domain_cap(docs, cap=cap).groupBy("source").count()
+    per_source = {r["source"]: r["count"] for r in kept.collect()}
+    t_cap = time.perf_counter() - t0
+    truth = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == {s: min(cap, n) for s, n in truth.items()}
+
+    budget = 5_000_000  # tokens; bites on the mega source only
+    budget_sample(docs, budget=budget).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t0 = time.perf_counter()
+    bs = budget_sample(docs, budget=budget).localCheckpoint()
+    stats = (
+        bs.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tot"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok"))).alias("kept_tok"),
+            F.max(F.col("cum_before") + F.col("n_tok")).alias("cum_end"),
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+        .collect()
+    )
+    t_budget = time.perf_counter() - t0
+    for r in stats:
+        assert r["cum_end"] == r["tot"]  # exact per-source running sum
+        # floor semantics: budget covered, or the whole source kept
+        assert r["kept_tok"] >= min(budget, r["tot"])
+        if r["tot"] > budget:
+            assert r["n_kept"] < r["n"]  # the cap actually bit
+    offsets_rows = docs.select(
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("13"),
+                                  F.col("doc_id").cast("string"))),
+                1, 4,
+            ), 16, 10,
+        ).alias("bkt"),
+    ).groupBy("source", "bkt").count().count()
+    n_sources = len(truth)
+    assert offsets_rows <= n_sources * 65_536
+    results["export_skew"] = {
+        "docs": n_docs,
+        "mega_share": 0.9,
+        "sources": n_sources,
+        "domain_cap_sec": round(t_cap, 2),
+        "domain_cap_partial_limit_before_exchange": True,
+        "budget_sample_sec": round(t_budget, 2),
+        "offsets_rows": int(offsets_rows),
+        "offsets_bound": n_sources * 65_536,
+    }
+
+
 def probe_r8misc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Late round-8 probes: hourly_gapfill over 10M synthetic events
     (grid = hours × types; verified: row count equals the full grid and
@@ -1811,6 +2005,8 @@ def main() -> None:
         "cdc",
         "classifier",
         "r8misc",
+        "semdelta",
+        "exportskew",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -1864,6 +2060,10 @@ def main() -> None:
         probe_classifier(spark, results, args.sf_dir)
     if "r8misc" in only:
         probe_r8misc(spark, results, args.sf_dir)
+    if "semdelta" in only:
+        probe_semdelta(spark, results, args.vecs)
+    if "exportskew" in only:
+        probe_exportskew(spark, results)
     print(json.dumps({"scale_probe": results}))
 
 
