@@ -253,21 +253,30 @@ def minhash_candidate_pairs(
     ``pipeline.corpus_clean``) never produces, pinned in
     tests/test_mixture_decon.py: with every bucket under the cap the
     output is identical to the uncapped clique. The oversized-bucket
-    list is one aggregate over the checkpointed bands, broadcast back
-    (bounded by rows/cap entries — driver-safe for any real corpus)."""
+    list is one map-side-combinable aggregate over the checkpointed
+    bands, collected driver-side (bounded: ≤ rows/cap entries, zero on
+    any exact-deduped corpus) so the common all-clear case keeps the
+    original two-table plan with no extra joins."""
     if bands is None:
         bands = minhash_bands(docs, shingled).localCheckpoint()
-    over = (
+    # bounded driver state: ≤ total_band_rows / max_bucket_rows entries
+    over_rows = (
         bands.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canon"))
         .filter(F.col("n") > max_bucket_rows)
-        .localCheckpoint()
+        .collect()
     )
-    small = bands.join(
-        F.broadcast(over.select("band", "bucket")),
-        ["band", "bucket"],
-        "left_anti",
-    )
+    small = bands
+    if over_rows:
+        over = bands.sparkSession.createDataFrame(
+            [(r["band"], r["bucket"], r["canon"]) for r in over_rows],
+            "band bigint, bucket string, canon bigint",
+        )
+        small = bands.join(
+            F.broadcast(over.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
     a = small.alias("a")
     b = small.alias("b")
     clique = a.join(
@@ -278,6 +287,8 @@ def minhash_candidate_pairs(
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    if not over_rows:
+        return clique.distinct()
     star = (
         bands.join(
             F.broadcast(over.select("band", "bucket", "canon")),
