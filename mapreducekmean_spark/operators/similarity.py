@@ -32,6 +32,18 @@ from mapreducekmean_spark.session import local_rows_df
 #: Number of query vectors (lowest vec_ids) in the demo top-k queries.
 N_QUERIES = 10
 TOP_K = 5
+
+
+#: Semantic-dedup cosine threshold (slightly below NEAR_DUP_TAU so the
+#: within-cell pair set is non-trivial on the near-random fixture).
+SEM_DUP_TAU = 0.30
+
+
+#: Per-cell row bound for semantic_dedup: within-cell work is n_cell², so
+#: Σ n_cell² is linear in n only while k tracks n and cells stay roughly
+#: this size. 100k rows ≈ 10^10 pair-dims per cell — the most one
+#: applyInPandas task should ever score.
+SEM_DUP_MAX_CELL = 100_000
 #: IVF probe count.
 N_PROBE = 2
 #: Embedding near-dup cosine threshold (fixture embeddings are near-random;
@@ -411,7 +423,17 @@ def load_index_centroids(
     spark: SparkSession, path: str
 ) -> list[list[float]]:
     """The landed coarse quantizer, cell-ordered — shared by every
-    consumer of a cell-partitioned index (raw IVF and IVF-PQ)."""
+    consumer of a cell-partitioned index (raw IVF and IVF-PQ).
+
+    Completes a crash inside :func:`rebalance_ivf_cells`' centroid-swap
+    rename window: the old table removed, the finished new one still at
+    its temp name — rename it into place and proceed."""
+    import os
+
+    if not os.path.exists(f"{path}/centroids") and os.path.exists(
+        f"{path}/_centroids_new"
+    ):
+        os.rename(f"{path}/_centroids_new", f"{path}/centroids")
     rows = spark.read.parquet(f"{path}/centroids").collect()
     return [r.centroid for r in sorted(rows, key=lambda r: r.cell)]
 
@@ -501,6 +523,171 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict[str, int]:
     from mapreducekmean_spark.sources.bucketing import compact_partitions
 
     return compact_partitions(spark, f"{path}/cells", "cell")
+
+
+def rebalance_ivf_cells(
+    spark: SparkSession,
+    path: str,
+    max_cell_rows: int = SEM_DUP_MAX_CELL,
+    train_iters: int = 2,
+) -> dict[str, int]:
+    """Split OVERSIZED cells of a landed IVF index in place — the
+    maintenance a skewed corpus eventually needs: a hot Voronoi cell
+    breaks both the nprobe/ncells read-volume bound and SemDeDup's
+    per-cell pair bound (the 1M-vector probe measured one
+    deterministic-init cell holding 21% of an isotropic corpus), and
+    the only remedy before this operator was a full re-land.
+
+    Each cell over ``max_cell_rows`` is re-clustered LOCALLY to that
+    cell (``kmeans.lloyd`` over its rows only, ``2·ceil(n/max)``
+    sub-cells targeting half-full) and its rows move to NEW cell ids
+    appended past the current ceiling; the retired id leaves the
+    centroid table. Untouched cells keep their ids, layout, and files —
+    the cost scales with the hot cells' row counts, never the index.
+    Queries are unaffected structurally: every consumer probes cells
+    via the centroid table, so finer centroids simply give nprobe finer
+    granularity (pinned: post-rebalance cells table is row-identical to
+    a FRESH land under the rebalanced centroid list).
+
+    The cell-id space stays DENSE (every consumer maps the centroid
+    list positionally: ``km.assign``'s cluster_id IS the cell id), so a
+    retired id is not removed but TOMBSTONED — its centroid becomes
+    ``+inf`` coordinates, which no vector is ever nearest to and no
+    probe ever selects (every real cell's distance is finite), while
+    the new sub-cells take the next ids. A tombstone is an empty,
+    unreachable slot, not a hazard.
+
+    Crash-safe by ordering + convergent rerun: (1) orphan cleanup —
+    ``cell=`` directories past the centroid table's length, or whose
+    centroid is a tombstone, are leftovers of a crashed prior rebalance
+    and are removed first; (2) new sub-cell partitions are written (ids
+    past the table → invisible to every query); (3) the centroid table
+    swaps via temp-dir + rename (``load_index_centroids`` completes a
+    rename-window crash); (4) retired directories delete last. A crash
+    anywhere re-runs to the identical end state.
+
+    Runs PASSES until the bound holds: a few Lloyd iterations on a hot
+    Voronoi region don't guarantee balanced sub-cells (measured: a 105k
+    cell's 4-way split left a 77k sub-cell on an isotropic corpus), so
+    a still-oversized sub-cell simply splits again next pass. Refuses
+    (actionably) only on NO PROGRESS — a split whose largest sub-cell
+    is the whole cell means near/byte-identical embedding mass that no
+    quantizer separates; run exact dedup first.
+
+    Returns ``{"split_cells": n, "new_cells": m, "passes": p}``
+    (cumulative over passes; an already-split sub-cell that splits
+    again counts each time).
+    """
+    import math
+    import os
+    import shutil
+
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    cells_dir = f"{path}/cells"
+    total_split = 0
+    total_new = 0
+    passes = 0
+    while True:
+        cents = load_index_centroids(spark, path)
+        n_cents = len(cents)
+        tombstoned = {
+            i for i, c in enumerate(cents) if c and math.isinf(c[0])
+        }
+        # (1) convergent cleanup of any crashed prior rebalance/pass
+        for d in os.listdir(cells_dir):
+            if not d.startswith("cell="):
+                continue
+            cid = int(d.split("=", 1)[1])
+            if cid >= n_cents or cid in tombstoned:
+                shutil.rmtree(os.path.join(cells_dir, d))
+        sizes = (
+            spark.read.parquet(cells_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell_rows)
+            .collect()
+        )  # bounded: ≤ ncells driver rows
+        if not sizes:
+            return {
+                "split_cells": total_split,
+                "new_cells": total_new,
+                "passes": passes,
+            }
+        passes += 1
+        dim = len(cents[0])
+        next_id = n_cents
+        retired: list[int] = []
+        added: list[list[float]] = []
+        for r in sizes:
+            c, n = int(r["cell"]), int(r["n"])
+            k = 2 * math.ceil(n / max_cell_rows)
+            cell_rows = (
+                spark.read.parquet(cells_dir)
+                .filter(F.col("cell") == c)
+                .select("vec_id", "emb")
+            )
+            try:
+                sub = km.lloyd(
+                    cell_rows, k=k, max_iter=train_iters
+                ).centroids
+            except ValueError as e:
+                raise ValueError(
+                    f"rebalance_ivf_cells cannot split cell {c}: {e} — "
+                    f"an unsplittable hot cell means near/byte-identical "
+                    f"embedding mass; run exact dedup before indexing."
+                ) from e
+            assigned = km.assign(cell_rows, sub).select(
+                "vec_id",
+                "emb",
+                (F.col("cluster_id") + F.lit(next_id)).alias("cell"),
+            )
+            worst = (
+                assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n")).collect()[0][0]
+            )
+            if worst >= n:
+                raise ValueError(
+                    f"rebalance_ivf_cells: cell {c}'s {k}-way split made "
+                    f"no progress (largest sub-cell keeps all {n} rows) — "
+                    f"near/byte-identical embedding mass; run "
+                    f"exact/semantic dedup on the corpus before indexing."
+                )
+            # (2) additive write: ids past the table until the swap
+            write_partitioned(
+                assigned.repartition("cell"), cells_dir, "cell",
+                mode="append",
+            )
+            added.extend(list(sc) for sc in sub)
+            next_id += k
+            retired.append(c)
+        # (3) swap the centroid table: temp dir + rename (the load side
+        # completes a crash inside the rename window)
+        tomb = [float("inf")] * dim
+        final = [
+            tomb if i in set(retired) else list(c)
+            for i, c in enumerate(cents)
+        ] + added
+        tmp = f"{path}/_centroids_new"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            local_rows_df(
+                spark,
+                [(i, v) for i, v in enumerate(final)],
+                "cell bigint, centroid array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(f"{path}/centroids")
+        os.rename(tmp, f"{path}/centroids")
+        # (4) retired directories last (tombstoned since the swap)
+        for c in retired:
+            shutil.rmtree(os.path.join(cells_dir, f"cell={c}"))
+        total_split += len(retired)
+        total_new += len(added)
 
 
 def ann_ivf_indexed(
@@ -610,18 +797,6 @@ def embedding_near_dup(
         .mapInPandas(pair_blocks, "id_a bigint, id_b bigint, sim_raw double")
     )
     return out.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
-
-
-#: Semantic-dedup cosine threshold (slightly below NEAR_DUP_TAU so the
-#: within-cell pair set is non-trivial on the near-random fixture).
-SEM_DUP_TAU = 0.30
-
-
-#: Per-cell row bound for semantic_dedup: within-cell work is n_cell², so
-#: Σ n_cell² is linear in n only while k tracks n and cells stay roughly
-#: this size. 100k rows ≈ 10^10 pair-dims per cell — the most one
-#: applyInPandas task should ever score.
-SEM_DUP_MAX_CELL = 100_000
 
 
 def _sem_dup_of(ids, mat, tau: float, target_idx=None):
@@ -875,7 +1050,8 @@ def semantic_dedup_delta(
             f"semantic_dedup_delta cell {r['cell']} holds {r['count']} "
             f"rows (landed + batch), over the {max_cell_rows}-row "
             f"per-cell bound — the same sigma-n_cell^2 contract as "
-            f"semantic_dedup. Re-land the index with a larger ncells."
+            f"semantic_dedup. Run rebalance_ivf_cells on the index "
+            f"(splits hot cells in place) or re-land with more ncells."
         )
 
     both = landed.withColumn("is_new", F.lit(False)).unionByName(

@@ -1362,6 +1362,78 @@ def probe_semdelta(spark, results: dict, n_vecs: int = 500_000) -> None:
     }
 
 
+
+def probe_rebalance(spark, results: dict, n_vecs: int = 500_000) -> None:
+    """rebalance_ivf_cells on a GENUINELY skewed landed index: the
+    isotropic sin corpus under a deterministic-init quantizer measured
+    one Voronoi cell holding ~21% of 500k vectors (the semdelta probe's
+    original failure). Land that exact shape, rebalance with a 50k-row
+    bound, and verify at volume: every row preserved, every cell within
+    bound, retired ids tombstoned, and the cost tracked the hot cells'
+    rows (reported), not the index."""
+    import math
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        load_index_centroids,
+        land_ivf_index_points,
+        rebalance_ivf_cells,
+    )
+
+    ncells = 256
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    pts = km.embeddings(spark, sfdir).select("vec_id", "emb")
+    idx = probe_tmpdir(prefix="mrkm_rebal_")
+    land_ivf_index_points(spark, pts, idx)  # deterministic init: skewed
+    bound = 50_000
+    before = (
+        spark.read.parquet(f"{idx}/cells").groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"), F.sum(F.when(F.col("n") > bound, F.col("n"))))
+        .collect()[0]
+    )
+    t0 = time.perf_counter()
+    res = rebalance_ivf_cells(spark, idx, max_cell_rows=bound)
+    dt = time.perf_counter() - t0
+    after = (
+        spark.read.parquet(f"{idx}/cells").groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    assert res["split_cells"] >= 1
+    assert after["tot"] == n_vecs  # every row preserved
+    assert after["mx"] <= bound  # bound restored
+    cents = load_index_centroids(spark, idx)
+    n_tomb = sum(1 for c in cents if math.isinf(c[0]))
+    assert n_tomb == res["split_cells"]
+    results["rebalance_ivf_cells"] = {
+        "vectors": n_vecs,
+        "ncells": ncells,
+        "bound": bound,
+        "hot_cell_max_before": int(before[0]),
+        "hot_rows": int(before[1] or 0),
+        "split_cells": res["split_cells"],
+        "new_cells": res["new_cells"],
+        "max_after": int(after["mx"]),
+        "sec": round(dt, 2),
+    }
+
+
 def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     """Product quantization at 1M x 64-d: train (4 simultaneous-subspace
     Lloyd passes), encode the corpus to 32-bit codes, and ADC-score the
@@ -2007,6 +2079,7 @@ def main() -> None:
         "r8misc",
         "semdelta",
         "exportskew",
+        "rebalance",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2064,6 +2137,8 @@ def main() -> None:
         probe_semdelta(spark, results, args.vecs)
     if "exportskew" in only:
         probe_exportskew(spark, results)
+    if "rebalance" in only:
+        probe_rebalance(spark, results, args.vecs)
     print(json.dumps({"scale_probe": results}))
 
 

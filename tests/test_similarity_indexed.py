@@ -462,3 +462,213 @@ def test_semantic_dedup_delta_scan_prunes_to_touched_cells(
     probed = re.findall(r"\b\d+\b", values_part)
     assert 0 < len(probed) <= 4
     assert len(probed) < ncells
+
+
+def _land_hot(spark, sf_oracle, path):
+    """Land the fixture embeddings under a deliberately bad quantizer:
+    centroid 0 sits in the data, centroid 1 at 1e6 — every row lands in
+    cell 0 (the hot cell)."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    dim = len(pts.take(1)[0]["emb"])
+    cents = [[0.0] * dim, [1e6] * dim]
+    land_ivf_index_points(spark, pts, path, cents=cents)
+    return pts
+
+
+def test_rebalance_splits_hot_cell_and_equals_fresh_land(
+    spark, sf_oracle, tmp_path
+):
+    """The hot cell splits into bounded sub-cells; the retired id is
+    tombstoned (+inf centroid, dense id space preserved); and the
+    rebalanced cells table is row-identical to a FRESH land under the
+    rebalanced centroid list — the rebuild-equivalence pin."""
+    import math
+    import os
+
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        load_index_centroids,
+        rebalance_ivf_cells,
+    )
+
+    path = str(tmp_path / "ivf")
+    pts = _land_hot(spark, sf_oracle, path)
+    n = pts.count()
+    res = rebalance_ivf_cells(spark, path, max_cell_rows=100)
+    assert res["split_cells"] == 1 and res["new_cells"] >= 2
+
+    cells = spark.read.parquet(f"{path}/cells")
+    sizes = {
+        int(r["cell"]): r["n"]
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n  # every row preserved
+    assert max(sizes.values()) <= 100  # bound restored
+    assert 0 not in sizes  # retired dir deleted
+    assert not os.path.exists(f"{path}/cells/cell=0")
+    cents = load_index_centroids(spark, path)
+    assert math.isinf(cents[0][0])  # tombstone holds the dense slot
+    assert len(cents) == 2 + res["new_cells"]
+
+    # rebuild equivalence: fresh land under the rebalanced centroids
+    path2 = str(tmp_path / "ivf2")
+    land_ivf_index_points(spark, pts, path2, cents=cents)
+    a = {
+        (r.vec_id, r.cell)
+        for r in cells.select("vec_id", "cell").collect()
+    }
+    b = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(f"{path2}/cells")
+        .select("vec_id", "cell").collect()
+    }
+    assert a == b
+
+    # idempotent: a second call finds nothing to split
+    assert rebalance_ivf_cells(spark, path, max_cell_rows=100) == {
+        "split_cells": 0,
+        "new_cells": 0,
+        "passes": 0,
+    }
+
+
+def test_rebalance_crash_windows_converge(spark, sf_oracle, tmp_path):
+    """All three crash windows re-run to the same end state: orphan
+    sub-cell dirs written before the centroid swap are cleaned up, the
+    rename-window crash is completed by load_index_centroids, and a
+    tombstoned-but-undeleted retired dir is removed on rerun."""
+    import os
+    import shutil
+
+    from mapreducekmean_spark.operators.similarity import (
+        load_index_centroids,
+        rebalance_ivf_cells,
+    )
+
+    path = str(tmp_path / "ivf")
+    _land_hot(spark, sf_oracle, path)
+
+    # window 1: a crashed prior attempt left an unreferenced sub-cell
+    # dir (id past the 2-row centroid table) — must be cleaned, and the
+    # rerun must not double-count its rows
+    orphan = f"{path}/cells/cell=57"
+    os.makedirs(orphan)
+    shutil.copy(
+        next(
+            os.path.join(f"{path}/cells/cell=0", f)
+            for f in os.listdir(f"{path}/cells/cell=0")
+            if f.endswith(".parquet")
+        ),
+        os.path.join(orphan, "orphan.parquet"),
+    )
+    res = rebalance_ivf_cells(spark, path, max_cell_rows=100)
+    assert res["split_cells"] == 1
+    assert not os.path.exists(orphan) or "cell=57" not in os.listdir(
+        f"{path}/cells"
+    )
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id", "cell").collect()
+    )
+
+    # window 2: crash inside the centroid rename — load recovers
+    os.rename(f"{path}/centroids", f"{path}/_centroids_new")
+    cents = load_index_centroids(spark, path)
+    assert os.path.exists(f"{path}/centroids")
+
+    # window 3: a tombstoned id whose dir was never deleted — recreate
+    # cell=0 (its centroid is the tombstone) and rerun: cleanup removes
+    # it and the cells table is unchanged
+    ghost = f"{path}/cells/cell=0"
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "junk.parquet"), "wb") as f:
+        f.write(b"")
+    rebalance_ivf_cells(spark, path, max_cell_rows=100)
+    assert not os.path.exists(ghost)
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id", "cell").collect()
+    ) == rows
+    assert load_index_centroids(spark, path) == cents
+
+
+def test_rebalance_refuses_identical_mass(spark, tmp_path):
+    """A hot cell of byte-identical embeddings cannot be split by any
+    quantizer — the operator must refuse with the exact-dedup hint, not
+    loop or emit an oversized sub-cell silently."""
+    import pytest
+
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        rebalance_ivf_cells,
+    )
+
+    pts = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("emb"),
+    )
+    path = str(tmp_path / "ivf")
+    land_ivf_index_points(
+        spark, pts, path, cents=[[1.0] * 8, [1e6] * 8]
+    )
+    with pytest.raises(ValueError, match="dedup"):
+        rebalance_ivf_cells(spark, path, max_cell_rows=50)
+
+
+def test_semantic_dedup_delta_recovers_after_rebalance(
+    spark, sf_oracle, tmp_path
+):
+    """The composition the oversize refusal points at: the delta
+    refuses on the skewed index, rebalance splits the hot cell, and the
+    delta then succeeds with verdicts equal to the one-shot
+    semantic_dedup under the REBALANCED quantizer restricted to the
+    batch."""
+    import pytest
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        load_index_centroids,
+        rebalance_ivf_cells,
+        semantic_dedup,
+        semantic_dedup_delta,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    mx = pts.agg(F.max("vec_id")).collect()[0][0]
+    split = (mx + 1) // 2
+    dim = len(pts.take(1)[0]["emb"])
+    path = str(tmp_path / "ivf")
+    land_ivf_index_points(
+        spark,
+        pts.filter(F.col("vec_id") < split),
+        path,
+        cents=[[0.0] * dim, [1e6] * dim],
+    )
+    batch = pts.filter(F.col("vec_id") >= split)
+    with pytest.raises(ValueError, match="rebalance_ivf_cells"):
+        semantic_dedup_delta(spark, batch, path, max_cell_rows=100)
+    rebalance_ivf_cells(spark, path, max_cell_rows=100)
+    got = {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup_delta(
+            spark, batch, path, max_cell_rows=100
+        ).collect()
+    }
+    cents = load_index_centroids(spark, path)
+    want = {
+        (r.vec_id, r.cell, r.kept, r.dup_of)
+        for r in semantic_dedup(
+            spark, sf_oracle, cents=cents, max_cell_rows=100
+        ).collect()
+        if r.vec_id >= split
+    }
+    assert got == want and got
