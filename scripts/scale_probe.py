@@ -1973,6 +1973,51 @@ def probe_exportskew(spark, results: dict, n_docs: int = 2_000_000) -> None:
     }
 
 
+
+def probe_zorder(spark, results: dict, n_rows: int = 10_000_000) -> None:
+    """Z-order layout at 10M rows / 128 files: write the same uniform
+    (a, b) data z-ordered and a-sorted, measure the footer-stats file
+    skip fraction for a ~5% range predicate on each column. The claim
+    under test: the Morton layout skips on BOTH columns; linear sort
+    skips on one."""
+    from mapreducekmean_spark.sources.zorder import (
+        file_skip_fraction,
+        write_zordered,
+    )
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % 9973).alias("a"),
+        ((F.col("id") * 7919) % 9973).alias("b"),
+    )
+    zpath = probe_tmpdir(prefix="mrkm_zord_")
+    lpath = probe_tmpdir(prefix="mrkm_lin_")
+    t0 = time.perf_counter()
+    write_zordered(df, zpath, "a", "b", n_files=128)
+    t_z = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    (
+        df.repartitionByRange(128, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    t_l = time.perf_counter() - t0
+    lo, hi = 5000, 5499  # ~5% of the 0..9972 domain
+    out = {
+        "rows": n_rows,
+        "files": 128,
+        "zorder_write_sec": round(t_z, 2),
+        "linear_write_sec": round(t_l, 2),
+        "skip_z_a": round(file_skip_fraction(zpath, "a", lo, hi), 3),
+        "skip_z_b": round(file_skip_fraction(zpath, "b", lo, hi), 3),
+        "skip_linear_a": round(file_skip_fraction(lpath, "a", lo, hi), 3),
+        "skip_linear_b": round(file_skip_fraction(lpath, "b", lo, hi), 3),
+    }
+    assert out["skip_z_a"] >= 0.5 and out["skip_z_b"] >= 0.5
+    assert out["skip_linear_b"] <= 0.1
+    results["zorder_layout"] = out
+
+
 def probe_r8misc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     """Late round-8 probes: hourly_gapfill over 10M synthetic events
     (grid = hours × types; verified: row count equals the full grid and
@@ -2080,6 +2125,7 @@ def main() -> None:
         "semdelta",
         "exportskew",
         "rebalance",
+        "zorder",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2139,6 +2185,8 @@ def main() -> None:
         probe_exportskew(spark, results)
     if "rebalance" in only:
         probe_rebalance(spark, results, args.vecs)
+    if "zorder" in only:
+        probe_zorder(spark, results)
     print(json.dumps({"scale_probe": results}))
 
 
