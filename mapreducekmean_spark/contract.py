@@ -4164,6 +4164,73 @@ GROUP BY event_type
 """
 
 
+def _agg_delta_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cdc.py:land_agg_snapshot/apply_agg_delta — the
+    incrementally MAINTAINED per-customer order aggregate: the low
+    o_orderkey half lands the bucketed (key, n, cents, last_bid) state
+    once (bid 0), the high half folds in as a delta batch (bid 1)
+    rewriting only its touched ``kb=`` buckets, and the result must
+    equal the one-shot GROUP BY over all orders — which is exactly what
+    the twin states, per-key applied-batch watermark included
+    (a customer's last_bid is 1 iff any of its orders sits in the
+    delta half). Re-running the query in-process re-applies bid 1 and
+    the watermark makes it a per-key no-op (the replay-idempotence
+    contract, pinned in tests/test_cdc.py)."""
+    import hashlib
+    import os
+
+    from mapreducekmean_spark.operators.cdc import (
+        apply_agg_delta,
+        land_agg_snapshot,
+        read_agg_snapshot,
+    )
+    from mapreducekmean_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    (row,) = orders.agg(F.max("o_orderkey").alias("m")).collect()
+    split = (int(row.m) + 1) // 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"aggd_{tag}")
+    if not os.path.exists(os.path.join(path, "_agg_meta.json")):
+        land_agg_snapshot(
+            orders.filter(F.col("o_orderkey") < split).drop("o_orderkey"),
+            path,
+            key="o_custkey",
+            sums=["cents"],
+        )
+    apply_agg_delta(
+        spark,
+        orders.filter(F.col("o_orderkey") >= split).drop("o_orderkey"),
+        path,
+        batch_id=1,
+    )
+    return read_agg_snapshot(spark, path).select(
+        "o_custkey",
+        "n",
+        F.col("cents").alias("total_cents"),
+        "last_bid",
+    )
+
+
+_AGG_DELTA_SQL = """
+WITH s AS (SELECT (max(o_orderkey) + 1) // 2 AS cut FROM orders)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(CASE WHEN o_orderkey >= (SELECT cut FROM s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS last_bid
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 def _cdc_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/cdc.py:orders_cdc_snapshot — MERGE INTO semantics
     (matched-update / matched-delete / not-matched-insert, last-write-
@@ -4280,6 +4347,11 @@ def _queries_events_relational() -> list[Query]:
     return [
         Query("events_sessionize", _sessionize, _SESSIONIZE_SQL),
         Query("cdc_merge", _cdc_merge_q, _cdc_merge_sql()),
+        Query(
+            "agg_delta_maintenance",
+            _agg_delta_maintenance_q,
+            _AGG_DELTA_SQL,
+        ),
         Query("scd2_history", _scd2_history_q, _SCD2_HISTORY_SQL),
         Query(
             "stream_sessions_closed", _closed_sessions, _CLOSED_SESSIONS_SQL
@@ -4470,6 +4542,7 @@ _CHECK_FIRST = (
     "ann_pq_recall",
     "ann_ivfpq_recall",
     "events_anomaly_seasonal",
+    "agg_delta_maintenance",
     "cdc_merge",
     "bpe_token_stats",
     # round-9 touched paths (output pinned unchanged, fresh check
@@ -4522,7 +4595,6 @@ _CHECK_FIRST = (
     "ann_ivf_indexed",
     "pq_adc_topk",
     "hybrid_topk",
-    "rerank_topk",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4579,6 +4651,7 @@ _STALE_OK = (
     "decontaminate_fuzzy",
     "dataset_mixture_temp",
     "term_lift",
+    "rerank_topk",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
     "events_gapfill",

@@ -406,3 +406,162 @@ def _read_high_water(marker: str) -> int:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
         return -1
+
+
+def land_agg_snapshot(
+    df: DataFrame,
+    path: str,
+    key: str,
+    sums: list[str],
+    n_buckets: int = MERGE_N_BUCKETS,
+) -> None:
+    """Initial land of an INCREMENTALLY MAINTAINED AGGREGATE — the
+    materialized-view side of warehouse maintenance, next to the
+    row-level :func:`land_snapshot`: instead of recomputing a huge
+    GROUP BY per batch, the per-key mergeable state
+    ``(key, n, Σ each sums col, last_bid)`` lands once, bucketed by the
+    md5 key bucket (``kb=`` partition dirs), and each delta batch
+    rewrites only the buckets its keys touch.
+
+    ``last_bid`` is the per-KEY applied-batch watermark and the whole
+    idempotence story: aggregate increments are not naturally
+    idempotent the way row merges are, and a crash inside the
+    dynamic-partition-overwrite commit can swap SOME touched buckets
+    but not others — a batch-level marker alone would then double-count
+    the swapped ones on replay. With the watermark IN the state, a
+    replayed batch adds only to keys whose ``last_bid`` is below its
+    id, so any partially-committed state converges to the same final
+    rows (pinned in tests/test_cdc.py). The land carries bid 0.
+
+    Layout parameters land beside the data (``_agg_meta.json``) — the
+    :func:`land_snapshot` discipline."""
+    import json
+
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).cast("bigint").alias(c) for c in sums],
+    )
+    (
+        agg.withColumn("last_bid", F.lit(0).cast("bigint"))
+        .withColumn("kb", key_bucket(key, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_agg_meta.json"), "w") as f:
+        json.dump(
+            {"key": key, "sums": list(sums), "n_buckets": int(n_buckets)},
+            f,
+        )
+
+
+def apply_agg_delta(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+) -> dict[str, int]:
+    """Fold one delta batch of RAW rows into the landed aggregate:
+    partial-aggregate the batch per key (map-side combine absorbs any
+    key skew before the one shuffle), compute the touched ``kb``
+    buckets (bounded collect, ≤ n_buckets values), read ONLY those
+    partition dirs, outer-merge per key under the ``last_bid``
+    watermark (a key at or past ``batch_id`` keeps its landed row —
+    the replay no-op), and swap exactly the touched directories back.
+
+    Per-batch cost scales with the batch's key spread, never the
+    aggregate's size; ``batch_id`` must increase across batches (the
+    foreachBatch contract — :func:`agg_stream_batch` wires it).
+
+    Returns ``{"touched_buckets": …, "rows_written": …}``."""
+    import json
+
+    from mapreducekmean_spark.sources.bucketing import upsert_partitions
+
+    with open(os.path.join(path, "_agg_meta.json")) as f:
+        meta = json.load(f)
+    key, sums, n_buckets = meta["key"], meta["sums"], meta["n_buckets"]
+    delta = (
+        batch.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).cast("bigint").alias(c) for c in sums],
+        )
+        .withColumn("kb", key_bucket(key, n_buckets))
+        .localCheckpoint()
+    )
+    touched = sorted(
+        r.kb for r in delta.select("kb").distinct().collect()
+    )  # bounded: ≤ n_buckets driver rows
+    landed = spark.read.parquet(path).filter(F.col("kb").isin(touched))
+    l = landed.alias("l")
+    d = delta.alias("d")
+    bid = F.lit(int(batch_id)).cast("bigint")
+    fresh = F.col("l.n").isNull() | (F.col("l.last_bid") < bid)
+    merged = (
+        l.join(d, on=(F.col(f"l.{key}") == F.col(f"d.{key}")), how="full")
+        .select(
+            F.coalesce(F.col(f"l.{key}"), F.col(f"d.{key}")).alias(key),
+            (
+                F.coalesce(F.col("l.n"), F.lit(0))
+                + F.when(
+                    fresh, F.coalesce(F.col("d.n"), F.lit(0))
+                ).otherwise(F.lit(0))
+            ).alias("n"),
+            *[
+                (
+                    F.coalesce(F.col(f"l.{c}"), F.lit(0))
+                    + F.when(
+                        fresh, F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                    ).otherwise(F.lit(0))
+                ).alias(c)
+                for c in sums
+            ],
+            F.when(
+                fresh & F.col(f"d.{key}").isNotNull(), bid
+            )
+            .otherwise(F.coalesce(F.col("l.last_bid"), F.lit(0)))
+            .cast("bigint")
+            .alias("last_bid"),
+        )
+        .withColumn("kb", key_bucket(key, n_buckets))
+        # sever lineage from the files the upsert replaces
+        .localCheckpoint()
+    )
+    upsert_partitions(merged, path, "kb")
+    return {
+        "touched_buckets": len(touched),
+        "rows_written": merged.count(),
+    }
+
+
+def read_agg_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained aggregate, kb column dropped."""
+    return spark.read.parquet(path).drop("kb")
+
+
+def agg_stream_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+) -> None:
+    """``foreachBatch`` body for a STREAMED incremental aggregate —
+    same marker discipline as :func:`cdc_merge_stream_batch` (atomic
+    temp + ``os.replace``; a batch at or below the high-water mark
+    no-ops), with the per-key ``last_bid`` watermark underneath
+    covering the window the marker cannot: a crash after a PARTIAL
+    bucket swap replays into mixed state and still converges, because
+    already-updated keys sit at ``last_bid == batch_id`` and are not
+    re-added. Streaming batch ids start at 0; the land owns bid 0, so
+    the stream's ids are shifted by +1."""
+    marker = os.path.join(path, "_agg_high_water")
+    if batch_id <= _read_high_water(marker):
+        return
+    batch_df = batch_df.localCheckpoint()
+    if batch_df.take(1):
+        apply_agg_delta(spark, batch_df, path, batch_id=batch_id + 1)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, marker)

@@ -897,3 +897,34 @@ def stream_semantic_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_agg_maintenance(
+    rows_stream: DataFrame,
+    agg_path: str,
+) -> None:
+    """Streamed incremental aggregate: each micro-batch of raw rows
+    folds into the landed per-key aggregate, rewriting only the key
+    buckets it touches — the materialized-view twin of
+    :func:`stream_cdc_merge`. ``foreachBatch`` →
+    :func:`operators.cdc.agg_stream_batch`; the batch-id marker plus
+    the per-key ``last_bid`` watermark (which covers even a partial
+    bucket-swap crash) are documented there. Synchronous local-harness
+    form like the other runners."""
+    from mapreducekmean_spark.operators.cdc import agg_stream_batch
+
+    spark = rows_stream.sparkSession
+    q = (
+        rows_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(agg_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: agg_stream_batch(spark, df, bid, agg_path)
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1840,6 +1840,70 @@ def probe_cdc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
     }
 
 
+
+def probe_aggdelta(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Incremental aggregate maintenance at volume: land the per-customer
+    aggregate of a ~15M-row replicated orders set, fold in a delta batch
+    touching a bounded key range, and verify the maintained state equals
+    the one-shot GROUP BY over the union — while the delta touched only
+    its own buckets."""
+    from mapreducekmean_spark.operators.cdc import (
+        MERGE_N_BUCKETS,
+        apply_agg_delta,
+        land_agg_snapshot,
+        read_agg_snapshot,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("o_custkey") + F.col("rep") * 10_000_000).alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n_base = base.count()
+    path = probe_tmpdir(prefix="mrkm_aggd_")
+    t0 = time.perf_counter()
+    land_agg_snapshot(base, path, key="k", sums=["cents"])
+    t_land = time.perf_counter() - t0
+    # delta: new rows for a bounded key range (~10 customers), so the
+    # touched-bucket count stays visibly below the 64-bucket layout
+    delta = (
+        orders.filter(F.col("o_custkey") < 15)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+    )
+    n_delta = delta.count()
+    t0 = time.perf_counter()
+    stats = apply_agg_delta(spark, delta, path, batch_id=1)
+    t_delta = time.perf_counter() - t0
+    # full-equivalence at volume: maintained == one-shot GROUP BY
+    want = (
+        base.unionByName(delta).groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    got = read_agg_snapshot(spark, path).drop("last_bid")
+    mismatch = (
+        got.unionByName(want).groupBy("k", "n", "cents")
+        .count().filter(F.col("count") != 2).count()
+    )
+    assert mismatch == 0, f"{mismatch} maintained rows differ from one-shot"
+    results["agg_delta_maintenance"] = {
+        "base_rows": n_base,
+        "delta_rows": n_delta,
+        "land_sec": round(t_land, 2),
+        "delta_sec": round(t_delta, 2),
+        "touched_buckets": stats["touched_buckets"],
+        "n_buckets": MERGE_N_BUCKETS,
+        "matches_one_shot": True,
+    }
+    assert stats["touched_buckets"] < MERGE_N_BUCKETS // 2
+
+
 def probe_classifier(
     spark, results: dict, sf_dir: str, repl: int = 100
 ) -> None:
@@ -2126,6 +2190,7 @@ def main() -> None:
         "exportskew",
         "rebalance",
         "zorder",
+        "aggdelta",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2187,6 +2252,8 @@ def main() -> None:
         probe_rebalance(spark, results, args.vecs)
     if "zorder" in only:
         probe_zorder(spark, results)
+    if "aggdelta" in only:
+        probe_aggdelta(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
 
 

@@ -496,3 +496,122 @@ def test_stream_cdc_merge_killed_midstream_restarts_from_checkpoint(
     assert got == want
     with open(os.path.join(path, "_cdc_high_water")) as f:
         assert int(f.read()) == 1  # marker converged past the replay
+
+
+def _agg_rows(spark, path):
+    from mapreducekmean_spark.operators.cdc import read_agg_snapshot
+
+    return sorted(tuple(r) for r in read_agg_snapshot(spark, path).collect())
+
+
+def test_agg_delta_equals_one_shot_group_by(spark, tmp_path):
+    """Land low keys, fold two delta batches: the maintained state must
+    equal the one-shot GROUP BY over the union, with last_bid the
+    per-key applied-batch watermark."""
+    from mapreducekmean_spark.operators.cdc import (
+        apply_agg_delta,
+        land_agg_snapshot,
+    )
+
+    rows = spark.range(300).select(
+        (F.col("id") % 40).alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.col("id").alias("seq_id"),
+    )
+    path = str(tmp_path / "agg")
+    land_agg_snapshot(
+        rows.filter(F.col("seq_id") < 100).drop("seq_id"),
+        path, key="k", sums=["v"],
+    )
+    apply_agg_delta(
+        spark,
+        rows.filter((F.col("seq_id") >= 100) & (F.col("seq_id") < 200))
+        .drop("seq_id"),
+        path, batch_id=1,
+    )
+    apply_agg_delta(
+        spark, rows.filter(F.col("seq_id") >= 200).drop("seq_id"),
+        path, batch_id=2,
+    )
+    want = sorted(
+        (r.k, r.n, r.v, 2)
+        for r in rows.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+        .collect()
+    )  # every key appears in every batch third (id % 40 cycles)
+    assert _agg_rows(spark, path) == want
+
+
+def test_agg_delta_replay_and_partial_commit_converge(spark, tmp_path):
+    """The two replay windows: re-applying a completed batch is a
+    per-key no-op, and a PARTIALLY committed batch (only one touched
+    bucket's keys swapped — the crash window a batch marker alone
+    cannot cover) converges to the full-apply state on replay instead
+    of double-counting the swapped keys."""
+    from mapreducekmean_spark.operators.cdc import (
+        apply_agg_delta,
+        land_agg_snapshot,
+    )
+
+    rows = spark.range(200).select(
+        (F.col("id") % 23).alias("k"), F.lit(1).alias("v"),
+        F.col("id").alias("seq_id"),
+    )
+    base = rows.filter(F.col("seq_id") < 100).drop("seq_id")
+    delta = rows.filter(F.col("seq_id") >= 100).drop("seq_id")
+    path = str(tmp_path / "agg")
+    land_agg_snapshot(base, path, key="k", sums=["v"])
+    apply_agg_delta(spark, delta, path, batch_id=1)
+    once = _agg_rows(spark, path)
+    apply_agg_delta(spark, delta, path, batch_id=1)  # straight replay
+    assert _agg_rows(spark, path) == once
+
+    # partial-commit simulation: fresh state, apply batch 1 for the
+    # keys of ONE bucket only (what a crash mid-swap leaves), then
+    # replay the WHOLE batch
+    from mapreducekmean_spark.operators.cdc import key_bucket
+
+    path2 = str(tmp_path / "agg2")
+    land_agg_snapshot(base, path2, key="k", sums=["v"])
+    one_kb = delta.select(
+        key_bucket("k").alias("kb")
+    ).distinct().take(1)[0]["kb"]
+    apply_agg_delta(
+        spark, delta.filter(key_bucket("k") == one_kb), path2, batch_id=1
+    )
+    apply_agg_delta(spark, delta, path2, batch_id=1)
+    assert _agg_rows(spark, path2) == once
+
+
+def test_stream_agg_maintenance_end_to_end(spark, tmp_path):
+    """Two raw-row files through the checkpointed streaming runner:
+    the maintained aggregate equals the one-shot GROUP BY, and a second
+    run with a third file resumes from the checkpoint."""
+    import json
+
+    from mapreducekmean_spark.operators.cdc import land_agg_snapshot
+    from mapreducekmean_spark.streaming.jobs import stream_agg_maintenance
+
+    path = str(tmp_path / "agg")
+    src = tmp_path / "rows"
+    src.mkdir()
+    base = spark.createDataFrame(
+        [(k, 10) for k in range(8)], "k bigint, v bigint"
+    )
+    land_agg_snapshot(base, path, key="k", sums=["v"])
+    with open(src / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps({"k": k % 5, "v": 1}) for k in range(10)))
+    stream = spark.readStream.schema("k bigint, v bigint").json(str(src))
+    stream_agg_maintenance(stream, path)
+    got = {r[0]: (r[1], r[2]) for r in _agg_rows(spark, path)}
+    # keys 0-4: one base row (v 10) + two stream rows (v 1 each)
+    assert all(got[k] == (3, 12) for k in range(5))
+    assert all(got[k] == (1, 10) for k in range(5, 8))
+
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"k": 7, "v": 5}))
+    stream2 = spark.readStream.schema("k bigint, v bigint").json(str(src))
+    stream_agg_maintenance(stream2, path)
+    got2 = {r[0]: (r[1], r[2]) for r in _agg_rows(spark, path)}
+    assert got2[7] == (2, 15)
+    assert got2[0] == (3, 12)
