@@ -1291,6 +1291,7 @@ FROM documents
             _SKETCH_CMS_SQL,
         ),
         Query("term_lift", _term_lift_topk, _term_lift_sql()),
+        Query("doc_top_terms", _doc_top_terms_q, _DOC_TOP_TERMS_SQL),
     ]
 
 
@@ -2512,6 +2513,43 @@ e0 AS MATERIALIZED (SELECT u, v FROM e){body}
 SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS deg
 FROM (SELECT u AS node FROM e{_P} UNION ALL SELECT v FROM e{_P})
 GROUP BY node
+"""
+
+
+def _doc_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py:doc_top_terms — per-document top-5 terms by
+    the rational tf-idf score tf·(N/df): exact bigint product, one IEEE
+    division, term tie-break (the term_lift discipline applied to
+    keyword extraction)."""
+    return tx.doc_top_terms(tx.documents(spark, sf_dir))
+
+
+_DOC_TOP_TERMS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, df.df,
+         CAST(tf.tf * n.n_total AS DOUBLE) / df.df AS score_raw
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score_raw,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_raw DESC, term ASC
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(score_raw, 6) AS score, rk
+FROM ranked WHERE rk <= 5
 """
 
 
@@ -4543,6 +4581,7 @@ _CHECK_FIRST = (
     "ann_ivfpq_recall",
     "events_anomaly_seasonal",
     "agg_delta_maintenance",
+    "doc_top_terms",
     "cdc_merge",
     "bpe_token_stats",
     # round-9 touched paths (output pinned unchanged, fresh check
@@ -4594,7 +4633,6 @@ _CHECK_FIRST = (
     "ann_ivfpq_indexed",
     "ann_ivf_indexed",
     "pq_adc_topk",
-    "hybrid_topk",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4652,6 +4690,7 @@ _STALE_OK = (
     "dataset_mixture_temp",
     "term_lift",
     "rerank_topk",
+    "hybrid_topk",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
     "events_gapfill",

@@ -967,3 +967,63 @@ def doc_classifier(
             > F.col("clf_den") * F.col("n_pos")
         ).alias("pred_pos"),
     )
+
+
+def doc_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document salient terms — TF-IDF-shaped keyword extraction
+    with the repo's exact-arithmetic discipline: a term's salience is
+    ``tf · (N / df)`` (term frequency times inverse document
+    frequency as a plain RATIO, not log-scaled — ln() is not
+    cross-engine hashable, the BM25 lesson, so the classic idf log is
+    deliberately traded for the rational form that value-hashes).
+    ``tf · N`` is an exact bigint product; the ONE IEEE division by
+    ``df`` yields the identical double in any engine; ties break on
+    the term, so the per-doc top-``k`` is a total order.
+
+    The step a training pipeline runs for document tagging / routing /
+    topic-leakage triage right after dedup.
+
+    Scale shape: one token-keyed shuffle builds tf (map-side combine
+    absorbs stopword skew), the vocabulary-sized df table rides the
+    same key, the scoring join is term-keyed, and the per-doc top-k is
+    a rank window ORDERED BY A COMPUTED COLUMN — the shape Spark's
+    WindowGroupLimit rewrite prunes to k rows per doc on the MAP side
+    before the doc_id exchange (the domain_cap lesson).
+
+    Output: ``(doc_id, term, tf, df, score, rk)``, ``rk`` 1-based.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = t.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_raw",
+            (F.col("tf") * F.col("n_total")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("score_raw", 6).alias("score"),
+            "rk",
+        )
+    )

@@ -1006,3 +1006,27 @@ def test_seasonal_anomaly_ignores_periodic_nights(spark):
     by_hour = {r.hour_start_s: r for r in seasonal}
     assert by_hour[silent_noon].med == 20 and by_hour[silent_noon].n == 0
     assert by_hour[3 * 3600].med == 1  # 3am judged against other 3ams
+
+
+def test_doc_top_terms_semantics(spark):
+    """Keyword extraction on a hand-checkable corpus: a term unique to
+    one doc outranks corpus-wide terms (idf ratio), repeated terms
+    outrank singletons at equal df (tf), and ties break on the term."""
+    from mapreducekmean_spark.operators.text import doc_top_terms
+
+    rows = [
+        Row(doc_id=1, text="common rare rare unique1", lang="en", source="s"),
+        Row(doc_id=2, text="common rare", lang="en", source="s"),
+        Row(doc_id=3, text="common zebra apple", lang="en", source="s"),
+    ]
+    out = {
+        (r.doc_id, r.rk): (r.term, r.tf, r.df, r.score)
+        for r in doc_top_terms(spark.createDataFrame(rows), k=3).collect()
+    }
+    # doc 1: rare tf=2 df=2 -> 2*3/2=3.0; unique1 tf=1 df=1 -> 3.0;
+    # tie at 3.0 breaks on term: "rare" < "unique1"
+    assert out[(1, 1)][0] == "rare" and out[(1, 1)][3] == 3.0
+    assert out[(1, 2)][0] == "unique1" and out[(1, 2)][3] == 3.0
+    assert out[(1, 3)][0] == "common" and out[(1, 3)][3] == 1.0
+    # doc 3: the two unique terms (3.0 each, term order) beat common
+    assert out[(3, 1)][0] == "apple" and out[(3, 2)][0] == "zebra"

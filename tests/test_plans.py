@@ -557,3 +557,18 @@ def test_quality_unpivot_is_shuffle_free(spark, sf_small):
     df = REG["quality_unpivot"].fn(spark, sf_small)
     assert count_exchanges(df) == 0
     assert "Expand" in formatted_plan(df)
+
+
+def test_doc_top_terms_partial_group_limit(spark, sf_small):
+    """doc_top_terms' per-doc top-k orders by a computed column, so the
+    WindowGroupLimit rewrite must insert the PARTIAL pass before the
+    doc_id exchange — a mega-document's candidate terms prune map-side
+    (the domain_cap shape)."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["doc_top_terms"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    exchange_pos = plan.find("Exchange")
+    partial_pos = plan.rfind("WindowGroupLimit")
+    assert 0 <= exchange_pos < partial_pos
