@@ -2239,8 +2239,13 @@ def _ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are identical to ``ann_ivf`` — pinned in
     tests/test_similarity_indexed.py — and the SAME DuckDB twin
     value-hashes both."""
-    path = _contract_index_dir("ivf")
-    sim.land_ivf_index(spark, sf_dir, path)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"ivf_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        sim.land_ivf_index(spark, sf_dir, path)
     return sim.ann_ivf_indexed(spark, sf_dir, path)
 
 
@@ -2348,8 +2353,13 @@ def _ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the landed IVF index (land reused per process, the
     ann_ivf_indexed stance): per cell, vector count and load ratio vs
     uniform — the hot-cell monitoring an ANN deployment runs."""
-    path = _contract_index_dir("ivf")
-    sim.land_ivf_index(spark, sf_dir, path)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"ivf_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        sim.land_ivf_index(spark, sf_dir, path)
     return sim.ivf_index_stats(spark, path)
 
 
@@ -3003,8 +3013,13 @@ def _ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is ``_ANN_IVF_SQL``'s."""
     from mapreducekmean_spark.operators import pq
 
-    path = _contract_index_dir("ivfpq")
-    pq.land_ivfpq_index(spark, sf_dir, path)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"ivfpq_{tag}")
+    if not os.path.exists(os.path.join(path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, path)
     return pq.ann_ivfpq_indexed(spark, sf_dir, path)
 
 
@@ -3024,8 +3039,13 @@ def _ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     process like ann_ivfpq_indexed)."""
     from mapreducekmean_spark.operators import pq
 
-    path = _contract_index_dir("ivfpq")
-    pq.land_ivfpq_index(spark, sf_dir, path)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"ivfpq_{tag}")
+    if not os.path.exists(os.path.join(path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, path)
     return pq.ivfpq_recall(spark, sf_dir, path)
 
 
