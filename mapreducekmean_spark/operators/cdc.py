@@ -565,3 +565,50 @@ def agg_stream_batch(
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
     os.replace(tmp, marker)
+
+
+def purge_snapshot_keys(
+    spark: SparkSession, path: str, keys: list
+) -> dict[str, int]:
+    """Delete keys from a ``kb=``-partitioned snapshot or maintained
+    aggregate WITHOUT scanning it: the touched buckets are DERIVED —
+    ``kb`` is a pure function of the key (:func:`key_bucket`), so the
+    purge computes them driver-side and goes straight to the
+    directories (zero discovery scans — cheaper than the vector-index
+    purge, which must look its touched partitions up). The layout's
+    own ``_merge_meta.json``/``_agg_meta.json`` supplies key column
+    and bucket count. Pinned in tests/test_cdc.py: purged snapshot ==
+    fresh land of the remaining rows (same layout params)."""
+    import json
+    import os
+
+    from mapreducekmean_spark.sources.bucketing import purge_partition_keys
+
+    meta_file = next(
+        os.path.join(path, f)
+        for f in ("_merge_meta.json", "_agg_meta.json")
+        if os.path.exists(os.path.join(path, f))
+    )
+    with open(meta_file) as f:
+        meta = json.load(f)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    keys = list(keys)
+    kb_df = local_key_buckets(spark, keys, n_buckets)
+    touched = sorted({r.kb for r in kb_df.collect()})
+    return purge_partition_keys(
+        spark, path, "kb", key, keys, touched=touched
+    )
+
+
+def local_key_buckets(
+    spark: SparkSession, keys: list, n_buckets: int
+) -> DataFrame:
+    """md5 key buckets for a driver-local key list, computed by the
+    SAME Spark expression the landed layout used (one tiny local
+    relation — engine arithmetic, not a Python reimplementation, so
+    the derived buckets can never drift from the written ones)."""
+    from mapreducekmean_spark.session import local_rows_df
+
+    ktype = "bigint" if all(isinstance(k, int) for k in keys) else "string"
+    df = local_rows_df(spark, [(k,) for k in keys], f"k {ktype}")
+    return df.select(key_bucket(F.col("k"), n_buckets).alias("kb"))

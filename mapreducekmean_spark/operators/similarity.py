@@ -1403,3 +1403,24 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
             F.col("n_vecs") * F.col("ncells") / F.col("total"), 6
         ).alias("load_ratio"),
     )
+
+
+def purge_ivf_keys(
+    spark: SparkSession, path: str, vec_ids: list[int]
+) -> dict[str, int]:
+    """Delete vectors from a landed cell-partitioned vector index (raw
+    IVF and IVF-PQ share the ``cells/cell=`` layout, so this serves
+    both) — the right-to-be-forgotten maintenance a 100 TB vector
+    store needs: one column-pruned (vec_id, cell) scan finds the
+    touched cells, only those directories rewrite
+    (``sources.bucketing.purge_partition_keys``), centroids/codebooks
+    are untouched (a quantizer is an aggregate artifact, not per-row
+    user data). Pinned in tests/test_similarity_indexed.py: the purged
+    index is row-identical to a FRESH land of the remaining vectors
+    under the same frozen quantizer, and serving returns exactly the
+    rebuilt index's results."""
+    from mapreducekmean_spark.sources.bucketing import purge_partition_keys
+
+    return purge_partition_keys(
+        spark, f"{path}/cells", "cell", "vec_id", vec_ids
+    )

@@ -431,3 +431,82 @@ def compact_partitions(
         compacted.write.mode("overwrite").partitionBy(*cols).parquet(path)
     files_after, _b, _p = walk_stats()
     return {"files_before": files_before, "files_after": files_after}
+
+
+def purge_partition_keys(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    id_col: str,
+    ids: list,
+    touched: list | None = None,
+) -> dict[str, int]:
+    """Targeted row DELETION from a ``col=value``-partitioned layout —
+    the right-to-be-forgotten primitive at 100 TB: rewriting the whole
+    table to drop a handful of keys is exactly the job nobody can
+    afford, so the purge reads ONLY the partitions that hold the keys,
+    anti-joins them out, and swaps those directories back
+    (copy-on-write, the ``merge_into_snapshot`` economics applied to
+    deletes). A partition the purge EMPTIES is removed explicitly —
+    dynamic partition overwrite only replaces partitions present in
+    the output (the ``merge_into_snapshot`` lesson).
+
+    ``touched``: the partition values holding the ids, when the caller
+    can DERIVE them (a key-bucketed snapshot computes ``kb`` from the
+    key — zero scans). When None, one column-pruned scan of
+    ``(id_col, part_col)`` finds them — bounded output (≤ len(ids)
+    rows), and the scan reads only those two columns.
+
+    Idempotent: purging already-absent ids touches the same partitions
+    and rewrites them unchanged (or finds nothing to touch). Returns
+    ``{"touched_partitions": …, "rows_deleted": …, "removed_dirs": …}``.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ids = [i for i in ids]
+    if not ids:
+        return {"touched_partitions": 0, "rows_deleted": 0,
+                "removed_dirs": 0}
+    if touched is None:
+        touched = sorted(
+            r[0]
+            for r in spark.read.parquet(path)
+            .filter(F.col(id_col).isin(ids))
+            .select(part_col)
+            .distinct()
+            .collect()
+        )  # bounded: <= len(ids) driver rows
+    touched = sorted(set(touched))
+    if not touched:
+        return {"touched_partitions": 0, "rows_deleted": 0,
+                "removed_dirs": 0}
+    held = spark.read.parquet(path).filter(
+        F.col(part_col).isin(touched)
+    )
+    kept = (
+        held.filter(~F.col(id_col).isin(ids))
+        # sever lineage from the files the upsert replaces
+        .localCheckpoint()
+    )
+    n_before = held.count()
+    n_after = kept.count()
+    upsert_partitions(kept, path, part_col)
+    present = {
+        r[0] for r in kept.select(part_col).distinct().collect()
+    }
+    removed = 0
+    for v in touched:
+        if v not in present:
+            shutil.rmtree(
+                os.path.join(path, f"{part_col}={v}"),
+                ignore_errors=True,
+            )
+            removed += 1
+    return {
+        "touched_partitions": len(touched),
+        "rows_deleted": int(n_before - n_after),
+        "removed_dirs": removed,
+    }

@@ -615,3 +615,38 @@ def test_stream_agg_maintenance_end_to_end(spark, tmp_path):
     got2 = {r[0]: (r[1], r[2]) for r in _agg_rows(spark, path)}
     assert got2[7] == (2, 15)
     assert got2[0] == (3, 12)
+
+
+def test_purge_snapshot_keys_equals_fresh_land(spark, tmp_path):
+    """Purging keys from the kb=-partitioned snapshot derives its
+    touched buckets from the keys alone (zero discovery scans) and
+    leaves exactly the state a fresh land of the remaining rows
+    writes."""
+    from mapreducekmean_spark.operators.cdc import (
+        land_snapshot,
+        purge_snapshot_keys,
+    )
+
+    rows = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    path = str(tmp_path / "snap")
+    land_snapshot(rows, path, key="k", n_buckets=16)
+    doomed = [3, 77, 240, 241, 499]
+    stats = purge_snapshot_keys(spark, path, doomed)
+    assert stats["rows_deleted"] == 5
+    assert stats["touched_partitions"] <= 5
+    got = sorted(
+        (r.k, r.v)
+        for r in spark.read.parquet(path).select("k", "v").collect()
+    )
+    path2 = str(tmp_path / "snap2")
+    land_snapshot(
+        rows.filter(~F.col("k").isin(doomed)), path2, key="k",
+        n_buckets=16,
+    )
+    want = sorted(
+        (r.k, r.v)
+        for r in spark.read.parquet(path2).select("k", "v").collect()
+    )
+    assert got == want and len(got) == 495

@@ -672,3 +672,70 @@ def test_semantic_dedup_delta_recovers_after_rebalance(
         if r.vec_id >= split
     }
     assert got == want and got
+
+
+def test_purge_ivf_keys_equals_fresh_land_of_remaining(
+    spark, sf_oracle, tmp_path
+):
+    """Right-to-be-forgotten on the vector store: purge a key set, and
+    the index must be row-identical to a FRESH land of the remaining
+    vectors under the same frozen quantizer; serving returns the
+    rebuilt index's exact results; a re-purge of the same (now absent)
+    ids is a no-op; and an emptied cell's directory is removed."""
+    import os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        ann_ivf_indexed,
+        land_ivf_index_points,
+        load_index_centroids,
+        purge_ivf_keys,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    path = str(tmp_path / "ivf")
+    land_ivf_index_points(spark, pts, path)
+    cents = load_index_centroids(spark, path)
+    # purge every vector of ONE whole cell plus a few strays
+    cells0 = spark.read.parquet(f"{path}/cells")
+    some_cell = int(cells0.select("cell").distinct().take(1)[0]["cell"])
+    doomed = sorted(
+        r.vec_id
+        for r in cells0.filter(F.col("cell") == some_cell)
+        .select("vec_id").collect()
+    ) + [
+        r.vec_id
+        for r in cells0.filter(F.col("cell") != some_cell)
+        .select("vec_id").limit(3).collect()
+    ]
+    stats = purge_ivf_keys(spark, path, doomed)
+    assert stats["rows_deleted"] == len(set(doomed))
+    assert stats["removed_dirs"] >= 1
+    assert not os.path.exists(f"{path}/cells/cell={some_cell}")
+
+    path2 = str(tmp_path / "ivf2")
+    land_ivf_index_points(
+        spark, pts.filter(~F.col("vec_id").isin(doomed)), path2,
+        cents=cents,
+    )
+    a = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id", "cell").collect()
+    )
+    b = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(f"{path2}/cells")
+        .select("vec_id", "cell").collect()
+    )
+    assert a == b and a
+    served_purged = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path).collect()
+    )
+    served_rebuilt = sorted(
+        tuple(r) for r in ann_ivf_indexed(spark, sf_oracle, path2).collect()
+    )
+    assert served_purged == served_rebuilt
+    # idempotent re-purge
+    again = purge_ivf_keys(spark, path, doomed)
+    assert again["rows_deleted"] == 0
