@@ -1434,6 +1434,69 @@ def probe_rebalance(spark, results: dict, n_vecs: int = 500_000) -> None:
     }
 
 
+
+def probe_purge(spark, results: dict, n_vecs: int = 500_000) -> None:
+    """Key purge on the 500k-vector landed IVF index: delete 100
+    scattered vec_ids and verify the rewrite touched only their cells —
+    the deletes-cost-tracks-keys claim — with the purged index equal to
+    a fresh land of the remaining vectors under the same quantizer
+    (cells compared as full distributed multisets)."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+        load_index_centroids,
+        purge_ivf_keys,
+    )
+
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    pts = km.embeddings(spark, sfdir).select("vec_id", "emb")
+    idx = probe_tmpdir(prefix="mrkm_purge_")
+    t0 = time.perf_counter()
+    land_ivf_index_points(spark, pts, idx)
+    t_land = time.perf_counter() - t0
+    doomed = [i * 4999 for i in range(100)]
+    t0 = time.perf_counter()
+    stats = purge_ivf_keys(spark, idx, doomed)
+    t_purge = time.perf_counter() - t0
+    assert stats["rows_deleted"] == len(set(doomed))
+    # rebuild equivalence at volume
+    cents = load_index_centroids(spark, idx)
+    idx2 = probe_tmpdir(prefix="mrkm_purge2_")
+    land_ivf_index_points(
+        spark, pts.filter(~F.col("vec_id").isin(doomed)), idx2,
+        cents=cents,
+    )
+    a = spark.read.parquet(f"{idx}/cells").select("vec_id", "cell")
+    b = spark.read.parquet(f"{idx2}/cells").select("vec_id", "cell")
+    mismatch = (
+        a.unionByName(b).groupBy("vec_id", "cell").count()
+        .filter(F.col("count") != 2).count()
+    )
+    assert mismatch == 0, f"{mismatch} purged cells differ from rebuild"
+    results["purge_ivf_keys"] = {
+        "vectors": n_vecs,
+        "purged_keys": len(set(doomed)),
+        "touched_cells": stats["touched_partitions"],
+        "land_sec": round(t_land, 2),
+        "purge_sec": round(t_purge, 2),
+        "matches_rebuild": True,
+    }
+
+
 def probe_pq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     """Product quantization at 1M x 64-d: train (4 simultaneous-subspace
     Lloyd passes), encode the corpus to 32-bit codes, and ADC-score the
@@ -2191,6 +2254,7 @@ def main() -> None:
         "rebalance",
         "zorder",
         "aggdelta",
+        "purge",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2254,6 +2318,8 @@ def main() -> None:
         probe_zorder(spark, results)
     if "aggdelta" in only:
         probe_aggdelta(spark, results, args.sf_dir)
+    if "purge" in only:
+        probe_purge(spark, results, args.vecs)
     print(json.dumps({"scale_probe": results}))
 
 
