@@ -584,6 +584,16 @@ def rebalance_ivf_cells(
 
     from mapreducekmean_spark.sources.bucketing import write_partitioned
 
+    if os.path.exists(f"{path}/codebooks"):
+        raise ValueError(
+            "rebalance_ivf_cells refuses an IVF-PQ index: its cells "
+            "hold RESIDUAL codes relative to each cell's centroid, so "
+            "moving rows to new sub-cells would silently corrupt every "
+            "moved code (ADC distances against the wrong residual "
+            "basis). Re-land the compressed index with more ncells; "
+            "purge_ivf_keys remains safe (rows are removed, never "
+            "re-celled)."
+        )
     cells_dir = f"{path}/cells"
     total_split = 0
     total_new = 0

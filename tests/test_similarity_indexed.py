@@ -739,3 +739,73 @@ def test_purge_ivf_keys_equals_fresh_land_of_remaining(
     # idempotent re-purge
     again = purge_ivf_keys(spark, path, doomed)
     assert again["rows_deleted"] == 0
+
+
+def test_purge_serves_ivfpq_and_rebalance_refuses_it(
+    spark, sf_oracle, tmp_path
+):
+    """The compressed store's maintenance contract: purge_ivf_keys
+    works on the IVF-PQ cells layout (codes are per-row payload —
+    removal never re-cells), pinned by rebuild equivalence of the codes
+    table AND of the served results; rebalance_ivf_cells REFUSES the
+    same index (residual codes are centroid-relative; a re-cell would
+    corrupt every moved code)."""
+    import pytest
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        ann_ivfpq_indexed,
+        land_ivfpq_index_points,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        purge_ivf_keys,
+        rebalance_ivf_cells,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    path = str(tmp_path / "ivfpq")
+    land_ivfpq_index_points(spark, pts, path)
+    with pytest.raises(ValueError, match="RESIDUAL"):
+        rebalance_ivf_cells(spark, path, max_cell_rows=10)
+
+    doomed = [
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id").limit(25).collect()
+        # keep the demo query vectors so serving stays comparable
+        if r.vec_id >= 10
+    ]
+    stats = purge_ivf_keys(spark, path, doomed)
+    assert stats["rows_deleted"] == len(set(doomed))
+
+    # rebuild equivalence: fresh land of the remaining vectors under
+    # the SAME frozen quantizer AND codebooks
+    from mapreducekmean_spark.operators.pq import _load_ivfpq_params
+
+    cents, codebooks = _load_ivfpq_params(spark, path)
+    path2 = str(tmp_path / "ivfpq2")
+    land_ivfpq_index_points(
+        spark,
+        pts.filter(~F.col("vec_id").isin(doomed)),
+        path2,
+        cents=cents,
+        codebooks=codebooks,
+    )
+    a = sorted(
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    )
+    b = sorted(
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{path2}/cells").collect()
+    )
+    assert a == b and a
+    served_purged = sorted(
+        tuple(r)
+        for r in ann_ivfpq_indexed(spark, sf_oracle, path).collect()
+    )
+    served_rebuilt = sorted(
+        tuple(r)
+        for r in ann_ivfpq_indexed(spark, sf_oracle, path2).collect()
+    )
+    assert served_purged == served_rebuilt
