@@ -572,3 +572,27 @@ def test_doc_top_terms_partial_group_limit(spark, sf_small):
     exchange_pos = plan.find("Exchange")
     partial_pos = plan.rfind("WindowGroupLimit")
     assert 0 <= exchange_pos < partial_pos
+
+
+def test_every_declared_plan_is_hygienic(spark, sf_small):
+    """Global plan gate over the ENTIRE declared surface: no declared
+    query may plan a row-at-a-time Python UDF (BatchEvalPython — the
+    Arrow-batched mapInPandas/mapInArrow kernels plan as different
+    nodes and stay allowed) or a CartesianProduct (every cross join in
+    the repo is a broadcast 1-row totals join, which plans as
+    BroadcastNestedLoopJoin). One machine check instead of 138
+    individual pins — a regression in any future operator fails here
+    by name."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    bad = {}
+    for name, q in REG.items():
+        plan = formatted_plan(q.fn(spark, sf_small))
+        hits = [
+            marker
+            for marker in ("BatchEvalPython", "CartesianProduct")
+            if marker in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plan-hygiene violations: {bad}"
