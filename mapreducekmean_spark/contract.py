@@ -1290,6 +1290,11 @@ FROM documents
             ),
             _SKETCH_CMS_SQL,
         ),
+        Query(
+            "events_quantile_sketch",
+            _events_quantile_sketch_q,
+            _events_quantile_sketch_sql(),
+        ),
         Query("term_lift", _term_lift_topk, _term_lift_sql()),
         Query("doc_top_terms", _doc_top_terms_q, _DOC_TOP_TERMS_SQL),
     ]
@@ -4222,6 +4227,53 @@ GROUP BY event_type
 """
 
 
+def _events_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.py:sketch_quantiles — the mergeable bottom-k
+    quantile sketch (KMV-style deterministic md5 sample, k=256 per
+    event type) with type-1 positional estimates. Every byte of the
+    sketch is engine-reproducible, so unlike KLL/t-digest the estimate
+    value-hashes exactly."""
+    return sk.sketch_quantiles(ev.events(spark, sf_dir))
+
+
+def _events_quantile_sketch_sql() -> str:
+    from mapreducekmean_spark.operators.sketch import QSK_K, QSK_SEED
+
+    return f"""
+WITH fin AS (
+  SELECT event_type, event_id,
+         md5('{int(QSK_SEED)}|' || CAST(event_id AS VARCHAR)) AS skey,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rk AS (
+  SELECT event_type, skey, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY skey, event_id) AS rk
+  FROM fin
+),
+s AS (SELECT event_type, skey, cents FROM rk WHERE rk <= {int(QSK_K)}),
+c AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents, skey) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM s
+)
+SELECT event_type,
+       max(n) AS n_sampled,
+       CAST(max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END)
+            AS BIGINT) AS p50_est,
+       CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END)
+            AS BIGINT) AS p90_est,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+            AS BIGINT) AS p99_est
+FROM c
+GROUP BY event_type
+"""
+
+
 def _agg_delta_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/cdc.py:land_agg_snapshot/apply_agg_delta — the
     incrementally MAINTAINED per-customer order aggregate: the low
@@ -4602,6 +4654,7 @@ _CHECK_FIRST = (
     "events_anomaly_seasonal",
     "agg_delta_maintenance",
     "doc_top_terms",
+    "events_quantile_sketch",
     "cdc_merge",
     "bpe_token_stats",
     # round-9 touched paths (output pinned unchanged, fresh check
@@ -4652,7 +4705,6 @@ _CHECK_FIRST = (
     "dedup_substring_spans",
     "ann_ivfpq_indexed",
     "ann_ivf_indexed",
-    "pq_adc_topk",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
@@ -4711,6 +4763,7 @@ _STALE_OK = (
     "term_lift",
     "rerank_topk",
     "hybrid_topk",
+    "pq_adc_topk",
     # r8-green (the whole round-8 window — checked in
     # CORRECTNESS_r08.json, 50/50 value-hash green):
     "events_gapfill",

@@ -169,3 +169,108 @@ def cms_heavy_hitters(
         "est",
         (F.col("est") >= F.col("n")).alias("never_undercounts"),
     )
+
+
+#: Bottom-k quantile sketch: per-group sample size and the md5 seed.
+#: k=256 → quantile standard error ≈ sqrt(p(1-p)/k) ≤ ~3.1 percentile
+#: points — the classic SRS bound, checked in tests.
+QSK_K = 256
+QSK_SEED = 41
+
+
+def bottomk_sample(ev: DataFrame, k: int = QSK_K,
+                   seed: int = QSK_SEED) -> DataFrame:
+    """The third classic sketch next to HLL and count-min: a MERGEABLE
+    quantile summary. The state per event type is the ``k`` rows whose
+    ``md5(seed|event_id)`` is smallest — a bottom-k (KMV-style) sample,
+    i.e. a uniform random sample without replacement keyed by a
+    deterministic hash, so unlike KLL/t-digest every byte of the sketch
+    is engine-reproducible and the DuckDB twin value-hashes exactly.
+
+    Mergeable EXACTLY: bottom-k of a union is the bottom-k of the
+    concatenated bottom-k's (min-union — pinned in tests, and what the
+    streaming runner exploits per batch). Bounded: k rows per group, no
+    matter the stream length.
+
+    Scale shape: the rank rides a window ORDERED BY the computed hash
+    key, so WindowGroupLimit prunes every task to k rows per group
+    BEFORE the exchange — the sketch is built map-side, exactly like
+    the CMS counters.
+
+    Output: ``(event_type, skey, cents)``, the sample rows."""
+    from pyspark.sql import Window
+
+    from mapreducekmean_spark.operators.events import _finite_value
+
+    fin = _finite_value(ev)
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(int(seed))), F.col("event_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("skey").asc(), F.col("event_id").asc()
+    )
+    return (
+        fin.select(
+            "event_type",
+            key.alias("skey"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select("event_type", "skey", "cents")
+    )
+
+
+def sketch_quantiles(
+    ev: DataFrame, k: int = QSK_K, seed: int = QSK_SEED
+) -> DataFrame:
+    """Quantile ESTIMATES off the bottom-k sketch: type-1 positional
+    picks (the ``value_quantiles`` arithmetic) over the ≤k sample rows
+    per event type — integer index math over actual data values, so
+    the estimates value-hash exactly; accuracy is the plain
+    simple-random-sample bound (±~3 percentile points at k=256),
+    checked against the exact quantiles in tests.
+
+    Output: ``(event_type, n_sampled, p50_est, p90_est, p99_est)``
+    (cents as bigint — no float anywhere)."""
+    from pyspark.sql import Window
+
+    s = bottomk_sample(ev, k=k, seed=seed)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "skey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = s.withColumn("cum", F.count(F.lit(1)).over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+
+    def pick(num: int, den: int):
+        pos = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= pos, F.col("cents")))
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_sampled"),
+        pick(1, 2).alias("p50_est"),
+        pick(9, 10).alias("p90_est"),
+        pick(99, 100).alias("p99_est"),
+    )
+
+
+def merge_bottomk(samples: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Merge bottom-k sketches (cell-wise min-union): concatenate the
+    sample tables, keep each group's k smallest keys again. Exact by
+    construction — a row is in the union's bottom-k iff its key is
+    among the k smallest overall, and any such row survived its own
+    batch's bottom-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("skey").asc())
+    return (
+        samples.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select("event_type", "skey", "cents")
+    )

@@ -596,3 +596,17 @@ def test_every_declared_plan_is_hygienic(spark, sf_small):
         if hits:
             bad[name] = hits
     assert not bad, f"plan-hygiene violations: {bad}"
+
+
+def test_quantile_sketch_builds_map_side(spark, sf_small):
+    """The bottom-k sketch's rank orders by the computed md5 key, so
+    WindowGroupLimit must prune to k rows per type BEFORE the exchange
+    — the sketch is built map-side like the CMS counters."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["events_quantile_sketch"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    exchange_pos = plan.find("Exchange")
+    partial_pos = plan.rfind("WindowGroupLimit")
+    assert 0 <= exchange_pos < partial_pos

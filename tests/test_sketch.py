@@ -100,3 +100,71 @@ GROUP BY 1
 """
     ).fetchall()
     assert dict(twin) == got and got
+
+
+def test_bottomk_sketch_merges_exactly(spark, sf_oracle):
+    """The min-union law, exactly: bottom-k of the full stream equals
+    merge(bottom-k(first half), bottom-k(second half)) — the property
+    the streaming runner leans on per batch. Row-identical, not
+    approximate."""
+    from mapreducekmean_spark.operators.events import events
+    from mapreducekmean_spark.operators.sketch import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    ev = events(spark, sf_oracle)
+    cut = int(ev.approxQuantile("event_id", [0.5], 0.0)[0])
+    full = sorted(
+        tuple(r) for r in bottomk_sample(ev).collect()
+    )
+    merged = sorted(
+        tuple(r)
+        for r in merge_bottomk(
+            bottomk_sample(ev.filter(F.col("event_id") < cut)).unionByName(
+                bottomk_sample(ev.filter(F.col("event_id") >= cut))
+            )
+        ).collect()
+    )
+    assert merged == full and full
+
+
+def test_sketch_quantiles_within_srs_error_of_exact(spark):
+    """Accuracy on a known distribution: 100k uniform values, one
+    type — each estimated percentile must land within 4 standard
+    errors of the true one (sqrt(p(1-p)/k) of the value range;
+    deterministic sketch, so this never flakes — it either holds
+    forever or the sampling is broken)."""
+    import math
+
+    from mapreducekmean_spark.operators.sketch import (
+        QSK_K,
+        sketch_quantiles,
+    )
+
+    n = 100_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        # uniform over [0, 1000): value = id scrambled by a hash so
+        # the sample keys and values are independent
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("bigint") % 100000
+            ).cast("double") / 100
+        ).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    row = sketch_quantiles(ev).collect()[0]
+    assert row.n_sampled == QSK_K
+    spread_cents = 100_000  # values span [0, 1000) = 100k cents
+    for p, est in ((0.5, row.p50_est), (0.9, row.p90_est),
+                   (0.99, row.p99_est)):
+        true_cents = p * spread_cents
+        se = math.sqrt(p * (1 - p) / QSK_K) * spread_cents
+        assert abs(est - true_cents) <= 4 * se, (p, est, true_cents, se)
