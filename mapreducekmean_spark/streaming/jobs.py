@@ -928,3 +928,65 @@ def stream_agg_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+class StreamingBottomK:
+    """Running bottom-k quantile sketch over an events stream — the
+    quantile twin of :class:`StreamingCMS`: per micro-batch, the batch's
+    own bottom-k sample (built map-side via WindowGroupLimit,
+    ``sketch.bottomk_sample``) collects (≤ types × k rows, bounded) and
+    merges into driver state by MIN-UNION — keep each type's k smallest
+    md5 keys. Because bottom-k merge is exact (a row is in the union's
+    bottom-k iff its key is among the k smallest overall, and any such
+    row survived its own batch's bottom-k), the running state after any
+    prefix of batches is IDENTICAL to sketching that prefix at once —
+    pinned in tests/test_streaming.py. ``quantiles`` answers driver-side
+    with the same type-1 positional pick the batch estimator uses."""
+
+    def __init__(self, k: int | None = None, seed: int | None = None):
+        from mapreducekmean_spark.operators.sketch import QSK_K, QSK_SEED
+
+        self.k = QSK_K if k is None else k
+        self.seed = QSK_SEED if seed is None else seed
+        #: per type: list of (skey, cents), kept sorted, ≤ k entries
+        self.samples: dict[str, list[tuple[str, int]]] = {}
+
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        from mapreducekmean_spark.operators.sketch import bottomk_sample
+
+        rows = bottomk_sample(batch_df, self.k, self.seed).collect()
+        by_type: dict[str, list[tuple[str, int]]] = {}
+        for r in rows:  # bounded: ≤ types × k rows
+            by_type.setdefault(r.event_type, []).append((r.skey, r.cents))
+        for t, new in by_type.items():
+            merged = sorted(self.samples.get(t, []) + new)
+            self.samples[t] = merged[: self.k]
+
+    def quantiles(self, event_type: str) -> dict[str, int]:
+        """Type-1 positional estimates off the running sample."""
+        cents = sorted(c for _s, c in self.samples.get(event_type, []))
+        n = len(cents)
+        if not n:
+            return {}
+
+        def pick(num: int, den: int) -> int:
+            return cents[(n * num + den - 1) // den - 1]
+
+        return {
+            "n_sampled": n,
+            "p50_est": pick(1, 2),
+            "p90_est": pick(9, 10),
+            "p99_est": pick(99, 100),
+        }
+
+    def run(self, events_stream: DataFrame) -> None:
+        """Drive the stream to completion (synchronous local harness)."""
+        q = (
+            events_stream.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: self.update(df, bid))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

@@ -1251,3 +1251,57 @@ def test_stream_scd2_multibatch_equals_onebatch(spark, sf_small, tmp_path):
         if not r.is_current
     )
     assert streamed == batch and streamed
+
+
+def test_streaming_bottomk_matches_batch_sketch(spark, sf_small):
+    """Min-union exactness makes the running quantile sketch equal to
+    batch: two artificial micro-batches merged on the driver, and a
+    real stream drained through foreachBatch, both reproduce the
+    whole-corpus bottom-k sample row for row — and the driver-side
+    positional estimates equal the distributed sketch_quantiles row."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.events import events
+    from mapreducekmean_spark.operators.sketch import (
+        bottomk_sample,
+        sketch_quantiles,
+    )
+    from mapreducekmean_spark.streaming.jobs import (
+        StreamingBottomK,
+        read_events_stream,
+    )
+
+    ev = events(spark, sf_small)
+    whole = {
+        t: sorted(
+            (r.skey, r.cents)
+            for r in bottomk_sample(ev).filter(
+                F.col("event_type") == t
+            ).collect()
+        )
+        for t in [
+            r.event_type
+            for r in ev.select("event_type").distinct().collect()
+        ]
+    }
+
+    sk1 = StreamingBottomK()
+    sk1.update(ev.filter(F.col("event_id") % 2 == 0))
+    sk1.update(ev.filter(F.col("event_id") % 2 == 1))
+    assert {t: sorted(v) for t, v in sk1.samples.items()} == whole
+
+    sk2 = StreamingBottomK()
+    sk2.run(read_events_stream(spark, sf_small))
+    assert {t: sorted(v) for t, v in sk2.samples.items()} == whole
+
+    batch_rows = {
+        r.event_type: r for r in sketch_quantiles(ev).collect()
+    }
+    for t, r in batch_rows.items():
+        est = sk2.quantiles(t)
+        assert est == {
+            "n_sampled": r.n_sampled,
+            "p50_est": r.p50_est,
+            "p90_est": r.p90_est,
+            "p99_est": r.p99_est,
+        }
