@@ -2255,6 +2255,7 @@ def main() -> None:
         "zorder",
         "aggdelta",
         "purge",
+        "r9misc",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2320,7 +2321,81 @@ def main() -> None:
         probe_aggdelta(spark, results, args.sf_dir)
     if "purge" in only:
         probe_purge(spark, results, args.vecs)
+    if "r9misc" in only:
+        probe_r9misc(spark, results, args.sf_dir)
     print(json.dumps({"scale_probe": results}))
+
+
+
+def probe_r9misc(spark, results: dict, sf_dir: str, repl: int = 100) -> None:
+    """Late round-9 probes: the seasonal anomaly detector over 10M
+    synthetic events (grid preserved, both grouped median passes over
+    the time-bounded table — verified at volume: dense hours x types
+    grid, every baseline keyed by (type, hour-of-day)), and
+    doc_top_terms over a ~500k-doc replicated corpus (tf/df shuffles +
+    the WindowGroupLimit top-k; verified: exactly k rows per doc, ranks
+    a permutation of 1..k)."""
+    from mapreducekmean_spark.operators.events import (
+        hourly_anomaly_seasonal,
+    )
+    from mapreducekmean_spark.operators.text import doc_top_terms
+
+    ev_path = ensure_events(spark, 10_000_000)
+    ev = spark.read.parquet(ev_path).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.col("us") % (30 * 86400)).alias("ts"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    hourly_anomaly_seasonal(ev).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t0 = time.perf_counter()
+    g = hourly_anomaly_seasonal(ev)
+    chk = g.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.countDistinct("hour_start_s").alias("hours"),
+        F.countDistinct("event_type").alias("types"),
+        F.sum("n").alias("total"),
+        F.countDistinct("event_type", "hod").alias("baselines"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert chk["cells"] == chk["hours"] * chk["types"]
+    assert chk["total"] == 10_000_000
+    assert chk["baselines"] == chk["types"] * 24
+    results["hourly_anomaly_seasonal"] = {
+        "events": 10_000_000,
+        "grid_cells": int(chk["cells"]),
+        "sec": round(dt, 2),
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nd = docs.count() * repl
+    big = (
+        docs.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    doc_top_terms(big).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    out = doc_top_terms(big)
+    chk2 = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("rk").alias("d"),
+        F.max("rk").alias("mx"),
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("k").alias("mn_k"),
+        F.max("mx").alias("mx_rk"),
+        F.sum(F.when(F.col("k") != F.col("d"), 1)).alias("bad"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert chk2["docs"] == nd and chk2["bad"] is None
+    assert chk2["mn_k"] == 5 and chk2["mx_rk"] == 5
+    results["doc_top_terms"] = {
+        "docs": nd,
+        "sec": round(dt, 2),
+        "docs_per_sec": int(nd / dt),
+    }
 
 
 def probe_core(spark, results: dict, args) -> None:
