@@ -4624,30 +4624,127 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-9 ROTATION. CORRECTNESS_r08.json checked the first 50 of the
-    # 132 declared queries (the r8 window: all green). That leaves 82
-    # with older evidence, in two vintages:
-    #   * 33 queries whose latest green row is CORRECTNESS_r06.json (the
-    #     kmeans one-step family, sql_*/tpch relational tail, events
-    #     windows/cubes, sketches) — THREE rounds old, past the
-    #     two-artifact _STALE_OK bound, so they MUST re-enter the window;
-    #   * 49 queries green in CORRECTNESS_r07.json (the r7 window) — 
-    #     within the two-artifact bound, eligible for _STALE_OK.
-    # The window therefore takes the 33 r6-vintage queries (oldest
-    # evidence first) plus the 17 r7-vintage queries the round-8 verdict
-    # named (including kmeans_mllib, which is rows-only by design and
-    # can never satisfy _STALE_OK's value-hash requirement, so it rides
-    # the window whenever it is stale). 33 + 17 = 50 exactly. As round-9
-    # queries are declared they are PREPENDED here and displace the
-    # r7-green window tail (tpch_q4/q19, graph family) into _STALE_OK on
-    # the two-artifact terms.
-    # round-9 changed queries lead (fresh driver rows required):
-    # cdc_merge's insert offset is now DERIVED from max(o_orderkey)
-    # (collision-free at any sf) and its oracle collapse is the
-    # deterministic struct-max — output changed at the insert keys;
-    # bpe_token_stats' training path gained the word-dict checkpoint
-    # (output unchanged, but the touched path earns a fresh check).
-    # round-9 brand-new queries (first driver rows needed):
+    # ROUND-10 ROTATION. CORRECTNESS_r09.json checked the first 50 of the
+    # 139 declared queries (the r9 window: all 50 green — 49 value-hash
+    # plus kmeans_mllib's rows-only row). Remaining vintages:
+    #   * 43 queries whose latest green row is CORRECTNESS_r07.json —
+    #     now past the two-artifact _STALE_OK bound (last two artifacts
+    #     are r8/r9), so they MUST re-enter the window;
+    #   * 46 queries green in CORRECTNESS_r08.json — within the bound,
+    #     exempt via _STALE_OK (they lead the round-11 window next);
+    #   * 49 queries value-hash green in CORRECTNESS_r09.json — freshest
+    #     evidence, _CHECK_LAST.
+    # New round-10 declarations are PREPENDED here (they need first
+    # driver rows); 43 r7-vintage + up to 7 new fit the 50-entry window.
+    # kmeans_mllib (rows-only by design, can never satisfy _STALE_OK's
+    # value-hash requirement) has an r9 row, so this round it sits just
+    # past the window in insertion order and re-enters in round 11.
+    # round-10 brand-new queries are prepended here as they are
+    # declared (first driver rows needed):
+    # r7-vintage block (oldest evidence — highest audit priority):
+    "scan_points",
+    "text_stats",
+    "dataset_mixture",
+    "dataset_mixture_temp",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_winnow",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "text_redact",
+    "dataset_split",
+    "term_lift",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "tpch_q7_volume",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "set_ops_customers",
+    "set_ops_bag",
+    "sample_stratified",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
+    "pq_adc_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_k_core",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
+#: left past the 50-entry window whose latest green value-hash row is in
+#: one of the last TWO driver artifacts (r8 or r9) — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. Two
+#: sub-populations: the r8-green queries displaced two rounds (they lead
+#: the round-11 window next) and the round-9 window (r9-green, the
+#: freshest evidence in the repo).
+_STALE_OK = (
+    # r8-green, past the two-artifact horizon after this round — these
+    # 46 lead the round-11 window:
+    "events_gapfill",
+    "quality_unpivot",
+    "data_expectations",
+    "ivf_cell_stats",
+    "dedup_delta_indexed",
+    "budget_sample",
+    "pack_sequences_bpe",
+    "shuffle_export",
+    "domain_cap",
+    "scd2_history",
+    "ann_recall",
+    "doc_classifier",
+    "dedup_containment",
+    "curriculum_order",
+    "tpch_q17_small_qty",
+    "tpch_q22_idle_balance",
+    "tpch_q9_profit",
+    "tpch_q8_mkt_share",
+    "tpch_q12_late_priority",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_part_value",
+    "tpch_q2_best_supplier",
+    "tpch_q20_excess_volume",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
+    "decontaminate",
+    "ann_quantized",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q1_pricing",
+    "embedding_quantize",
+    "dedup_embedding",
+    "ann_ivf",
+    "cosine_topk",
+    "ann_lsh",
+    "embedding_lsh_sig",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash",
+    "dedup_verify",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "corpus_clean",
+    "doc_lm_coverage",
+    "word_count",
+    "bigram_lm",
+    # r9-green (the whole round-9 window minus rows-only kmeans_mllib —
+    # checked in CORRECTNESS_r09.json, 49/49 value-hash green):
     "dedup_semantic_delta",
     "ann_pq_recall",
     "ann_ivfpq_recall",
@@ -4657,12 +4754,8 @@ _CHECK_FIRST = (
     "events_quantile_sketch",
     "cdc_merge",
     "bpe_token_stats",
-    # round-9 touched paths (output pinned unchanged, fresh check
-    # earned): the LSH hot-bucket guard rewrote the candidate join;
-    # the anomaly detectors now share the composite-key group median.
     "dedup_minhash_pairs",
     "events_anomaly",
-    # r6-vintage block (oldest evidence — highest audit priority):
     "assign_nearest",
     "centroid_update",
     "cluster_sizes",
@@ -4696,10 +4789,6 @@ _CHECK_FIRST = (
     "tpch_q13_custdist",
     "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders",
-    # r7-vintage block (the r8 verdict's named 17, kmeans_mllib first
-    # since it can never sit in _STALE_OK; the tail of this block is
-    # what round-9 declarations displace into _STALE_OK):
-    "kmeans_mllib",
     "dedup_edit_verify",
     "dedup_substring_apply",
     "dedup_substring_spans",
@@ -4707,162 +4796,58 @@ _CHECK_FIRST = (
     "ann_ivf_indexed",
 )
 
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: left past the 50-entry window whose latest green value-hash row is in
-#: one of the last TWO driver artifacts (r7 or r8) — the bound the
-#: rotation tripwire (tests/test_contract.py) machine-checks. Two
-#: sub-populations: the 50 round-8-window queries (r8-green, the
-#: freshest evidence in the repo) and the r7-green queries that did not
-#: fit the round-9 window. Queries displaced from _CHECK_FIRST by new
-#: round-9 declarations join the r7 block here.
-_STALE_OK = (
-    # r7-green, did not fit the round-9 window (within two-artifact
-    # bound; dense pytest oracle twins at sf0.001/0.01 + sf0.1 sweep):
-    "dedup_semantic",
-    "lang_id",
-    "scan_points",
-    "doc_winnow",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "dedup_exact",
-    "dedup_apply",
-    "text_redact",
-    "token_count",
-    "doc_fingerprint",
-    "dataset_split",
-    "quality_score",
-    "text_stats",
-    "sample_stratified",
-    "set_ops_customers",
-    "set_ops_bag",
-    "dataset_mixture",
-    "doc_repetition",
-    "pack_sequences",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "tpch_q7_volume",
-    # displaced from the round-9 window by the changed/new-query
-    # rotation (r7-green; relational.py and graph.py untouched this
-    # round):
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_k_core",
-    "decontaminate_fuzzy",
-    "dataset_mixture_temp",
-    "term_lift",
-    "rerank_topk",
-    "hybrid_topk",
-    "pq_adc_topk",
-    # r8-green (the whole round-8 window — checked in
-    # CORRECTNESS_r08.json, 50/50 value-hash green):
-    "events_gapfill",
-    "quality_unpivot",
-    "data_expectations",
-    "ivf_cell_stats",
-    "dedup_delta_indexed",
-    "budget_sample",
-    "pack_sequences_bpe",
-    "shuffle_export",
-    "domain_cap",
-    "scd2_history",
-    "ann_recall",
-    "doc_classifier",
-    "dedup_containment",
-    "curriculum_order",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balance",
-    "tpch_q9_profit",
-    "tpch_q8_mkt_share",
-    "tpch_q12_late_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
-    "ann_quantized",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q1_pricing",
-    "embedding_quantize",
-    "dedup_embedding",
-    "ann_ivf",
-    "cosine_topk",
-    "ann_lsh",
-    "embedding_lsh_sig",
-    "dedup_clusters",
-    "dedup_minhash_sig",
-    "dedup_minhash",
-    "dedup_verify",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "corpus_clean",
-    "doc_lm_coverage",
-    "word_count",
-    "bigram_lm",
-)
-
 _CHECK_LAST = (
-    # the round-8 window (r8-green, freshest evidence — safest past any
-    # cutoff), in its r8 window order:
-    "events_gapfill",
-    "quality_unpivot",
-    "data_expectations",
-    "ivf_cell_stats",
-    "dedup_delta_indexed",
-    "budget_sample",
-    "pack_sequences_bpe",
-    "shuffle_export",
-    "domain_cap",
-    "scd2_history",
-    "ann_recall",
-    "doc_classifier",
-    "dedup_containment",
-    "curriculum_order",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balance",
-    "tpch_q9_profit",
-    "tpch_q8_mkt_share",
-    "tpch_q12_late_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
-    "ann_quantized",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q1_pricing",
-    "embedding_quantize",
-    "dedup_embedding",
-    "ann_ivf",
-    "cosine_topk",
-    "ann_lsh",
-    "embedding_lsh_sig",
-    "dedup_clusters",
-    "dedup_minhash_sig",
-    "dedup_minhash",
-    "dedup_verify",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "corpus_clean",
-    "doc_lm_coverage",
-    "word_count",
-    "bigram_lm",
+    # the round-9 window (r9-green, freshest evidence — safest past any
+    # cutoff), in its r9 window order:
+    "dedup_semantic_delta",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    "events_anomaly_seasonal",
+    "agg_delta_maintenance",
+    "doc_top_terms",
+    "events_quantile_sketch",
+    "cdc_merge",
+    "bpe_token_stats",
+    "dedup_minhash_pairs",
+    "events_anomaly",
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "sample_init_det",
+    "kmeans_full",
+    "kmeans_mllib_verdict",
+    "filter_valid",
+    "points_csv_scan",
+    "multimodal_checksums",
+    "sketch_cms",
+    "tpch_q15_top_supplier",
+    "sql_nation_balance",
+    "sql_above_nation_avg",
+    "orders_list_per_customer",
+    "running_spend",
+    "customer_rank_stats",
+    "events_asof_purchase",
+    "user_funnel",
+    "events_hourly",
+    "events_sessionize",
+    "corpus_stats",
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "dedup_edit_verify",
+    "dedup_substring_apply",
+    "dedup_substring_spans",
+    "ann_ivfpq_indexed",
+    "ann_ivf_indexed",
 )
 
 
