@@ -4401,8 +4401,12 @@ final AS (
          struct_extract(w, 'o_orderstatus') AS o_orderstatus
   FROM (
     SELECT o_orderkey,
-           max(struct_pack(seq := seq, op := op, o_custkey := o_custkey,
+           max(struct_pack(seq := seq, op := op,
+                           _nn_o_custkey := o_custkey IS NOT NULL,
+                           o_custkey := o_custkey,
+                           _nn_price_cents := price_cents IS NOT NULL,
                            price_cents := price_cents,
+                           _nn_o_orderstatus := o_orderstatus IS NOT NULL,
                            o_orderstatus := o_orderstatus)) AS w
     FROM changes GROUP BY o_orderkey))
 SELECT b.o_orderkey, b.o_custkey, b.price_cents, b.o_orderstatus

@@ -136,10 +136,15 @@ def cdc_merge(
     sequence number) resolve DETERMINISTICALLY by the struct ordering
     ``(seq, op, payload…)``: op compares 'U' > 'I' > 'D', so an upsert
     outranks a delete at the same seq, and identical-op ties fall
-    through to the payload columns in ``changes`` order. Payload fields
-    only break ties between same-op rows, which carry non-null
-    payloads, so null-ordering never decides — the DuckDB twin's
-    ``max(struct_pack(…))`` replays the exact same total order.
+    through to the payload columns in ``changes`` order. Each payload
+    field enters the ordering as a ``(IS NOT NULL, value)`` pair:
+    engines disagree on bare NULL ordering inside struct comparisons
+    (Spark sorts struct NULL fields first, DuckDB's ``max`` treats
+    NULLs as greatest), but the boolean flag is never null and orders
+    identically in both, so non-null beats null on every field and the
+    value slot only ever compares two non-nulls — the DuckDB twin's
+    ``max(struct_pack(…))`` replays the exact same total order for ANY
+    null pattern, not just same-op ties with matching null-ness.
 
     The base is never shuffled: changed keys leave via one LEFT ANTI
     join (broadcast under AQE when the batch is small — the common
@@ -169,7 +174,17 @@ def cdc_merge(
                 F.struct(
                     F.col(seq).alias("_s"),
                     F.col(op).alias(op),
-                    *[F.col(c) for c in payload if c != key],
+                    *[
+                        f
+                        for c in payload
+                        if c != key
+                        # (IS NOT NULL, value) pair per payload field —
+                        # see the docstring's null-ordering contract
+                        for f in (
+                            F.col(c).isNotNull().alias(f"_nn_{c}"),
+                            F.col(c),
+                        )
+                    ],
                 )
             ).alias("_w")
         )

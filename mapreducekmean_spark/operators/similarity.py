@@ -373,15 +373,28 @@ def land_ivf_index_points(
     # emits exactly ONE file per touched cell — the append-friendly
     # grain the compactor restores
     write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
+    # centroids land via temp-dir + rename (the rebalance_ivf_cells
+    # discipline, same temp name so load_index_centroids completes the
+    # rename window): consumers gate on the directory's existence
+    # (semantic_dedup_batch's first-batch land), and a crash mid-write
+    # must leave it ABSENT (replay re-lands) — never present-but-torn
+    # (replay would skip the land and the stream wedges).
+    import os
+    import shutil
+
+    tmp = f"{path}/_centroids_new"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
-        local_rows_df(spark, 
+        local_rows_df(spark,
             [(i, list(c)) for i, c in enumerate(cents)],
             "cell bigint, centroid array<double>",
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(tmp)
     )
+    shutil.rmtree(f"{path}/centroids", ignore_errors=True)
+    os.rename(tmp, f"{path}/centroids")
 
 
 def append_ivf_index(

@@ -265,12 +265,17 @@ def merge_bottomk(samples: DataFrame, k: int = QSK_K) -> DataFrame:
     sample tables, keep each group's k smallest keys again. Exact by
     construction — a row is in the union's bottom-k iff its key is
     among the k smallest overall, and any such row survived its own
-    batch's bottom-k."""
+    batch's bottom-k. Duplicate (event_type, skey) rows — the same event
+    present in two merged sketches, e.g. an overlapping or replayed
+    micro-batch — are collapsed first, so the merged sample never holds
+    the same event twice (which would displace genuine k-smallest keys);
+    a no-op for disjoint batches, so exactness is unconditional."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy(F.col("skey").asc())
     return (
-        samples.withColumn("rk", F.row_number().over(w))
+        samples.dropDuplicates(["event_type", "skey"])
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= int(k))
         .select("event_type", "skey", "cents")
     )

@@ -487,7 +487,12 @@ def purge_partition_keys(
         F.col(part_col).isin(touched)
     )
     kept = (
-        held.filter(~F.col(id_col).isin(ids))
+        # NULL-id rows are kept explicitly: ``~isin`` evaluates to NULL
+        # (not TRUE) for a NULL id, and a bare filter would silently
+        # delete such rows from every touched partition.
+        held.filter(
+            (~F.col(id_col).isin(ids)) | F.col(id_col).isNull()
+        )
         # sever lineage from the files the upsert replaces
         .localCheckpoint()
     )
@@ -500,11 +505,14 @@ def purge_partition_keys(
     removed = 0
     for v in touched:
         if v not in present:
-            shutil.rmtree(
-                os.path.join(path, f"{part_col}={v}"),
-                ignore_errors=True,
-            )
-            removed += 1
+            d = os.path.join(path, f"{part_col}={v}")
+            existed = os.path.isdir(d)
+            shutil.rmtree(d, ignore_errors=True)
+            # count only directories that actually existed — a
+            # caller-supplied ``touched`` value with no cell directory
+            # must not inflate the removed count.
+            if existed:
+                removed += 1
     return {
         "touched_partitions": len(touched),
         "rows_deleted": int(n_before - n_after),

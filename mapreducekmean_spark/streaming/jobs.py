@@ -950,17 +950,30 @@ class StreamingBottomK:
         self.seed = QSK_SEED if seed is None else seed
         #: per type: list of (skey, cents), kept sorted, ≤ k entries
         self.samples: dict[str, list[tuple[str, int]]] = {}
+        #: replay guard: highest batch_id merged so far (same high-water
+        #: discipline as the other foreachBatch bodies in this module) —
+        #: a redelivered micro-batch is a no-op instead of re-inserting
+        #: its rows.
+        self._last_bid: int = -1
 
     def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         from mapreducekmean_spark.operators.sketch import bottomk_sample
 
+        if batch_id is not None:
+            if batch_id <= self._last_bid:
+                return  # replayed micro-batch: already merged
+            self._last_bid = batch_id
         rows = bottomk_sample(batch_df, self.k, self.seed).collect()
         by_type: dict[str, list[tuple[str, int]]] = {}
         for r in rows:  # bounded: ≤ types × k rows
             by_type.setdefault(r.event_type, []).append((r.skey, r.cents))
         for t, new in by_type.items():
-            merged = sorted(self.samples.get(t, []) + new)
-            self.samples[t] = merged[: self.k]
+            # merge keyed by skey so an event present in both the state
+            # and an overlapping batch occupies ONE sample slot — the
+            # min-union prefix-exactness claim needs distinct events.
+            merged = dict(self.samples.get(t, []))
+            merged.update(new)
+            self.samples[t] = sorted(merged.items())[: self.k]
 
     def quantiles(self, event_type: str) -> dict[str, int]:
         """Type-1 positional estimates off the running sample."""

@@ -650,3 +650,61 @@ def test_purge_snapshot_keys_equals_fresh_land(spark, tmp_path):
         for r in spark.read.parquet(path2).select("k", "v").collect()
     )
     assert got == want and len(got) == 495
+
+
+def test_cdc_merge_mixed_null_tie_prefers_non_null(spark):
+    """Same-(seq,op) ties whose payloads differ in null-ness resolve by
+    the (IS NOT NULL, value) pair ordering: non-null beats null on
+    every payload field — the rule both engines replay identically
+    (Spark sorts struct NULL fields first, DuckDB's max treats NULLs
+    as greatest; the boolean flag sidesteps both)."""
+    base = spark.createDataFrame([(9, 0)], "k bigint, v bigint")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", None),  # same (seq, op), null payload …
+            (1, 1, "U", 5),  # … loses to the non-null row
+            (2, 1, "U", None),  # all-null payload ties …
+            (2, 1, "U", None),  # … collapse to one identical row
+        ],
+        "k bigint, seq int, op string, v bigint",
+    )
+    for _ in range(2):
+        got = {
+            (r.k, r.v)
+            for r in cdc.cdc_merge(base, changes, key="k").collect()
+        }
+        assert got == {(9, 0), (1, 5), (2, None)}
+
+
+def test_purge_partition_keys_keeps_null_ids_and_counts_real_dirs(
+    spark, tmp_path
+):
+    """~isin(ids) is NULL (not TRUE) for a NULL id — the purge must
+    keep such rows explicitly, and removed_dirs must count only cell
+    directories that actually existed (a caller-supplied touched value
+    with no directory must not inflate it)."""
+    import os
+
+    from mapreducekmean_spark.sources.bucketing import (
+        purge_partition_keys,
+        write_partitioned,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 0), (2, 0), (None, 0), (3, 1), (None, 1)],
+        "id bigint, cell int",
+    )
+    path = str(tmp_path / "idx")
+    write_partitioned(rows, path, "cell")
+    stats = purge_partition_keys(
+        spark, path, part_col="cell", id_col="id", ids=[1, 2, 3],
+        touched=[0, 1, 7],  # 7 has no directory
+    )
+    assert stats["rows_deleted"] == 3
+    assert stats["removed_dirs"] == 0  # NULL-id rows keep both dirs alive
+    left = sorted(
+        (r.id, r.cell)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert left == [(None, 0), (None, 1)]
+    assert os.path.isdir(os.path.join(path, "cell=0"))

@@ -168,3 +168,31 @@ def test_sketch_quantiles_within_srs_error_of_exact(spark):
         true_cents = p * spread_cents
         se = math.sqrt(p * (1 - p) / QSK_K) * spread_cents
         assert abs(est - true_cents) <= 4 * se, (p, est, true_cents, se)
+
+
+def test_merge_bottomk_collapses_overlapping_inputs(spark, sf_oracle):
+    """Min-union exactness must hold for OVERLAPPING inputs too (a
+    replayed or overlapping micro-batch): the same event in two merged
+    sketches occupies one sample slot, so merge(bottom-k(A),
+    bottom-k(A ∪ B-half)) equals the disjoint merge row for row."""
+    from mapreducekmean_spark.operators.events import events
+    from mapreducekmean_spark.operators.sketch import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    ev = events(spark, sf_oracle)
+    cut = int(ev.approxQuantile("event_id", [0.5], 0.0)[0])
+    half1 = bottomk_sample(ev.filter(F.col("event_id") < cut))
+    half2 = bottomk_sample(ev.filter(F.col("event_id") >= cut))
+    want = sorted(
+        tuple(r) for r in merge_bottomk(half1.unionByName(half2)).collect()
+    )
+    # replay half1 a second time: duplicates must not displace keys
+    got = sorted(
+        tuple(r)
+        for r in merge_bottomk(
+            half1.unionByName(half2).unionByName(half1)
+        ).collect()
+    )
+    assert got == want and want

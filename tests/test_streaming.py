@@ -1305,3 +1305,40 @@ def test_streaming_bottomk_matches_batch_sketch(spark, sf_small):
             "p90_est": r.p90_est,
             "p99_est": r.p99_est,
         }
+
+
+def test_streaming_bottomk_replay_and_overlap_are_noops(spark, sf_small):
+    """The running sketch's two redelivery guards: (1) an update with a
+    batch_id at or below the high-water mark is skipped outright; (2) an
+    overlapping batch (no batch_id — same events seen twice) merges by
+    skey, so a duplicate occupies ONE sample slot and the state still
+    equals the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.events import events
+    from mapreducekmean_spark.operators.sketch import bottomk_sample
+    from mapreducekmean_spark.streaming.jobs import StreamingBottomK
+
+    ev = events(spark, sf_small)
+    whole = {
+        t: sorted(
+            (r.skey, r.cents)
+            for r in bottomk_sample(ev)
+            .filter(F.col("event_type") == t)
+            .collect()
+        )
+        for t in [
+            r.event_type
+            for r in ev.select("event_type").distinct().collect()
+        ]
+    }
+
+    sk = StreamingBottomK()
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    sk.update(even, batch_id=0)
+    sk.update(even, batch_id=0)  # exact redelivery: skipped
+    sk.update(ev, batch_id=1)  # overlap: even rows seen again
+    assert {t: sorted(v) for t, v in sk.samples.items()} == whole
+    state = {t: list(v) for t, v in sk.samples.items()}
+    sk.update(ev.limit(0), batch_id=1)  # stale id: no-op even if empty
+    assert sk.samples == state
