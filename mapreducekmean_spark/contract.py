@@ -3054,6 +3054,80 @@ def _ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_recall(spark, sf_dir, path)
 
 
+def _ann_ivfpq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pq.py:ivfpq_refined_topk — the IVF-PQ serve path with
+    the exact-refine tier (Jégou 2011 §V re-ranking / FAISS
+    IndexRefineFlat): ADC top-m_cand preselect off the codes-only
+    partition-pruned scan, exact squared-L2 re-rank of just those
+    candidates against raw vectors read from the PAIRED raw-IVF
+    store's probed ``cell=`` directories. Both contract index dirs
+    (``ivfpq_<tag>``/``ivf_<tag>``) are landed under the same
+    deterministic k-sample quantizer, so the pairing check holds by
+    construction."""
+    from mapreducekmean_spark.operators import pq
+
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pq_path = _contract_index_dir(f"ivfpq_{tag}")
+    raw_path = _contract_index_dir(f"ivf_{tag}")
+    if not os.path.exists(os.path.join(pq_path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, pq_path)
+    if not os.path.exists(os.path.join(raw_path, "centroids")):
+        sim.land_ivf_index(spark, sf_dir, raw_path)
+    return pq.ivfpq_refined_topk(spark, sf_dir, pq_path, raw_path)
+
+
+def _ann_ivfpq_refined_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+    m_cand: int | None = None,
+) -> str:
+    """``pq.ivfpq_refined_topk`` as one DuckDB statement: the full
+    IVF-PQ replay (shared ``_ivfpq_scored_parts``) cut to the ADC
+    top-``m_cand`` per query, then re-scored EXACTLY against the raw
+    point rows (the paired raw store holds the same vectors ``pts``
+    does) — ``list_sum`` over the squared diffs replays ``sq_dist``'s
+    sequential fold bit-identically, so the refined ranks and rounded
+    distances value-hash."""
+    from mapreducekmean_spark.operators import pq
+
+    if m_cand is None:
+        m_cand = pq.REFINE_M
+    parts = _ivfpq_scored_parts(m, kc, dim, iters)
+    return f"""
+WITH {",".join(parts)},
+cand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+           ) AS rk
+    FROM scored)
+  WHERE rk <= {m_cand}),
+refined AS (
+  SELECT c.q_id, c.neighbor_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.q_emb[i] - p.emb[i]) * (q.q_emb[i] - p.emb[i])))
+           AS dist
+  FROM cand c
+  JOIN pts p ON p.vec_id = c.neighbor_id
+  JOIN q ON q.q_id = c.q_id)
+SELECT q_id, neighbor_id, rank, ROUND(dist, 6) AS dist
+FROM (
+  SELECT q_id, neighbor_id, dist,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY dist ASC, neighbor_id ASC
+         ) AS BIGINT) AS rank
+  FROM refined)
+WHERE rank <= {topk}
+"""
+
+
 def _ivfpq_scored_parts(m: int, kc: int, dim: int, iters: int) -> list[str]:
     """The IVF-PQ replay up to the ``scored`` CTE (q_id, neighbor_id,
     adc) — shared by the top-k twin and the recall twin."""
@@ -3267,6 +3341,10 @@ FROM documents
         Query("ann_pq_recall", _ann_pq_recall_q, _ann_pq_recall_sql()),
         Query(
             "ann_ivfpq_recall", _ann_ivfpq_recall_q, _ann_ivfpq_recall_sql()
+        ),
+        Query(
+            "ann_ivfpq_refined", _ann_ivfpq_refined_q,
+            _ann_ivfpq_refined_sql(),
         ),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
@@ -4645,6 +4723,7 @@ _CHECK_FIRST = (
     # past the window in insertion order and re-enters in round 11.
     # round-10 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
+    "ann_ivfpq_refined",
     # r7-vintage block (oldest evidence — highest audit priority):
     "scan_points",
     "text_stats",

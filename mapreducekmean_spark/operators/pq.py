@@ -691,3 +691,135 @@ def ivfpq_recall(
     approx = ann_ivfpq_indexed(spark, sf_dir, path, k=k, nprobe=nprobe)
     exact = l2_topk(spark, sf_dir, k=k)
     return recall_vs_exact(exact, approx, k)
+
+
+#: default ADC-preselect size for the exact-refine tier: candidates per
+#: query the compressed scan hands to the raw re-rank (FAISS's
+#: RefineFlat k_factor idea: m_cand = k_factor × k; 10 at k=3 buys most
+#: of the recall the compressed tier lost at ~m_cand raw-row reads per
+#: query).
+REFINE_M = 10
+
+
+def ivfpq_refined_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_path: str,
+    raw_path: str,
+    k: int = 3,
+    m_cand: int = REFINE_M,
+    nprobe: int | None = None,
+    qs: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF-PQ serve path with an EXACT-REFINE tier — the standard
+    way a compressed store buys its recall back (Jégou, Douze, Schmid
+    TPAMI 2011 §V's re-ranking stage; FAISS ``IndexRefineFlat``): the
+    ADC scan over the probed cells preselects ``m_cand`` candidates
+    per query (cheap — codes-only, partition-pruned), and only those
+    ≤ queries × m_cand rows are re-scored EXACTLY against their raw
+    vectors, read from the PAIRED raw-IVF store's same ``cell=``
+    partition directories. The expensive exactness is paid on a
+    candidate set whose size is independent of the corpus — at 100 TB
+    the raw store is touched for ~m_cand rows per query while the
+    full-width scan stays on the 28.6×-smaller codes.
+
+    PAIRING PRECONDITION (checked, refused otherwise): both stores
+    must be landed under the SAME coarse centroids — candidate rows
+    then live in probed cells of the raw store too, so the raw read is
+    partition-pruned to exactly the probed directories. Re-land one
+    side with ``cents`` pinned to the other's to pair them.
+
+    Output ``(q_id, neighbor_id, rank, dist)`` — rank ascending by
+    EXACT squared L2 (``functions.vector.sq_dist``, the sequential
+    fold the DuckDB twin's ``list_sum`` replays bit-identically), ties
+    by neighbor id, dist rounded 6 dp. Refined recall ≥ the ADC tier's
+    at equal nprobe and is non-decreasing in ``m_cand`` (pinned in
+    tests/test_pq.py)."""
+    from mapreducekmean_spark.functions.vector import sq_dist
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _queries_and_points,
+        load_index_centroids,
+    )
+
+    if nprobe is None:
+        nprobe = N_PROBE
+    cents, _codebooks = _load_ivfpq_params(spark, pq_path)
+    raw_cents = load_index_centroids(spark, raw_path)
+    if [[float(v) for v in c] for c in raw_cents] != [
+        [float(v) for v in c] for c in cents
+    ]:
+        raise ValueError(
+            "ivfpq_refined_topk needs PAIRED indexes: the raw-IVF store "
+            f"at {raw_path!r} is landed under different coarse centroids "
+            f"than the IVF-PQ store at {pq_path!r}, so candidate rows "
+            "would not sit in the probed raw partitions. Re-land one side "
+            "with cents pinned to the other's "
+            "(land_ivf_index_points(..., cents=...) / "
+            "land_ivfpq_index_points(..., cents=...))."
+        )
+    if qs is None:
+        qs, _ = _queries_and_points(spark, sf_dir)
+    # stage 1 — compressed preselect: ADC top-m_cand off the codes-only
+    # partition-pruned scan (all the heavy lifting; see ann_ivfpq_indexed)
+    cand = ann_ivfpq_indexed(
+        spark, sf_dir, pq_path, k=m_cand, nprobe=nprobe, qs=qs
+    ).select("q_id", "neighbor_id")
+    # stage 2 — exact re-rank: the candidates' raw vectors live in the
+    # probed cells of the paired store (shared quantizer), so the raw
+    # scan opens exactly the probed directories; the candidate set is
+    # bounded (queries × m_cand), hence broadcast.
+    q_cells = _probe_cells(qs, cents, len(cents), nprobe)
+    probed = sorted(
+        {int(r.cell) for r in q_cells.select("cell").distinct().collect()}
+    )  # bounded: ≤ queries × nprobe driver rows
+    raw = (
+        spark.read.parquet(f"{raw_path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+    )
+    pairs = raw.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(qs.select("q_id", "q_emb")), "q_id"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("dist", sq_dist(F.col("q_emb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rank",
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+def ivfpq_refined_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_path: str,
+    raw_path: str,
+    k: int = 3,
+    m_cand: int = REFINE_M,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Recall@k of the refined serve path against the exact squared-L2
+    top-k — the number that shows what the exact-refine tier bought
+    back: quantization loss is GONE from the candidate ranking (only
+    cell pruning and the preselect cut remain), so refined recall ≥
+    ``ivfpq_recall`` at equal nprobe (pinned in tests/test_pq.py,
+    together with monotonicity in ``m_cand``)."""
+    from mapreducekmean_spark.operators.similarity import (
+        l2_topk,
+        recall_vs_exact,
+    )
+
+    approx = ivfpq_refined_topk(
+        spark, sf_dir, pq_path, raw_path, k=k, m_cand=m_cand, nprobe=nprobe
+    )
+    exact = l2_topk(spark, sf_dir, k=k)
+    return recall_vs_exact(exact, approx, k)

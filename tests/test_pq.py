@@ -477,3 +477,108 @@ def test_ivfpq_recall_nprobe_monotone_and_exact_bound(
             {int(c) for c in probed[q_id]}
         )
         assert n_hit <= cand_hits
+
+
+def test_refined_recall_dominates_adc_and_is_monotone_in_m_cand(
+    spark, sf_oracle, tmp_path
+):
+    """The exact-refine tier's two contracts: (1) refined recall ≥ the
+    pure-ADC tier's at equal nprobe — quantization loss is gone from
+    the candidate ranking, and exact re-scoring of a candidate
+    superset of the served set can only keep or improve the top-k;
+    (2) total hits are non-decreasing in m_cand (larger preselect →
+    candidate superset); and at m_cand ≥ all probed rows the refined
+    result EQUALS the exact-rerank ceiling: the raw-IVF serve ranking
+    restricted to the probed cells."""
+    from mapreducekmean_spark.operators.pq import (
+        ivfpq_refined_recall,
+        ivfpq_refined_topk,
+        ivfpq_recall,
+        land_ivfpq_index,
+        _load_ivfpq_params,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+    from mapreducekmean_spark.operators import kmeans as km
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    land_ivfpq_index(spark, sf_oracle, pq_path)
+    cents, _cb = _load_ivfpq_params(spark, pq_path)
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sf_oracle).select("vec_id", "emb"),
+        raw_path,
+        cents=cents,
+    )
+
+    adc_total = sum(
+        r.n_hit for r in ivfpq_recall(spark, sf_oracle, pq_path).collect()
+    )
+    totals = {}
+    for m_cand in (3, 10, 100000):
+        rows = ivfpq_refined_recall(
+            spark, sf_oracle, pq_path, raw_path, m_cand=m_cand
+        ).collect()
+        totals[m_cand] = sum(r.n_hit for r in rows)
+    assert adc_total <= totals[10]  # refine buys recall back at the default
+    assert totals[3] <= totals[10] <= totals[100000]
+
+    # huge m_cand = no preselect cut: refined ranks must EQUAL exact
+    # scoring of every probed row (the ceiling the ADC tier approximates)
+    from mapreducekmean_spark.operators.similarity import l2_topk
+
+    refined = {
+        (r.q_id, r.rank): r.neighbor_id
+        for r in ivfpq_refined_topk(
+            spark, sf_oracle, pq_path, raw_path, m_cand=100000
+        ).collect()
+    }
+    emb = {r.vec_id: list(r.emb) for r in _pts(spark, sf_oracle).collect()}
+    cell_of = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(f"{raw_path}/cells")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _queries_and_points,
+    )
+
+    qs, _ = _queries_and_points(spark, sf_oracle)
+    probed = {}
+    for r in _probe_cells(qs, cents, len(cents), N_PROBE).collect():
+        probed.setdefault(r.q_id, set()).add(r.cell)
+    for q_id, cells in probed.items():
+        qv = emb[q_id]
+        want = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, emb[v])), v)
+            for v in emb
+            if v != q_id and cell_of[v] in cells
+        )[:3]
+        for rank, (_d, vid) in enumerate(want, start=1):
+            assert refined[(q_id, rank)] == vid
+
+
+def test_refined_topk_refuses_unpaired_indexes(spark, sf_oracle, tmp_path):
+    """The pairing precondition is CHECKED, not assumed: a raw store
+    landed under different coarse centroids (here: a different cell
+    count) must be refused with the re-land hint, never silently
+    served from wrong partitions."""
+    import pytest
+
+    from mapreducekmean_spark.operators.pq import (
+        ivfpq_refined_topk,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import land_ivf_index
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    land_ivfpq_index(spark, sf_oracle, pq_path)
+    land_ivf_index(spark, sf_oracle, raw_path, ncells=7)
+    with pytest.raises(ValueError, match="PAIRED"):
+        ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
