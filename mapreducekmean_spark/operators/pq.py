@@ -823,3 +823,216 @@ def ivfpq_refined_recall(
     )
     exact = l2_topk(spark, sf_dir, k=k)
     return recall_vs_exact(exact, approx, k)
+
+
+def rebalance_ivfpq_cells(
+    spark: SparkSession,
+    path: str,
+    raw,
+    max_cell_rows: int | None = None,
+    train_iters: int = 2,
+) -> dict[str, int]:
+    """Split oversized cells of a landed IVF-PQ index in place — the
+    maintenance parity the compressed store was missing (the raw-IVF
+    twin is ``similarity.rebalance_ivf_cells``, docstring there for the
+    hot-cell rationale). A PQ cell's codes encode the RESIDUAL
+    x − centroid(cell), so moving rows to new sub-cells cannot reuse
+    their codes: the moved rows' residuals change basis. The split is
+    therefore computed on RAW vectors from ``raw`` — the paired
+    raw-IVF store's path (same coarse centroids; the rows of hot cell
+    c are read from exactly its ``cell=c`` directory, partition-
+    pruned) or a caller-supplied ``(vec_id, emb)`` DataFrame — and the
+    moved rows are RE-ENCODED against their new sub-centroids with the
+    index's FROZEN codebooks. Untouched cells keep their ids, codes,
+    and files; cost scales with the hot cells' row counts.
+
+    Coverage is CHECKED per hot cell (every vec_id of the cell must
+    have a raw vector; count + anti-join probe, bounded by the hot
+    cell) and refused actionably otherwise — silently encoding only
+    the covered subset would drop rows from the index.
+
+    Oversized sub-cells split AGAIN before anything lands (in-memory
+    recursion on the raw rows, unlike the raw twin's write-then-rescan
+    passes — the raw source is only pairable at the ORIGINAL cell
+    granularity, so all splitting happens while those rows are at
+    hand). Same no-progress refusal as the raw twin.
+
+    Crash-safe by the raw twin's ordering, all windows convergent on
+    rerun: (1) orphan ``cell=`` dirs past the table / tombstoned are
+    removed first; (2) new sub-cell partitions land additively at ids
+    past the table (invisible to every query); (3) the centroid table
+    swaps via temp-dir + rename (``load_index_centroids`` completes
+    the window); (4) retired dirs delete last. Retired ids are
+    TOMBSTONED (+inf centroid) to keep the id space dense — consumers
+    map centroid-list position to cell id.
+
+    Post-rebalance the layout equals a FRESH
+    ``land_ivfpq_index_points`` under (rebalanced centroids, frozen
+    codebooks) — codes, cells, and ids all — and serving on cold cells
+    is bit-identical before/after; both pinned in tests/test_pq.py.
+
+    Returns ``{"split_cells": n, "new_cells": m, "passes": p}``
+    (passes = Lloyd splits run, counting re-splits of oversized
+    sub-cells)."""
+    import math
+    import os
+    import shutil
+
+    from mapreducekmean_spark.operators.similarity import (
+        SEM_DUP_MAX_CELL,
+        load_index_centroids,
+    )
+    from mapreducekmean_spark.sources.bucketing import write_partitioned
+
+    if max_cell_rows is None:
+        max_cell_rows = SEM_DUP_MAX_CELL
+    if not os.path.exists(f"{path}/codebooks"):
+        raise ValueError(
+            "rebalance_ivfpq_cells needs an IVF-PQ index (no codebooks "
+            f"table under {path!r}); for a raw IVF index use "
+            "similarity.rebalance_ivf_cells."
+        )
+    cents, codebooks = _load_ivfpq_params(spark, path)
+    n_cents = len(cents)
+    dim = len(codebooks[0][0]) * len(codebooks)
+    cells_dir = f"{path}/cells"
+    tombstoned = {i for i, c in enumerate(cents) if c and math.isinf(c[0])}
+    # (1) convergent cleanup of any crashed prior rebalance
+    for d in os.listdir(cells_dir):
+        if not d.startswith("cell="):
+            continue
+        cid = int(d.split("=", 1)[1])
+        if cid >= n_cents or cid in tombstoned:
+            shutil.rmtree(os.path.join(cells_dir, d))
+    sizes = (
+        spark.read.parquet(cells_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cell_rows)
+        .collect()
+    )  # bounded: ≤ ncells driver rows
+    if not sizes:
+        return {"split_cells": 0, "new_cells": 0, "passes": 0}
+
+    raw_is_path = isinstance(raw, str)
+    passes = 0
+    next_id = n_cents
+    retired: list[int] = []
+    added: list[list[float]] = []
+    moved_frames: list[DataFrame] = []
+    for r in sizes:
+        c, n = int(r["cell"]), int(r["n"])
+        ids_c = (
+            spark.read.parquet(cells_dir)
+            .filter(F.col("cell") == c)
+            .select("vec_id")
+        )
+        if raw_is_path:
+            raw_rows = (
+                spark.read.parquet(f"{raw}/cells")
+                .filter(F.col("cell") == c)
+                .select("vec_id", "emb")
+            )
+        else:
+            raw_rows = raw.select("vec_id", "emb").join(ids_c, "vec_id")
+        raw_rows = raw_rows.localCheckpoint()
+        if raw_rows.count() != n or ids_c.join(
+            raw_rows.select("vec_id"), "vec_id", "left_anti"
+        ).take(1):
+            raise ValueError(
+                f"rebalance_ivfpq_cells: the raw source does not cover "
+                f"cell {c} (needs every one of its {n} vec_ids with a "
+                f"raw vector). Pass the PAIRED raw-IVF store's path "
+                f"(landed under the same coarse centroids) or a "
+                f"(vec_id, emb) frame covering the corpus."
+            )
+        # in-memory recursive split until every sub-cell fits
+        work: list[tuple[DataFrame, int]] = [(raw_rows, n)]
+        while work:
+            rows, nn = work.pop()
+            k = 2 * math.ceil(nn / max_cell_rows)
+            passes += 1
+            try:
+                sub = km.lloyd(rows, k=k, max_iter=train_iters).centroids
+            except ValueError as e:
+                raise ValueError(
+                    f"rebalance_ivfpq_cells cannot split cell {c}: {e} "
+                    f"— an unsplittable hot cell means near/byte-"
+                    f"identical embedding mass; run exact dedup before "
+                    f"indexing."
+                ) from e
+            assigned = km.assign(rows, sub).localCheckpoint()
+            counts = {
+                int(x["cluster_id"]): int(x["n"])
+                for x in assigned.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if max(counts.values()) >= nn:
+                raise ValueError(
+                    f"rebalance_ivfpq_cells: cell {c}'s {k}-way split "
+                    f"made no progress (largest sub-cell keeps all {nn} "
+                    f"rows) — near/byte-identical embedding mass; run "
+                    f"exact/semantic dedup on the corpus before indexing."
+                )
+            for j in range(len(sub)):
+                nj = counts.get(j, 0)
+                rows_j = assigned.filter(F.col("cluster_id") == j).select(
+                    "vec_id", "emb"
+                )
+                if nj > max_cell_rows:
+                    work.append((rows_j, nj))
+                else:
+                    # final sub-cell (possibly empty — keeps the raw
+                    # twin's convention of landing every sub centroid)
+                    moved_frames.append(
+                        rows_j.withColumn(
+                            "cell", F.lit(next_id).cast("bigint")
+                        )
+                    )
+                    added.append([float(v) for v in sub[j]])
+                    next_id += 1
+        retired.append(c)
+    # (2) re-encode moved rows against their new sub-centroids with the
+    # FROZEN codebooks, land additively at ids past the table
+    moved = moved_frames[0]
+    for f_ in moved_frames[1:]:
+        moved = moved.unionByName(f_)
+    tomb = [float("inf")] * dim
+    final = [
+        tomb if i in set(retired) else [float(v) for v in cents[i]]
+        for i in range(n_cents)
+    ] + added
+    res = moved.select(
+        "vec_id", "cell", _residual_col(final, dim).alias("emb")
+    )
+    coded = pq_encode(res.select("vec_id", "emb"), codebooks).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    write_partitioned(
+        coded.repartition("cell"), cells_dir, "cell", mode="append"
+    )
+    # (3) swap the centroid table: temp dir + rename
+    tmp = f"{path}/_centroids_new"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        local_rows_df(
+            spark,
+            [(i, v) for i, v in enumerate(final)],
+            "cell bigint, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(f"{path}/centroids")
+    os.rename(tmp, f"{path}/centroids")
+    # (4) retired directories last (tombstoned since the swap)
+    for c in retired:
+        shutil.rmtree(os.path.join(cells_dir, f"cell={c}"))
+    return {
+        "split_cells": len(retired),
+        "new_cells": len(added),
+        "passes": passes,
+    }

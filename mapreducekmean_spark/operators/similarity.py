@@ -601,11 +601,14 @@ def rebalance_ivf_cells(
         raise ValueError(
             "rebalance_ivf_cells refuses an IVF-PQ index: its cells "
             "hold RESIDUAL codes relative to each cell's centroid, so "
-            "moving rows to new sub-cells would silently corrupt every "
-            "moved code (ADC distances against the wrong residual "
-            "basis). Re-land the compressed index with more ncells; "
-            "purge_ivf_keys remains safe (rows are removed, never "
-            "re-celled)."
+            "moving rows to new sub-cells without re-encoding would "
+            "silently corrupt every moved code (ADC distances against "
+            "the wrong residual basis). Use pq.rebalance_ivfpq_cells "
+            "with a raw-vector source (the paired raw-IVF store's path "
+            "or a (vec_id, emb) frame) — it re-encodes moved rows "
+            "against their new sub-centroids with the frozen "
+            "codebooks; purge_ivf_keys remains safe either way (rows "
+            "are removed, never re-celled)."
         )
     cells_dir = f"{path}/cells"
     total_split = 0

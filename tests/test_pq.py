@@ -582,3 +582,194 @@ def test_refined_topk_refuses_unpaired_indexes(spark, sf_oracle, tmp_path):
     land_ivf_index(spark, sf_oracle, raw_path, ncells=7)
     with pytest.raises(ValueError, match="PAIRED"):
         ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
+
+
+def _land_hot_pair(spark, sf_oracle, pq_path, raw_path):
+    """Land PAIRED IVF-PQ + raw-IVF stores under a deliberately bad
+    quantizer: centroid 0 in the data, centroid 1 at 1e6 — every row
+    lands in cell 0 (the hot cell). Mirrors test_similarity_indexed's
+    _land_hot for the compressed store."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import land_ivfpq_index_points
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    pts = km.embeddings(spark, sf_oracle).select("vec_id", "emb")
+    dim = len(pts.take(1)[0]["emb"])
+    cents = [[0.0] * dim, [1e6] * dim]
+    land_ivfpq_index_points(spark, pts, pq_path, cents=cents)
+    land_ivf_index_points(spark, pts, raw_path, cents=cents)
+    return pts, cents
+
+
+def test_rebalance_ivfpq_equals_fresh_land_and_serves_cold_cells(
+    spark, sf_oracle, tmp_path
+):
+    """The compressed store's rebalance parity: the hot cell splits
+    into bounded sub-cells with rows RE-ENCODED against their new
+    sub-centroids under the frozen codebooks; the post-rebalance
+    layout equals a FRESH land_ivfpq_index_points under (rebalanced
+    centroids, frozen codebooks) — codes and all; a second call is a
+    no-op; and serving on queries is identical to a fresh-land serve
+    (the cold-cell/before-after identity in its strongest form)."""
+    import math
+
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        ann_ivfpq_indexed,
+        land_ivfpq_index_points,
+        rebalance_ivfpq_cells,
+    )
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    pts, _cents0 = _land_hot_pair(spark, sf_oracle, pq_path, raw_path)
+    n = pts.count()
+
+    res = rebalance_ivfpq_cells(spark, pq_path, raw_path, max_cell_rows=100)
+    assert res["split_cells"] == 1 and res["new_cells"] >= 2
+
+    cells = spark.read.parquet(f"{pq_path}/cells")
+    sizes = {
+        int(r["cell"]): r["n"]
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) <= 100
+    assert 0 not in sizes  # retired dir deleted
+    cents, codebooks = _load_ivfpq_params(spark, pq_path)
+    assert math.isinf(cents[0][0])  # tombstone keeps the id space dense
+
+    # rebuild equivalence INCLUDING codes: fresh land under the
+    # rebalanced centroids with the frozen codebooks
+    path2 = str(tmp_path / "ivfpq2")
+    land_ivfpq_index_points(
+        spark, pts, path2, cents=cents, codebooks=codebooks
+    )
+    a = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in cells.select("vec_id", "cell", "codes").collect()
+    }
+    b = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{path2}/cells")
+        .select("vec_id", "cell", "codes").collect()
+    }
+    assert a == b
+
+    # idempotent: nothing left to split
+    assert rebalance_ivfpq_cells(
+        spark, pq_path, raw_path, max_cell_rows=100
+    ) == {"split_cells": 0, "new_cells": 0, "passes": 0}
+
+    # serving identity: the rebalanced store answers every query
+    # exactly as the fresh land does
+    got = sorted(
+        tuple(r)
+        for r in ann_ivfpq_indexed(spark, sf_oracle, pq_path).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ann_ivfpq_indexed(spark, sf_oracle, path2).collect()
+    )
+    assert got == want and got
+
+
+def test_rebalance_ivfpq_crash_windows_converge(spark, sf_oracle, tmp_path):
+    """The compressed rebalance's crash windows re-run to the same end
+    state: (a) sub-cell dirs written before the centroid swap are
+    orphans (ids past the table) and are cleaned up + recomputed; (b) a
+    tombstoned-but-undeleted retired dir is removed on rerun. End state
+    byte-compared via the (vec_id, cell, codes) set."""
+    import os
+    import shutil
+
+    from mapreducekmean_spark.operators.pq import rebalance_ivfpq_cells
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    _land_hot_pair(spark, sf_oracle, pq_path, raw_path)
+
+    # the clean full run's end state, on a copy
+    ref_pq = str(tmp_path / "ref_pq")
+    shutil.copytree(pq_path, ref_pq)
+    rebalance_ivfpq_cells(spark, ref_pq, raw_path, max_cell_rows=100)
+    want = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{ref_pq}/cells").collect()
+    }
+
+    # window (a): fake a crash after the additive write — plant an
+    # orphan dir past the table; rerun must clean it and converge
+    crash_a = str(tmp_path / "crash_a")
+    shutil.copytree(pq_path, crash_a)
+    os.makedirs(os.path.join(crash_a, "cells", "cell=9"))
+    shutil.copytree(
+        os.path.join(crash_a, "cells", "cell=0"),
+        os.path.join(crash_a, "cells", "cell=9"),
+        dirs_exist_ok=True,
+    )
+    rebalance_ivfpq_cells(spark, crash_a, raw_path, max_cell_rows=100)
+    got_a = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{crash_a}/cells").collect()
+    }
+    assert got_a == want
+
+    # window (b): crash between the swap and the retired-dir delete —
+    # simulate by running fully, then restoring the retired dir
+    crash_b = str(tmp_path / "crash_b")
+    shutil.copytree(pq_path, crash_b)
+    keep_hot = str(tmp_path / "keep_hot")
+    shutil.copytree(os.path.join(crash_b, "cells", "cell=0"), keep_hot)
+    rebalance_ivfpq_cells(spark, crash_b, raw_path, max_cell_rows=100)
+    shutil.copytree(
+        keep_hot, os.path.join(crash_b, "cells", "cell=0")
+    )  # the undeleted retired dir
+    res = rebalance_ivfpq_cells(spark, crash_b, raw_path, max_cell_rows=100)
+    assert res == {"split_cells": 0, "new_cells": 0, "passes": 0}
+    got_b = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{crash_b}/cells").collect()
+    }
+    assert got_b == want
+
+
+def test_rebalance_ivfpq_refuses_uncovered_raw_source(
+    spark, sf_oracle, tmp_path
+):
+    """Coverage is checked, not assumed: a raw frame missing some of
+    the hot cell's vec_ids must be refused (silently encoding the
+    covered subset would drop rows from the index); a full-coverage
+    FRAME source works and matches the paired-path result."""
+    import pytest
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import rebalance_ivfpq_cells
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    pts, _ = _land_hot_pair(spark, sf_oracle, pq_path, raw_path)
+
+    partial = pts.filter(F.col("vec_id") % 2 == 0)
+    with pytest.raises(ValueError, match="cover"):
+        rebalance_ivfpq_cells(spark, pq_path, partial, max_cell_rows=100)
+
+    # a covering frame source converges to the paired-path end state
+    twin = str(tmp_path / "ivfpq_twin")
+    import shutil
+
+    shutil.copytree(pq_path, twin)
+    rebalance_ivfpq_cells(spark, pq_path, pts, max_cell_rows=100)
+    rebalance_ivfpq_cells(spark, twin, raw_path, max_cell_rows=100)
+    a = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{pq_path}/cells").collect()
+    }
+    b = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(f"{twin}/cells").collect()
+    }
+    assert a == b
