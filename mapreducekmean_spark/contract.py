@@ -744,6 +744,93 @@ spans AS MATERIALIZED (
 )"""
 
 
+def _dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py:dedup_lines over framed_line_rows — C4-style
+    line-level exact dedup at corpus scope: one row per removed line
+    occurrence (its exact text occurred at a smaller (doc_id, line_no)
+    somewhere in the corpus), pointing at the surviving first
+    occurrence. The fixture corpus has no newlines, so the line
+    structure is the deterministic LINE_WIN-token framing — stated in
+    framed_line_rows' docstring, replayed exactly by the twin."""
+    return dd.dedup_lines(
+        dd.framed_line_rows(tx.documents(spark, sf_dir))
+    )
+
+
+def _dedup_lines_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py:dedup_lines_apply — every document
+    reassembled with its removed line occurrences dropped (explode →
+    anti-join → ordered re-join, the apply_substring_dedup machinery
+    one level up)."""
+    docs = tx.documents(spark, sf_dir)
+    return dd.dedup_lines_apply(docs, dd.framed_line_rows(docs))
+
+
+def _dedup_lines_ctes() -> str:
+    """The shared line-dedup replay: token framing (lockstep unnests →
+    integer-divide positions → ordered string_agg), md5 per line,
+    first occurrence = min(struct(doc_id, line_no)) per hash."""
+    from mapreducekmean_spark.operators.dedup import LINE_WIN
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM t),
+lines AS MATERIALIZED (
+  SELECT doc_id, CAST(pos // {LINE_WIN} AS BIGINT) AS line_no,
+         string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM tok GROUP BY doc_id, pos // {LINE_WIN}),
+hashed AS MATERIALIZED (
+  SELECT doc_id, line_no, md5(line) AS h FROM lines),
+frst AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, line_no := line_no)) AS k
+  FROM hashed GROUP BY h),
+removed AS (
+  SELECT x.doc_id, x.line_no, x.h,
+         struct_extract(k, 'doc_id') AS keep_doc_id,
+         struct_extract(k, 'line_no') AS keep_line_no
+  FROM hashed x JOIN frst f ON x.h = f.h
+  WHERE x.doc_id <> struct_extract(k, 'doc_id')
+     OR x.line_no <> struct_extract(k, 'line_no'))"""
+
+
+def _dedup_lines_sql() -> str:
+    """dedup.dedup_lines as one DuckDB statement."""
+    return f"""{_dedup_lines_ctes()}
+SELECT doc_id, line_no, h, keep_doc_id, keep_line_no FROM removed
+"""
+
+
+def _dedup_lines_apply_sql() -> str:
+    """dedup.dedup_lines_apply as one DuckDB statement: kept lines
+    re-join in line order (string_agg ORDER BY — the twin of Spark's
+    sorted collect_list); every doc emits a row."""
+    return f"""{_dedup_lines_ctes()},
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line FROM lines l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed r
+    WHERE r.doc_id = l.doc_id AND r.line_no = l.line_no)),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS clean_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_lines, 0) AS n_lines,
+       COALESCE(n_lines, 0) - COALESCE(n_kept, 0) AS n_removed,
+       COALESCE(clean_text, '') AS clean_text
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN re USING (doc_id)
+"""
+
+
 def _rep_span_sql() -> str:
     """dedup.repeated_ngram_spans as one DuckDB statement: positional
     n-grams (two lockstep unnests give the gram and its 1-based start),
@@ -3268,6 +3355,11 @@ FROM documents
         Query(
             "multimodal_frame_plan", _frame_sample_plan, _FRAME_SAMPLE_PLAN_SQL
         ),
+        Query("dedup_lines", _dedup_lines_q, _dedup_lines_sql()),
+        Query(
+            "dedup_lines_apply", _dedup_lines_apply_q,
+            _dedup_lines_apply_sql(),
+        ),
         Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
@@ -4724,6 +4816,8 @@ _CHECK_FIRST = (
     # round-10 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
     "ann_ivfpq_refined",
+    "dedup_lines",
+    "dedup_lines_apply",
     # r7-vintage block (oldest evidence — highest audit priority):
     "scan_points",
     "text_stats",

@@ -1048,3 +1048,140 @@ def containment_pairs(
     return score_candidate_pairs(
         cand, sh_rows, sizes, threshold=threshold, metric="containment"
     )
+
+
+#: Fixed token-frame width used to derive a line structure for corpora
+#: whose documents carry no newlines (the fixture corpus) — stated, not
+#: hidden: real corpora use line_rows' delimiter splitting instead.
+LINE_WIN = 4
+
+
+def line_rows(docs: DataFrame, delim: str = "\n") -> DataFrame:
+    """``(doc_id, line_no, line)`` — one row per line of each document,
+    the unit of C4-style line-level dedup (Raffel et al. 2020 dedup
+    their corpus on exact three-sentence spans; the line form is the
+    common production variant: drop a line when its exact text occurred
+    anywhere earlier in the corpus). ``line_no`` is the 0-based
+    position; lines keep their exact text (no normalization — line
+    dedup is an EXACT pass; run ``exact_dedup``'s normalization first
+    if the corpus needs it). One narrow projection, no shuffle."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", F.lit(delim))).alias(
+            "line_no", "line"
+        ),
+    ).select("doc_id", F.col("line_no").cast("bigint").alias("line_no"),
+             "line")
+
+
+def framed_line_rows(docs: DataFrame, win: int = LINE_WIN) -> DataFrame:
+    """``(doc_id, line_no, line)`` by FIXED ``win``-token framing — the
+    line structure for corpora whose documents have no newlines (the
+    fixture): tokens 0..win-1 form line 0, and so on; the trailing
+    frame may be short. Deterministic integer arithmetic end to end
+    (tokenize, integer-divide positions, ordered re-join), so the
+    DuckDB twin value-hashes. One exchange (the doc_id/line_no
+    groupBy), reusing the tokenizer every text operator shares."""
+    from mapreducekmean_spark.operators.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    return (
+        toks.withColumn("line_no", F.expr(f"pos DIV {int(win)}"))
+        .groupBy("doc_id", "line_no")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok)))"
+                    ", s -> s.tok)"
+                ),
+            ).alias("line")
+        )
+        .select(
+            "doc_id", F.col("line_no").cast("bigint").alias("line_no"),
+            "line",
+        )
+    )
+
+
+def dedup_lines(lines: DataFrame) -> DataFrame:
+    """Line-level exact dedup — which line OCCURRENCES to drop: an
+    occurrence is removed when the exact same line text appeared
+    earlier corpus-wide, "earlier" = smaller ``(doc_id, line_no)``
+    (the C4 pass at corpus scope: the first occurrence survives, every
+    later paste of the boilerplate goes, including repeats inside one
+    document). First-occurrence selection is one ``min(struct(doc_id,
+    line_no))`` per md5(line) — a hash group-by on uniform keys, the
+    ``dedup_exact`` economics: embarrassingly parallel, no all-pairs
+    anything, skew bounded by the hottest line's occurrence count
+    (absorbed map-side by the partial min).
+
+    Output ``(doc_id, line_no, h, keep_doc_id, keep_line_no)`` — one
+    row per REMOVED occurrence, pointing at its surviving first
+    occurrence (md5 + integers only, cross-engine exact)."""
+    hashed = lines.select(
+        "doc_id", "line_no", F.md5("line").alias("h")
+    )
+    first = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("k")
+    )
+    return (
+        hashed.join(first, "h")
+        .filter(
+            (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("line_no") != F.col("k.line_no"))
+        )
+        .select(
+            "doc_id",
+            "line_no",
+            "h",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.line_no").alias("keep_line_no"),
+        )
+    )
+
+
+def dedup_lines_apply(
+    docs: DataFrame, lines: DataFrame, sep: str = " "
+) -> DataFrame:
+    """The APPLY step for :func:`dedup_lines` — every document
+    reassembled with its removed line occurrences dropped (the
+    ``apply_substring_dedup`` machinery one level up: explode → anti-
+    join the removal table → ordered re-join). ``sep`` joins the kept
+    lines (``"\\n"`` for real line corpora, ``" "`` for the framed
+    fixture form, where it reconstitutes the surviving token stream).
+
+    Output ``(doc_id, n_lines, n_removed, clean_text)`` for EVERY
+    input doc — clean docs pass through, a doc that was all boilerplate
+    emits ``''``."""
+    removed = dedup_lines(lines).select("doc_id", "line_no")
+    kept = lines.join(removed, ["doc_id", "line_no"], "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(array_sort(collect_list(struct(line_no, line)))"
+                ", s -> s.line)"
+            ),
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

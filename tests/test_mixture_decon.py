@@ -243,3 +243,67 @@ def test_containment_catches_embedded_doc(spark):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.containment == 1.0
     assert r.jaccard < 0.5
+
+
+def test_dedup_lines_removes_boilerplate_corpus_wide(spark):
+    """The C4-style pinned case: a boilerplate line pasted across docs
+    (and repeated inside one) survives ONLY at its first (doc_id,
+    line_no) occurrence; unique lines are untouched; reassembly keeps
+    line order and emits a row for every doc (the all-boilerplate doc
+    collapses to '')."""
+    from mapreducekmean_spark.operators.dedup import (
+        dedup_lines,
+        dedup_lines_apply,
+        line_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter\nalpha beta\ngamma"),
+            (2, "delta\nsubscribe to our newsletter\nepsilon"),
+            (3, "subscribe to our newsletter\nsubscribe to our newsletter"),
+            (4, "zeta eta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    lines = line_rows(docs)  # real newline splitting
+    removed = {
+        (r.doc_id, r.line_no, r.keep_doc_id, r.keep_line_no)
+        for r in dedup_lines(lines).collect()
+    }
+    # every later paste points at the first occurrence (doc 1, line 0)
+    assert removed == {(2, 1, 1, 0), (3, 0, 1, 0), (3, 1, 1, 0)}
+
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+        for r in dedup_lines_apply(docs, lines, sep="\n").collect()
+    }
+    assert out[1] == (3, 0, "subscribe to our newsletter\nalpha beta\ngamma")
+    assert out[2] == (3, 1, "delta\nepsilon")
+    assert out[3] == (2, 2, "")  # all-boilerplate doc
+    assert out[4] == (1, 0, "zeta eta")
+
+
+def test_framed_line_rows_partitions_the_token_stream(spark):
+    """The fixture-corpus line derivation: fixed win-token frames in
+    position order, short trailing frame kept, and the apply round-trip
+    over a duplicate-free corpus reconstitutes the token stream."""
+    from mapreducekmean_spark.operators.dedup import (
+        dedup_lines_apply,
+        framed_line_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "a b c d e f g h i j k")],  # 11 tokens, win=4 → 4+4+3
+        "doc_id bigint, text string",
+    )
+    lines = {
+        r.line_no: r.line
+        for r in framed_line_rows(docs, win=4).collect()
+    }
+    assert lines == {0: "a b c d", 1: "e f g h", 2: "i j k"}
+    out = dedup_lines_apply(
+        docs, framed_line_rows(docs, win=4)
+    ).collect()[0]
+    assert (out.n_lines, out.n_removed) == (3, 0)
+    assert out.clean_text == "a b c d e f g h i j k"
