@@ -744,6 +744,72 @@ spans AS MATERIALIZED (
 )"""
 
 
+def _image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.py:doc_grid_dhash + dhash_near_dup_pairs — the
+    perceptual image near-dup pipeline's distributed arithmetic as a
+    driver-checked row: deterministic token-grid dHash halves (the
+    fixture corpus has no decodable image payloads; the real
+    decode→hash step is pinned in tests/test_multimodal.py over the
+    real codecs), 4×16-bit banding (never all-pairs), exact Hamming
+    verify via bit_count(xor)."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.dhash_near_dup_pairs(
+        mm.doc_grid_dhash(tx.documents(spark, sf_dir))
+    )
+
+
+def _image_dhash_pairs_sql() -> str:
+    """The full dHash replay: token grid (lockstep range explodes),
+    ascii-of-md5-hex-char luma, adjacent-comparison bits packed into
+    two 32-bit halves by integer shifts, 16-bit bands by div/mod,
+    band-equality candidate join, bit_count(xor) Hamming verify."""
+    from mapreducekmean_spark.multimodal import (
+        DHASH_COLS,
+        DHASH_MAX_HAMMING,
+        DHASH_ROWS,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+cells AS (
+  SELECT doc_id, r, c,
+    CASE WHEN ascii(substr(md5(toks[CAST((9*r + c) % len(toks) AS INT) + 1]),
+                    CAST(1 + (r % 4) AS INT), 1))
+            > ascii(substr(md5(toks[CAST((9*r + c + 1) % len(toks) AS INT) + 1]),
+                    CAST(1 + (r % 4) AS INT), 1))
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM t, range({DHASH_ROWS}) AS rr(r), range({DHASH_COLS}) AS cc(c)),
+h AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN r < 4 THEN b << (r * {DHASH_COLS} + c)
+                  ELSE 0 END) AS BIGINT) AS dh_hi,
+    CAST(sum(CASE WHEN r >= 4 THEN b << ((r - 4) * {DHASH_COLS} + c)
+                  ELSE 0 END) AS BIGINT) AS dh_lo
+  FROM cells GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, dh_hi, dh_lo, k,
+    CASE k WHEN 0 THEN dh_hi // 65536 WHEN 1 THEN dh_hi % 65536
+           WHEN 2 THEN dh_lo // 65536 ELSE dh_lo % 65536 END AS bv
+  FROM h, range(4) AS kk(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dh_hi AS hi_a, a.dh_lo AS lo_a,
+         b.dh_hi AS hi_b, b.dh_lo AS lo_b
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {DHASH_MAX_HAMMING}
+"""
+
+
 def _dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.py:dedup_lines over framed_line_rows — C4-style
     line-level exact dedup at corpus scope: one row per removed line
@@ -3355,6 +3421,10 @@ FROM documents
         Query(
             "multimodal_frame_plan", _frame_sample_plan, _FRAME_SAMPLE_PLAN_SQL
         ),
+        Query(
+            "image_dhash_pairs", _image_dhash_pairs_q,
+            _image_dhash_pairs_sql(),
+        ),
         Query("dedup_lines", _dedup_lines_q, _dedup_lines_sql()),
         Query(
             "dedup_lines_apply", _dedup_lines_apply_q,
@@ -4818,6 +4888,7 @@ _CHECK_FIRST = (
     "ann_ivfpq_refined",
     "dedup_lines",
     "dedup_lines_apply",
+    "image_dhash_pairs",
     # r7-vintage block (oldest evidence — highest audit priority):
     "scan_points",
     "text_stats",

@@ -1576,3 +1576,222 @@ def frame_sample(
     return assets.filter(F.col("modality") == "video").mapInPandas(
         op, schema=_FRAMES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (dHash) — the image-side twin of MinHash
+# ---------------------------------------------------------------------------
+
+#: dHash grid: HASH_ROWS × (HASH_COLS+1) luma samples → HASH_ROWS ×
+#: HASH_COLS adjacent-comparison bits, carried as TWO 32-bit halves
+#: (dh_hi = rows 0-3, dh_lo = rows 4-7) so no value ever nears the
+#: signed-64 bit and the 16-bit banding falls out of integer div/mod.
+DHASH_ROWS = 8
+DHASH_COLS = 8
+#: Hamming radius for the verified near-dup verdict. With 4 bands of 16
+#: bits, every pair within distance 3 is GUARANTEED a shared band
+#: (pigeonhole); 4..DHASH_MAX_HAMMING pairs are found when some band is
+#: untouched — the standard LSH recall trade, stated not hidden.
+DHASH_MAX_HAMMING = 6
+
+
+def _dhash_halves(rgb) -> tuple[int, int]:
+    """(dh_hi, dh_lo) of an HxWx3 uint8 array: integer luma
+    ((299R + 587G + 114B) // 1000), nearest-neighbor index sampling to
+    DHASH_ROWS × (DHASH_COLS+1) (the `_resize_rgb` discipline — exact,
+    dependency-free), bit r,c set when luma[r,c] > luma[r,c+1]. All
+    integer arithmetic: a re-encode of the SAME pixels (PNG↔PPM↔GIF)
+    hashes identically, and a lossy JPEG of them lands within a few
+    bits — pinned in tests/test_multimodal.py."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    luma = (
+        299 * rgb[:, :, 0].astype(np.int64)
+        + 587 * rgb[:, :, 1].astype(np.int64)
+        + 114 * rgb[:, :, 2].astype(np.int64)
+    ) // 1000
+    rows = (np.arange(DHASH_ROWS) * h) // DHASH_ROWS
+    cols = (np.arange(DHASH_COLS + 1) * w) // (DHASH_COLS + 1)
+    g = luma[np.ix_(rows, cols)]
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)
+    weights = 1 << (
+        np.arange(4)[:, None] * DHASH_COLS + np.arange(DHASH_COLS)[None, :]
+    )
+    hi = int((bits[:4] * weights).sum())
+    lo = int((bits[4:] * weights).sum())
+    return hi, lo
+
+
+_DHASH_SCHEMA = "asset_id bigint, ok boolean, dh_hi bigint, dh_lo bigint"
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Per-image perceptual hash over the REAL decoders — one Arrow-
+    batched ``mapInPandas`` pass (payloads never transit the driver):
+    decode → integer dHash halves. Undecodable payloads emit
+    ``ok=false`` with NULL halves (the per-row honesty gate every
+    multimodal path here uses)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "ok": [], "dh_hi": [], "dh_lo": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rgb = None
+                try:
+                    rgb = _decode_image_rgb(bytes(payload or b""))
+                except Exception:
+                    rgb = None
+                if rgb is None:
+                    out["asset_id"].append(aid)
+                    out["ok"].append(False)
+                    out["dh_hi"].append(None)
+                    out["dh_lo"].append(None)
+                else:
+                    hi, lo = _dhash_halves(rgb)
+                    out["asset_id"].append(aid)
+                    out["ok"].append(True)
+                    out["dh_hi"].append(hi)
+                    out["dh_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        op, schema=_DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded near-dup pair generation over dHash halves — the image
+    twin of MinHash LSH, riding the same economics: each hash explodes
+    into 4 × 16-bit bands (integer div/mod), candidates are the pairs
+    sharing a band VALUE (an equality join on (band, value) — never
+    all-pairs), and candidates verify by exact Hamming distance
+    (``bit_count(a ^ b)``, both halves). Pigeonhole guarantee: any
+    pair within distance 3 shares a band; 4..max_hamming pairs are
+    found when some band is untouched (stated LSH recall trade).
+
+    Input needs ``(id_col, dh_hi, dh_lo)`` with the id in the first
+    column; output ``(doc_a, doc_b, hamming)``, doc_a < doc_b."""
+    id_col = hashes.columns[0]
+    h = hashes.select(
+        F.col(id_col).alias("_id"), "dh_hi", "dh_lo"
+    ).filter(F.col("dh_hi").isNotNull())
+    bands = h.select(
+        "_id",
+        "dh_hi",
+        "dh_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn(
+        "bv",
+        F.when(F.col("k") == 0, F.expr("dh_hi div 65536"))
+        .when(F.col("k") == 1, F.col("dh_hi") % 65536)
+        .when(F.col("k") == 2, F.expr("dh_lo div 65536"))
+        .otherwise(F.col("dh_lo") % 65536)
+        .cast("bigint"),
+    )
+    a = bands.select(
+        F.col("_id").alias("doc_a"),
+        F.col("dh_hi").alias("hi_a"),
+        F.col("dh_lo").alias("lo_a"),
+        "k",
+        "bv",
+    )
+    b = bands.select(
+        F.col("_id").alias("doc_b"),
+        F.col("dh_hi").alias("hi_b"),
+        F.col("dh_lo").alias("lo_b"),
+        "k",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b"))
+        + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def doc_grid_dhash(docs: DataFrame) -> DataFrame:
+    """The ORACLE-FACING planning slice of the dHash pipeline: a
+    deterministic 8×9 'pixel' grid synthesized from each document's
+    token stream (luma = ascii of an md5 hex char of the token at the
+    wrapped grid position — identical integers in Spark and DuckDB),
+    then the exact dHash bit/packing arithmetic of
+    :func:`_dhash_halves` as codegen'd SQL. The fixture corpus has no
+    decodable image payloads, so this slice lets the driver value-hash
+    the ENTIRE distributed pipeline (grid → bits → halves → banding →
+    Hamming verify) while the real decode→hash step is pinned in
+    pytest over the real codecs (PPM/GIF re-encode identical, JPEG
+    within a few bits). Output ``(doc_id, dh_hi, dh_lo)``."""
+    from mapreducekmean_spark.operators.text import tokens
+
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    cells = (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(DHASH_ROWS - 1))
+            ).alias("r"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            "r",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(DHASH_COLS - 1))
+            ).alias("c"),
+        )
+    )
+
+    def px(col_expr):
+        return F.ascii(
+            F.substring(
+                F.md5(
+                    F.element_at(
+                        F.col("toks"),
+                        (col_expr % F.size("toks") + 1).cast("int"),
+                    )
+                ),
+                F.col("r") % 4 + 1,
+                1,
+            )
+        )
+
+    pos = F.lit(9) * F.col("r") + F.col("c")
+    bit = (px(pos) > px(pos + 1)).cast("bigint")
+    cells = cells.select("doc_id", "r", "c", bit.alias("b"))
+    return cells.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("r") < 4,
+                F.expr(f"shiftleft(b, r * {DHASH_COLS} + c)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dh_hi"),
+        F.sum(
+            F.when(
+                F.col("r") >= 4,
+                F.expr(f"shiftleft(b, (r - 4) * {DHASH_COLS} + c)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dh_lo"),
+    )

@@ -1030,3 +1030,112 @@ def test_doc_top_terms_semantics(spark):
     assert out[(1, 3)][0] == "common" and out[(1, 3)][3] == 1.0
     # doc 3: the two unique terms (3.0 each, term order) beat common
     assert out[(3, 1)][0] == "apple" and out[(3, 2)][0] == "zebra"
+
+
+def _stripe_img(h=48, w=64, flip_first=0):
+    """Deterministic high-contrast vertical stripes aligned to the
+    dHash sample grid (9 columns): adjacent sampled lumas differ by
+    180, far above JPEG-q=1's ±2 error, so a lossy re-encode cannot
+    flip a comparison bit. ``flip_first`` inverts the first n stripes —
+    a controlled perceptual edit that flips a known handful of bits."""
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for x in range(w):
+        stripe = (x * 9) // w
+        lum = 220 if stripe % 2 == 0 else 40
+        img[:, x, :] = lum
+        if stripe < flip_first:
+            # invert this stripe in the TOP QUARTER only (the region
+            # the first two sampled rows read) — a localized edit that
+            # flips 2 bits per inverted stripe boundary, well inside
+            # the Hamming radius
+            img[: h // 4, x, :] = 260 - lum
+    return img
+
+
+def test_dhash_survives_reencoding_and_bands_find_the_pairs(spark):
+    """The perceptual near-dup pin: the SAME pixels re-encoded through
+    three real codecs (PPM, GIF — lossless; JPEG q=1 — ±2 lossy) hash
+    identically / within the Hamming radius; a mild perceptual edit
+    stays within radius; an unrelated noise image pairs with none.
+    dhash_near_dup_pairs (banded, never all-pairs) finds exactly the
+    near-dup clique."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    base = _stripe_img()
+    edited = _stripe_img(flip_first=1)  # flips 2 bits (rows 0-1, c=0)
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    payloads = {
+        1: mm._encode_ppm(base),
+        2: mm._encode_gif(base),
+        3: mm._encode_jpeg(base, subsample=False, q=1),
+        4: mm._encode_ppm(edited),
+        5: mm._encode_ppm(noise),
+        6: b"not an image",  # must gate, not crash
+    }
+    assets = spark.createDataFrame(
+        [(k, "image", bytearray(v)) for k, v in payloads.items()],
+        "asset_id bigint, modality string, payload binary",
+    )
+    hashes = mm.image_dhash(assets)
+    rows = {r.asset_id: r for r in hashes.collect()}
+    assert not rows[6].ok and rows[6].dh_hi is None
+    assert all(rows[k].ok for k in (1, 2, 3, 4, 5))
+    # lossless re-encodes: identical halves
+    assert (rows[1].dh_hi, rows[1].dh_lo) == (rows[2].dh_hi, rows[2].dh_lo)
+    # lossy re-encode: within the radius (stripe contrast >> JPEG error)
+    def ham(a, b):
+        return bin(a.dh_hi ^ b.dh_hi).count("1") + bin(
+            a.dh_lo ^ b.dh_lo
+        ).count("1")
+
+    assert ham(rows[1], rows[3]) <= mm.DHASH_MAX_HAMMING
+    # the controlled edit flips exactly one comparison per sampled row
+    assert 0 < ham(rows[1], rows[4]) <= mm.DHASH_MAX_HAMMING
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in mm.dhash_near_dup_pairs(hashes).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)} <= pairs
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_doc_grid_dhash_matches_python_reference(spark):
+    """The oracle-facing grid dHash replays the documented arithmetic
+    exactly: a pure-Python recomputation over the same tokens equals
+    the distributed halves for every doc."""
+    import hashlib
+
+    from mapreducekmean_spark import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.dh_hi, r.dh_lo)
+        for r in mm.doc_grid_dhash(docs).collect()
+    }
+    texts = {1: "alpha beta gamma delta", 2: "one two", 3: "solo"}
+    for did, text in texts.items():
+        toks = text.split()
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                def px(pos):
+                    tok = toks[pos % len(toks)]
+                    return ord(
+                        hashlib.md5(tok.encode()).hexdigest()[r % 4]
+                    )
+                b = 1 if px(9 * r + c) > px(9 * r + c + 1) else 0
+                if r < 4:
+                    hi |= b << (r * 8 + c)
+                else:
+                    lo |= b << ((r - 4) * 8 + c)
+        assert got[did] == (hi, lo), did
