@@ -2101,6 +2101,203 @@ def probe_exportskew(spark, results: dict, n_docs: int = 2_000_000) -> None:
 
 
 
+def probe_toptermskew(
+    spark, results: dict, n_docs: int = 5_000_000
+) -> None:
+    """Round-10: doc_top_terms under VOCABULARY SKEW — a stopword in
+    95% of a 5M-doc corpus (the r9 volume probe used near-uniform
+    md5 vocabulary and never stressed the hot term). Verifies the two
+    scale claims from the operator docstring: the tf build's map-side
+    combine absorbs the stopword (partial aggregate before the
+    token-keyed exchange, visible in the plan), and the per-doc top-k
+    WindowGroupLimit stays PARTIAL upstream of the doc_id exchange in
+    the actual skewed plan. Correctness spot-checks ride along: the
+    stopword's df is exactly its planted share, and every doc emits
+    exactly k rows (the fixture gives each doc ≥ k distinct terms)."""
+    from mapreducekmean_spark.operators.text import doc_top_terms
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    stop_share = 20  # 'the' in 19/20 of docs → 95%
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % stop_share != 0, F.lit("the the "))
+            .otherwise(F.lit("rare word ")),
+            F.lit("alpha "),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 4),
+            F.lit(" "),
+            F.substring(F.md5((F.col("id") + 7).cast("string")), 1, 4),
+            F.lit(" "),
+            F.substring(F.md5((F.col("id") + 13).cast("string")), 1, 4),
+        ).alias("text"),
+    ).localCheckpoint()
+
+    k = 3
+    plan = formatted_plan(doc_top_terms(docs, k=k))
+    # map-side combine on the tf/df builds: partial aggregates exist
+    assert "partial_count" in plan
+    # per-doc top-k prunes map-side: partial WindowGroupLimit upstream
+    # of (at least one) exchange in the skewed plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert 0 <= plan.find("Exchange") < plan.rfind("WindowGroupLimit")
+
+    t0 = time.perf_counter()
+    out = doc_top_terms(docs, k=k).localCheckpoint()
+    n_out = out.count()
+    t_run = time.perf_counter() - t0
+    assert n_out == n_docs * k  # every doc has ≥ k distinct terms
+    the_df = out.filter(F.col("term") == "the").select("df").first()
+    planted = n_docs - (n_docs + stop_share - 1) // stop_share
+    assert the_df is not None and int(the_df["df"]) == planted
+    per_doc = out.groupBy("doc_id").count().agg(
+        F.min("count"), F.max("count")
+    ).first()
+    assert (per_doc[0], per_doc[1]) == (k, k)
+    results["doc_top_terms_skew"] = {
+        "docs": n_docs,
+        "stopword_share_pct": 95,
+        "stopword_df": planted,
+        "sec": round(t_run, 2),
+        "docs_per_sec": int(n_docs / t_run),
+        "partial_combine_in_plan": True,
+        "partial_limit_before_exchange": True,
+    }
+
+
+def probe_streamagg(
+    spark, results: dict, sf_dir: str, repl: int = 100
+) -> None:
+    """Round-10: the STREAMING form of incremental aggregate
+    maintenance at the 15M-row probe scale, with a mid-stream kill in
+    the harshest window (batch applied, marker + checkpoint commit
+    lost — the r9 stream_cdc_merge discipline). The restarted
+    production runner must replay the batch, the per-key last_bid
+    watermark must keep the replay from double-adding, and the final
+    maintained state must equal the one-shot GROUP BY over base ∪ all
+    deltas — while each delta touched only its own buckets."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mapreducekmean_spark.operators.cdc import (
+        MERGE_N_BUCKETS,
+        apply_agg_delta,
+        land_agg_snapshot,
+        read_agg_snapshot,
+    )
+    from mapreducekmean_spark.streaming.jobs import stream_agg_maintenance
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.crossJoin(
+            spark.range(repl).select(F.col("id").alias("rep"))
+        ).select(
+            (F.col("o_custkey") + F.col("rep") * 10_000_000).alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+    )
+    n_base = base.count()
+    path = probe_tmpdir(prefix="mrkm_streamagg_")
+    t0 = time.perf_counter()
+    land_agg_snapshot(base, path, key="k", sums=["cents"])
+    t_land = time.perf_counter() - t0
+
+    src = probe_tmpdir(prefix="mrkm_streamagg_src_")
+    deltas = []
+    for i, (lo, hi) in enumerate(((0, 15), (15, 30))):
+        d = orders.filter(
+            (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
+        ).select(
+            F.col("o_custkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+        deltas.append(d)
+        rows = d.collect()  # bounded: a ~30-customer delta batch
+        fn = os.path.join(src, f"b{i}.json")
+        with open(fn, "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps({"k": r.k, "cents": r.cents}) for r in rows
+                )
+            )
+        os.utime(fn, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    schema = "k bigint, cents bigint"
+    crashed = {}
+
+    def crash_before_commit(df, bid):
+        from mapreducekmean_spark.operators.cdc import agg_stream_batch
+
+        if bid >= 1 and not crashed:
+            df = df.localCheckpoint()
+            if df.take(1):
+                apply_agg_delta(spark, df, path, batch_id=bid + 1)
+            crashed["at"] = bid
+            raise RuntimeError("injected crash before marker commit")
+        agg_stream_batch(spark, df, bid, path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+        .foreachBatch(crash_before_commit)
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+        raise AssertionError("injected crash did not surface")
+    except StreamingQueryException:
+        pass
+    finally:
+        q.stop()
+    assert crashed["at"] == 1
+
+    # restart with the production runner on the same checkpoint
+    t0 = time.perf_counter()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    stream_agg_maintenance(stream2, path)
+    t_stream = time.perf_counter() - t0
+
+    want = base
+    for d in deltas:
+        want = want.unionByName(d)
+    want = want.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    got = read_agg_snapshot(spark, path).drop("last_bid")
+    mismatch = (
+        got.unionByName(want)
+        .groupBy("k", "n", "cents")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert mismatch == 0, f"{mismatch} maintained rows differ"
+    with open(os.path.join(path, "_agg_high_water")) as f:
+        assert int(f.read()) == 1  # marker converged past the replay
+    results["stream_agg_maintenance"] = {
+        "base_rows": n_base,
+        "batches": 2,
+        "land_sec": round(t_land, 2),
+        "restart_replay_sec": round(t_stream, 2),
+        "killed_at_batch": 1,
+        "matches_one_shot": True,
+        "n_buckets": MERGE_N_BUCKETS,
+    }
+
+
 def probe_zorder(spark, results: dict, n_rows: int = 10_000_000) -> None:
     """Z-order layout at 10M rows / 128 files: write the same uniform
     (a, b) data z-ordered and a-sorted, measure the footer-stats file
@@ -2256,6 +2453,8 @@ def main() -> None:
         "aggdelta",
         "purge",
         "r9misc",
+        "toptermskew",
+        "streamagg",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2317,6 +2516,10 @@ def main() -> None:
         probe_rebalance(spark, results, args.vecs)
     if "zorder" in only:
         probe_zorder(spark, results)
+    if "toptermskew" in only:
+        probe_toptermskew(spark, results)
+    if "streamagg" in only:
+        probe_streamagg(spark, results, args.sf_dir)
     if "aggdelta" in only:
         probe_aggdelta(spark, results, args.sf_dir)
     if "purge" in only:
