@@ -3104,20 +3104,28 @@ WHERE rank <= {topk}
 """
 
 
-def _recall_tail_sql(dim: int, n_queries: int, topk: int) -> str:
-    """Recall@k scoring appended after a ``scored`` CTE (q_id,
-    neighbor_id, adc): the exact squared-L2 brute-force baseline
-    (``sim.l2_topk``'s arithmetic — same fold order), the approximate
-    top-k by ascending adc, integer hit counts, one IEEE division —
-    ``sim.recall_vs_exact``'s exact output shape. Shared by both
-    compressed-tier recall twins."""
+def _recall_tail_sql(
+    dim: int,
+    n_queries: int,
+    topk: int,
+    src: str = "scored",
+    score_col: str = "adc",
+) -> str:
+    """Recall@k scoring appended after a ``src`` CTE (q_id,
+    neighbor_id, ``score_col``): the exact squared-L2 brute-force
+    baseline (``sim.l2_topk``'s arithmetic — same fold order), the
+    approximate top-k by ascending score, integer hit counts, one IEEE
+    division — ``sim.recall_vs_exact``'s exact output shape. Shared by
+    the compressed-tier recall twins and the refined-tier one (which
+    ranks by the exact re-scored distance instead of adc)."""
     return f""",
 approx AS (
   SELECT q_id, neighbor_id FROM (
     SELECT q_id, neighbor_id,
            row_number() OVER (PARTITION BY q_id
-                              ORDER BY adc ASC, neighbor_id ASC) AS rnk
-    FROM scored) WHERE rnk <= {topk}),
+                              ORDER BY {score_col} ASC, neighbor_id ASC)
+             AS rnk
+    FROM {src}) WHERE rnk <= {topk}),
 exsc AS MATERIALIZED (
   SELECT q.vec_id AS q_id, p.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, {dim} + 1), d ->
@@ -3279,6 +3287,67 @@ FROM (
   FROM refined)
 WHERE rank <= {topk}
 """
+
+
+def _ann_ivfpq_refined_recall_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """operators/pq.py:ivfpq_refined_recall — recall@3 of the refined
+    serve path (ADC preselect + exact re-rank against the paired raw
+    store) vs the exact squared-L2 top-k: the driver-checked number
+    showing what the exact-refine tier bought back over
+    ann_ivfpq_recall (quantization loss gone from the candidate
+    ranking; only cell pruning and the preselect cut remain)."""
+    from mapreducekmean_spark.operators import pq
+
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pq_path = _contract_index_dir(f"ivfpq_{tag}")
+    raw_path = _contract_index_dir(f"ivf_{tag}")
+    if not os.path.exists(os.path.join(pq_path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, pq_path)
+    if not os.path.exists(os.path.join(raw_path, "centroids")):
+        sim.land_ivf_index(spark, sf_dir, raw_path)
+    return pq.ivfpq_refined_recall(spark, sf_dir, pq_path, raw_path)
+
+
+def _ann_ivfpq_refined_recall_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+    m_cand: int | None = None,
+) -> str:
+    """``pq.ivfpq_refined_recall``: the shared IVF-PQ replay cut to the
+    ADC top-m_cand, exactly re-scored against the raw rows, then the
+    shared recall tail ranking by the refined distance."""
+    from mapreducekmean_spark.operators import pq
+
+    if m_cand is None:
+        m_cand = pq.REFINE_M
+    parts = _ivfpq_scored_parts(m, kc, dim, iters)
+    return f"""
+WITH {",".join(parts)},
+cand AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+           ) AS rk
+    FROM scored)
+  WHERE rk <= {m_cand}),
+refined AS (
+  SELECT c.q_id, c.neighbor_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.q_emb[i] - p.emb[i]) * (q.q_emb[i] - p.emb[i])))
+           AS dist
+  FROM cand c
+  JOIN pts p ON p.vec_id = c.neighbor_id
+  JOIN q ON q.q_id = c.q_id){_recall_tail_sql(
+      dim, sim.N_QUERIES, topk, src="refined", score_col="dist")}"""
 
 
 def _ivfpq_scored_parts(m: int, kc: int, dim: int, iters: int) -> list[str]:
@@ -3507,6 +3576,10 @@ FROM documents
         Query(
             "ann_ivfpq_refined", _ann_ivfpq_refined_q,
             _ann_ivfpq_refined_sql(),
+        ),
+        Query(
+            "ann_ivfpq_refined_recall", _ann_ivfpq_refined_recall_q,
+            _ann_ivfpq_refined_recall_sql(),
         ),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),
@@ -4886,6 +4959,7 @@ _CHECK_FIRST = (
     # round-10 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
     "ann_ivfpq_refined",
+    "ann_ivfpq_refined_recall",
     "dedup_lines",
     "dedup_lines_apply",
     "image_dhash_pairs",

@@ -1795,3 +1795,69 @@ def doc_grid_dhash(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("dh_lo"),
     )
+
+
+#: Audio fingerprint frame count: FP_WINDOWS energy windows → 64
+#: adjacent-comparison bits, carried as the same two 32-bit halves the
+#: image dHash uses, so ``dhash_near_dup_pairs`` matches either medium.
+FP_WINDOWS = 65
+
+
+def _audio_fp_halves(samples) -> tuple[int, int]:
+    """(fp_hi, fp_lo) of a mono sample array: the energy-envelope
+    twin of the image dHash — FP_WINDOWS equal time windows, mean
+    absolute amplitude per window, bit w set when energy[w] >
+    energy[w+1]. Companding (G.711) perturbs amplitudes by its ~0.3%
+    grid, so a re-encode of the same audio flips bits only at
+    near-tied windows — within the Hamming radius, pinned in
+    tests/test_edge_cases.py."""
+    import numpy as np
+
+    n = len(samples)
+    bounds = (np.arange(FP_WINDOWS + 1) * n) // FP_WINDOWS
+    energies = np.array(
+        [
+            np.abs(samples[bounds[w] : bounds[w + 1]]).mean()
+            if bounds[w + 1] > bounds[w]
+            else 0.0
+            for w in range(FP_WINDOWS)
+        ]
+    )
+    bits = (energies[:-1] > energies[1:]).astype(np.int64)
+    weights = 1 << np.arange(32, dtype=np.int64)
+    hi = int((bits[:32] * weights).sum())
+    lo = int((bits[32:] * weights).sum())
+    return hi, lo
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Per-clip perceptual audio fingerprint over the REAL WAV
+    decoders (PCM 8/16-bit, G.711 A-law/μ-law) — the audio twin of
+    :func:`image_dhash`, one Arrow-batched pass, per-row ok/NULL gate.
+    Output columns match the dHash shape (``dh_hi``/``dh_lo``) so the
+    banded matcher :func:`dhash_near_dup_pairs` serves both media —
+    one copy of the banding/Hamming plumbing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "ok": [], "dh_hi": [], "dh_lo": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = _decode_audio_wav(bytes(payload or b""))
+                out["asset_id"].append(aid)
+                if dec is None or len(dec[0]) < FP_WINDOWS:
+                    out["ok"].append(False)
+                    out["dh_hi"].append(None)
+                    out["dh_lo"].append(None)
+                else:
+                    hi, lo = _audio_fp_halves(dec[0])
+                    out["ok"].append(True)
+                    out["dh_hi"].append(hi)
+                    out["dh_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        op, schema=_DHASH_SCHEMA
+    )

@@ -1139,3 +1139,75 @@ def test_doc_grid_dhash_matches_python_reference(spark):
                 else:
                     lo |= b << ((r - 4) * 8 + c)
         assert got[did] == (hi, lo), did
+
+
+def test_audio_fingerprint_survives_g711_reencoding(spark):
+    """The audio near-dup pin (the image test's twin): the SAME
+    samples encoded as PCM-16, A-law, and μ-law WAVs fingerprint
+    within the Hamming radius; a different envelope lands far; junk
+    and too-short payloads gate. The banded matcher is the SHARED
+    dhash_near_dup_pairs — one plumbing for both media."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    rate, dur = 16000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * math.pi * 3.0 * t))
+    tone = np.sin(2 * math.pi * 440.0 * t)
+    s16 = np.clip(12000 * env * tone, -32768, 32767).astype(np.int16)
+    other16 = np.clip(
+        12000 * (0.2 + 0.8 * t / dur) * tone, -32768, 32767
+    ).astype(np.int16)
+
+    def pcm_wav(x):
+        body = struct.pack(f"<{len(x)}h", *x.tolist())
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        data = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+    def g711_wav(x, law):
+        codes = mm._g711_compress(x.astype(np.int64), law)
+        body = bytes(bytearray(int(c) & 0xFF for c in codes))
+        fmt = struct.pack("<HHIIHH", law, 1, rate, rate, 1, 8)
+        data = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+    payloads = {
+        1: pcm_wav(s16),
+        2: g711_wav(s16, 6),  # A-law of the same samples
+        3: g711_wav(s16, 7),  # mu-law of the same samples
+        4: pcm_wav(other16),  # different envelope
+        5: b"not audio",
+        6: pcm_wav(s16[:10]),  # too short to window
+    }
+    assets = spark.createDataFrame(
+        [(k, "audio", bytearray(v)) for k, v in payloads.items()],
+        "asset_id bigint, modality string, payload binary",
+    )
+    rows = {r.asset_id: r for r in mm.audio_fingerprint(assets).collect()}
+    assert not rows[5].ok and not rows[6].ok
+    assert all(rows[k].ok for k in (1, 2, 3, 4))
+
+    def ham(a, b):
+        return bin(a.dh_hi ^ b.dh_hi).count("1") + bin(
+            a.dh_lo ^ b.dh_lo
+        ).count("1")
+
+    assert ham(rows[1], rows[2]) <= mm.DHASH_MAX_HAMMING
+    assert ham(rows[1], rows[3]) <= mm.DHASH_MAX_HAMMING
+    assert ham(rows[1], rows[4]) > mm.DHASH_MAX_HAMMING
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in mm.dhash_near_dup_pairs(
+            mm.audio_fingerprint(assets)
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
