@@ -2101,6 +2101,160 @@ def probe_exportskew(spark, results: dict, n_docs: int = 2_000_000) -> None:
 
 
 
+def probe_r10misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
+    """Round-10 operator volume probes:
+
+    - dedup_lines/apply at 5M framed docs: the C4 pass end to end —
+      signal build (hash group-by on md5(line), boilerplate planted in
+      30% of docs so the partial min actually absorbs a hot line) and
+      full reassembly; verified at volume: planted boilerplate survives
+      exactly once corpus-wide, clean docs untouched.
+    - dhash_near_dup_pairs at 1M hashes: the banded candidate join +
+      Hamming verify alone (hashes synthesized with planted near-dup
+      pairs) — the matcher's cost, decode-free.
+    - rebalance_ivfpq_cells at 500k × 64-d: the compressed store's
+      hot-cell split + re-encode, cost vs a full re-land reported.
+    """
+    import math
+
+    from mapreducekmean_spark import multimodal as mm
+    from mapreducekmean_spark.operators.dedup import (
+        dedup_lines,
+        dedup_lines_apply,
+        framed_line_rows,
+    )
+
+    # --- dedup_lines at volume -------------------------------------
+    boiler = "follow us on social media and subscribe now"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 10 < 3, F.lit(boiler + " "))
+            .otherwise(F.lit("")),
+            F.lit("alpha beta gamma delta "),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+            F.lit(" "),
+            F.substring(F.md5((F.col("id") + 3).cast("string")), 1, 8),
+        ).alias("text"),
+    ).localCheckpoint()
+    lines = framed_line_rows(docs, win=8)
+    t0 = time.perf_counter()
+    n_removed = dedup_lines(lines).count()
+    t_sig = time.perf_counter() - t0
+    planted = (n_docs * 3 + 9) // 10
+    # the boilerplate occupies one full 8-token frame in 30% of docs →
+    # removed at every occurrence but the first
+    assert n_removed >= planted - 1
+    t0 = time.perf_counter()
+    out = dedup_lines_apply(docs, lines).localCheckpoint()
+    survivors = out.filter(
+        F.col("clean_text").contains(boiler)
+    ).count()
+    t_apply = time.perf_counter() - t0
+    assert survivors == 1  # first occurrence corpus-wide only
+    assert out.count() == n_docs
+    results["dedup_lines"] = {
+        "docs": n_docs,
+        "boilerplate_share_pct": 30,
+        "removed_occurrences": int(n_removed),
+        "signal_sec": round(t_sig, 2),
+        "apply_sec": round(t_apply, 2),
+        "docs_per_sec_apply": int(n_docs / t_apply),
+        "boilerplate_survivors": 1,
+    }
+
+    # --- dhash banding at 1M hashes ---------------------------------
+    n_h = 1_000_000
+    hashes = spark.range(n_h).select(
+        F.col("id").alias("doc_id"),
+        # planted structure: ids pairing (2k, 2k+1) share all but the
+        # low bit of dh_lo → Hamming 1; everything else random-ish
+        F.expr(
+            "cast(conv(substr(md5(cast(id div 2 as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("dh_hi"),
+        F.expr(
+            "cast(conv(substr(md5(cast(id div 2 as string)), 9, 8), 16, 10)"
+            " as bigint) * 2 + id % 2"
+        ).alias("dh_lo"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    pairs = mm.dhash_near_dup_pairs(hashes).localCheckpoint()
+    n_pairs = pairs.count()
+    t_band = time.perf_counter() - t0
+    exact_planted = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("hamming") == 1)
+    ).count()
+    assert exact_planted >= int(n_h / 2 * 0.999)  # dist-1 ≤ 3: guaranteed
+    results["dhash_near_dup_pairs"] = {
+        "hashes": n_h,
+        "planted_pairs": n_h // 2,
+        "found_pairs": int(n_pairs),
+        "planted_found": int(exact_planted),
+        "sec": round(t_band, 2),
+    }
+
+    # --- rebalance_ivfpq_cells at 500k ------------------------------
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        land_ivfpq_index_points,
+        rebalance_ivfpq_cells,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    n_vecs = 500_000
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    pts = km.embeddings(spark, sfdir).select("vec_id", "emb")
+    pq_idx = probe_tmpdir(prefix="mrkm_rebalpq_")
+    raw_idx = probe_tmpdir(prefix="mrkm_rebalpq_raw_")
+    t0 = time.perf_counter()
+    land_ivfpq_index_points(spark, pts, pq_idx)  # deterministic: skewed
+    t_land = time.perf_counter() - t0
+    from mapreducekmean_spark.operators.pq import _load_ivfpq_params
+
+    cents, _cb = _load_ivfpq_params(spark, pq_idx)
+    land_ivf_index_points(spark, pts, raw_idx, cents=cents)
+    bound = 50_000
+    t0 = time.perf_counter()
+    res = rebalance_ivfpq_cells(spark, pq_idx, raw_idx, max_cell_rows=bound)
+    dt = time.perf_counter() - t0
+    after = (
+        spark.read.parquet(f"{pq_idx}/cells").groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    assert res["split_cells"] >= 1
+    assert after["tot"] == n_vecs
+    assert after["mx"] <= bound
+    results["rebalance_ivfpq_cells"] = {
+        "vectors": n_vecs,
+        "bound": bound,
+        "split_cells": res["split_cells"],
+        "new_cells": res["new_cells"],
+        "passes": res["passes"],
+        "max_after": int(after["mx"]),
+        "sec": round(dt, 2),
+        "full_reland_sec": round(t_land, 2),
+    }
+
+
 def probe_toptermskew(
     spark, results: dict, n_docs: int = 5_000_000
 ) -> None:
@@ -2455,6 +2609,7 @@ def main() -> None:
         "r9misc",
         "toptermskew",
         "streamagg",
+        "r10misc",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2516,6 +2671,8 @@ def main() -> None:
         probe_rebalance(spark, results, args.vecs)
     if "zorder" in only:
         probe_zorder(spark, results)
+    if "r10misc" in only:
+        probe_r10misc(spark, results)
     if "toptermskew" in only:
         probe_toptermskew(spark, results)
     if "streamagg" in only:

@@ -773,3 +773,44 @@ def test_rebalance_ivfpq_refuses_uncovered_raw_source(
         for r in spark.read.parquet(f"{twin}/cells").collect()
     }
     assert a == b
+
+
+def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
+    spark, sf_oracle, tmp_path
+):
+    """The refine tier's two physical claims: the raw store is read
+    through PartitionFilters on the probed cells (never a full raw
+    scan), and the bounded candidate/query frames reach it as
+    broadcasts — the wide rows that flow are the pruned cells' only."""
+    import re
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        ivfpq_refined_topk,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    land_ivfpq_index(spark, sf_oracle, pq_path)
+    cents, _cb = _load_ivfpq_params(spark, pq_path)
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sf_oracle).select("vec_id", "emb"),
+        raw_path,
+        cents=cents,
+    )
+    plan = formatted_plan(
+        ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
+    )
+    # every cells scan (PQ preselect and raw refine) is partition-pruned
+    scans = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    cell_scans = [s for s in scans if "cell" in s]
+    assert len(cell_scans) >= 2, plan  # codes scan + raw scan
+    assert all("cell" in s for s in cell_scans)
+    assert "BroadcastHashJoin" in plan
