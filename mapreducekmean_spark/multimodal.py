@@ -1861,3 +1861,119 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("modality") == "audio").mapInPandas(
         op, schema=_DHASH_SCHEMA
     )
+
+
+_VIDEO_DHASH_SCHEMA = (
+    "asset_id bigint, frame_idx bigint, ok boolean, "
+    "dh_hi bigint, dh_lo bigint"
+)
+
+
+def video_dhash(assets: DataFrame, every_n: int = 5) -> DataFrame:
+    """Per-sampled-frame perceptual hash for video assets — the decode
+    + every-nth sampling of :func:`frame_sample` with the dHash of
+    :func:`image_dhash` fused into the same Arrow-batched pass, so
+    frames never materialize as payloads anywhere: each sampled frame
+    contributes one ``(asset_id, frame_idx, dh_hi, dh_lo)`` row.
+    Undecodable payloads emit one ``ok=false`` row (per-asset
+    accounting, the ``frame_sample`` discipline)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "frame_idx": [], "ok": [],
+                "dh_hi": [], "dh_lo": [],
+            }
+
+            def emit(aid, idx, ok, hi, lo):
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(idx)
+                out["ok"].append(ok)
+                out["dh_hi"].append(hi)
+                out["dh_lo"].append(lo)
+
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = _decode_y4m_frames(bytes(payload or b""))
+                if frames is None or not frames:
+                    emit(aid, None, False, None, None)
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    hi, lo = _dhash_halves(frames[idx])
+                    emit(aid, idx, True, hi, lo)
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        op, schema=_VIDEO_DHASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Clip-level near-dup from frame-level evidence: two clips pair
+    when at least ``min_shared`` of their sampled frames match within
+    the Hamming radius — re-encodes, container changes, and
+    trims/overlaps all surface this way while a single coincidental
+    frame match does not. Frame matching is the SAME 4×16-bit banding
+    + ``bit_count(xor)`` verify as :func:`dhash_near_dup_pairs`, keyed
+    by (clip, frame); the clip verdict is one ``groupBy`` over the
+    verified frame pairs. Output ``(clip_a, clip_b, n_matched)``,
+    clip_a < clip_b."""
+    h = frame_hashes.filter(F.col("ok")).select(
+        "asset_id", "frame_idx", "dh_hi", "dh_lo"
+    )
+    bands = h.select(
+        "asset_id",
+        "frame_idx",
+        "dh_hi",
+        "dh_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn(
+        "bv",
+        F.when(F.col("k") == 0, F.expr("dh_hi div 65536"))
+        .when(F.col("k") == 1, F.col("dh_hi") % 65536)
+        .when(F.col("k") == 2, F.expr("dh_lo div 65536"))
+        .otherwise(F.col("dh_lo") % 65536)
+        .cast("bigint"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("clip_a"),
+        F.col("frame_idx").alias("fa"),
+        F.col("dh_hi").alias("hi_a"),
+        F.col("dh_lo").alias("lo_a"),
+        "k",
+        "bv",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("clip_b"),
+        F.col("frame_idx").alias("fb"),
+        F.col("dh_hi").alias("hi_b"),
+        F.col("dh_lo").alias("lo_b"),
+        "k",
+        "bv",
+    )
+    matched = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("clip_a") < F.col("clip_b"))
+        .select("clip_a", "fa", "clip_b", "fb",
+                "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.expr("hi_a ^ hi_b"))
+                + F.bit_count(F.expr("lo_a ^ lo_b"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+    )
+    return (
+        matched.groupBy("clip_a", "clip_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        .filter(F.col("n_matched") >= int(min_shared))
+    )

@@ -1211,3 +1211,71 @@ def test_audio_fingerprint_survives_g711_reencoding(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_video_near_dup_finds_reencoded_and_trimmed_clips(spark):
+    """The video twin: clip B carries clip A's frames with two extra
+    lead-in frames (a trim/offset) and survives detection via ≥2
+    matched sampled frames; clip C (different stripe phases) matches
+    nothing; junk video gates with one ok=false row. Frame matching is
+    the shared banding+Hamming plumbing, fused with the Y4M decode in
+    one executor pass."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    def frame_y(phase, w=64, h=16, highs=None):
+        # vertical stripes aligned to the 9-col sample grid; ``highs``
+        # picks which stripes are bright (default: alternating from
+        # ``phase``) — a DIFFERENT highs set changes the content, while
+        # a different w is merely a resize, which dHash is invariant to
+        # by design
+        y = np.zeros((h, w), dtype=np.uint8)
+        for x in range(w):
+            stripe = (x * 9) // w
+            bright = (
+                stripe in highs if highs is not None
+                else (stripe + phase) % 2 == 0
+            )
+            y[:, x] = 220 if bright else 40
+        return y
+
+    def y4m(frames_y):
+        h, w = frames_y[0].shape
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+        body = b"".join(
+            b"FRAME\n" + fy.tobytes() + b"\x80" * (w * h) * 2
+            for fy in frames_y
+        )
+        return head + body
+
+    base = [frame_y(p) for p in (0, 1, 0, 1, 0, 1)]
+    clip_a = y4m(base)
+    clip_b = y4m([frame_y(0), frame_y(0)] + base)  # 2-frame lead-in
+    clip_c = y4m(
+        [
+            frame_y(0, highs={0, 3, 4, 6} if i % 2 == 0 else {1, 2, 5, 8})
+            for i in range(6)
+        ]
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(clip_a)),
+            (2, "video", bytearray(clip_b)),
+            (3, "video", bytearray(clip_c)),
+            (4, "video", bytearray(b"AVI junk")),
+        ],
+        "asset_id bigint, modality string, payload binary",
+    )
+    fh = mm.video_dhash(assets, every_n=2)
+    rows = fh.collect()
+    assert any(r.asset_id == 4 and not r.ok for r in rows)
+    assert sum(1 for r in rows if r.asset_id == 1 and r.ok) == 3  # 0,2,4
+
+    pairs = {
+        (r.clip_a, r.clip_b): r.n_matched
+        for r in mm.video_near_dup_pairs(fh).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p or 4 in p for p in pairs)
