@@ -2506,6 +2506,91 @@ FROM (SELECT DISTINCT q_id FROM brute) qq LEFT JOIN hit USING (q_id)
 """
 
 
+def _ann_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py:ann_recall_curve — the nprobe sizing
+    curve: corpus-wide recall@3 of the IVF path at probe budgets
+    1/2/4, one row per level (integer hit totals, one IEEE division).
+    The table an operator reads when trading probed directories for
+    recall at 100 TB."""
+    return sim.ann_recall_curve(spark, sf_dir)
+
+
+def _ann_recall_curve_sql() -> str:
+    """The curve's DuckDB replay: the shared brute/probe CTEs computed
+    once (qd MATERIALIZED — three probe levels read it), one
+    probes/ivf/hit chain per nprobe level, one summary row each."""
+    lvls = (1, 2, 4)
+    parts = [
+        f"""
+{_KM_CTES},
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM pts
+      WHERE vec_id < {sim.N_QUERIES}),
+bsims AS (
+  SELECT q.q_id, p.vec_id, {_cos_expr("q.q_emb", "p.emb")} AS sim_raw
+  FROM q JOIN pts p ON p.vec_id != q.q_id
+),
+brute AS MATERIALIZED (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+    FROM bsims
+  ) WHERE rnk <= 3
+),
+nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM q),
+qd AS MATERIALIZED (
+  SELECT q.q_id, q.q_emb, c.cluster_id AS cell,
+         list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> (q.q_emb[i] - c.emb[i]) * (q.q_emb[i] - c.emb[i])))
+           AS dist
+  FROM q CROSS JOIN init c
+)"""
+    ]
+    for n in lvls:
+        parts.append(
+            f"""
+probes{n} AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell)
+             AS pr
+    FROM qd
+  ) WHERE pr <= {n}
+),
+isims{n} AS (
+  SELECT pr.q_id, a.vec_id,
+         {_cos_expr("pr.q_emb", "p.emb")} AS sim_raw
+  FROM probes{n} pr
+  JOIN assign a ON a.cluster_id = pr.cell
+  JOIN pts p USING (vec_id)
+  WHERE a.vec_id != pr.q_id
+),
+ivf{n} AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY sim_raw DESC, vec_id ASC) AS rnk
+    FROM isims{n}
+  ) WHERE rnk <= 3
+),
+lvl{n} AS (
+  SELECT CAST({n} AS BIGINT) AS nprobe,
+         CAST(nq.n_queries AS BIGINT) AS n_queries,
+         CAST((SELECT count(*) FROM ivf{n} i
+               JOIN brute b USING (q_id, neighbor_id)) AS BIGINT)
+           AS n_hit,
+         CAST(3 AS BIGINT) AS k
+  FROM nq
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT nprobe, n_queries, n_hit, k, "
+        f"round(n_hit / (3 * n_queries), 6) AS recall FROM lvl{n}"
+        for n in lvls
+    )
+    return f"""
+{",".join(parts)}
+{unions}
+"""
+
+
 def _ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.py:ivf_index_stats — cell-occupancy report
     over the landed IVF index (land reused per process, the
@@ -3519,6 +3604,10 @@ FROM documents
         Query("cosine_topk", _cosine_topk, _COSINE_TOPK_SQL),
         Query("ann_ivf", _ann_ivf, _ANN_IVF_SQL),
         Query("ann_recall", _ann_recall, _ANN_RECALL_SQL),
+        Query(
+            "ann_recall_curve", _ann_recall_curve_q,
+            _ann_recall_curve_sql(),
+        ),
         Query("ivf_cell_stats", _ivf_cell_stats, _IVF_CELL_STATS_SQL),
         Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
@@ -4960,6 +5049,7 @@ _CHECK_FIRST = (
     # declared (first driver rows needed):
     "ann_ivfpq_refined",
     "ann_ivfpq_refined_recall",
+    "ann_recall_curve",
     "dedup_lines",
     "dedup_lines_apply",
     "image_dhash_pairs",

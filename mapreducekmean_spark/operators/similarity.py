@@ -1450,3 +1450,59 @@ def purge_ivf_keys(
     return purge_partition_keys(
         spark, f"{path}/cells", "cell", "vec_id", vec_ids
     )
+
+
+def ann_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    nprobes: tuple = (1, 2, 4),
+    ncells: int = km.DEFAULT_K,
+) -> DataFrame:
+    """The nprobe SIZING CURVE — recall@k at several probe budgets in
+    one result, the table an ANN operator actually reads when choosing
+    nprobe for a latency budget (per-query recall rows answer "is this
+    query served well"; the curve answers "what does one more probed
+    cell buy corpus-wide"). One row per nprobe level:
+    ``(nprobe, n_queries, n_hit, k, recall)`` with ``recall =
+    n_hit / (k · n_queries)`` — integer totals, ONE IEEE division
+    (the ``recall_vs_exact`` discipline, aggregated). Non-decreasing
+    in nprobe (candidate superset) and exactly 1.0 at nprobe = ncells
+    (probing every cell IS the brute-force pass) — both pinned in
+    tests/test_similarity_indexed.py.
+
+    Scale shape: the exact baseline is computed ONCE (checkpointed,
+    k·|queries| rows) and each level adds only its probe-bounded IVF
+    pass; everything after is driver-scale joins."""
+    exact = (
+        cosine_topk(spark, sf_dir, k=k)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_q = exact.select("q_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    out = None
+    for np_ in nprobes:
+        approx = ivf_topk(
+            spark, sf_dir, k=k, nprobe=int(np_), ncells=ncells
+        ).select("q_id", "neighbor_id")
+        hits = approx.join(exact, ["q_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        row = (
+            n_q.crossJoin(hits)
+            .select(
+                F.lit(int(np_)).cast("bigint").alias("nprobe"),
+                "n_queries",
+                "n_hit",
+                F.lit(int(k)).cast("bigint").alias("k"),
+                F.round(
+                    F.col("n_hit")
+                    / (F.lit(int(k)) * F.col("n_queries")),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

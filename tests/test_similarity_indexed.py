@@ -809,3 +809,24 @@ def test_purge_serves_ivfpq_and_rebalance_refuses_it(
         for r in ann_ivfpq_indexed(spark, sf_oracle, path2).collect()
     )
     assert served_purged == served_rebuilt
+
+
+def test_recall_curve_monotone_and_exact_at_full_probe(spark, sf_oracle):
+    """The sizing curve's two contracts: recall is non-decreasing in
+    nprobe (each level's candidate set is a superset of the last), and
+    at nprobe = ncells the IVF pass IS the brute-force pass — recall
+    exactly 1.0, hits exactly k per query."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.similarity import ann_recall_curve
+
+    rows = {
+        int(r.nprobe): r
+        for r in ann_recall_curve(
+            spark, sf_oracle, nprobes=(1, 2, 4, km.DEFAULT_K)
+        ).collect()
+    }
+    hits = [rows[n].n_hit for n in (1, 2, 4, km.DEFAULT_K)]
+    assert hits == sorted(hits)
+    full = rows[km.DEFAULT_K]
+    assert full.recall == 1.0
+    assert full.n_hit == full.k * full.n_queries
