@@ -782,6 +782,23 @@ def ivfpq_refined_topk(
     pairs = raw.join(F.broadcast(cand), "neighbor_id").join(
         F.broadcast(qs.select("q_id", "q_emb")), "q_id"
     )
+    # candidate-coverage check: every preselected candidate must find
+    # its raw row in the probed directories. A shortfall means the
+    # stores drifted (e.g. one side rebalanced without the other —
+    # the centroid check above catches table-level drift, this catches
+    # row-level drift) and silently refining the covered subset would
+    # quietly degrade the result. Both counts are candidate-bounded.
+    n_cand = cand.count()
+    n_cov = pairs.count()
+    if n_cov != n_cand:
+        raise ValueError(
+            f"ivfpq_refined_topk: only {n_cov} of {n_cand} preselected "
+            f"candidates found raw rows in the probed cells of "
+            f"{raw_path!r} — the stores have drifted row-level. "
+            "Restore pairing by re-landing the raw side under the PQ "
+            "store's centroid table (land_ivf_index_points(..., "
+            "cents=load_index_centroids(spark, pq_path)))."
+        )
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
@@ -870,6 +887,13 @@ def rebalance_ivfpq_cells(
     ``land_ivfpq_index_points`` under (rebalanced centroids, frozen
     codebooks) — codes, cells, and ids all — and serving on cold cells
     is bit-identical before/after; both pinned in tests/test_pq.py.
+
+    A rebalance changes THIS store's centroid table, so a previously
+    PAIRED raw store (the refine tier's) drifts: ``ivfpq_refined_topk``
+    refuses the pair until the raw side is re-landed under the
+    rebalanced table (``land_ivf_index_points(..., cents=
+    load_index_centroids(spark, pq_path))``) — the maintenance
+    lifecycle is pinned end-to-end in tests/test_pq.py.
 
     Returns ``{"split_cells": n, "new_cells": m, "passes": p}``
     (passes = Lloyd splits run, counting re-splits of oversized

@@ -814,3 +814,91 @@ def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
     assert len(cell_scans) >= 2, plan  # codes scan + raw scan
     assert all("cell" in s for s in cell_scans)
     assert "BroadcastHashJoin" in plan
+
+
+def test_refine_lifecycle_rebalance_repair_append_serve(
+    spark, sf_oracle, tmp_path
+):
+    """The compressed store's full maintenance lifecycle against the
+    refine tier: (1) rebalance the PQ store → the pair has DRIFTED and
+    refine REFUSES (never silently serves from wrong partitions);
+    (2) repair = re-land the raw side under the rebalanced table →
+    refined serving equals a fresh-landed pair's; (3) append a new
+    batch to BOTH stores (frozen quantizer/codebooks) → still equal to
+    the fresh pair landed over the full corpus."""
+    import pytest
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        append_ivfpq_index,
+        ivfpq_refined_topk,
+        land_ivfpq_index_points,
+        rebalance_ivfpq_cells,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        append_ivf_index,
+        land_ivf_index_points,
+    )
+
+    pts, _c0 = _land_hot_pair(
+        spark, sf_oracle, str(tmp_path / "pq"), str(tmp_path / "raw")
+    )
+    pq_path, raw_path = str(tmp_path / "pq"), str(tmp_path / "raw")
+
+    # (1) rebalance the PQ side only → pairing must be REFUSED
+    rebalance_ivfpq_cells(spark, pq_path, raw_path, max_cell_rows=100)
+    with pytest.raises(ValueError, match="PAIRED"):
+        ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
+
+    # (2) repair: re-land the raw side under the rebalanced table
+    cents, codebooks = _load_ivfpq_params(spark, pq_path)
+    land_ivf_index_points(spark, pts, raw_path, cents=cents)
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_refined_topk(
+            spark, sf_oracle, pq_path, raw_path
+        ).collect()
+    )
+    fresh_pq, fresh_raw = str(tmp_path / "fpq"), str(tmp_path / "fraw")
+    land_ivfpq_index_points(
+        spark, pts, fresh_pq, cents=cents, codebooks=codebooks
+    )
+    land_ivf_index_points(spark, pts, fresh_raw, cents=cents)
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_refined_topk(
+            spark, sf_oracle, fresh_pq, fresh_raw
+        ).collect()
+    )
+    assert got == want and got
+
+    # (3) append a new batch to both stores; serve again
+    max_id = pts.agg(F.max("vec_id")).collect()[0][0]
+    batch = pts.limit(40).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "emb"
+    ).localCheckpoint()
+    append_ivfpq_index(spark, batch, pq_path)
+    append_ivf_index(spark, batch, raw_path)
+    full = pts.unionByName(batch)
+    land_ivfpq_index_points(
+        spark, full, str(tmp_path / "fpq2"), cents=cents,
+        codebooks=codebooks,
+    )
+    land_ivf_index_points(spark, full, str(tmp_path / "fraw2"), cents=cents)
+    got2 = sorted(
+        tuple(r)
+        for r in ivfpq_refined_topk(
+            spark, sf_oracle, pq_path, raw_path
+        ).collect()
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in ivfpq_refined_topk(
+            spark,
+            sf_oracle,
+            str(tmp_path / "fpq2"),
+            str(tmp_path / "fraw2"),
+        ).collect()
+    )
+    assert got2 == want2 and got2
