@@ -1601,6 +1601,77 @@ def probe_ivfpq(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     }
 
 
+def probe_refine(spark, results: dict, n_vecs: int = 1_000_000) -> None:
+    """Round-10: the exact-refine tier at 1M × 64-d — what the refine
+    stage ADDS to the pure-ADC serve: land the paired stores (raw side
+    under the PQ side's centroids), serve the 24-query batch both ways,
+    and report the refined pass's extra cost next to the claim that it
+    is candidate-bounded (queries × m_cand raw rows re-scored, read
+    from the probed directories only)."""
+    import os as _os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        REFINE_M,
+        _load_ivfpq_params,
+        ann_ivfpq_indexed,
+        ivfpq_refined_topk,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not _os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    pq_idx = probe_tmpdir(prefix="mrkm_refine_pq_")
+    raw_idx = probe_tmpdir(prefix="mrkm_refine_raw_")
+    land_ivfpq_index(spark, sfdir, pq_idx, ncells=64)
+    cents, _cb = _load_ivfpq_params(spark, pq_idx)
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sfdir).select("vec_id", "emb"),
+        raw_idx,
+        cents=cents,
+    )
+
+    ann_ivfpq_indexed(spark, sfdir, pq_idx).collect()  # warm
+    t0 = time.perf_counter()
+    adc = ann_ivfpq_indexed(spark, sfdir, pq_idx).collect()
+    t_adc = time.perf_counter() - t0
+
+    ivfpq_refined_topk(spark, sfdir, pq_idx, raw_idx).collect()  # warm
+    t0 = time.perf_counter()
+    ref = ivfpq_refined_topk(spark, sfdir, pq_idx, raw_idx).collect()
+    t_ref = time.perf_counter() - t0
+
+    n_q = len({r.q_id for r in ref})
+    results["ivfpq_refined_1m"] = {
+        "vectors": n_vecs,
+        "ncells": 64,
+        "m_cand": REFINE_M,
+        "queries": n_q,
+        "adc_serve_sec": round(t_adc, 2),
+        "refined_serve_sec": round(t_ref, 2),
+        "raw_rows_rescored": n_q * REFINE_M,
+        "result_rows": len(ref),
+        "adc_rows": len(adc),
+    }
+
+
 def probe_retrieval(
     spark, results: dict, sf_dir: str, repl: int = 100
 ) -> None:
@@ -2610,6 +2681,7 @@ def main() -> None:
         "toptermskew",
         "streamagg",
         "r10misc",
+        "refine",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2671,6 +2743,8 @@ def main() -> None:
         probe_rebalance(spark, results, args.vecs)
     if "zorder" in only:
         probe_zorder(spark, results)
+    if "refine" in only:
+        probe_refine(spark, results)
     if "r10misc" in only:
         probe_r10misc(spark, results)
     if "toptermskew" in only:
