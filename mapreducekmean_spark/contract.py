@@ -5030,85 +5030,27 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-10 ROTATION. CORRECTNESS_r09.json checked the first 50 of the
-    # 139 declared queries (the r9 window: all 50 green — 49 value-hash
-    # plus kmeans_mllib's rows-only row). Remaining vintages:
-    #   * 43 queries whose latest green row is CORRECTNESS_r07.json —
+    # ROUND-11 ROTATION. CORRECTNESS_r10.json checked the first 50 of the
+    # 145 declared queries (the r10 window: 49 value-hash green plus
+    # kmeans_mllib's rows-only row). Remaining vintages:
+    #   * 46 queries whose latest green row is CORRECTNESS_r08.json —
     #     now past the two-artifact _STALE_OK bound (last two artifacts
-    #     are r8/r9), so they MUST re-enter the window;
-    #   * 46 queries green in CORRECTNESS_r08.json — within the bound,
-    #     exempt via _STALE_OK (they lead the round-11 window next);
-    #   * 49 queries value-hash green in CORRECTNESS_r09.json — freshest
-    #     evidence, _CHECK_LAST.
-    # New round-10 declarations are PREPENDED here (they need first
-    # driver rows); 43 r7-vintage + up to 7 new fit the 50-entry window.
-    # kmeans_mllib (rows-only by design, can never satisfy _STALE_OK's
-    # value-hash requirement) has an r9 row, so this round it sits just
-    # past the window in insertion order and re-enters in round 11.
-    # round-10 brand-new queries are prepended here as they are
+    #     are r9/r10), so they MUST re-enter the window;
+    #   * 49 queries value-hash green in CORRECTNESS_r09.json — within
+    #     the bound, exempt via _STALE_OK (they lead the round-12
+    #     window next);
+    #   * 49 queries value-hash green in CORRECTNESS_r10.json —
+    #     freshest evidence, _CHECK_LAST.
+    # New round-11 declarations are PREPENDED here (they need first
+    # driver rows); 46 r8-vintage + up to 4 new fill the 50-entry
+    # window exactly. kmeans_mllib (rows-only by design, can never
+    # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
+    # row, so this round it sits just past the window in insertion
+    # order and re-enters in round 12.
+    # round-11 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
-    "ann_ivfpq_refined",
-    "ann_ivfpq_refined_recall",
-    "ann_recall_curve",
-    "dedup_lines",
-    "dedup_lines_apply",
-    "image_dhash_pairs",
-    # r7-vintage block (oldest evidence — highest audit priority):
-    "scan_points",
-    "text_stats",
-    "dataset_mixture",
-    "dataset_mixture_temp",
-    "doc_repetition",
-    "pack_sequences",
-    "doc_winnow",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "text_redact",
-    "dataset_split",
-    "term_lift",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-    "tpch_q7_volume",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "set_ops_customers",
-    "set_ops_bag",
-    "sample_stratified",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_semantic",
-    "decontaminate_fuzzy",
-    "pq_adc_topk",
-    "hybrid_topk",
-    "rerank_topk",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_k_core",
-)
-
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: left past the 50-entry window whose latest green value-hash row is in
-#: one of the last TWO driver artifacts (r8 or r9) — the bound the
-#: rotation tripwire (tests/test_contract.py) machine-checks. Two
-#: sub-populations: the r8-green queries displaced two rounds (they lead
-#: the round-11 window next) and the round-9 window (r9-green, the
-#: freshest evidence in the repo).
-_STALE_OK = (
-    # r8-green, past the two-artifact horizon after this round — these
-    # 46 lead the round-11 window:
+    # r8-vintage block (oldest evidence — highest audit priority;
+    # events_gapfill first, named by the r10 verdict):
     "events_gapfill",
     "quality_unpivot",
     "data_expectations",
@@ -5155,8 +5097,20 @@ _STALE_OK = (
     "doc_lm_coverage",
     "word_count",
     "bigram_lm",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
+#: left past the 50-entry window whose latest green value-hash row is in
+#: one of the last TWO driver artifacts (r9 or r10) — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. Two
+#: sub-populations: the r9-green queries displaced two rounds (they lead
+#: the round-12 window next) and the round-10 window (r10-green, the
+#: freshest evidence in the repo).
+_STALE_OK = (
     # r9-green (the whole round-9 window minus rows-only kmeans_mllib —
-    # checked in CORRECTNESS_r09.json, 49/49 value-hash green):
+    # checked in CORRECTNESS_r09.json, 49/49 value-hash green); past
+    # the two-artifact horizon after this round, so these 49 lead the
+    # round-12 window:
     "dedup_semantic_delta",
     "ann_pq_recall",
     "ann_ivfpq_recall",
@@ -5206,60 +5160,113 @@ _STALE_OK = (
     "dedup_substring_spans",
     "ann_ivfpq_indexed",
     "ann_ivf_indexed",
+    # r10-green (the round-10 window minus rows-only kmeans_mllib —
+    # checked in CORRECTNESS_r10.json, 49/49 value-hash green; these
+    # are also _CHECK_LAST so the exemption is only load-bearing for
+    # any that the r11 driver window cannot reach):
+    "ann_ivfpq_refined",
+    "ann_ivfpq_refined_recall",
+    "ann_recall_curve",
+    "dedup_lines",
+    "dedup_lines_apply",
+    "image_dhash_pairs",
+    "scan_points",
+    "text_stats",
+    "dataset_mixture",
+    "dataset_mixture_temp",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_winnow",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "text_redact",
+    "dataset_split",
+    "term_lift",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "tpch_q7_volume",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "set_ops_customers",
+    "set_ops_bag",
+    "sample_stratified",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
+    "pq_adc_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_k_core",
 )
 
 _CHECK_LAST = (
-    # the round-9 window (r9-green, freshest evidence — safest past any
-    # cutoff), in its r9 window order:
-    "dedup_semantic_delta",
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
-    "events_anomaly_seasonal",
-    "agg_delta_maintenance",
-    "doc_top_terms",
-    "events_quantile_sketch",
-    "cdc_merge",
-    "bpe_token_stats",
-    "dedup_minhash_pairs",
-    "events_anomaly",
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "sample_init_det",
-    "kmeans_full",
-    "kmeans_mllib_verdict",
-    "filter_valid",
-    "points_csv_scan",
-    "multimodal_checksums",
-    "sketch_cms",
-    "tpch_q15_top_supplier",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    "running_spend",
-    "customer_rank_stats",
-    "events_asof_purchase",
-    "user_funnel",
-    "events_hourly",
-    "events_sessionize",
-    "corpus_stats",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-    "dedup_edit_verify",
-    "dedup_substring_apply",
-    "dedup_substring_spans",
-    "ann_ivfpq_indexed",
-    "ann_ivf_indexed",
+    # the round-10 window (r10-green, freshest evidence — safest past
+    # any cutoff), in its r10 window order:
+    "ann_ivfpq_refined",
+    "ann_ivfpq_refined_recall",
+    "ann_recall_curve",
+    "dedup_lines",
+    "dedup_lines_apply",
+    "image_dhash_pairs",
+    "scan_points",
+    "text_stats",
+    "dataset_mixture",
+    "dataset_mixture_temp",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_winnow",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "text_redact",
+    "dataset_split",
+    "term_lift",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "tpch_q7_volume",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "set_ops_customers",
+    "set_ops_bag",
+    "sample_stratified",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
+    "pq_adc_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_k_core",
 )
 
 
