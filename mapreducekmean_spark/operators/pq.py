@@ -437,28 +437,45 @@ def land_ivfpq_index_points(
     # one task/file per cell regardless of the input's partitioning —
     # same rationale as similarity.land_ivf_index_points
     write_partitioned(cells.repartition("cell"), f"{path}/cells", "cell")
+    # parameter tables land via temp-dir + rename (the
+    # land_ivf_index_points discipline): consumers gate on the tables'
+    # EXISTENCE (contract gates on codebooks; load_index_centroids on
+    # centroids), so a crash mid-write must leave each ABSENT — never
+    # present-but-torn. Codebooks rename LAST: their presence implies
+    # the whole land completed.
+    import os
+    import shutil
+
+    tmp = f"{path}/_centroids_new"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
-        local_rows_df(spark, 
+        local_rows_df(spark,
             [(i, list(map(float, c))) for i, c in enumerate(cents)],
             "cell bigint, centroid array<double>",
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(tmp)
     )
+    shutil.rmtree(f"{path}/centroids", ignore_errors=True)
+    os.rename(tmp, f"{path}/centroids")
     cb_rows = [
         (s, c, [float(v) for v in codebooks[s][c]])
         for s in range(m)
         for c in range(codes_k)
     ]
+    tmp_cb = f"{path}/_codebooks_new"
+    shutil.rmtree(tmp_cb, ignore_errors=True)
     (
-        local_rows_df(spark, 
+        local_rows_df(spark,
             cb_rows, "sub int, code int, vec array<double>"
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/codebooks")
+        .parquet(tmp_cb)
     )
+    shutil.rmtree(f"{path}/codebooks", ignore_errors=True)
+    os.rename(tmp_cb, f"{path}/codebooks")
 
 
 def append_ivfpq_index(
@@ -510,12 +527,22 @@ def _load_ivfpq_params(
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """(centroids, codebooks) of a landed IVF-PQ index — the one copy
     of the codebook-table reconstruction, shared by the query and
-    append paths."""
+    append paths. Completes a crash inside the codebooks rename window
+    of :func:`land_ivfpq_index_points` (the ``load_index_centroids``
+    discipline): the finished table still at its temp name renames
+    into place — by landing order, cells and centroids already
+    landed when the codebooks temp write finished."""
+    import os
+
     from mapreducekmean_spark.operators.similarity import (
         load_index_centroids,
     )
 
     cents = load_index_centroids(spark, path)
+    if not os.path.exists(f"{path}/codebooks") and os.path.exists(
+        f"{path}/_codebooks_new"
+    ):
+        os.rename(f"{path}/_codebooks_new", f"{path}/codebooks")
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = 1 + max(r.sub for r in cb_rows)
     codes_k = 1 + max(r.code for r in cb_rows)
@@ -550,6 +577,7 @@ def ann_ivfpq_indexed(
     k: int = 3,
     nprobe: int | None = None,
     qs: DataFrame | None = None,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """Query the landed IVF-PQ index: probe each query's ``nprobe``
     nearest cells (same probe kernel as the raw-IVF path), build the
@@ -561,7 +589,11 @@ def ann_ivfpq_indexed(
     matches :func:`pq_adc_topk`. ``qs`` overrides the default
     fixture-derived query batch with an explicit ``(q_id, q_emb)``
     frame (bounded — its probed cells collect driver-side), the form
-    an ingest-maintained index is queried with."""
+    an ingest-maintained index is queried with. ``probe_rows`` lets a
+    caller that already ran the probe kernel (the refine tier, which
+    needs the probed cell set for its own raw-store pruning) hand over
+    the collected ``(q_id, cell, q_emb)`` rows so the kernel runs
+    exactly once per serve."""
     from mapreducekmean_spark.operators.similarity import (
         N_PROBE,
         _probe_cells,
@@ -578,8 +610,9 @@ def ann_ivfpq_indexed(
 
     if qs is None:
         qs, _ = _queries_and_points(spark, sf_dir)
-    q_cells = _probe_cells(qs, cents, ncells, nprobe)
-    probe_rows = q_cells.collect()  # ≤ n_queries × nprobe — bounded
+    if probe_rows is None:
+        q_cells = _probe_cells(qs, cents, ncells, nprobe)
+        probe_rows = q_cells.collect()  # ≤ n_queries × nprobe — bounded
     lut_rows = []
     for r in probe_rows:
         res = [a - b for a, b in zip(r.q_emb, cents[r.cell])]
@@ -710,6 +743,7 @@ def ivfpq_refined_topk(
     m_cand: int = REFINE_M,
     nprobe: int | None = None,
     qs: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The IVF-PQ serve path with an EXACT-REFINE tier — the standard
     way a compressed store buys its recall back (Jégou, Douze, Schmid
@@ -734,7 +768,13 @@ def ivfpq_refined_topk(
     fold the DuckDB twin's ``list_sum`` replays bit-identically), ties
     by neighbor id, dist rounded 6 dp. Refined recall ≥ the ADC tier's
     at equal nprobe and is non-decreasing in ``m_cand`` (pinned in
-    tests/test_pq.py)."""
+    tests/test_pq.py).
+
+    ``checkpoint=False`` skips the two execution-sharing
+    localCheckpoints so the full lazy plan stays inspectable (the
+    plan-pin tests read the partition-pruned scans off it); the
+    coverage guard then re-executes the probed scans — keep the
+    default in any serve path."""
     from mapreducekmean_spark.functions.vector import sq_dist
     from mapreducekmean_spark.operators.similarity import (
         N_PROBE,
@@ -761,33 +801,45 @@ def ivfpq_refined_topk(
         )
     if qs is None:
         qs, _ = _queries_and_points(spark, sf_dir)
+    # the probe kernel runs ONCE per serve: its collected rows feed both
+    # the ADC preselect's LUT construction and this tier's own raw-store
+    # partition pruning (≤ queries × nprobe driver rows — bounded).
+    probe_rows = _probe_cells(qs, cents, len(cents), nprobe).collect()
     # stage 1 — compressed preselect: ADC top-m_cand off the codes-only
-    # partition-pruned scan (all the heavy lifting; see ann_ivfpq_indexed)
+    # partition-pruned scan (all the heavy lifting; see ann_ivfpq_indexed).
+    # localCheckpoint (bounded: queries × m_cand two-column rows) so the
+    # scan executes once — the coverage guard below and the returned plan
+    # would otherwise each re-run it (the corpus-proportional stage).
     cand = ann_ivfpq_indexed(
-        spark, sf_dir, pq_path, k=m_cand, nprobe=nprobe, qs=qs
+        spark, sf_dir, pq_path, k=m_cand, nprobe=nprobe, qs=qs,
+        probe_rows=probe_rows,
     ).select("q_id", "neighbor_id")
+    if checkpoint:
+        cand = cand.localCheckpoint()
     # stage 2 — exact re-rank: the candidates' raw vectors live in the
     # probed cells of the paired store (shared quantizer), so the raw
     # scan opens exactly the probed directories; the candidate set is
     # bounded (queries × m_cand), hence broadcast.
-    q_cells = _probe_cells(qs, cents, len(cents), nprobe)
-    probed = sorted(
-        {int(r.cell) for r in q_cells.select("cell").distinct().collect()}
-    )  # bounded: ≤ queries × nprobe driver rows
+    probed = sorted({int(r.cell) for r in probe_rows})
     raw = (
         spark.read.parquet(f"{raw_path}/cells")
         .filter(F.col("cell").isin(probed))
         .select(F.col("vec_id").alias("neighbor_id"), "emb")
     )
+    # localCheckpoint again (bounded: ≤ queries × m_cand rows carrying
+    # two d-width vectors) so the probed raw-cell scan + join executes
+    # once, shared by the coverage count and the final exact ranking.
     pairs = raw.join(F.broadcast(cand), "neighbor_id").join(
         F.broadcast(qs.select("q_id", "q_emb")), "q_id"
     )
+    if checkpoint:
+        pairs = pairs.localCheckpoint()
     # candidate-coverage check: every preselected candidate must find
     # its raw row in the probed directories. A shortfall means the
     # stores drifted (e.g. one side rebalanced without the other —
     # the centroid check above catches table-level drift, this catches
     # row-level drift) and silently refining the covered subset would
-    # quietly degrade the result. Both counts are candidate-bounded.
+    # quietly degrade the result. Both counts read the checkpoints.
     n_cand = cand.count()
     n_cov = pairs.count()
     if n_cov != n_cand:

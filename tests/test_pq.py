@@ -778,10 +778,16 @@ def test_rebalance_ivfpq_refuses_uncovered_raw_source(
 def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
     spark, sf_oracle, tmp_path
 ):
-    """The refine tier's two physical claims: the raw store is read
-    through PartitionFilters on the probed cells (never a full raw
-    scan), and the bounded candidate/query frames reach it as
-    broadcasts — the wide rows that flow are the pruned cells' only."""
+    """The refine tier's physical claims. On the lazy plan
+    (checkpoint=False — the logical shape of what the checkpoints
+    execute): the raw store is read through PartitionFilters on the
+    probed cells (never a full raw scan), and the bounded
+    candidate/query frames reach it as broadcasts — the wide rows
+    that flow are the pruned cells' only. On the default serve plan:
+    NO file scan at all — the coverage guard's counts and the final
+    exact ranking all read the two bounded localCheckpoints, so the
+    probed-cell scans execute exactly once per serve (the r10 verdict
+    found the preselect executing ~3x)."""
     import re
 
     from mapreducekmean_spark.operators import kmeans as km
@@ -806,7 +812,9 @@ def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
         cents=cents,
     )
     plan = formatted_plan(
-        ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
+        ivfpq_refined_topk(
+            spark, sf_oracle, pq_path, raw_path, checkpoint=False
+        )
     )
     # every cells scan (PQ preselect and raw refine) is partition-pruned
     scans = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
@@ -814,6 +822,14 @@ def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
     assert len(cell_scans) >= 2, plan  # codes scan + raw scan
     assert all("cell" in s for s in cell_scans)
     assert "BroadcastHashJoin" in plan
+    # the default serve plan re-reads NOTHING: both stages are bounded
+    # localCheckpoints, so no parquet scan (and no exchange) survives
+    # into the returned plan — the guard counts shared the execution.
+    served = formatted_plan(
+        ivfpq_refined_topk(spark, sf_oracle, pq_path, raw_path)
+    )
+    assert "Scan ExistingRDD" in served, served
+    assert "FileScan" not in served, served
 
 
 def test_refine_lifecycle_rebalance_repair_append_serve(
