@@ -897,6 +897,194 @@ LEFT JOIN re USING (doc_id)
 """
 
 
+def _dedup_lines_nl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py:dedup_lines over line_rows — the PRODUCTION
+    newline path (real corpora's line structure; no framing exchange:
+    split is a narrow per-row projection) driven by the deterministic
+    boilerplate-newline synthesis ``boilerplate_nl_docs`` (each doc =
+    header / body / header-again, the repeated-boilerplate shape C4
+    line dedup exists for — the fixture corpus itself has no
+    newlines, stated there). Complements ``dedup_lines``, which
+    oracle-checks the same dedup over the FRAMED line structure."""
+    return dd.dedup_lines(
+        dd.line_rows(dd.boilerplate_nl_docs(tx.documents(spark, sf_dir)))
+    )
+
+
+def _dedup_lines_nl_sql() -> str:
+    """The newline-path replay: the same header/body/header synthesis
+    (substr + chr(10) concatenation — no regex), a literal newline
+    split with lockstep-range line numbers, then the shared md5 /
+    min-struct first-occurrence arithmetic of ``_dedup_lines_ctes``."""
+    from mapreducekmean_spark.operators.dedup import BOILER_HEAD
+
+    return f"""
+WITH nl AS (
+  SELECT doc_id,
+         substr(text, 1, {BOILER_HEAD}) || chr(10) || text || chr(10) ||
+         substr(text, 1, {BOILER_HEAD}) AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM nl),
+lines AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, len(ls) + 1)) - 1 AS BIGINT) AS line_no,
+         unnest(ls) AS line
+  FROM sp),
+hashed AS MATERIALIZED (
+  SELECT doc_id, line_no, md5(line) AS h FROM lines),
+frst AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, line_no := line_no)) AS k
+  FROM hashed GROUP BY h)
+SELECT x.doc_id, x.line_no, x.h,
+       struct_extract(k, 'doc_id') AS keep_doc_id,
+       struct_extract(k, 'line_no') AS keep_line_no
+FROM hashed x JOIN frst f ON x.h = f.h
+WHERE x.doc_id <> struct_extract(k, 'doc_id')
+   OR x.line_no <> struct_extract(k, 'line_no')
+"""
+
+
+def _audio_fp_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.py:doc_grid_audio_fp + dhash_near_dup_pairs — the
+    perceptual AUDIO near-dup pipeline's distributed arithmetic as a
+    driver-checked row: deterministic token-envelope fingerprint
+    halves (the fixture corpus has no decodable audio payloads; the
+    real WAV/G.711 decode→fingerprint step is pinned in
+    tests/test_edge_cases.py), then the SHARED 4×16-bit banding +
+    bit_count(xor) Hamming verify that serves the image medium —
+    one copy of the matcher plumbing, two media through it."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.dhash_near_dup_pairs(
+        mm.doc_grid_audio_fp(tx.documents(spark, sf_dir))
+    )
+
+
+def _audio_fp_pairs_sql() -> str:
+    """The full audio-fingerprint replay: per-window pseudo-energies
+    (ascii of the w%4-th md5 hex char of the wrapped token), adjacent-
+    comparison bits packed into two 32-bit halves, then the same
+    banding/Hamming tail as the image twin."""
+    from mapreducekmean_spark.multimodal import (
+        DHASH_MAX_HAMMING,
+        FP_WINDOWS,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+cells AS (
+  SELECT doc_id, w,
+    CASE WHEN ascii(substr(md5(toks[CAST(w % len(toks) AS INT) + 1]),
+                    CAST(1 + (w % 4) AS INT), 1))
+            > ascii(substr(md5(toks[CAST((w + 1) % len(toks) AS INT) + 1]),
+                    CAST(1 + ((w + 1) % 4) AS INT), 1))
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM t, range({FP_WINDOWS - 1}) AS ww(w)),
+h AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN w < 32 THEN b << w ELSE 0 END) AS BIGINT) AS dh_hi,
+    CAST(sum(CASE WHEN w >= 32 THEN b << (w - 32) ELSE 0 END)
+         AS BIGINT) AS dh_lo
+  FROM cells GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, dh_hi, dh_lo, k,
+    CASE k WHEN 0 THEN dh_hi // 65536 WHEN 1 THEN dh_hi % 65536
+           WHEN 2 THEN dh_lo // 65536 ELSE dh_lo % 65536 END AS bv
+  FROM h, range(4) AS kk(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dh_hi AS hi_a, a.dh_lo AS lo_a,
+         b.dh_hi AS hi_b, b.dh_lo AS lo_b
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {DHASH_MAX_HAMMING}
+"""
+
+
+def _video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.py:doc_grid_video_dhash + video_near_dup_pairs — the
+    clip-level VIDEO near-dup pipeline as a driver-checked row: every
+    doc plays a clip of GRID_FRAMES frame-salted deterministic grid
+    dHashes (the fixture corpus has no decodable video payloads; the
+    real Y4M decode→hash path is pinned in pytest), frames match by
+    the shared banding + Hamming verify, clips pair on the
+    ``min_shared`` frame vote — the full frame→clip aggregation the
+    production path runs."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.video_near_dup_pairs(
+        mm.doc_grid_video_dhash(tx.documents(spark, sf_dir))
+    )
+
+
+def _video_near_dup_pairs_sql() -> str:
+    """The clip near-dup replay: frame-salted token grids (md5 of
+    ``tok || ':' || frame``), per-frame halves, banding keyed by
+    (clip, frame), Hamming verify, then the distinct-frame-pair count
+    per clip pair with the min_shared cut."""
+    from mapreducekmean_spark.multimodal import (
+        DHASH_COLS,
+        DHASH_MAX_HAMMING,
+        DHASH_ROWS,
+        GRID_FRAMES,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id AS asset_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+cells AS (
+  SELECT asset_id, f, r, c,
+    CASE WHEN ascii(substr(md5(
+              toks[CAST((9*r + c) % len(toks) AS INT) + 1]
+              || ':' || CAST(f AS VARCHAR)),
+            CAST(1 + (r % 4) AS INT), 1))
+            > ascii(substr(md5(
+              toks[CAST((9*r + c + 1) % len(toks) AS INT) + 1]
+              || ':' || CAST(f AS VARCHAR)),
+            CAST(1 + (r % 4) AS INT), 1))
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM t, range({GRID_FRAMES}) AS ff(f),
+       range({DHASH_ROWS}) AS rr(r), range({DHASH_COLS}) AS cc(c)),
+h AS MATERIALIZED (
+  SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+    CAST(sum(CASE WHEN r < 4 THEN b << (r * {DHASH_COLS} + c)
+                  ELSE 0 END) AS BIGINT) AS dh_hi,
+    CAST(sum(CASE WHEN r >= 4 THEN b << ((r - 4) * {DHASH_COLS} + c)
+                  ELSE 0 END) AS BIGINT) AS dh_lo
+  FROM cells GROUP BY asset_id, f),
+bands AS (
+  SELECT asset_id, frame_idx, dh_hi, dh_lo, k,
+    CASE k WHEN 0 THEN dh_hi // 65536 WHEN 1 THEN dh_hi % 65536
+           WHEN 2 THEN dh_lo // 65536 ELSE dh_lo % 65536 END AS bv
+  FROM h, range(4) AS kk(k)),
+cand AS (
+  SELECT DISTINCT a.asset_id AS clip_a, a.frame_idx AS fa,
+         b.asset_id AS clip_b, b.frame_idx AS fb,
+         a.dh_hi AS hi_a, a.dh_lo AS lo_a,
+         b.dh_hi AS hi_b, b.dh_lo AS lo_b
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+  WHERE a.asset_id < b.asset_id),
+matched AS (
+  SELECT clip_a, fa, clip_b, fb FROM cand
+  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+        <= {DHASH_MAX_HAMMING})
+SELECT clip_a, clip_b, CAST(count(*) AS BIGINT) AS n_matched
+FROM matched GROUP BY clip_a, clip_b
+HAVING count(*) >= 2
+"""
+
+
 def _rep_span_sql() -> str:
     """dedup.repeated_ngram_spans as one DuckDB statement: positional
     n-grams (two lockstep unnests give the gram and its 1-based start),
@@ -2620,6 +2808,28 @@ FROM per_cell CROSS JOIN tot
 """
 
 
+def _ivfpq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py:ivf_index_stats over the landed IVF-PQ
+    store — the occupancy/monitoring row for the COMPRESSED index (the
+    trigger signal ``rebalance_ivfpq_cells`` acts on), read off the
+    codes-only ``cells`` scan: the raw-IVF and IVF-PQ stores share the
+    ``cells/cell=`` layout, so one copy of the stats operator serves
+    both. Both contract stores are landed under the same deterministic
+    k-sample quantizer, so these counts equalling ``ivf_cell_stats``'
+    is the refine tier's pairing invariant made visible — the oracle
+    is the same assign-CTE group-by for exactly that reason."""
+    from mapreducekmean_spark.operators import pq
+
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"ivfpq_{tag}")
+    if not os.path.exists(os.path.join(path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, path)
+    return sim.ivf_index_stats(spark, path)
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(spark, sf_dir)
 
@@ -3579,11 +3789,17 @@ FROM documents
             "image_dhash_pairs", _image_dhash_pairs_q,
             _image_dhash_pairs_sql(),
         ),
+        Query("audio_fp_pairs", _audio_fp_pairs_q, _audio_fp_pairs_sql()),
+        Query(
+            "video_near_dup_pairs", _video_near_dup_pairs_q,
+            _video_near_dup_pairs_sql(),
+        ),
         Query("dedup_lines", _dedup_lines_q, _dedup_lines_sql()),
         Query(
             "dedup_lines_apply", _dedup_lines_apply_q,
             _dedup_lines_apply_sql(),
         ),
+        Query("dedup_lines_nl", _dedup_lines_nl_q, _dedup_lines_nl_sql()),
         Query("dedup_minhash_sig", _minhash_sig, _minhash_sig_sql()),
         Query("dedup_minhash", _minhash_bands, _minhash_bands_sql()),
         Query("dedup_minhash_pairs", _minhash_pairs, _minhash_pairs_sql()),
@@ -3609,6 +3825,7 @@ FROM documents
             _ann_recall_curve_sql(),
         ),
         Query("ivf_cell_stats", _ivf_cell_stats, _IVF_CELL_STATS_SQL),
+        Query("ivfpq_cell_stats", _ivfpq_cell_stats, _IVF_CELL_STATS_SQL),
         Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
             "ann_lsh",
@@ -5049,6 +5266,10 @@ _CHECK_FIRST = (
     # order and re-enters in round 12.
     # round-11 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
+    "audio_fp_pairs",
+    "video_near_dup_pairs",
+    "dedup_lines_nl",
+    "ivfpq_cell_stats",
     # r8-vintage block (oldest evidence — highest audit priority;
     # events_gapfill first, named by the r10 verdict):
     "events_gapfill",

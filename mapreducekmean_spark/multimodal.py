@@ -1797,6 +1797,174 @@ def doc_grid_dhash(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_grid_audio_fp(docs: DataFrame) -> DataFrame:
+    """The ORACLE-FACING planning slice of the AUDIO fingerprint
+    pipeline (the :func:`doc_grid_dhash` precedent, one medium over):
+    a deterministic ``FP_WINDOWS``-window pseudo-energy envelope
+    synthesized from each document's token stream (energy of window j
+    = ascii of the ``j % 4``-th md5 hex char of the token at the
+    wrapped position — identical integers in Spark and DuckDB), then
+    the exact adjacent-comparison bit/packing arithmetic of
+    :func:`_audio_fp_halves` as codegen'd SQL: bit w set when
+    energy[w] > energy[w+1], bits 0..31 → ``dh_hi``, 32..63 →
+    ``dh_lo``. The fixture corpus has no decodable audio payloads, so
+    this slice lets the driver value-hash the ENTIRE distributed
+    pipeline (envelope → bits → halves → the SHARED
+    ``dhash_near_dup_pairs`` banding → Hamming verify) while the real
+    decode→fingerprint step is pinned in pytest over the real
+    WAV/G.711 codecs (tests/test_edge_cases.py). Output
+    ``(doc_id, dh_hi, dh_lo)`` — the matcher's input shape, so one
+    copy of the banding/verify plumbing serves synthetic and decoded
+    fingerprints alike."""
+    from mapreducekmean_spark.operators.text import tokens
+
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    cells = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(FP_WINDOWS - 2))
+        ).alias("w"),
+    )
+
+    def energy(col_expr):
+        return F.ascii(
+            F.substring(
+                F.md5(
+                    F.element_at(
+                        F.col("toks"),
+                        (col_expr % F.size("toks") + 1).cast("int"),
+                    )
+                ),
+                (col_expr % 4 + 1).cast("int"),
+                1,
+            )
+        )
+
+    bit = (energy(F.col("w")) > energy(F.col("w") + 1)).cast("bigint")
+    cells = cells.select("doc_id", "w", bit.alias("b"))
+    return cells.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") < 32, F.expr("shiftleft(b, w)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("dh_hi"),
+        F.sum(
+            F.when(
+                F.col("w") >= 32, F.expr("shiftleft(b, w - 32)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dh_lo"),
+    )
+
+
+#: Synthetic frame count for the video oracle slice: every doc plays
+#: the part of a clip with GRID_FRAMES sampled frames (the real path
+#: samples every 5th decoded frame; the slice's frames are already
+#: "sampled").
+GRID_FRAMES = 3
+
+
+def doc_grid_video_dhash(
+    docs: DataFrame, n_frames: int = GRID_FRAMES
+) -> DataFrame:
+    """The ORACLE-FACING planning slice of the VIDEO near-dup
+    pipeline: each document plays a clip of ``n_frames`` sampled
+    frames, every frame an 8×9 deterministic grid dHash where the
+    'luma' is the ascii of an md5 hex char of the frame-SALTED token
+    (``md5(tok || ':' || frame_idx)`` — frames of one clip differ, the
+    same frame of an exact-dup clip matches bit-identically). The
+    fixture corpus has no decodable video payloads, so this slice lets
+    the driver value-hash the ENTIRE distributed clip pipeline (frame
+    grids → per-frame halves → :func:`video_near_dup_pairs`' banding,
+    Hamming verify, and min_shared clip vote) while the real
+    decode→hash step (:func:`video_dhash` over Y4M) is pinned in
+    pytest. Output matches ``video_dhash``'s schema
+    ``(asset_id, frame_idx, ok, dh_hi, dh_lo)``."""
+    from mapreducekmean_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col("doc_id").alias("asset_id"), tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    cells = (
+        t.select(
+            "asset_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_frames) - 1))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            "toks",
+            "frame_idx",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(DHASH_ROWS - 1))
+            ).alias("r"),
+        )
+        .select(
+            "asset_id",
+            "toks",
+            "frame_idx",
+            "r",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(DHASH_COLS - 1))
+            ).alias("c"),
+        )
+    )
+
+    def px(col_expr):
+        return F.ascii(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.element_at(
+                            F.col("toks"),
+                            (col_expr % F.size("toks") + 1).cast("int"),
+                        ),
+                        F.col("frame_idx").cast("string"),
+                    )
+                ),
+                F.col("r") % 4 + 1,
+                1,
+            )
+        )
+
+    pos = F.lit(9) * F.col("r") + F.col("c")
+    bit = (px(pos) > px(pos + 1)).cast("bigint")
+    cells = cells.select("asset_id", "frame_idx", "r", "c", bit.alias("b"))
+    return cells.groupBy("asset_id", "frame_idx").agg(
+        F.sum(
+            F.when(
+                F.col("r") < 4,
+                F.expr(f"shiftleft(b, r * {DHASH_COLS} + c)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dh_hi"),
+        F.sum(
+            F.when(
+                F.col("r") >= 4,
+                F.expr(f"shiftleft(b, (r - 4) * {DHASH_COLS} + c)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dh_lo"),
+    ).select(
+        "asset_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lit(True).alias("ok"),
+        "dh_hi",
+        "dh_lo",
+    )
+
+
 #: Audio fingerprint frame count: FP_WINDOWS energy windows → 64
 #: adjacent-comparison bits, carried as the same two 32-bit halves the
 #: image dHash uses, so ``dhash_near_dup_pairs`` matches either medium.

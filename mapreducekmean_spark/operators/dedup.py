@@ -1074,6 +1074,29 @@ def line_rows(docs: DataFrame, delim: str = "\n") -> DataFrame:
              "line")
 
 
+#: Header width (chars) of the synthetic boilerplate-newline corpus.
+BOILER_HEAD = 120
+
+
+def boilerplate_nl_docs(docs: DataFrame, head: int = BOILER_HEAD) -> DataFrame:
+    """Deterministic NEWLINE-BEARING twin of the fixture corpus — the
+    oracle-facing synthesis that lets the driver value-hash the real
+    newline path (:func:`line_rows`, which real corpora use and which
+    needs NO framing exchange). Each document becomes three lines: a
+    ``head``-char header, the body, and the header AGAIN — the classic
+    repeated-boilerplate shape C4-style line dedup exists for (Raffel
+    et al. 2020): the repeated header is removed within every doc, and
+    an exact-dup doc loses all its lines to the first copy. Pure
+    string concatenation (``substring`` + ``concat_ws`` — no regex),
+    so the DuckDB twin replays it bit-identically. One narrow
+    projection, no shuffle."""
+    hd = F.substring("text", 1, int(head))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", hd, F.col("text"), hd).alias("text"),
+    )
+
+
 def framed_line_rows(docs: DataFrame, win: int = LINE_WIN) -> DataFrame:
     """``(doc_id, line_no, line)`` by FIXED ``win``-token framing — the
     line structure for corpora whose documents have no newlines (the

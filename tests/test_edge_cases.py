@@ -1141,6 +1141,81 @@ def test_doc_grid_dhash_matches_python_reference(spark):
         assert got[did] == (hi, lo), did
 
 
+def test_doc_grid_audio_fp_matches_python_reference(spark):
+    """The oracle-facing audio envelope replays the documented
+    arithmetic exactly: a pure-Python recomputation over the same
+    tokens equals the distributed halves for every doc — and the
+    halves ride the SHARED dhash_near_dup_pairs matcher (exact-dup
+    docs pair at Hamming 0)."""
+    import hashlib
+
+    from mapreducekmean_spark import multimodal as mm
+
+    texts = {1: "alpha beta gamma delta", 2: "one two", 3: "alpha beta gamma delta"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.dh_hi, r.dh_lo)
+        for r in mm.doc_grid_audio_fp(docs).collect()
+    }
+    for did, text in texts.items():
+        toks = text.split()
+
+        def e(j):
+            tok = toks[j % len(toks)]
+            return ord(hashlib.md5(tok.encode()).hexdigest()[j % 4])
+
+        hi = lo = 0
+        for w in range(mm.FP_WINDOWS - 1):
+            b = 1 if e(w) > e(w + 1) else 0
+            if w < 32:
+                hi |= b << w
+            else:
+                lo |= b << (w - 32)
+        assert got[did] == (hi, lo), did
+    pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.dhash_near_dup_pairs(
+            mm.doc_grid_audio_fp(docs)
+        ).collect()
+    }
+    assert (1, 3, 0) in pairs
+    assert not any(2 in (a, b) for a, b, _ in pairs)
+
+
+def test_doc_grid_video_dhash_clip_vote(spark):
+    """The oracle-facing clip slice: frame-salted grids make the SAME
+    frame of an exact-dup clip match bit-identically while different
+    frames of one clip differ, so the min_shared vote fires with
+    n_matched == GRID_FRAMES for exact dups and an unrelated clip
+    stays unpaired."""
+    from mapreducekmean_spark import multimodal as mm
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely different token stream")],
+        "doc_id bigint, text string",
+    )
+    h = mm.doc_grid_video_dhash(docs)
+    rows = {(r.asset_id, r.frame_idx): (r.dh_hi, r.dh_lo)
+            for r in h.collect()}
+    assert len(rows) == 3 * mm.GRID_FRAMES and all(
+        r is not None for r in rows.values()
+    )
+    # frame salt: frames within one clip differ...
+    assert rows[(1, 0)] != rows[(1, 1)]
+    # ...while the same frame of the exact-dup clip matches exactly
+    for f in range(mm.GRID_FRAMES):
+        assert rows[(1, f)] == rows[(2, f)]
+    pairs = {
+        (r.clip_a, r.clip_b): r.n_matched
+        for r in mm.video_near_dup_pairs(h).collect()
+    }
+    assert pairs[(1, 2)] == mm.GRID_FRAMES
+    assert not any(3 in p for p in pairs)
+
+
 def test_audio_fingerprint_survives_g711_reencoding(spark):
     """The audio near-dup pin (the image test's twin): the SAME
     samples encoded as PCM-16, A-law, and μ-law WAVs fingerprint

@@ -284,6 +284,56 @@ def test_dedup_lines_removes_boilerplate_corpus_wide(spark):
     assert out[4] == (1, 0, "zeta eta")
 
 
+def test_boilerplate_nl_docs_drives_the_real_newline_path(spark):
+    """The oracle-facing newline synthesis: each doc becomes
+    header/body/header-again, the repeated header is removed within
+    every doc, an exact-dup doc loses ALL its lines to the first copy
+    — and the line derivation itself is the PRODUCTION ``line_rows``
+    split: a narrow projection with NO exchange (the framed path pays
+    one), pinned on the physical plan."""
+    from mapreducekmean_spark.operators.dedup import (
+        boilerplate_nl_docs,
+        dedup_lines,
+        framed_line_rows,
+        line_rows,
+    )
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    long_a = "alpha beta gamma " * 20  # > BOILER_HEAD chars
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, "tiny")],
+        "doc_id bigint, text string",
+    )
+    nl = boilerplate_nl_docs(docs)
+    lines = {
+        (r.doc_id, r.line_no): r.line for r in line_rows(nl).collect()
+    }
+    # three lines per doc; header repeats at line 2
+    assert lines[(1, 0)] == long_a[:120]
+    assert lines[(1, 1)] == long_a
+    assert lines[(1, 2)] == long_a[:120]
+    removed = {
+        (r.doc_id, r.line_no, r.keep_doc_id, r.keep_line_no)
+        for r in dedup_lines(line_rows(nl)).collect()
+    }
+    # doc 1: repeated header → line 2 removed; doc 2 (exact dup of 1):
+    # all three lines removed toward doc 1; doc 3: text < head chars,
+    # so header == body == header — lines 1 and 2 removed within-doc.
+    assert removed == {
+        (1, 2, 1, 0),
+        (2, 0, 1, 0),
+        (2, 1, 1, 1),
+        (2, 2, 1, 0),
+        (3, 1, 3, 0),
+        (3, 2, 3, 0),
+    }
+    # the plan pin: the real-newline line derivation shuffles NOTHING
+    # (scan → project → generate), while the framed derivation pays
+    # its doc/line groupBy exchange.
+    assert "Exchange" not in formatted_plan(line_rows(nl))
+    assert "Exchange" in formatted_plan(framed_line_rows(docs))
+
+
 def test_framed_line_rows_partitions_the_token_stream(spark):
     """The fixture-corpus line derivation: fixed win-token frames in
     position order, short trailing frame kept, and the apply round-trip

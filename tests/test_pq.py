@@ -775,6 +775,42 @@ def test_rebalance_ivfpq_refuses_uncovered_raw_source(
     assert a == b
 
 
+def test_ivfpq_cell_stats_shared_layout_and_pairing(
+    spark, sf_oracle, tmp_path
+):
+    """ivf_index_stats serves the COMPRESSED store through the shared
+    ``cells/cell=`` layout: per-cell counts off the codes-only scan
+    equal the PAIRED raw store's (the refine tier's pairing invariant
+    made visible — same quantizer, same assignment, same occupancy),
+    and the stats scan reads NO data columns at all — only the cell
+    partition column reaches the aggregate."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        ivf_index_stats,
+        land_ivf_index_points,
+    )
+    from mapreducekmean_spark.plans.inspect import formatted_plan
+
+    pq_path, raw_path = str(tmp_path / "pq"), str(tmp_path / "raw")
+    land_ivfpq_index(spark, sf_oracle, pq_path)
+    cents, _cb = _load_ivfpq_params(spark, pq_path)
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sf_oracle).select("vec_id", "emb"),
+        raw_path,
+        cents=cents,
+    )
+    a = sorted(tuple(r) for r in ivf_index_stats(spark, pq_path).collect())
+    b = sorted(tuple(r) for r in ivf_index_stats(spark, raw_path).collect())
+    assert a == b and len(a) > 0
+    plan = formatted_plan(ivf_index_stats(spark, pq_path))
+    assert "ReadSchema: struct<>" in plan  # codes bytes never read
+
+
 def test_refined_plan_prunes_raw_scan_and_broadcasts_candidates(
     spark, sf_oracle, tmp_path
 ):
