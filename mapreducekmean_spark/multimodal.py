@@ -1663,8 +1663,22 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     )
 
 
+#: Band buckets larger than this degrade from the candidate clique to
+#: a star on the bucket's minimum id — the LSH_MAX_BUCKET discipline
+#: (operators/dedup.py) applied to the dHash matchers: a duplicate
+#: flood (thousands of byte-identical images/clips, or a degenerate
+#: low-entropy corpus) otherwise makes the (band, value) self-join
+#: quadratic in the hot bucket. Star edges are lossless for the mass
+#: that causes them (identical hashes verify at Hamming 0 against the
+#: center, and cluster through it); only non-center edges of an
+#: OVERSIZED bucket are dropped — pinned in tests/test_edge_cases.py.
+DHASH_MAX_BUCKET = 1024
+
+
 def dhash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+    hashes: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    max_bucket_rows: int = DHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Banded near-dup pair generation over dHash halves — the image
     twin of MinHash LSH, riding the same economics: each hash explodes
@@ -1675,12 +1689,26 @@ def dhash_near_dup_pairs(
     pair within distance 3 shares a band; 4..max_hamming pairs are
     found when some band is untouched (stated LSH recall trade).
 
+    Hot-bucket guard (the ``minhash_candidate_pairs`` discipline):
+    buckets over ``max_bucket_rows`` degrade from clique to a STAR on
+    the bucket's minimum id — linear in bucket size. The oversized-
+    bucket list is one map-side-combinable aggregate over the
+    checkpointed hashes, collected driver-side (bounded:
+    ≤ 4·rows/cap entries, zero on any realistic corpus — real dHash
+    bands are near-uniform 16-bit values; the flood case is thousands
+    of IDENTICAL hashes, where the star is lossless through the
+    Hamming-0 center). The hash frame localCheckpoints first so the
+    upstream pipeline (grid synthesis or decode) runs once, not once
+    per self-join subtree plus once for the guard.
+
     Input needs ``(id_col, dh_hi, dh_lo)`` with the id in the first
     column; output ``(doc_a, doc_b, hamming)``, doc_a < doc_b."""
     id_col = hashes.columns[0]
-    h = hashes.select(
-        F.col(id_col).alias("_id"), "dh_hi", "dh_lo"
-    ).filter(F.col("dh_hi").isNotNull())
+    h = (
+        hashes.select(F.col(id_col).alias("_id"), "dh_hi", "dh_lo")
+        .filter(F.col("dh_hi").isNotNull())
+        .localCheckpoint()
+    )
     bands = h.select(
         "_id",
         "dh_hi",
@@ -1694,14 +1722,37 @@ def dhash_near_dup_pairs(
         .otherwise(F.col("dh_lo") % 65536)
         .cast("bigint"),
     )
-    a = bands.select(
+    # bounded driver state: ≤ 4·rows / max_bucket_rows entries
+    over_rows = (
+        bands.groupBy("k", "bv")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("_id", "dh_hi", "dh_lo")).alias("canon"),
+        )
+        .filter(F.col("n") > int(max_bucket_rows))
+        .collect()
+    )
+    small = bands
+    if over_rows:
+        over = bands.sparkSession.createDataFrame(
+            [
+                (r["k"], r["bv"], r["canon"]["_id"],
+                 r["canon"]["dh_hi"], r["canon"]["dh_lo"])
+                for r in over_rows
+            ],
+            "k int, bv bigint, c_id bigint, c_hi bigint, c_lo bigint",
+        )
+        small = bands.join(
+            F.broadcast(over.select("k", "bv")), ["k", "bv"], "left_anti"
+        )
+    a = small.select(
         F.col("_id").alias("doc_a"),
         F.col("dh_hi").alias("hi_a"),
         F.col("dh_lo").alias("lo_a"),
         "k",
         "bv",
     )
-    b = bands.select(
+    b = small.select(
         F.col("_id").alias("doc_b"),
         F.col("dh_hi").alias("hi_b"),
         F.col("dh_lo").alias("lo_b"),
@@ -1712,8 +1763,24 @@ def dhash_near_dup_pairs(
         a.join(b, ["k", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
     )
+    if over_rows:
+        # star: every member of an oversized bucket pairs with the
+        # bucket's min id (canon < member by construction)
+        star = (
+            bands.join(F.broadcast(over), ["k", "bv"])
+            .filter(F.col("_id") != F.col("c_id"))
+            .select(
+                F.col("c_id").alias("doc_a"),
+                F.col("_id").alias("doc_b"),
+                F.col("c_hi").alias("hi_a"),
+                F.col("c_lo").alias("lo_a"),
+                F.col("dh_hi").alias("hi_b"),
+                F.col("dh_lo").alias("lo_b"),
+            )
+        )
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     ham = (
         F.bit_count(F.expr("hi_a ^ hi_b"))
         + F.bit_count(F.expr("lo_a ^ lo_b"))
@@ -2082,6 +2149,7 @@ def video_near_dup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = DHASH_MAX_HAMMING,
     min_shared: int = 2,
+    max_bucket_rows: int = DHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Clip-level near-dup from frame-level evidence: two clips pair
     when at least ``min_shared`` of their sampled frames match within
@@ -2091,9 +2159,19 @@ def video_near_dup_pairs(
     + ``bit_count(xor)`` verify as :func:`dhash_near_dup_pairs`, keyed
     by (clip, frame); the clip verdict is one ``groupBy`` over the
     verified frame pairs. Output ``(clip_a, clip_b, n_matched)``,
-    clip_a < clip_b."""
-    h = frame_hashes.filter(F.col("ok")).select(
-        "asset_id", "frame_idx", "dh_hi", "dh_lo"
+    clip_a < clip_b.
+
+    Hot-bucket guard: identical to :func:`dhash_near_dup_pairs` —
+    buckets over ``max_bucket_rows`` degrade to a star on the
+    bucket's minimum (asset_id, frame_idx); a clip flood (thousands
+    of byte-identical clips) stays linear, and the flood's clips
+    still pair through the center clip (every one of its frames
+    verifies at Hamming 0 against the center's same frame, so
+    ``n_matched`` reaches the vote threshold through the star)."""
+    h = (
+        frame_hashes.filter(F.col("ok"))
+        .select("asset_id", "frame_idx", "dh_hi", "dh_lo")
+        .localCheckpoint()
     )
     bands = h.select(
         "asset_id",
@@ -2109,7 +2187,34 @@ def video_near_dup_pairs(
         .otherwise(F.col("dh_lo") % 65536)
         .cast("bigint"),
     )
-    a = bands.select(
+    # bounded driver state: ≤ 4·frame_rows / max_bucket_rows entries
+    over_rows = (
+        bands.groupBy("k", "bv")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.struct("asset_id", "frame_idx", "dh_hi", "dh_lo")
+            ).alias("canon"),
+        )
+        .filter(F.col("n") > int(max_bucket_rows))
+        .collect()
+    )
+    small = bands
+    if over_rows:
+        over = bands.sparkSession.createDataFrame(
+            [
+                (r["k"], r["bv"], r["canon"]["asset_id"],
+                 r["canon"]["frame_idx"], r["canon"]["dh_hi"],
+                 r["canon"]["dh_lo"])
+                for r in over_rows
+            ],
+            "k int, bv bigint, c_clip bigint, c_frame bigint,"
+            " c_hi bigint, c_lo bigint",
+        )
+        small = bands.join(
+            F.broadcast(over.select("k", "bv")), ["k", "bv"], "left_anti"
+        )
+    a = small.select(
         F.col("asset_id").alias("clip_a"),
         F.col("frame_idx").alias("fa"),
         F.col("dh_hi").alias("hi_a"),
@@ -2117,7 +2222,7 @@ def video_near_dup_pairs(
         "k",
         "bv",
     )
-    b = bands.select(
+    b = small.select(
         F.col("asset_id").alias("clip_b"),
         F.col("frame_idx").alias("fb"),
         F.col("dh_hi").alias("hi_b"),
@@ -2125,12 +2230,33 @@ def video_near_dup_pairs(
         "k",
         "bv",
     )
-    matched = (
+    cand = (
         a.join(b, ["k", "bv"])
         .filter(F.col("clip_a") < F.col("clip_b"))
         .select("clip_a", "fa", "clip_b", "fb",
                 "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
+    )
+    if over_rows:
+        # star: members of an oversized bucket pair with the bucket's
+        # min (clip, frame); the center clip has the bucket-min
+        # asset_id, so orientation needs only the same-clip drop
+        star = (
+            bands.join(F.broadcast(over), ["k", "bv"])
+            .filter(F.col("asset_id") != F.col("c_clip"))
+            .select(
+                F.col("c_clip").alias("clip_a"),
+                F.col("c_frame").alias("fa"),
+                F.col("asset_id").alias("clip_b"),
+                F.col("frame_idx").alias("fb"),
+                F.col("c_hi").alias("hi_a"),
+                F.col("c_lo").alias("lo_a"),
+                F.col("dh_hi").alias("hi_b"),
+                F.col("dh_lo").alias("lo_b"),
+            )
+        )
+        cand = cand.unionByName(star)
+    matched = (
+        cand.distinct()
         .withColumn(
             "hamming",
             (

@@ -1354,3 +1354,85 @@ def test_video_near_dup_finds_reencoded_and_trimmed_clips(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_dhash_hot_bucket_guard_degrades_to_star(spark):
+    """The dHash matchers' hot-bucket guard (the minhash_candidate_pairs
+    discipline): a flood of identical hashes — the duplicate-explosion
+    case that makes the (band, value) self-join quadratic — degrades to
+    a STAR on the bucket-min id (linear, every member still pairs with
+    the center at Hamming 0), while a corpus with every bucket under the
+    cap produces output IDENTICAL to the uncapped clique."""
+    from mapreducekmean_spark import multimodal as mm
+
+    # 40 identical hashes (the flood) + one near-dup pair clear of it
+    flood = [(i, 0x1234_5678_0000_0000 % (1 << 62), 0xABCD) for i in range(40)]
+    pair = [(100, 7 << 32, 9), (101, 7 << 32, 8)]  # hamming 2 (9^8=1... bits)
+    hashes = spark.createDataFrame(
+        flood + pair, "doc_id bigint, dh_hi bigint, dh_lo bigint"
+    )
+
+    starred = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm.dhash_near_dup_pairs(
+            hashes, max_bucket_rows=8
+        ).collect()
+    }
+    # flood: exactly n-1 star edges, all centered on the min id, Hamming 0
+    flood_edges = {p for p in starred if p[1] < 100}
+    assert flood_edges == {(0, j) for j in range(1, 40)}
+    assert all(starred[p] == 0 for p in flood_edges)
+    # the under-cap pair is untouched by the guard
+    assert (100, 101) in starred
+
+    # equivalence pin: all buckets under the cap -> identical output
+    capped = sorted(
+        map(tuple, mm.dhash_near_dup_pairs(hashes).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            mm.dhash_near_dup_pairs(
+                hashes, max_bucket_rows=1 << 40
+            ).collect(),
+        )
+    )
+    assert capped == uncapped
+
+
+def test_video_hot_bucket_guard_clip_flood_stays_linear(spark):
+    """A clip flood (30 byte-identical clips) trips the video matcher's
+    hot-bucket guard: per-frame buckets degrade to a star on the
+    bucket-min (clip, frame), yet every flood clip still reaches the
+    vote threshold through the center clip (n_matched = all frames at
+    Hamming 0) — the star is lossless for the mass that causes it."""
+    from mapreducekmean_spark import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta same clip") for i in range(30)]
+        + [(200, "unrelated text entirely different tokens")],
+        "doc_id bigint, text string",
+    )
+    fh = mm.doc_grid_video_dhash(docs)
+    pairs = {
+        (r.clip_a, r.clip_b): r.n_matched
+        for r in mm.video_near_dup_pairs(fh, max_bucket_rows=8).collect()
+    }
+    # star edges only: center clip 0 vs each flood member, full vote
+    assert set(pairs) == {(0, j) for j in range(1, 30)}
+    assert all(n == mm.GRID_FRAMES for n in pairs.values())
+
+    # equivalence pin: under-cap corpus -> identical to uncapped
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other")],
+        "doc_id bigint, text string",
+    )
+    sh = mm.doc_grid_video_dhash(small)
+    capped = sorted(map(tuple, mm.video_near_dup_pairs(sh).collect()))
+    uncapped = sorted(
+        map(
+            tuple,
+            mm.video_near_dup_pairs(sh, max_bucket_rows=1 << 40).collect(),
+        )
+    )
+    assert capped == uncapped == [(1, 2, mm.GRID_FRAMES)]
