@@ -485,6 +485,190 @@ FROM s
 """
 
 
+#: Shared quality-score CTE chain (the _QUALITY_SQL internals up to the
+#: per-doc 6-dp score), parameterized over the source relation — reused
+#: by the round-11 quality-aware queries so the score arithmetic cannot
+#: drift between oracles.
+def _quality_ctes(src: str = "documents") -> str:
+    return f"""t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM {src}
+),
+qc AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS nch,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           AS alpha_chars,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS avg_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tok >= 10 AND n_tok <= 1000
+                 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN avg_tok >= 2.0 AND avg_tok <= 12.0
+                 THEN 0.25 ELSE 0.0 END)
+         + least(ttr, 1.0) * 0.25
+         + (CAST(alpha_chars AS DOUBLE) / nch) * 0.25, 6) AS quality
+  FROM qc
+)"""
+
+
+#: mirrors text.chunk_documents (size 64, stride 48): DuckDB list_slice
+#: is 1-based inclusive-of-end, Spark's slice takes (start, length) —
+#: least(start+63, n_tok) makes them the same window.
+_DOC_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+  FROM t WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(range(0, CAST(floor((n_tok - 1) / 48) AS BIGINT) + 1))
+           AS chunk_id
+  FROM d
+),
+s AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(chunk_id * 48 + 1 AS BIGINT) AS start_tok,
+         list_slice(toks, chunk_id * 48 + 1,
+                    least(chunk_id * 48 + 64, n_tok)) AS chunk
+  FROM c
+)
+SELECT doc_id, chunk_id, start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM s
+"""
+
+#: mirrors text.domain_quality_filter (drop_frac 0.25): threshold = the
+#: smallest (source, quality) level whose ascending cumulative count
+#: reaches ceil(0.25 * n_source); ties at the threshold kept.
+_DOMAIN_QUALITY_FILTER_SQL = f"""
+WITH {_quality_ctes()},
+d AS (
+  SELECT documents.doc_id, source, quality
+  FROM documents JOIN q USING (doc_id)
+),
+levels AS (
+  SELECT source, quality, count(*) AS n
+  FROM d GROUP BY source, quality
+),
+lv AS (
+  SELECT source, quality,
+         sum(n) OVER (PARTITION BY source ORDER BY quality
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         ceil(sum(n) OVER (PARTITION BY source) * 0.25) AS k
+  FROM levels
+),
+thr AS (
+  SELECT source, min(quality) AS q_thr
+  FROM lv WHERE cum >= k GROUP BY source
+)
+SELECT d.doc_id, d.source, d.quality, thr.q_thr
+FROM d JOIN thr USING (source)
+WHERE d.quality >= thr.q_thr
+"""
+
+#: mirrors dedup.dedup_apply_best over the synthesized dup corpus (the
+#: fixtures have zero exact-dup groups, so the declared row unions in
+#: deterministic twins: a whitespace-PADDED copy of every 5th doc
+#: (same normalized content, strictly lower alpha_ratio → loses) and a
+#: whitespace-COLLAPSED copy of every 10th (higher-or-equal quality →
+#: wins, or ties back to the original's smaller doc_id): the
+#: quality-argmax genuinely decides winners in both engines — the
+#: doc_grid_dhash in-query-synthesis precedent.
+_DEDUP_APPLY_BEST_SQL = rf"""
+WITH shifted AS (
+  -- content-shifted base whose ORIGINAL is not in its group: its two
+  -- synthesized copies alone form the group, and the higher-id clean
+  -- copy must beat the lower-id padded one — a min-id-ordering bug
+  -- cannot fake this
+  SELECT doc_id, text || ' zz9filler' AS text
+  FROM documents WHERE doc_id % 9 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, '  ' || text || '   ' AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id, '  ' || text || '   ' AS text
+  FROM shifted
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, text FROM shifted
+),
+{_quality_ctes('corpus')},
+h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS content_hash
+  FROM corpus
+),
+j AS (
+  SELECT h.doc_id, content_hash, quality
+  FROM h JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, content_hash, quality,
+         row_number() OVER (
+           PARTITION BY content_hash
+           ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rk,
+         CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+           AS n_copies
+  FROM j
+)
+SELECT doc_id, content_hash, n_copies, quality FROM r WHERE rk = 1
+"""
+
+
+def _dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_apply_best over the synthesized dup corpus — see the
+    _DEDUP_APPLY_BEST_SQL note (fixtures have zero exact-dup groups, so
+    the declared row unions in deterministic whitespace-damaged and
+    whitespace-cleaned twins that the quality-argmax must adjudicate)."""
+    docs = dd.documents_source(spark, sf_dir).select("doc_id", "text")
+    pad = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+    )
+    collapsed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("text"),
+    )
+    # content-shifted groups whose original is absent: the higher-id
+    # clean copy must beat the lower-id padded one on quality alone
+    shifted = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat("text", F.lit(" zz9filler")).alias("text")
+    )
+    sh_pad = shifted.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+    )
+    sh_clean = shifted.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "text"
+    )
+    return dd.dedup_apply_best(
+        docs.unionAll(pad).unionAll(collapsed).unionAll(sh_pad)
+        .unionAll(sh_clean)
+    )
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(tx.documents(spark, sf_dir))
 
@@ -1638,6 +1822,25 @@ FROM documents
         ),
         Query("term_lift", _term_lift_topk, _term_lift_sql()),
         Query("doc_top_terms", _doc_top_terms_q, _DOC_TOP_TERMS_SQL),
+        # round-11 declarations — mid-registry (past the driver's
+        # 50-entry window, whose 50 slots this round are committed to
+        # the 46 r8-vintage + 4 r10-new queries); they lead the
+        # round-12 _CHECK_FIRST rotation for their first driver rows,
+        # with the pytest oracle sweep as interim evidence.
+        Query(
+            "doc_chunk",
+            lambda spark, sf_dir: tx.chunk_documents(
+                tx.documents(spark, sf_dir)
+            ),
+            _DOC_CHUNK_SQL,
+        ),
+        Query(
+            "domain_quality_filter",
+            lambda spark, sf_dir: tx.domain_quality_filter(
+                tx.documents(spark, sf_dir)
+            ),
+            _DOMAIN_QUALITY_FILTER_SQL,
+        ),
     ]
 
 
@@ -3767,6 +3970,13 @@ WHERE doc_id IN (
   GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 )
 """,
+        ),
+        # round-11 declaration — mid-registry, round-12 window leader
+        # (see the doc_chunk note in _queries_text).
+        Query(
+            "dedup_apply_best",
+            _dedup_apply_best_q,
+            _DEDUP_APPLY_BEST_SQL,
         ),
         Query(
             "multimodal_checksums",

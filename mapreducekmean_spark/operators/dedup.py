@@ -74,6 +74,87 @@ def dedup_apply(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_apply_best(docs: DataFrame) -> DataFrame:
+    """Exact-dedup apply with QUALITY-ARGMAX canonical selection — keep
+    the highest-quality copy of each duplicate group instead of the
+    min-id one. This is how production corpus dedup actually picks the
+    survivor (copies of the same content differ in extraction quality:
+    boilerplate, truncation, encoding damage); ``dedup_apply``'s min-id
+    rule is the cheap default, this is the quality-aware variant.
+
+    Per content group (md5 of whitespace-normalized lowercase text, the
+    same key as :func:`exact_dedup`): keep the copy maximizing
+    ``(quality, -doc_id)`` — quality DESC (``text.quality_score``'s
+    6-dp score, engine-exact so the ordering is too) with doc_id ASC
+    as the deterministic tie-break. Output
+    ``(doc_id, content_hash, n_copies, quality)`` for kept docs only.
+
+    Scale shape: the quality score is a per-row projection fused into
+    the scan, and the argmax is ONE aggregate. The ``(quality DESC,
+    doc_id ASC)`` selection rule is order-embedded into a single
+    bigint — ``round(quality·10⁶)·10¹² − doc_id`` (quality is a 6-dp
+    score in [0,1], so the scaled value is integer-exact; distinct
+    quality levels are ≥ 10¹² apart while doc_ids span < 10¹², so the
+    embedding is strictly order-preserving) — making the argmax a
+    plain ``max(bigint)``: whole-stage-codegen HashAggregate with
+    map-side partial aggregation and NO sort anywhere (``max`` over a
+    struct would fall back to SortAggregate, paying a per-task sort on
+    the md5 key). A boilerplate page duplicated millions of times
+    ships one partial max + one partial count per map task through the
+    uniform-md5-keyed exchange, never its full mass.
+
+    Preconditions (checked row-side via ``raise_error``, one codegen'd
+    branch): ``0 ≤ doc_id < 10¹²``; quality must be non-null (true for
+    any document with at least one character — empty-text docs score
+    NULL and would be dropped by ``max``'s null-skipping).
+    """
+    from mapreducekmean_spark.operators.text import quality_score
+
+    # quality_score's len_kchars output reads the fixture's n_chars
+    # column; the score itself doesn't — synthesize it for bare
+    # (doc_id, text) inputs like the declared query's union corpus
+    d_in = (
+        docs
+        if "n_chars" in docs.columns
+        else docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    q = quality_score(d_in).select("doc_id", "quality")
+    d = (
+        docs.select(
+            "doc_id", F.md5(normalized_text()).alias("content_hash")
+        )
+        .join(q, "doc_id")
+    )
+    id_bound = 1_000_000_000_000
+    q_int = F.round(F.col("quality") * 1_000_000).cast("bigint")
+    key = F.when(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < id_bound),
+        q_int * id_bound - F.col("doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dedup_apply_best: doc_id outside [0, 1e12) breaks the "
+                "(quality, -doc_id) order embedding"
+            )
+        ).cast("bigint")
+    )
+    best = d.groupBy("content_hash").agg(
+        F.max(key).alias("best_key"),
+        # the embedding is q_int-dominated, so the key-max winner's
+        # quality level IS max(q_int) — recovering it as its own max
+        # keeps the inversion in exact bigint arithmetic (a double
+        # division of a ~10¹⁸ key would lose low bits, i.e. doc_id)
+        F.max(q_int).alias("q_max"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+    return best.select(
+        (F.col("q_max") * id_bound - F.col("best_key")).alias("doc_id"),
+        "content_hash",
+        "n_copies",
+        (F.col("q_max").cast("double") / 1_000_000).alias("quality"),
+    )
+
+
 def shingles(col: str = "text", n: int = 3) -> Column:
     """Token n-gram shingles (space-joined) as a PER-DOCUMENT ARRAY.
     Empty array when the document has fewer than ``n`` tokens.

@@ -1027,3 +1027,114 @@ def doc_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
             "rk",
         )
     )
+
+
+#: Context-window chunking defaults: 64-token windows advancing 48
+#: tokens (16-token overlap) — the RAG / context-prep shape; production
+#: sizes (512/384 etc.) are parameters, the plan shape is identical.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-window prep
+    step every retrieval / long-context training pipeline runs before
+    embedding or packing: split each document into ``size``-token
+    windows advancing ``stride`` tokens (``size - stride`` tokens of
+    overlap so no boundary-spanning phrase is lost to the cut).
+
+    Chunks start at token 1, 1+stride, 1+2·stride, … while the start
+    is within the document; the last chunk may be short; zero-token
+    documents produce no chunks. Output one row per chunk:
+    ``(doc_id, chunk_id, start_tok, n_tokens, chunk_text,
+    chunk_hash)`` — the hash is the dedup/citation key downstream
+    chunk stores index on.
+
+    Scale shape: MAP-ONLY. One sequence+explode per row, no exchange
+    anywhere — at 100 TB this is scan → explode → write, perfectly
+    parallel, and composes with the dedup identify→apply stages (which
+    key on ``chunk_hash`` exactly like document dedup keys on the
+    content hash). The reference has no text processing at all
+    (/root/reference/src/MapReduceKMean/PointsMapper.java:61 splits
+    CSV); this is north-star surface.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_documents needs positive size and stride")
+    d = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("n_tok", F.size("toks").cast("bigint"))
+    n_chunks = (F.floor((F.col("n_tok") - 1) / stride) + 1).cast("bigint")
+    c = (
+        d.filter(F.col("n_tok") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)),
+        )
+        .withColumn("start_tok", (F.col("chunk_id") * stride + 1))
+        .withColumn("chunk", F.slice("toks", F.col("start_tok"), size))
+    )
+    chunk_text = F.concat_ws(" ", F.col("chunk"))
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )
+
+
+#: Per-domain quality gate: drop (up to) the bottom quarter of each
+#: source by quality score, ties at the threshold kept.
+QF_DROP_FRAC = 0.25
+
+
+def domain_quality_filter(
+    docs: DataFrame, drop_frac: float = QF_DROP_FRAC
+) -> DataFrame:
+    """Per-domain quality percentile gate — "drop the worst quarter of
+    every source": compute the per-source quality threshold ``q_thr``
+    (the smallest quality level whose cumulative count reaches
+    ``ceil(drop_frac · n_source)`` docs, scanning levels ascending)
+    and keep documents with ``quality >= q_thr``. Ties AT the
+    threshold are kept, so the drop is at most ``drop_frac`` — the
+    deterministic, engine-exact reading of "bottom 25%" (a rank-based
+    cut would need per-doc ordering inside the hot domain).
+
+    Scale shape — the reason this is NOT a per-doc window: the
+    ranking window runs over the DISTINCT ``(source, quality)`` level
+    table, which is bounded by the score's precision (quality is a
+    6-dp ratio in [0,1]), not by corpus size; a hot domain's billions
+    of rows collapse map-side into its level counts before any
+    exchange. The thresholds (one row per source) broadcast back, so
+    the per-document side is scan → broadcast-join → filter, no
+    shuffle of corpus volume at any point.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < drop_frac < 1.0):
+        raise ValueError("domain_quality_filter needs 0 < drop_frac < 1")
+    q = quality_score(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", "source").join(q, "doc_id")
+    levels = d.groupBy("source", "quality").agg(F.count("*").alias("n"))
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    src_w = Window.partitionBy("source")
+    lv = levels.withColumn("cum", F.sum("n").over(cum_w)).withColumn(
+        "k", F.ceil(F.sum("n").over(src_w) * F.lit(float(drop_frac)))
+    )
+    thr = (
+        lv.filter(F.col("cum") >= F.col("k"))
+        .groupBy("source")
+        .agg(F.min("quality").alias("q_thr"))
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(F.col("quality") >= F.col("q_thr"))
+        .select("doc_id", "source", "quality", "q_thr")
+    )

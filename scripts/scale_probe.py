@@ -1672,6 +1672,145 @@ def probe_refine(spark, results: dict, n_vecs: int = 1_000_000) -> None:
     }
 
 
+def probe_refine_grid(spark, results: dict, n_vecs: int = 5_000_000) -> None:
+    """Round-11: the refine tier at 5M × 64-d over an m_cand × nprobe
+    grid — the two post-fix claims the r10 verdict asked to verify at
+    a corpus 5× the original probe:
+
+    1. the EXACT work is corpus-independent: the re-scored raw row
+       count is queries × m_cand at every grid point (identical to the
+       1M probe's at equal m_cand — the corpus grew 5×, the exact tier
+       did not);
+    2. the orchestration overhead is flat: refined serve ≈ the pure-ADC
+       serve at the same nprobe plus a small m_cand-bounded re-rank
+       delta, not the ~2.3× tax the uncached preselect paid in r10.
+
+    Also reads the recall curve: exact-L2 ground truth computed ONCE
+    (the priced baseline, localCheckpointed at k×queries rows), then
+    recall@10 of the pure-ADC and refined serves per grid point —
+    refined ≥ ADC everywhere, both rising in nprobe, refined rising in
+    m_cand (read against the declared ``ann_recall_curve``)."""
+    import os as _os
+
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        ann_ivfpq_indexed,
+        ivfpq_refined_topk,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        l2_topk,
+        land_ivf_index_points,
+        recall_vs_exact,
+    )
+    from mapreducekmean_spark.session import local_rows_df
+
+    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    if not _os.path.exists(f"{sfdir}/embeddings.parquet"):
+        (
+            spark.range(n_vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(1, 64), i -> "
+                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                ).alias("embedding"),
+                (F.col("id") % 10).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sfdir}/embeddings.parquet")
+        )
+    ncells = 128  # ~39k vectors/cell at 5M
+    pq_idx = probe_tmpdir(prefix="mrkm_refgrid_pq_")
+    raw_idx = probe_tmpdir(prefix="mrkm_refgrid_raw_")
+    t0 = time.perf_counter()
+    land_ivfpq_index(spark, sfdir, pq_idx, ncells=ncells)
+    t_land_pq = time.perf_counter() - t0
+    cents, _cb = _load_ivfpq_params(spark, pq_idx)
+    t0 = time.perf_counter()
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sfdir).select("vec_id", "emb"),
+        raw_idx,
+        cents=cents,
+    )
+    t_land_raw = time.perf_counter() - t0
+
+    k = 10
+    # exact ground truth once — the measurement cost, not a serve cost
+    # (at production scale this runs over a query sample by design)
+    t0 = time.perf_counter()
+    exact = l2_topk(spark, sfdir, k=k).localCheckpoint()
+    n_exact = exact.count()
+    t_exact = time.perf_counter() - t0
+
+    grid = []
+    for nprobe in (2, 4, 8):
+        adc = ann_ivfpq_indexed(spark, sfdir, pq_idx, k=k, nprobe=nprobe)
+        adc.collect()  # warm
+        t0 = time.perf_counter()
+        adc_rows = adc.collect()
+        t_adc = time.perf_counter() - t0
+        adc_rec = (
+            recall_vs_exact(
+                exact,
+                local_rows_df(
+                    spark,
+                    [(r.q_id, r.neighbor_id) for r in adc_rows],
+                    "q_id bigint, neighbor_id bigint",
+                ),
+                k,
+            )
+            .agg(F.round(F.avg("recall"), 4).alias("r"))
+            .collect()[0]["r"]
+        )
+        for m_cand in (10, 50, 200):
+            ref = ivfpq_refined_topk(
+                spark, sfdir, pq_idx, raw_idx, k=k, m_cand=m_cand,
+                nprobe=nprobe,
+            )
+            ref.collect()  # warm
+            t0 = time.perf_counter()
+            ref_rows = ref.collect()
+            t_ref = time.perf_counter() - t0
+            ref_rec = (
+                recall_vs_exact(
+                    exact,
+                    local_rows_df(
+                        spark,
+                        [(r.q_id, r.neighbor_id) for r in ref_rows],
+                        "q_id bigint, neighbor_id bigint",
+                    ),
+                    k,
+                )
+                .agg(F.round(F.avg("recall"), 4).alias("r"))
+                .collect()[0]["r"]
+            )
+            n_q = len({r.q_id for r in ref_rows})
+            grid.append(
+                {
+                    "nprobe": nprobe,
+                    "m_cand": m_cand,
+                    "adc_serve_sec": round(t_adc, 2),
+                    "refined_serve_sec": round(t_ref, 2),
+                    "raw_rows_rescored": n_q * m_cand,
+                    "adc_recall_at10": adc_rec,
+                    "refined_recall_at10": ref_rec,
+                }
+            )
+    results["ivfpq_refined_grid_5m"] = {
+        "vectors": n_vecs,
+        "ncells": ncells,
+        "k": k,
+        "exact_baseline_rows": n_exact,
+        "land_pq_sec": round(t_land_pq, 1),
+        "land_raw_sec": round(t_land_raw, 1),
+        "exact_baseline_sec": round(t_exact, 1),
+        "grid": grid,
+    }
+
+
 def probe_retrieval(
     spark, results: dict, sf_dir: str, repl: int = 100
 ) -> None:
@@ -2682,6 +2821,7 @@ def main() -> None:
         "streamagg",
         "r10misc",
         "refine",
+        "refinegrid",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -2745,6 +2885,8 @@ def main() -> None:
         probe_zorder(spark, results)
     if "refine" in only:
         probe_refine(spark, results)
+    if "refinegrid" in only:
+        probe_refine_grid(spark, results)
     if "r10misc" in only:
         probe_r10misc(spark, results)
     if "toptermskew" in only:

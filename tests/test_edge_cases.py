@@ -1436,3 +1436,118 @@ def test_video_hot_bucket_guard_clip_flood_stays_linear(spark):
         )
     )
     assert capped == uncapped == [(1, 2, mm.GRID_FRAMES)]
+
+
+def test_chunk_documents_boundaries(spark):
+    """chunk_documents window math on constructed docs: starts advance
+    by stride, every chunk except possibly the last is full-size, the
+    last starts within the doc and may be short, overlap tokens repeat
+    verbatim, and sub-size / empty docs behave."""
+    from mapreducekmean_spark.operators.text import chunk_documents
+
+    toks_20 = " ".join(f"t{i}" for i in range(1, 21))
+    docs = spark.createDataFrame(
+        [
+            (1, toks_20),          # 20 tokens
+            (2, "a b c"),          # shorter than one window
+            (3, "!!! ??? ..."),    # tokenizes to nothing -> no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, size=8, stride=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [r.start_tok for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [
+        1, 7, 13, 19,
+    ]
+    sizes = [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_id)]
+    assert sizes == [8, 8, 8, 2]  # last chunk truncated at token 20
+    # overlap: chunk 0 covers tokens 1-8, chunk 1 covers 7-14 -> the
+    # 2-token overlap (size - stride) repeats verbatim
+    c0 = sorted(by_doc[1], key=lambda r: r.chunk_id)[0].chunk_text.split()
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)[1].chunk_text.split()
+    assert c0[-2:] == c1[:2] == ["t7", "t8"]
+    # sub-size doc: one short chunk covering everything
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [
+        (0, 3, "a b c")
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, stride=0)
+
+
+def test_domain_quality_filter_threshold_semantics(spark):
+    """Per-source threshold: k = ceil(drop_frac * n), q_thr = smallest
+    level whose ascending cumulative count reaches k, ties AT the
+    threshold kept — so the drop never exceeds drop_frac and a
+    uniform-quality source keeps everything."""
+    from mapreducekmean_spark.operators.text import domain_quality_filter
+
+    lo = "zz " * 30            # low alpha-variety -> low ttr/quality
+    hi = " ".join(f"word{i} more{i} text{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "a", lo, len(lo)),
+            (2, "a", hi, len(hi)),
+            (3, "a", hi + " extra tokens here", len(hi) + 19),
+            (4, "a", hi + " still different tail", len(hi) + 21),
+            # source b: all four docs identical quality -> all kept
+            (5, "b", hi, len(hi)),
+            (6, "b", hi, len(hi)),
+            (7, "b", hi, len(hi)),
+            (8, "b", hi, len(hi)),
+        ],
+        "doc_id bigint, source string, text string, n_chars bigint",
+    )
+    kept = domain_quality_filter(docs, drop_frac=0.25).collect()
+    kept_ids = sorted(r.doc_id for r in kept)
+    # source a: k = ceil(0.25*4) = 1 -> threshold = lowest level (the
+    # lo doc), ties kept -> everything >= lowest survives INCLUDING the
+    # threshold doc itself; the semantics drop strictly-below only
+    assert 1 in kept_ids  # the threshold level itself is kept
+    assert {2, 3, 4} <= set(kept_ids)
+    assert {5, 6, 7, 8} <= set(kept_ids)
+    # higher drop_frac: k = ceil(0.75*4) = 3 -> threshold = 3rd level
+    # ascending; the lo doc now falls strictly below and is dropped
+    kept75 = sorted(
+        r.doc_id
+        for r in domain_quality_filter(docs, drop_frac=0.75).collect()
+        if r.source == "a"
+    )
+    assert 1 not in kept75 and len(kept75) >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_quality_filter(docs, drop_frac=0.0)
+    with _pytest.raises(ValueError):
+        domain_quality_filter(docs, drop_frac=1.0)
+
+
+def test_dedup_apply_best_quality_argmax(spark):
+    """Quality-argmax survivor selection: the higher-quality copy wins
+    regardless of doc_id order; exact quality ties fall back to min
+    doc_id; singletons pass through with n_copies=1."""
+    from mapreducekmean_spark.operators.dedup import dedup_apply_best
+
+    good = " ".join(f"word{i} alpha{i} beta{i}" for i in range(10))
+    padded = "   " + good + "     "   # same normalized content, lower quality
+    docs = spark.createDataFrame(
+        [
+            (10, padded),   # smaller id, worse copy
+            (20, good),     # larger id, better copy -> must win
+            (30, "unique singleton document body here today"),
+            (40, good + " tail"),   # tie group: identical text twice
+            (41, good + " tail"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_apply_best(docs).collect()}
+    assert set(out) == {20, 30, 40}
+    assert out[20].n_copies == 2       # quality beat the smaller id 10
+    assert out[40].n_copies == 2       # tie -> min doc_id
+    assert out[30].n_copies == 1

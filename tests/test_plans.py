@@ -610,3 +610,33 @@ def test_quantile_sketch_builds_map_side(spark, sf_small):
     exchange_pos = plan.find("Exchange")
     partial_pos = plan.rfind("WindowGroupLimit")
     assert 0 <= exchange_pos < partial_pos
+
+
+def test_doc_chunk_is_map_only(spark, sf_small):
+    """Context-window chunking must be a pure per-row explode — no
+    exchange anywhere (at 100 TB it is scan → explode → write)."""
+    df = REG["doc_chunk"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert has_wholestage_codegen(df)
+
+
+def test_domain_quality_filter_broadcasts_thresholds(spark, sf_small):
+    """The per-source thresholds (one row per source) must broadcast
+    back to the per-doc side; the ranking window runs over the distinct
+    (source, quality) level table, never corpus volume."""
+    df = REG["domain_quality_filter"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+
+
+def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
+    """The quality-argmax must plan as a plain hash aggregate with
+    map-side partial aggregation — the (quality, -doc_id) order
+    embedding exists precisely so the plan avoids SortAggregate's
+    per-task sort (a struct-max would fall back to it)."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["dedup_apply_best"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "partial_max" in plan.lower() or "partial" in plan.lower()
