@@ -581,6 +581,65 @@ FROM d JOIN thr USING (source)
 WHERE d.quality >= thr.q_thr
 """
 
+#: mirrors text.gopher_quality (Rae et al. 2021 A.1.1 word-level
+#: rules): whitespace words, integer counts, one IEEE division per
+#: ratio; replace() deletes non-overlapping matches left-to-right in
+#: both engines, so the '...'-count arithmetic is identical.
+_GOPHER_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+           / len(words) AS mean_len,
+         (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          + (length(text) - length(replace(text, '...', ''))) / 3)
+           / len(words) AS symbol_ratio,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE) / len(words) AS alpha_ratio,
+         CAST(
+           (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'the')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'be')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'to')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'of')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'and')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'that')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'have')
+             THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(list_transform(words,
+              x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), 'with')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_word_ratio,
+       round(alpha_ratio, 6) AS alpha_word_ratio,
+       n_stop AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        AND n_stop >= 2) AS keep
+FROM m
+"""
+
+
 #: mirrors dedup.dedup_apply_best over the synthesized dup corpus (the
 #: fixtures have zero exact-dup groups, so the declared row unions in
 #: deterministic twins: a whitespace-PADDED copy of every 5th doc
@@ -1840,6 +1899,13 @@ FROM documents
                 tx.documents(spark, sf_dir)
             ),
             _DOMAIN_QUALITY_FILTER_SQL,
+        ),
+        Query(
+            "gopher_quality",
+            lambda spark, sf_dir: tx.gopher_quality(
+                tx.documents(spark, sf_dir)
+            ),
+            _GOPHER_QUALITY_SQL,
         ),
     ]
 

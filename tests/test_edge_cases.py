@@ -1551,3 +1551,35 @@ def test_dedup_apply_best_quality_argmax(spark):
     assert out[20].n_copies == 2       # quality beat the smaller id 10
     assert out[40].n_copies == 2       # tie -> min doc_id
     assert out[30].n_copies == 1
+
+
+def test_gopher_quality_rules_constructed(spark):
+    """Each Gopher A.1.1 rule exercised both ways on constructed docs
+    (the fixture corpus trips the stopword rule universally — its
+    vocabulary lacks 7 of the 8 — so keep=true lives here)."""
+    from mapreducekmean_spark.operators.text import gopher_quality
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs to "
+        "the river of light with great speed because it must have "
+        "freedom " * 5
+    )
+    short = "the and of to be"  # < 50 words
+    symbols = ("the and " + "### ## # " * 20 + "word " * 50)
+    nostop = "alpha beta gamma delta " * 20
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nostop)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].keep is True
+    assert out[1].n_stopwords >= 2 and out[1].n_words >= 50
+    assert out[2].keep is False and out[2].n_words < 50
+    assert out[3].keep is False
+    assert out[3].symbol_word_ratio > 0.1
+    assert out[4].keep is False and out[4].n_stopwords == 0
+    # custom stopword list flips the nostop doc's stopword rule
+    custom = gopher_quality(
+        docs.filter("doc_id = 4"), stopwords=("alpha", "beta")
+    ).collect()[0]
+    assert custom.n_stopwords == 2
