@@ -513,3 +513,41 @@ def test_gif_roundtrip_property(h, w, n_colors, seed, interlace):
     out = mm._decode_gif_rgb(mm._encode_gif(img, interlace=interlace))
     assert out is not None and out.shape == img.shape
     assert (out == img).all()
+
+
+def _ref_chunks(words: list[str], size: int, stride: int):
+    """Pure-Python reference for chunk_documents windowing."""
+    out = []
+    start = 0  # 0-based
+    cid = 0
+    while start < len(words):
+        piece = words[start : start + size]
+        out.append((cid, start + 1, len(piece), " ".join(piece)))
+        cid += 1
+        start += stride
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc012", min_size=1, max_size=4),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+)
+def test_chunk_documents_matches_python_reference(spark, words, size, stride):
+    from mapreducekmean_spark.operators.text import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = sorted(
+        (r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    )
+    # the engine tokenizer lowercases+extracts [a-z0-9]+ runs; the
+    # alphabet above makes each hypothesis word one token already
+    want = sorted(_ref_chunks(words, size, stride))
+    assert got == want
