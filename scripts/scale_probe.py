@@ -1689,7 +1689,16 @@ def probe_refine_grid(spark, results: dict, n_vecs: int = 5_000_000) -> None:
     (the priced baseline, localCheckpointed at k×queries rows), then
     recall@10 of the pure-ADC and refined serves per grid point —
     refined ≥ ADC everywhere, both rising in nprobe, refined rising in
-    m_cand (read against the declared ``ann_recall_curve``)."""
+    m_cand (read against the declared ``ann_recall_curve``).
+
+    Data realism: vectors are CLUSTERED (128 deterministic sin-based
+    centers + small per-vector perturbation), because structureless
+    uniform-random vectors make any IVF's recall ≈ nprobe/ncells by
+    construction (neighbors spread over all cells — the curse of
+    dimensionality) and the probe would measure nothing. Timing wraps
+    the FULL serve — plan construction (the refine tier's probe
+    kernel, eager checkpoints, and coverage guard run there) plus the
+    final collect — for both tiers symmetrically."""
     import os as _os
 
     from mapreducekmean_spark.operators import kmeans as km
@@ -1706,22 +1715,24 @@ def probe_refine_grid(spark, results: dict, n_vecs: int = 5_000_000) -> None:
     )
     from mapreducekmean_spark.session import local_rows_df
 
-    sfdir = f"{BASE}/ivf_sfdir_{n_vecs}"
+    ncells = 128  # ~39k vectors/cell at 5M, = the true center count
+    sfdir = f"{BASE}/ivf_clustered_{n_vecs}"
     if not _os.path.exists(f"{sfdir}/embeddings.parquet"):
         (
             spark.range(n_vecs)
             .select(
                 F.col("id").alias("vec_id"),
                 F.expr(
-                    "transform(sequence(1, 64), i -> "
-                    "cast(sin(CAST((id + 1) * i AS DOUBLE)) AS FLOAT))"
+                    "transform(sequence(1, 64), i -> cast("
+                    f"sin(CAST(((id % {ncells}) + 1) * i AS DOUBLE))"
+                    " + 0.15 * sin(CAST((id + 7) * (i + 13) AS DOUBLE))"
+                    " AS FLOAT))"
                 ).alias("embedding"),
                 (F.col("id") % 10).cast("int").alias("label"),
             )
             .write.mode("overwrite")
             .parquet(f"{sfdir}/embeddings.parquet")
         )
-    ncells = 128  # ~39k vectors/cell at 5M
     pq_idx = probe_tmpdir(prefix="mrkm_refgrid_pq_")
     raw_idx = probe_tmpdir(prefix="mrkm_refgrid_raw_")
     t0 = time.perf_counter()
@@ -1745,19 +1756,13 @@ def probe_refine_grid(spark, results: dict, n_vecs: int = 5_000_000) -> None:
     n_exact = exact.count()
     t_exact = time.perf_counter() - t0
 
-    grid = []
-    for nprobe in (2, 4, 8):
-        adc = ann_ivfpq_indexed(spark, sfdir, pq_idx, k=k, nprobe=nprobe)
-        adc.collect()  # warm
-        t0 = time.perf_counter()
-        adc_rows = adc.collect()
-        t_adc = time.perf_counter() - t0
-        adc_rec = (
+    def _avg_recall(rows):
+        return (
             recall_vs_exact(
                 exact,
                 local_rows_df(
                     spark,
-                    [(r.q_id, r.neighbor_id) for r in adc_rows],
+                    [(r.q_id, r.neighbor_id) for r in rows],
                     "q_id bigint, neighbor_id bigint",
                 ),
                 k,
@@ -1765,28 +1770,30 @@ def probe_refine_grid(spark, results: dict, n_vecs: int = 5_000_000) -> None:
             .agg(F.round(F.avg("recall"), 4).alias("r"))
             .collect()[0]["r"]
         )
+
+    grid = []
+    for nprobe in (2, 4, 8):
+        # warm (compiles the pipelines), then time the FULL serve:
+        # construction + collect — both tiers symmetrically
+        ann_ivfpq_indexed(spark, sfdir, pq_idx, k=k, nprobe=nprobe).collect()
+        t0 = time.perf_counter()
+        adc_rows = ann_ivfpq_indexed(
+            spark, sfdir, pq_idx, k=k, nprobe=nprobe
+        ).collect()
+        t_adc = time.perf_counter() - t0
+        adc_rec = _avg_recall(adc_rows)
         for m_cand in (10, 50, 200):
-            ref = ivfpq_refined_topk(
+            ivfpq_refined_topk(
                 spark, sfdir, pq_idx, raw_idx, k=k, m_cand=m_cand,
                 nprobe=nprobe,
-            )
-            ref.collect()  # warm
+            ).collect()  # warm
             t0 = time.perf_counter()
-            ref_rows = ref.collect()
+            ref_rows = ivfpq_refined_topk(
+                spark, sfdir, pq_idx, raw_idx, k=k, m_cand=m_cand,
+                nprobe=nprobe,
+            ).collect()
             t_ref = time.perf_counter() - t0
-            ref_rec = (
-                recall_vs_exact(
-                    exact,
-                    local_rows_df(
-                        spark,
-                        [(r.q_id, r.neighbor_id) for r in ref_rows],
-                        "q_id bigint, neighbor_id bigint",
-                    ),
-                    k,
-                )
-                .agg(F.round(F.avg("recall"), 4).alias("r"))
-                .collect()[0]["r"]
-            )
+            ref_rec = _avg_recall(ref_rows)
             n_q = len({r.q_id for r in ref_rows})
             grid.append(
                 {
