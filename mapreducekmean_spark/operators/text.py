@@ -1110,7 +1110,12 @@ def domain_quality_filter(
     of rows collapse map-side into its level counts before any
     exchange. The thresholds (one row per source) broadcast back, so
     the per-document side is scan → broadcast-join → filter, no
-    shuffle of corpus volume at any point.
+    shuffle of corpus volume at any point. Like TPC-H Q17's
+    aggregate-vs-own-average shape, the corpus is scanned twice (once
+    to build the level counts, once to emit survivors) — inherent to
+    any exact two-phase threshold filter; both passes are scan-bound
+    projections (measured: the 5M-doc probe's wall time is dominated
+    by the two quality projections, not the 20-row window).
     """
     from pyspark.sql import Window
 

@@ -1583,3 +1583,19 @@ def test_gopher_quality_rules_constructed(spark):
         docs.filter("doc_id = 4"), stopwords=("alpha", "beta")
     ).collect()[0]
     assert custom.n_stopwords == 2
+
+
+def test_dedup_apply_best_rejects_out_of_bound_ids(spark):
+    """The (quality, -doc_id) order embedding is only valid for
+    0 <= doc_id < 1e12 — out-of-range ids must raise at execution,
+    not silently mis-rank."""
+    import pytest as _pytest
+
+    from mapreducekmean_spark.operators.dedup import dedup_apply_best
+
+    docs = spark.createDataFrame(
+        [(-1, "some document body here with words")],
+        "doc_id bigint, text string",
+    )
+    with _pytest.raises(Exception, match="order embedding"):
+        dedup_apply_best(docs).collect()
