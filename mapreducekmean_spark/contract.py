@@ -3914,6 +3914,101 @@ refined AS (
       dim, sim.N_QUERIES, topk, src="refined", score_col="dist")}"""
 
 
+def _ann_refined_mcand_curve_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """operators/pq.py:ivfpq_refined_mcand_curve — the m_cand sizing
+    curve for the exact-refine tier (the compressed-store twin of
+    ann_recall_curve's nprobe curve): recall@3 at preselect budgets
+    3/10/50, one shared ADC pass + one shared exact re-rank, each
+    level a prefix cut of the same candidate list."""
+    from mapreducekmean_spark.operators import pq
+
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pq_path = _contract_index_dir(f"ivfpq_{tag}")
+    raw_path = _contract_index_dir(f"ivf_{tag}")
+    if not os.path.exists(os.path.join(pq_path, "codebooks")):
+        pq.land_ivfpq_index(spark, sf_dir, pq_path)
+    if not os.path.exists(os.path.join(raw_path, "centroids")):
+        sim.land_ivf_index(spark, sf_dir, raw_path)
+    return pq.ivfpq_refined_mcand_curve(spark, sf_dir, pq_path, raw_path)
+
+
+def _ann_refined_mcand_curve_sql(
+    m: int = 8,
+    kc: int = 16,
+    dim: int = DIM,
+    iters: int = 4,
+    topk: int = 3,
+    m_cands: tuple = (3, 10, 50),
+) -> str:
+    """``pq.ivfpq_refined_mcand_curve``: the shared IVF-PQ replay's ADC
+    ranking cut at max(m_cands) and exactly re-scored ONCE (refined
+    MATERIALIZED — every level reads it), then one prefix-cut +
+    re-rank + hit-count chain per level, one summary row each."""
+    max_m = max(m_cands)
+    parts = _ivfpq_scored_parts(m, kc, dim, iters)
+    head = f"""
+WITH {",".join(parts)},
+cand AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS pre_rank
+  FROM scored),
+refined AS MATERIALIZED (
+  SELECT c.q_id, c.neighbor_id, c.pre_rank,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.q_emb[i] - p.emb[i]) * (q.q_emb[i] - p.emb[i])))
+           AS dist
+  FROM cand c
+  JOIN pts p ON p.vec_id = c.neighbor_id
+  JOIN q ON q.q_id = c.q_id
+  WHERE c.pre_rank <= {max_m}),
+exsc AS MATERIALIZED (
+  SELECT qq.vec_id AS q_id, p.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, {dim} + 1), d ->
+           (qq.emb[d] - p.emb[d]) * (qq.emb[d] - p.emb[d]))) AS dist
+  FROM (SELECT vec_id, emb FROM pts WHERE vec_id < {sim.N_QUERIES}) qq
+  JOIN pts p ON p.vec_id <> qq.vec_id),
+exact AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM exsc) WHERE rnk <= {topk}),
+nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM exact)"""
+    lvls = []
+    rows = []
+    for mc in m_cands:
+        lvls.append(
+            f""",
+lvl{mc} AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rk
+    FROM refined WHERE pre_rank <= {mc}) WHERE rk <= {topk}),
+hit{mc} AS (
+  SELECT count(*) AS n_hit
+  FROM lvl{mc} JOIN exact USING (q_id, neighbor_id))"""
+        )
+        rows.append(
+            f"""
+SELECT CAST({mc} AS BIGINT) AS m_cand,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST({topk} AS BIGINT) AS k,
+       round(CAST(n_hit AS BIGINT)
+             / ({topk} * CAST(n_queries AS BIGINT)), 6) AS recall
+FROM nq, hit{mc}"""
+        )
+    return head + "".join(lvls) + " UNION ALL ".join(rows)
+
+
 def _ivfpq_scored_parts(m: int, kc: int, dim: int, iters: int) -> list[str]:
     """The IVF-PQ replay up to the ``scored`` CTE (q_id, neighbor_id,
     adc) — shared by the top-k twin and the recall twin."""
@@ -4162,6 +4257,12 @@ FROM documents
         Query(
             "ann_ivfpq_refined_recall", _ann_ivfpq_refined_recall_q,
             _ann_ivfpq_refined_recall_sql(),
+        ),
+        # round-11 declaration — mid-registry, round-12 window leader
+        # (see the doc_chunk note in _queries_text).
+        Query(
+            "ann_refined_mcand_curve", _ann_refined_mcand_curve_q,
+            _ann_refined_mcand_curve_sql(),
         ),
         Query("hybrid_topk", _hybrid_topk, _HYBRID_TOPK_SQL),
         Query("rerank_topk", _rerank_topk, _RERANK_TOPK_SQL),

@@ -894,6 +894,123 @@ def ivfpq_refined_recall(
     return recall_vs_exact(exact, approx, k)
 
 
+def ivfpq_refined_mcand_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_path: str,
+    raw_path: str,
+    k: int = 3,
+    m_cands: tuple = (3, 10, 50),
+    nprobe: int | None = None,
+) -> DataFrame:
+    """The m_cand SIZING CURVE for the exact-refine tier — recall@k at
+    several preselect budgets in one result, the compressed-store twin
+    of ``similarity.ann_recall_curve``'s nprobe curve: m_cand is THE
+    recall lever for an IVF-PQ store once the home cells are probed
+    (measured at 5M×64: refined recall 0.12 → 0.40 → 0.72 over
+    m_cand 10/50/200 while nprobe past the true cells bought nothing —
+    SCALE.md r11). One row per level:
+    ``(m_cand, n_queries, n_hit, k, recall)``, integer totals, one
+    IEEE division.
+
+    Cost shape — the reason this is one function and not a loop over
+    ``ivfpq_refined_recall``: the ADC ranking at a smaller m_cand is a
+    PREFIX of the ranking at a larger one, so the curve runs the
+    probed-cells ADC scan and the raw exact re-rank ONCE at
+    max(m_cands) (both checkpointed, bounded at queries × max_m rows)
+    and each level is a driver-scale prefix cut + re-rank window over
+    that shared candidate list. The exact baseline is computed once
+    (the priced measurement). Levels are non-decreasing in m_cand
+    (candidate superset — pinned in tests/test_pq.py)."""
+    from mapreducekmean_spark.functions.vector import sq_dist
+    from mapreducekmean_spark.operators.similarity import (
+        N_PROBE,
+        _probe_cells,
+        _queries_and_points,
+        l2_topk,
+        load_index_centroids,
+    )
+
+    if nprobe is None:
+        nprobe = N_PROBE
+    cents, _codebooks = _load_ivfpq_params(spark, pq_path)
+    raw_cents = load_index_centroids(spark, raw_path)
+    if [[float(v) for v in c] for c in raw_cents] != [
+        [float(v) for v in c] for c in cents
+    ]:
+        raise ValueError(
+            "ivfpq_refined_mcand_curve needs PAIRED indexes (same coarse "
+            "centroids both stores) — re-land one side with cents pinned "
+            "to the other's; see ivfpq_refined_topk."
+        )
+    qs, _ = _queries_and_points(spark, sf_dir)
+    probe_rows = _probe_cells(qs, cents, len(cents), nprobe).collect()
+    max_m = max(int(m) for m in m_cands)
+    cand = (
+        ann_ivfpq_indexed(
+            spark, sf_dir, pq_path, k=max_m, nprobe=nprobe, qs=qs,
+            probe_rows=probe_rows,
+        )
+        .select("q_id", "neighbor_id", F.col("rank").alias("pre_rank"))
+        .localCheckpoint()
+    )
+    probed = sorted({int(r.cell) for r in probe_rows})
+    raw = (
+        spark.read.parquet(f"{raw_path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+    )
+    pairs = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qs.select("q_id", "q_emb")), "q_id")
+        .withColumn("dist", sq_dist(F.col("q_emb"), F.col("emb")))
+        .select("q_id", "neighbor_id", "pre_rank", "dist")
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    n_cov = pairs.count()
+    if n_cov != n_cand:
+        raise ValueError(
+            f"ivfpq_refined_mcand_curve: only {n_cov} of {n_cand} "
+            f"preselected candidates found raw rows in the probed cells "
+            f"of {raw_path!r} — the stores have drifted row-level; "
+            "re-land the raw side under the PQ store's centroids."
+        )
+    exact = (
+        l2_topk(spark, sf_dir, k=k)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_q = exact.select("q_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for mc in m_cands:
+        lvl = (
+            pairs.filter(F.col("pre_rank") <= int(mc))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "neighbor_id")
+        )
+        hits = lvl.join(exact, ["q_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        row = n_q.crossJoin(hits).select(
+            F.lit(int(mc)).cast("bigint").alias("m_cand"),
+            "n_queries",
+            "n_hit",
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.round(
+                F.col("n_hit") / (F.lit(int(k)) * F.col("n_queries")), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def rebalance_ivfpq_cells(
     spark: SparkSession,
     path: str,

@@ -954,3 +954,54 @@ def test_refine_lifecycle_rebalance_repair_append_serve(
         ).collect()
     )
     assert got2 == want2 and got2
+
+
+def test_refined_mcand_curve_monotone_and_consistent(
+    spark, sf_oracle, tmp_path
+):
+    """The m_cand sizing curve's contracts: recall non-decreasing in
+    m_cand (each level's candidates are a superset of the smaller
+    level's — the prefix-cut construction makes this structural), and
+    each curve row's n_hit equals the per-query ivfpq_refined_recall
+    total at the same m_cand (the curve is an aggregation of the same
+    serve, not a different algorithm)."""
+    from mapreducekmean_spark.operators import kmeans as km
+    from mapreducekmean_spark.operators.pq import (
+        _load_ivfpq_params,
+        ivfpq_refined_mcand_curve,
+        ivfpq_refined_recall,
+        land_ivfpq_index,
+    )
+    from mapreducekmean_spark.operators.similarity import (
+        land_ivf_index_points,
+    )
+
+    pq_path = str(tmp_path / "ivfpq")
+    raw_path = str(tmp_path / "ivfraw")
+    land_ivfpq_index(spark, sf_oracle, pq_path)
+    cents, _cb = _load_ivfpq_params(spark, pq_path)
+    land_ivf_index_points(
+        spark,
+        km.embeddings(spark, sf_oracle).select("vec_id", "emb"),
+        raw_path,
+        cents=cents,
+    )
+
+    curve = {
+        r.m_cand: r
+        for r in ivfpq_refined_mcand_curve(
+            spark, sf_oracle, pq_path, raw_path, m_cands=(3, 10, 50)
+        ).collect()
+    }
+    assert (
+        curve[3].n_hit <= curve[10].n_hit <= curve[50].n_hit
+    )
+    for mc in (3, 10, 50):
+        per_q = sum(
+            r.n_hit
+            for r in ivfpq_refined_recall(
+                spark, sf_oracle, pq_path, raw_path, m_cand=mc
+            ).collect()
+        )
+        assert curve[mc].n_hit == per_q, mc
+        assert curve[mc].n_queries == 10 and curve[mc].k == 3
