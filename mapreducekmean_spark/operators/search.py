@@ -852,6 +852,138 @@ def serve_retrieval(
     )
 
 
+def purge_bm25_docs(
+    spark, name: str, doc_ids: list[int]
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the THIRD landed index family: delete
+    documents from the BM25 postings — the purge surface the vector
+    stores (``similarity.purge_ivf_keys``) and the kb= snapshots
+    (``cdc.purge_snapshot_keys``) already have. A purged doc must
+    disappear from results AND from the ranking arithmetic: its
+    postings rows carry its tf/dl, and the integer stats log carries
+    its n_docs/total_dl share — both go.
+
+    Mechanics — a FILTERED COMPACTION, deliberately the same
+    maintenance discipline (and crash stance) as
+    :func:`compact_bm25_index`: the kept postings rewrite beside the
+    data under the same bucket/sort spec and swap in by rename; the
+    stats log collapses to one summary row with the purged docs'
+    integer share subtracted, swapped the same way. Scores against
+    the purged index are BIT-identical to a fresh land of the
+    remaining corpus (integer subtraction is exact; df drops with the
+    rows; avgdl re-derives from the adjusted integer totals — pinned
+    in tests/test_search.py). Idempotent: re-purging finds no rows,
+    subtracts zero, rewrites unchanged.
+
+    Why table-granular instead of the snapshot purge's touched-bucket
+    copy-on-write: postings bucket by TERM, and one document's terms
+    hash across essentially every bucket (hundreds of distinct terms
+    vs a handful of buckets), so bucket-level surgery degenerates to
+    a full rewrite anyway — batch deletion requests and run this at
+    the maintenance window, like compaction. The purged docs' dl/count
+    come FROM the index itself (one column-pruned postings scan,
+    output bounded by the purged docs' posting rows), so the caller
+    needs only ids; the one unrepresentable case is a ZERO-TOKEN doc
+    (no postings rows, so its n_docs share cannot be located) — its
+    +1 residue in n_docs persists until a full re-land, stated here
+    rather than hidden. Don't run concurrently with appends."""
+    import os
+    import shutil
+    import urllib.parse
+
+    from mapreducekmean_spark.sources.bucketing import write_bucketed
+
+    for t in (f"{name}_tf", f"{name}_stats"):
+        if not spark.catalog.tableExists(t):
+            raise ValueError(
+                f"purge_bm25_docs: {t} is not registered in this "
+                f"session's catalog — attach_bm25_index first."
+            )
+    ids = [int(i) for i in doc_ids]
+    if not ids:
+        return {"docs_purged": 0, "rows_deleted": 0}
+    tf = spark.table(f"{name}_tf")
+    # the purged docs' integer share, read off the index itself:
+    # (doc_id, dl) is repeated per posting row — one row per doc after
+    # the distinct; bounded by the purged docs' posting volume
+    purged = (
+        tf.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "dl")
+        .distinct()
+        .collect()
+    )
+    n_purged = len(purged)
+    dl_purged = sum(int(r.dl) for r in purged)
+    n_rows = tf.filter(F.col("doc_id").isin(ids)).count()
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {name}_tf"
+        ).collect()
+    }
+    tf_path = urllib.parse.urlparse(desc.get("Location", "")).path
+    buckets = int(desc["Num Buckets"])
+    tmp_table = f"{name}_tf__purging"
+    tmp_path = f"{tf_path}.__purge"
+    # same scoped conf as compact_bucketed: bucket-aware scan keeps the
+    # rewrite a shuffle-free per-bucket local pass
+    abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    abs_old = spark.conf.get(abs_key)
+    spark.conf.set(abs_key, "false")
+    try:
+        write_bucketed(
+            tf.filter(~F.col("doc_id").isin(ids)),
+            tmp_table,
+            "term",
+            buckets,
+            tmp_path,
+        )
+    finally:
+        spark.conf.set(abs_key, abs_old)
+    spark.sql(f"DROP TABLE {tmp_table}")  # external: files stay
+    old = f"{tf_path}.__old"
+    os.rename(tf_path, old)
+    os.rename(tmp_path, tf_path)
+    shutil.rmtree(old)
+    spark.sql(f"REFRESH TABLE {name}_tf")
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}_stats")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    stats_path = urllib.parse.urlparse(loc).path or loc
+    summary = spark.table(f"{name}_stats").agg(
+        F.max("max_doc_id").alias("mx"),
+        F.sum("n_docs").alias("n"),
+        F.sum("total_dl").alias("t"),
+    ).collect()[0]
+    stats_tmp = f"{stats_path}.__purge"
+    (
+        local_rows_df(
+            spark,
+            [
+                (
+                    int(summary["mx"]),
+                    int(summary["n"] or 0) - n_purged,
+                    int(summary["t"] or 0) - dl_purged,
+                )
+            ],
+            "max_doc_id bigint, n_docs bigint, total_dl bigint",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stats_tmp)
+    )
+    stats_old = f"{stats_path}.__old"
+    os.rename(stats_path, stats_old)
+    os.rename(stats_tmp, stats_path)
+    shutil.rmtree(stats_old)
+    spark.sql(f"REFRESH TABLE {name}_stats")
+    return {"docs_purged": n_purged, "rows_deleted": int(n_rows)}
+
+
 def compact_bm25_index(spark, name: str) -> dict[str, dict]:
     """Small-file maintenance for the landed BM25 index: the postings
     table compacts back to its one-file-per-bucket grain

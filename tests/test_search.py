@@ -774,3 +774,58 @@ def test_bm25_full_compaction_collapses_stats_log(
         spark, docs.filter(F.col("doc_id") >= c3), "t_bm25_fc"
     )
     assert spark.table("t_bm25_fc_tf").count() > tf_rows
+
+
+def test_bm25_purge_matches_fresh_land_and_is_idempotent(
+    spark, sf_oracle, tmp_path
+):
+    """purge_bm25_docs' contract: after purging, queries score
+    BIT-identically to a fresh land of the remaining corpus (rows gone
+    from postings, integer stats share subtracted — df, idf, and avgdl
+    all re-derive exactly); re-purging the same ids is a no-op; the
+    append replay ceiling survives (a purged id cannot be silently
+    re-introduced by an append replay)."""
+    from mapreducekmean_spark.operators.search import (
+        bm25_search_indexed,
+        land_bm25_index,
+        purge_bm25_docs,
+    )
+    from mapreducekmean_spark.operators.text import documents
+
+    docs = documents(spark, sf_oracle)
+    purge_ids = [r.doc_id for r in docs.select("doc_id").limit(5).collect()]
+    land_bm25_index(spark, docs, "t_bm25_purge", str(tmp_path / "idx"))
+
+    stats = purge_bm25_docs(spark, "t_bm25_purge", purge_ids)
+    assert stats["docs_purged"] == 5 and stats["rows_deleted"] > 0
+
+    remaining = docs.filter(~docs.doc_id.isin(purge_ids))
+    land_bm25_index(
+        spark, remaining, "t_bm25_fresh", str(tmp_path / "fresh")
+    )
+    for q in ("table scan", "shuffle partition", "query plan"):
+        purged = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_purge").collect()
+        ]
+        fresh = [
+            tuple(r)
+            for r in bm25_search_indexed(spark, q, "t_bm25_fresh").collect()
+        ]
+        assert purged == fresh, q
+        assert not any(r[0] in purge_ids for r in purged)
+
+    # idempotent: second purge finds nothing, stats unchanged
+    stats2 = purge_bm25_docs(spark, "t_bm25_purge", purge_ids)
+    assert stats2 == {"docs_purged": 0, "rows_deleted": 0}
+    s = spark.table("t_bm25_purge_stats").collect()
+    assert len(s) == 1
+    # replay ceiling preserved: max_doc_id still the original corpus max
+    orig_max = docs.agg({"doc_id": "max"}).collect()[0][0]
+    assert s[0]["max_doc_id"] == orig_max
+
+    # purging unknown ids: clean no-op
+    assert purge_bm25_docs(spark, "t_bm25_purge", [10**9]) == {
+        "docs_purged": 0,
+        "rows_deleted": 0,
+    }
