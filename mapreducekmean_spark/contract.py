@@ -5641,6 +5641,16 @@ _CHECK_FIRST = (
     # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
     # row, so this round it sits just past the window in insertion
     # order and re-enters in round 12.
+    # ROUND-12 ROTATION NOTE: the five queries declared mid-round-11
+    # (doc_chunk, domain_quality_filter, dedup_apply_best,
+    # gopher_quality, ann_refined_mcand_curve) sit MID-REGISTRY this
+    # round (the window's 50 slots were committed to the 46 r8-vintage
+    # + 4 early declarations below) with pytest oracle evidence at
+    # sf0.001/0.01/0.1; they need first driver rows and lead the
+    # round-12 window together with the 49 r9-vintage _STALE_OK
+    # entries (49 + 5 > 50: the five new ones and the oldest r9 block
+    # fill the window; any r9 overflow stays _STALE_OK one more round
+    # only if r11's artifact re-greens it — re-check when rotating).
     # round-11 brand-new queries are prepended here as they are
     # declared (first driver rows needed):
     "audio_fp_pairs",
