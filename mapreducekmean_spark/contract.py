@@ -3099,6 +3099,63 @@ def _ivfpq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_index_stats(spark, path)
 
 
+def _bm25_index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/search.py:bm25_index_stats — the occupancy/monitoring
+    row for the LEXICAL landed index, completing the family next to
+    ivf_cell_stats / ivfpq_cell_stats: top-20 heavy terms by df with
+    tf totals, plus n_docs/avgdl off the integer stats log. Landed
+    in-query like the vector-store rows; reads postings + stats only,
+    never the corpus."""
+    import hashlib
+    import os
+
+    from mapreducekmean_spark.operators.search import (
+        attach_bm25_index,
+        bm25_index_stats,
+        land_bm25_index,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bm25ix_{tag}"
+    path = _contract_index_dir(f"bm25_{tag}")
+    if not os.path.exists(os.path.join(path, "stats")):
+        land_bm25_index(spark, tx.documents(spark, sf_dir), name, path)
+    else:
+        attach_bm25_index(spark, name, path)
+    return bm25_index_stats(spark, name)
+
+
+#: mirrors search.bm25_index_stats: replay the tf build (the shared
+#: tokenizer) from documents, df/tf_total per term, top-20 by
+#: (df DESC, term ASC), integer corpus totals -> one avgdl division.
+_BM25_INDEX_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tfr AS (SELECT doc_id, unnest(toks) AS term FROM t),
+pt AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS tf_total
+  FROM tfr GROUP BY term
+),
+top AS (
+  SELECT term, df, tf_total,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT)
+           AS rank
+  FROM pt QUALIFY rank <= 20
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_dl
+  FROM t
+)
+SELECT term, df, tf_total, rank, n_docs,
+       round(CAST(total_dl AS DOUBLE) / n_docs, 6) AS avgdl
+FROM top, s
+"""
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(spark, sf_dir)
 
@@ -4197,6 +4254,11 @@ FROM documents
         ),
         Query("ivf_cell_stats", _ivf_cell_stats, _IVF_CELL_STATS_SQL),
         Query("ivfpq_cell_stats", _ivfpq_cell_stats, _IVF_CELL_STATS_SQL),
+        # round-11 declaration — mid-registry, round-12 window leader
+        # (see the doc_chunk note in _queries_text).
+        Query(
+            "bm25_index_stats", _bm25_index_stats_q, _BM25_INDEX_STATS_SQL
+        ),
         Query("ann_ivf_indexed", _ann_ivf_indexed, _ANN_IVF_SQL),
         Query(
             "ann_lsh",
@@ -5641,14 +5703,14 @@ _CHECK_FIRST = (
     # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
     # row, so this round it sits just past the window in insertion
     # order and re-enters in round 12.
-    # ROUND-12 ROTATION NOTE: the five queries declared mid-round-11
+    # ROUND-12 ROTATION NOTE: the six queries declared mid-round-11
     # (doc_chunk, domain_quality_filter, dedup_apply_best,
-    # gopher_quality, ann_refined_mcand_curve) sit MID-REGISTRY this
+    # gopher_quality, ann_refined_mcand_curve, bm25_index_stats) sit MID-REGISTRY this
     # round (the window's 50 slots were committed to the 46 r8-vintage
     # + 4 early declarations below) with pytest oracle evidence at
-    # sf0.001/0.01/0.1; they need first driver rows and lead the
+    # sf0.001/0.01(/0.1 where swept); they need first driver rows and lead the
     # round-12 window together with the 49 r9-vintage _STALE_OK
-    # entries (49 + 5 > 50: the five new ones and the oldest r9 block
+    # entries (49 + 6 > 50: the six new ones and the oldest r9 block
     # fill the window; any r9 overflow stays _STALE_OK one more round
     # only if r11's artifact re-greens it — re-check when rotating).
     # round-11 brand-new queries are prepended here as they are

@@ -852,6 +852,53 @@ def serve_retrieval(
     )
 
 
+def bm25_index_stats(spark, name: str, top_n: int = 20) -> DataFrame:
+    """Occupancy/monitoring row for the LEXICAL landed index — the
+    ``ivf_cell_stats``/``ivfpq_cell_stats`` parity for BM25: the
+    numbers an operator watches to size compaction and spot
+    degenerate postings (a stopword-like term whose df approaches
+    n_docs contributes near-zero idf but dominates bucket volume —
+    the signal to stoplist it at land time). Per heavy term (top
+    ``top_n`` by df DESC, term ASC): ``(term, df, tf_total, rank)``
+    plus the corpus context every monitoring read wants beside them —
+    ``n_docs`` and ``avgdl``, derived from the INTEGER stats log (one
+    IEEE division, 6 dp).
+
+    Reads the postings + stats tables only, never the corpus. The
+    term-grain aggregate lands on the term-bucketed scan's own
+    partitioning, and the top-n is ``orderBy(...).limit(n)`` — Spark
+    plans TakeOrderedAndProject, a DISTRIBUTED top-k (each task ships
+    its local top ``top_n``), never a single-partition global window
+    over the vocabulary."""
+    tf = spark.table(f"{name}_tf")
+    stats = spark.table(f"{name}_stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_dl").cast("bigint").alias("total_dl"),
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+    )
+    top = per_term.orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    ).limit(int(top_n))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            "tf_total",
+            "rank",
+            "n_docs",
+            F.round(
+                F.col("total_dl").cast("double") / F.col("n_docs"), 6
+            ).alias("avgdl"),
+        )
+    )
+
+
 def purge_bm25_docs(
     spark, name: str, doc_ids: list[int]
 ) -> dict[str, int]:
