@@ -672,6 +672,175 @@ def stream_ingest_dedup(
         q.stop()
 
 
+def chunk_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    name: str,
+    index_path: str,
+    out_path: str,
+    size: int | None = None,
+    stride: int | None = None,
+) -> None:
+    """One micro-batch of the CHUNK-STORE ingest — the ``foreachBatch``
+    body of :func:`stream_chunk_ingest`, public so tests and batch
+    backfills drive the exact same code path. The composition a RAG /
+    long-context ingest runs: arriving documents chunk into
+    token windows (``text.chunk_documents``), duplicate chunks dedup
+    corpus-wide on ``chunk_hash`` (boilerplate paragraphs repeat
+    across documents and batches — the C4 lesson at chunk grain), and
+    the first occurrence lands append-only while the landed hash
+    table grows.
+
+    Per batch: (1) batch-id replay guard (high-water marker, advances
+    LAST); (2) chunk; (3) within-batch first occurrence per hash —
+    min (doc_id, chunk_id); (4) cross-batch: anti-join against the
+    landed hash table, counting only rows landed by EARLIER batches
+    (``doc_id < batch_min`` — a crashed prior attempt of THIS batch
+    landed hashes with ``doc_id >= batch_min``, and trusting those
+    would drop the whole rerun as duplicates of itself; NULL
+    provenance counts as landed-earlier — the
+    ``prepare_training_data_incremental`` discipline verbatim);
+    (5) kept chunks land as the ``ingest_batch=<id>`` partition via
+    partition UPSERT (a replay REPLACES its own partition); (6) ALL
+    the batch's first-occurrence hashes append to the hash table —
+    skipped when a presence probe of the batch's max-id hash says a
+    prior attempt's append completed. PRECONDITION (shared with every
+    ingest here): doc_ids append-only monotone across batches.
+
+    Equivalence (pinned in tests/test_streaming_ingest.py): the union
+    of landed chunks over batches b1..bn equals the one-shot
+    ``chunk_documents(b1 ∪ ... ∪ bn)`` deduplicated to the min
+    (doc_id, chunk_id) per chunk_hash — plus the ``ingest_batch``
+    provenance column."""
+    from mapreducekmean_spark.operators.incremental import INDEX_BUCKETS
+    from mapreducekmean_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+    from mapreducekmean_spark.sources.bucketing import (
+        read_bucketed,
+        upsert_partitions,
+        write_bucketed,
+    )
+
+    if size is None:
+        size = CHUNK_SIZE
+    if stride is None:
+        stride = CHUNK_STRIDE
+    marker = os.path.join(index_path, "_chunk_ingest_high_water")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # replay of a completed batch: no-op
+    batch_df = batch_df.localCheckpoint()
+    if not batch_df.take(1):
+        return
+    batch_min = batch_df.agg(F.min("doc_id")).collect()[0][0]
+    chunks = chunk_documents(
+        batch_df.select("doc_id", "text"), size=size, stride=stride
+    ).localCheckpoint()
+    # within-batch first occurrence per hash: min (doc_id, chunk_id)
+    first = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("w")
+    )
+    batch_first = chunks.join(
+        first.select(
+            "chunk_hash",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.chunk_id").alias("chunk_id"),
+        ),
+        ["chunk_hash", "doc_id", "chunk_id"],
+    ).localCheckpoint()
+
+    hashes_dir = os.path.join(index_path, "hashes")
+    have_hashes = os.path.exists(hashes_dir)
+    if have_hashes:
+        if not spark.catalog.tableExists(f"{name}_chunk_hashes"):
+            spark.sql(
+                f"CREATE TABLE {name}_chunk_hashes "
+                f"(chunk_hash STRING, doc_id BIGINT) "
+                f"USING parquet CLUSTERED BY (chunk_hash) "
+                f"SORTED BY (chunk_hash) INTO {INDEX_BUCKETS} "
+                f"BUCKETS LOCATION '{hashes_dir}'"
+            )
+        landed = read_bucketed(spark, f"{name}_chunk_hashes").filter(
+            F.col("doc_id").isNull() | (F.col("doc_id") < batch_min)
+        )
+        kept = batch_first.join(
+            landed.select("chunk_hash"), "chunk_hash", "left_anti"
+        ).localCheckpoint()
+    else:
+        kept = batch_first
+    upsert_partitions(
+        kept.withColumn("ingest_batch", F.lit(int(batch_id))),
+        out_path,
+        "ingest_batch",
+    )
+    # grow the hash table with the batch's first-occurrence hashes
+    # (cross-batch losers are already landed); probe for a completed
+    # prior append of THIS batch before re-appending
+    new_hashes = batch_first.select("chunk_hash", "doc_id")
+    probe = (
+        new_hashes.orderBy(F.col("doc_id").desc(), F.col("chunk_hash").asc())
+        .take(1)
+    )
+    already = bool(probe) and have_hashes and bool(
+        spark.table(f"{name}_chunk_hashes")
+        .filter(
+            (F.col("chunk_hash") == probe[0]["chunk_hash"])
+            & (F.col("doc_id") == probe[0]["doc_id"])
+        )
+        .take(1)
+    )
+    if not already:
+        write_bucketed(
+            new_hashes,
+            f"{name}_chunk_hashes",
+            "chunk_hash",
+            INDEX_BUCKETS,
+            hashes_dir,
+            mode="append" if have_hashes else "overwrite",
+        )
+    with open(marker, "w") as f:
+        f.write(str(batch_id))
+
+
+def stream_chunk_ingest(
+    docs_stream: DataFrame,
+    name: str,
+    index_path: str,
+    out_path: str,
+) -> None:
+    """Chunk-store ingest: a document stream lands APPEND-ONLY
+    deduplicated context-window chunks while the chunk-hash table
+    grows with every batch. ``foreachBatch`` →
+    :func:`chunk_ingest_batch`; semantics, replay behavior, and the
+    batch-prefix ≡ one-shot equivalence are documented there and
+    pinned in tests/test_streaming_ingest.py. Synchronous
+    local-harness form like the other runners; the durable checkpoint
+    keeps batch ids monotone across driver restarts (the
+    ``stream_ingest_dedup`` rationale)."""
+    spark = docs_stream.sparkSession
+    q = (
+        docs_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: chunk_ingest_batch(
+                spark, df, bid, name, index_path, out_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def stream_cdc_merge(
     changes_stream: DataFrame,
     snapshot_path: str,

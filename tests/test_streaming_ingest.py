@@ -558,3 +558,147 @@ def test_semantic_dedup_batch_replay_windows(spark, sf_oracle, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == rows
     with open(marker) as f:
         assert int(f.read()) == 1
+
+
+def _one_shot_chunks(spark, docs):
+    """Reference: chunk the whole corpus, keep min (doc_id, chunk_id)
+    per chunk_hash — what the batched ingest must compose to."""
+    from mapreducekmean_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(docs.select("doc_id", "text"))
+    first = ch.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("w")
+    )
+    kept = ch.join(
+        first.select(
+            "chunk_hash",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.chunk_id").alias("chunk_id"),
+        ),
+        ["chunk_hash", "doc_id", "chunk_id"],
+    )
+    return sorted(
+        (r.doc_id, r.chunk_id, r.chunk_hash) for r in kept.collect()
+    )
+
+
+def _chunky_docs(spark):
+    """Synthetic corpus with cross-doc and cross-batch duplicate
+    chunks: docs 0/10/20 are byte-identical (every chunk duplicates),
+    docs 1/11 share a 64-token prefix (first chunk duplicates), the
+    rest are unique. 130 tokens/doc -> 3 chunks each at 64/48."""
+    base = " ".join(f"tok{i}" for i in range(130))
+    prefix = " ".join(f"pre{i}" for i in range(64))
+    rows = []
+    for i in range(25):
+        if i in (0, 10, 20):
+            text = base
+        elif i in (1, 11):
+            text = prefix + " " + " ".join(f"tail{i}x{j}" for j in range(66))
+        else:
+            text = " ".join(f"doc{i}w{j}" for j in range(130))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_ingest_prefix_equals_one_shot(spark, tmp_path):
+    """Batches b1..b3 through chunk_ingest_batch land exactly the
+    one-shot chunk-dedup result: cross-batch duplicate chunks (doc 10
+    and 20 repeating doc 0's, doc 11 repeating doc 1's first window)
+    drop against the landed hash table, first occurrences survive."""
+    from mapreducekmean_spark.streaming.jobs import chunk_ingest_batch
+
+    docs = _chunky_docs(spark)
+    idx = str(tmp_path / "cidx")
+    out = str(tmp_path / "cout")
+    batches = [
+        docs.filter("doc_id < 8"),
+        docs.filter("doc_id >= 8 and doc_id < 16"),
+        docs.filter("doc_id >= 16"),
+    ]
+    for bid, b in enumerate(batches):
+        chunk_ingest_batch(spark, b, bid, "t_chunk_a", idx, out)
+
+    landed = spark.read.parquet(out)
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_hash) for r in landed.collect()
+    )
+    assert got == _one_shot_chunks(spark, docs)
+    # the duplicate docs' chunks landed only under their first ids
+    landed_docs = {r.doc_id for r in landed.collect()}
+    assert 10 not in landed_docs and 20 not in landed_docs
+    # doc 11 kept its tail chunks but lost the shared first window
+    d11 = sorted(
+        r.chunk_id for r in landed.filter("doc_id = 11").collect()
+    )
+    assert d11 == [1, 2]
+
+
+def test_chunk_ingest_replay_windows_converge(spark, tmp_path):
+    """Replay idempotency both ways: a completed batch id re-delivered
+    is a no-op, and a crash AFTER the hash-table append but BEFORE the
+    marker (the hardest window) re-runs to the identical landed state
+    — the provenance filter keeps the batch from deduping against its
+    own half-landed hashes."""
+    import os
+
+    from mapreducekmean_spark.streaming.jobs import chunk_ingest_batch
+
+    docs = _chunky_docs(spark)
+    idx = str(tmp_path / "cidx")
+    out = str(tmp_path / "cout")
+    b0 = docs.filter("doc_id < 12")
+    b1 = docs.filter("doc_id >= 12")
+    chunk_ingest_batch(spark, b0, 0, "t_chunk_b", idx, out)
+    chunk_ingest_batch(spark, b1, 1, "t_chunk_b", idx, out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    n_hashes = spark.table("t_chunk_b_chunk_hashes").count()
+
+    # completed-batch replays: no-ops
+    chunk_ingest_batch(spark, b1, 1, "t_chunk_b", idx, out)
+    chunk_ingest_batch(spark, b0, 0, "t_chunk_b", idx, out)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        == before
+    )
+    assert spark.table("t_chunk_b_chunk_hashes").count() == n_hashes
+
+    # crash window: marker lost after batch 1 fully applied -> the
+    # rerun must converge to the same landed rows and hash rows
+    os.remove(os.path.join(idx, "_chunk_ingest_high_water"))
+    with open(os.path.join(idx, "_chunk_ingest_high_water"), "w") as f:
+        f.write("0")  # as if batch 1's marker write was lost
+    chunk_ingest_batch(spark, b1, 1, "t_chunk_b", idx, out)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        == before
+    )
+    assert spark.table("t_chunk_b_chunk_hashes").count() == n_hashes
+
+
+def test_stream_chunk_ingest_end_to_end(spark, tmp_path):
+    """The writeStream smoke: the corpus through an actual file-source
+    stream lands the one-shot chunk-dedup result. One id-ordered file
+    — the monotone-id precondition every ingest here states (file-
+    split streams deliver files in discovery order, not id order; an
+    upstream writer satisfies the precondition by construction, a
+    repartitioned test fixture does not — verified: a 3-way random
+    split double-lands the chunk whose first occurrence streams
+    late). Multi-batch semantics are pinned by the direct-drive
+    tests above."""
+    from mapreducekmean_spark.streaming.jobs import stream_chunk_ingest
+
+    docs = _chunky_docs(spark)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).sortWithinPartitions("doc_id").write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    idx = str(tmp_path / "sidx")
+    out = str(tmp_path / "sout")
+    stream_chunk_ingest(stream, "t_chunk_s", idx, out)
+    landed = spark.read.parquet(out)
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_hash) for r in landed.collect()
+    )
+    assert got == _one_shot_chunks(spark, docs)
