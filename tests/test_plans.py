@@ -640,3 +640,20 @@ def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
     assert "partial_max" in plan.lower() or "partial" in plan.lower()
+
+
+def test_gopher_quality_is_map_only(spark, sf_small):
+    """The Gopher rules are a pure per-row projection — no exchange."""
+    df = REG["gopher_quality"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+
+
+def test_bm25_index_stats_distributed_topk(spark, sf_small):
+    """The heavy-terms cut must plan as TakeOrderedAndProject (each
+    task ships its local top-n) — never a single-partition global
+    window over the vocabulary."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    df = REG["bm25_index_stats"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
