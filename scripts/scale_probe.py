@@ -1958,6 +1958,81 @@ def probe_r11misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
     }
 
 
+def probe_chunkingest(
+    spark, results: dict, n_docs: int = 1_000_000, batches: int = 4
+) -> None:
+    """Round-11 streaming probe: the chunk-store ingest at 1M docs over
+    4 monotone batches, 25% of docs carrying an IDENTICAL boilerplate
+    page planted across every batch — the cross-batch duplicate mass
+    the landed hash table exists for. Claims verified at volume:
+    per-batch cost tracks the batch (per-batch seconds reported; the
+    hash-table anti-join side is bucket-pruned landed state, not the
+    corpus), the boilerplate's chunks land exactly ONCE corpus-wide,
+    and the landed count equals the closed form (3 chunks per unique
+    130-token doc + 3 for the shared page)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mapreducekmean_spark.streaming.jobs import chunk_ingest_batch
+
+    boiler = " ".join(f"boil{i}" for i in range(130))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, F.lit(boiler))
+        .otherwise(
+            F.concat(
+                F.lit("unique page "),
+                F.md5(F.col("id").cast("string")),
+                *[
+                    F.concat(
+                        F.lit(" w"),
+                        F.md5((F.col("id") * 1000 + j).cast("string")),
+                    )
+                    for j in range(8)
+                ],
+            )
+        )
+        .alias("text"),
+    ).localCheckpoint()
+    work = _tempfile.mkdtemp(prefix="mrkm_chunkingest_")
+    idx = f"{work}/idx"
+    out = f"{work}/out"
+    per_batch = []
+    size = n_docs // batches
+    try:
+        for b in range(batches):
+            lo, hi = b * size, (b + 1) * size
+            bdf = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            t0 = time.perf_counter()
+            chunk_ingest_batch(
+                spark, bdf, b, "probe_chunk_ing", idx, out
+            )
+            per_batch.append(round(time.perf_counter() - t0, 2))
+        landed = spark.read.parquet(out)
+        n_landed = landed.count()
+        # unique docs: 12 md5-hash words + 2 lead tokens -> well under
+        # one 64-token window = 1 chunk each; boilerplate: 130 tokens
+        # -> 3 chunks, landed once corpus-wide
+        n_unique_docs = n_docs - n_docs // 4
+        boil_chunks = (
+            landed.filter(F.col("doc_id") % 4 == 0).count()
+        )
+        results["chunk_ingest_1m"] = {
+            "docs": n_docs,
+            "batches": batches,
+            "boiler_share": 0.25,
+            "per_batch_sec": per_batch,
+            "landed_chunks": n_landed,
+            "boiler_chunks_landed": boil_chunks,
+        }
+        assert boil_chunks == 3, boil_chunks  # once corpus-wide
+        assert n_landed == n_unique_docs + 3, n_landed
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_retrieval(
     spark, results: dict, sf_dir: str, repl: int = 100
 ) -> None:
@@ -2970,6 +3045,7 @@ def main() -> None:
         "refine",
         "refinegrid",
         "r11misc",
+        "chunkingest",
     }
     only = set(args.only.split(",")) if args.only else groups
     if not only <= groups:
@@ -3037,6 +3113,8 @@ def main() -> None:
         probe_refine_grid(spark, results)
     if "r11misc" in only:
         probe_r11misc(spark, results)
+    if "chunkingest" in only:
+        probe_chunkingest(spark, results)
     if "r10misc" in only:
         probe_r10misc(spark, results)
     if "toptermskew" in only:
