@@ -640,6 +640,56 @@ FROM m
 """
 
 
+def _pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.pii_scan over a deterministically PII-injected corpus (the
+    fixture has no emails or phone numbers — every doc gets a contact
+    line derived from its id, so both patterns fire on every row and
+    the counting + sequential-redaction arithmetic is fully
+    exercised; the doc_grid_dhash in-query-synthesis precedent)."""
+    docs = tx.documents(spark, sf_dir).select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return tx.pii_scan(injected)
+
+
+#: mirrors text.pii_scan over the injected corpus; patterns are the
+#: alternation-free class/count subset where Java regex and RE2 agree.
+_PII_SCAN_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+lo AS (SELECT doc_id, lower(text) AS t FROM inj),
+ne AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+           t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(
+           t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
+           AS t2
+  FROM lo
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+            AS BIGINT) AS n_phones,
+       md5(regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>',
+                          'g')) AS redacted_hash
+FROM ne
+"""
+
+
 #: mirrors dedup.dedup_apply_best over the synthesized dup corpus (the
 #: fixtures have zero exact-dup groups, so the declared row unions in
 #: deterministic twins: a whitespace-PADDED copy of every 5th doc
@@ -1907,6 +1957,7 @@ FROM documents
             ),
             _GOPHER_QUALITY_SQL,
         ),
+        Query("pii_scan", _pii_scan_q, _PII_SCAN_SQL),
     ]
 
 
@@ -5703,14 +5754,15 @@ _CHECK_FIRST = (
     # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
     # row, so this round it sits just past the window in insertion
     # order and re-enters in round 12.
-    # ROUND-12 ROTATION NOTE: the six queries declared mid-round-11
+    # ROUND-12 ROTATION NOTE: the seven queries declared mid-round-11
     # (doc_chunk, domain_quality_filter, dedup_apply_best,
-    # gopher_quality, ann_refined_mcand_curve, bm25_index_stats) sit MID-REGISTRY this
+    # gopher_quality, ann_refined_mcand_curve, bm25_index_stats,
+    # pii_scan) sit MID-REGISTRY this
     # round (the window's 50 slots were committed to the 46 r8-vintage
     # + 4 early declarations below) with pytest oracle evidence at
     # sf0.001/0.01(/0.1 where swept); they need first driver rows and lead the
     # round-12 window together with the 49 r9-vintage _STALE_OK
-    # entries (49 + 6 > 50: the six new ones and the oldest r9 block
+    # entries (49 + 7 > 50: the seven new ones and the oldest r9 block
     # fill the window; any r9 overflow stays _STALE_OK one more round
     # only if r11's artifact re-greens it — re-check when rotating).
     # round-11 brand-new queries are prepended here as they are

@@ -1231,3 +1231,43 @@ def gopher_quality(
         n_stop.alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+#: PII patterns, kept to the regex subset where Spark (Java regex) and
+#: DuckDB (RE2) agree exactly — character classes and greedy counts,
+#: no alternation, no lookaround (the text_redact contract, widened).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """PII detection + scrubbing — the cleaning stage next to
+    :func:`redact`'s digit masking that a distributable corpus
+    actually requires: count and replace email addresses and
+    phone-shaped digit runs. Phones are counted and replaced AFTER
+    email redaction — an email's digit-bearing local part
+    (``user123456789@…``) would otherwise double-count as a phone.
+    The scan runs over lowercased text (the email pattern's class is
+    lowercase; case variants normalize instead of escaping).
+
+    Output per doc: ``n_emails``, ``n_phones``, and
+    ``redacted_hash`` — md5 of the scrubbed text (the full scrubbed
+    column is corpus-sized; the hash is what the oracle needs and
+    what a provenance log stores). Pure per-row projection, no
+    shuffle, scan-bound at 100 TB.
+    """
+    t = F.lower(F.col("text"))
+    n_emails = F.size(
+        F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)
+    ).cast("bigint")
+    no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PII_PHONE_RE), 0)
+    ).cast("bigint")
+    red = F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(red).alias("redacted_hash"),
+    )

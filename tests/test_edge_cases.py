@@ -1599,3 +1599,28 @@ def test_dedup_apply_best_rejects_out_of_bound_ids(spark):
     )
     with _pytest.raises(Exception, match="order embedding"):
         dedup_apply_best(docs).collect()
+
+
+def test_pii_scan_constructed_cases(spark):
+    """pii_scan semantics on constructed text: multiple emails count,
+    an email's digit-heavy local part does NOT double-count as a phone
+    (phones are counted post-email-redaction), phone variants with
+    +/parens/dashes/spaces match, and clean text scans zero."""
+    from mapreducekmean_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and c_d%e@sub.domain.co today"),
+            (2, "user123456789@host.com only"),     # email, no phone
+            (3, "call +1 (555) 010-4242 or 020 7946 0958 now"),
+            (4, "totally clean text with words only"),
+            (5, "MIXED.Case@Upper.COM shouts"),     # lowercased first
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 0
+    assert out[2].n_emails == 1 and out[2].n_phones == 0
+    assert out[3].n_emails == 0 and out[3].n_phones == 2
+    assert out[4].n_emails == 0 and out[4].n_phones == 0
+    assert out[5].n_emails == 1
