@@ -698,8 +698,9 @@ FROM ne
 #: wins, or ties back to the original's smaller doc_id): the
 #: quality-argmax genuinely decides winners in both engines — the
 #: doc_grid_dhash in-query-synthesis precedent.
-_DEDUP_APPLY_BEST_SQL = rf"""
-WITH shifted AS (
+#: the synthesized-dup corpus CTEs, shared by the dedup_apply_best and
+#: split_leakage_audit oracles (one copy of the twin construction).
+_DUP_CORPUS_CTES = r"""shifted AS (
   -- content-shifted base whose ORIGINAL is not in its group: its two
   -- synthesized copies alone form the group, and the higher-id clean
   -- copy must beat the lower-id padded one — a min-id-ordering bug
@@ -721,7 +722,10 @@ corpus AS (
   FROM shifted
   UNION ALL
   SELECT doc_id + 40000000 AS doc_id, text FROM shifted
-),
+)"""
+
+_DEDUP_APPLY_BEST_SQL = rf"""
+WITH {_DUP_CORPUS_CTES},
 {_quality_ctes('corpus')},
 h AS (
   SELECT doc_id,
@@ -746,11 +750,13 @@ SELECT doc_id, content_hash, n_copies, quality FROM r WHERE rk = 1
 """
 
 
-def _dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_apply_best over the synthesized dup corpus — see the
-    _DEDUP_APPLY_BEST_SQL note (fixtures have zero exact-dup groups, so
-    the declared row unions in deterministic whitespace-damaged and
-    whitespace-cleaned twins that the quality-argmax must adjudicate)."""
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized-dup corpus (fixtures have zero exact-dup groups):
+    documents unioned with whitespace-PADDED copies of every 5th doc,
+    whitespace-COLLAPSED copies of every 10th, and two copies (padded +
+    clean) of a content-SHIFTED base for every 9th — mirrors
+    _DUP_CORPUS_CTES row for row. Shared by the dedup_apply_best and
+    split_leakage_audit declared queries."""
     docs = dd.documents_source(spark, sf_dir).select("doc_id", "text")
     pad = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -772,10 +778,60 @@ def _dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_clean = shifted.select(
         (F.col("doc_id") + 40_000_000).alias("doc_id"), "text"
     )
-    return dd.dedup_apply_best(
+    return (
         docs.unionAll(pad).unionAll(collapsed).unionAll(sh_pad)
         .unionAll(sh_clean)
     )
+
+
+def _dedup_apply_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_apply_best over the synthesized dup corpus — see the
+    _DEDUP_APPLY_BEST_SQL note (fixtures have zero exact-dup groups, so
+    the declared row unions in deterministic whitespace-damaged and
+    whitespace-cleaned twins that the quality-argmax must adjudicate)."""
+    return dd.dedup_apply_best(_dup_corpus(spark, sf_dir))
+
+
+def _split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.split_leakage_audit over the synthesized dup corpus — the
+    twins' ids hash into different splits than their originals', so
+    cross-split leaked groups exist for the audit to find (the clean
+    fixture alone would be a degenerate zero-row check)."""
+    return dd.split_leakage_audit(_dup_corpus(spark, sf_dir))
+
+
+#: mirrors dedup.split_leakage_audit over the shared dup corpus: content
+#: hash + the dataset_split hash-coin per doc, distinct (hash, split),
+#: ordered split-pair self-join, per-pair group and copy counts.
+_SPLIT_LEAKAGE_SQL = rf"""
+WITH {_DUP_CORPUS_CTES},
+d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+hs AS (SELECT DISTINCT h, split FROM d),
+ps AS (
+  SELECT h, split, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY h, split
+),
+pr AS (
+  SELECT a.h, a.split AS split_a, b.split AS split_b
+  FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+)
+SELECT pr.split_a, pr.split_b,
+       CAST(count(DISTINCT pr.h) AS BIGINT) AS n_groups,
+       CAST(sum(na.n + nb.n) AS BIGINT) AS n_docs
+FROM pr
+JOIN ps na ON na.h = pr.h AND na.split = pr.split_a
+JOIN ps nb ON nb.h = pr.h AND nb.split = pr.split_b
+GROUP BY pr.split_a, pr.split_b
+"""
 
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4248,6 +4304,11 @@ WHERE doc_id IN (
             _DEDUP_APPLY_BEST_SQL,
         ),
         Query(
+            "split_leakage_audit",
+            _split_leakage_audit_q,
+            _SPLIT_LEAKAGE_SQL,
+        ),
+        Query(
             "multimodal_checksums",
             lambda spark, sf_dir: _multimodal_checksums(spark, sf_dir),
             """
@@ -5754,15 +5815,15 @@ _CHECK_FIRST = (
     # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
     # row, so this round it sits just past the window in insertion
     # order and re-enters in round 12.
-    # ROUND-12 ROTATION NOTE: the seven queries declared mid-round-11
+    # ROUND-12 ROTATION NOTE: the eight queries declared mid-round-11
     # (doc_chunk, domain_quality_filter, dedup_apply_best,
     # gopher_quality, ann_refined_mcand_curve, bm25_index_stats,
-    # pii_scan) sit MID-REGISTRY this
+    # pii_scan, split_leakage_audit) sit MID-REGISTRY this
     # round (the window's 50 slots were committed to the 46 r8-vintage
     # + 4 early declarations below) with pytest oracle evidence at
     # sf0.001/0.01(/0.1 where swept); they need first driver rows and lead the
     # round-12 window together with the 49 r9-vintage _STALE_OK
-    # entries (49 + 7 > 50: the seven new ones and the oldest r9 block
+    # entries (49 + 8 > 50: the eight new ones and the oldest r9 block
     # fill the window; any r9 overflow stays _STALE_OK one more round
     # only if r11's artifact re-greens it — re-check when rotating).
     # round-11 brand-new queries are prepended here as they are

@@ -1289,3 +1289,67 @@ def dedup_lines_apply(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def split_leakage_audit(docs: DataFrame) -> DataFrame:
+    """Cross-split exact-duplicate LEAKAGE audit — the post-split check
+    every training pipeline runs (``decontaminate`` audits train vs an
+    external benchmark; this audits the corpus's own train/val/test
+    splits): a content group with copies in two splits means the
+    held-out sets contain training data, and a val/test metric
+    computed on them is contaminated. Splits come from the engine's
+    own ``text.split_col()`` (hash of doc_id), so dedup-before-split
+    ordering bugs surface here.
+
+    Output one row per ordered split pair ``(split_a < split_b)``:
+    ``n_groups`` — content groups present in both — and ``n_docs`` —
+    total copies (across both splits) belonging to those leaked
+    groups. Zero rows = clean.
+
+    Scale shape: content hash is a scan-site projection; the DISTINCT
+    (hash, split) table carries at most 3 rows per group regardless of
+    copy count (a boilerplate page duplicated millions of times
+    contributes ≤3 rows — the distinct absorbs the mass map-side);
+    the split-pair self-join fans out ≤ 3×3 per hash on uniform md5
+    keys; the per-group doc counts ride the same hash-keyed shuffle.
+    """
+    from mapreducekmean_spark.operators.text import split_col
+
+    d = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("h")
+    ).withColumn("split", split_col())
+    hs = d.select("h", "split").distinct()
+    per_split = d.groupBy("h", "split").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = hs.alias("a")
+    b = hs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.split") < F.col("b.split")),
+    ).select(
+        F.col("a.h").alias("h"),
+        F.col("a.split").alias("split_a"),
+        F.col("b.split").alias("split_b"),
+    )
+    # copies in the two leaked splits, summed per pair via two joins
+    # on the same hash-keyed partitioning
+    na = pairs.join(
+        per_split.select(
+            F.col("h").alias("ha"), F.col("split").alias("sa"),
+            F.col("n").alias("n_a"),
+        ),
+        (F.col("h") == F.col("ha")) & (F.col("split_a") == F.col("sa")),
+    ).drop("ha", "sa")
+    nb = na.join(
+        per_split.select(
+            F.col("h").alias("hb"), F.col("split").alias("sb"),
+            F.col("n").alias("n_b"),
+        ),
+        (F.col("h") == F.col("hb")) & (F.col("split_b") == F.col("sb")),
+    ).drop("hb", "sb")
+    return nb.groupBy("split_a", "split_b").agg(
+        F.countDistinct("h").alias("n_groups"),
+        F.sum(F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_docs"),
+    )

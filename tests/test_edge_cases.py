@@ -1624,3 +1624,37 @@ def test_pii_scan_constructed_cases(spark):
     assert out[3].n_emails == 0 and out[3].n_phones == 2
     assert out[4].n_emails == 0 and out[4].n_phones == 0
     assert out[5].n_emails == 1
+
+
+def test_split_leakage_audit_semantics(spark):
+    """A clean (dup-free) corpus audits to zero rows; planting the same
+    content under ids that hash into different splits surfaces exactly
+    that leaked group with the right copy counts."""
+    from mapreducekmean_spark.operators.dedup import split_leakage_audit
+    from mapreducekmean_spark.operators.text import dataset_split
+
+    clean = spark.createDataFrame(
+        [(i, f"unique document number {i} body") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    assert split_leakage_audit(clean).count() == 0
+
+    # find two ids in different splits, give them identical content
+    splits = {
+        r.doc_id: r.split for r in dataset_split(clean).collect()
+    }
+    ids = sorted(splits)
+    a = ids[0]
+    b = next(i for i in ids if splits[i] != splits[a])
+    leaked = spark.createDataFrame(
+        [(a, "the same leaked text"), (b, "the same   LEAKED text")]
+        + [(i, f"unique document number {i} body") for i in ids
+           if i not in (a, b)],
+        "doc_id bigint, text string",
+    )
+    rows = split_leakage_audit(leaked).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r.split_a, r.split_b} == {splits[a], splits[b]}
+    assert r.split_a < r.split_b
+    assert r.n_groups == 1 and r.n_docs == 2
