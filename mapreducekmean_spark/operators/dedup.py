@@ -89,8 +89,15 @@ def dedup_apply_best(docs: DataFrame) -> DataFrame:
     as the deterministic tie-break. Output
     ``(doc_id, content_hash, n_copies, quality)`` for kept docs only.
 
-    Scale shape: the quality score is a per-row projection fused into
-    the scan, and the argmax is ONE aggregate. The ``(quality DESC,
+    Scale shape: the quality score (``text.quality_expr``) and the
+    content hash come out of ONE map-side projection — there is NO join
+    anywhere in the plan (plan-pinned:
+    ``tests/test_plans.py::test_dedup_apply_best_hash_agg_no_sort``).
+    Re-attaching ``quality_score(docs)`` via a ``doc_id`` join — the
+    shape this operator had before round 12 — is a corpus×corpus
+    self-join that AQE broadcasts at fixture scale but degrades to a
+    corpus-volume sort-merge shuffle at 100 TB (r11 verdict). The
+    argmax is ONE aggregate. The ``(quality DESC,
     doc_id ASC)`` selection rule is order-embedded into a single
     bigint — ``round(quality·10⁶)·10¹² − doc_id`` (quality is a 6-dp
     score in [0,1], so the scaled value is integer-exact; distinct
@@ -103,40 +110,49 @@ def dedup_apply_best(docs: DataFrame) -> DataFrame:
     ships one partial max + one partial count per map task through the
     uniform-md5-keyed exchange, never its full mass.
 
-    Preconditions (checked row-side via ``raise_error``, one codegen'd
-    branch): ``0 ≤ doc_id < 10¹²``; quality must be non-null (true for
-    any document with at least one character — empty-text docs score
-    NULL and would be dropped by ``max``'s null-skipping).
+    Preconditions (checked row-side via ``raise_error``, codegen'd
+    branches): ``0 ≤ doc_id < 10¹²``; quality non-null — a zero-token
+    document's 0/0 quality would be NULL, which ``max`` would silently
+    skip, emitting a NULL-doc_id row for an all-NULL group (and
+    diverging from the DuckDB oracle's ``NULLS LAST`` row_number). A
+    zero-token doc now FAILS LOUDLY either way (r11 advice): under
+    ANSI mode (Spark 4 default) the quality expression's division
+    raises ``DIVIDE_BY_ZERO`` first; under non-ANSI the division
+    yields NULL and the ``raise_error`` guard fires. Filter empty docs
+    before calling.
     """
-    from mapreducekmean_spark.operators.text import quality_score
+    from mapreducekmean_spark.operators.text import quality_expr
 
-    # quality_score's len_kchars output reads the fixture's n_chars
-    # column; the score itself doesn't — synthesize it for bare
-    # (doc_id, text) inputs like the declared query's union corpus
-    d_in = (
-        docs
-        if "n_chars" in docs.columns
-        else docs.withColumn("n_chars", F.length("text").cast("bigint"))
-    )
-    q = quality_score(d_in).select("doc_id", "quality")
-    d = (
-        docs.select(
-            "doc_id", F.md5(normalized_text()).alias("content_hash")
-        )
-        .join(q, "doc_id")
+    d = docs.select(
+        "doc_id",
+        F.md5(normalized_text()).alias("content_hash"),
+        quality_expr().alias("quality"),
     )
     id_bound = 1_000_000_000_000
     q_int = F.round(F.col("quality") * 1_000_000).cast("bigint")
-    key = F.when(
-        (F.col("doc_id") >= 0) & (F.col("doc_id") < id_bound),
-        q_int * id_bound - F.col("doc_id"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "dedup_apply_best: doc_id outside [0, 1e12) breaks the "
-                "(quality, -doc_id) order embedding"
-            )
-        ).cast("bigint")
+    key = (
+        F.when(
+            F.col("quality").isNull(),
+            F.raise_error(
+                F.lit(
+                    "dedup_apply_best: NULL quality (zero-token "
+                    "document) would corrupt the argmax — filter "
+                    "empty documents before the apply"
+                )
+            ).cast("bigint"),
+        )
+        .when(
+            (F.col("doc_id") >= 0) & (F.col("doc_id") < id_bound),
+            q_int * id_bound - F.col("doc_id"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "dedup_apply_best: doc_id outside [0, 1e12) breaks "
+                    "the (quality, -doc_id) order embedding"
+                )
+            ).cast("bigint")
+        )
     )
     best = d.groupBy("content_hash").agg(
         F.max(key).alias("best_key"),

@@ -46,10 +46,18 @@ def corpus_clean(
 ) -> DataFrame:
     """Run the staged cleaning pipeline; return the per-document audit
     table (doc_id, quality, q_pass, exact_keep, kept, dup_of)."""
-    q = tx.quality_score(docs).select(
-        "doc_id", "quality", F.col("keep").alias("q_pass")
+    # quality is FUSED into one projection over the scan
+    # (tx.quality_expr / tx.quality_keep_expr) and the stage-1 gate is
+    # a plain filter on it — never `docs.join(quality_score(docs))`,
+    # the corpus×corpus self-join shape the r11 verdict flagged (AQE
+    # broadcasts the whole corpus's score projection at fixture scale;
+    # at 100 TB it degrades to a corpus-volume sort-merge shuffle).
+    dq = docs.select(
+        *docs.columns,
+        tx.quality_expr().alias("quality"),
+        tx.quality_keep_expr().alias("q_pass"),
     )
-    stage1 = docs.join(q.filter("q_pass").select("doc_id"), "doc_id")
+    stage1 = dq.filter("q_pass").select(*docs.columns)
     # materialize the quality+exact stage once: it is referenced from
     # several downstream subtrees (the near-dup stage's shingle table,
     # candidate join, and verdict join, plus the audit assembly), and
@@ -66,8 +74,7 @@ def corpus_clean(
         "doc_id", F.col("kept").alias("near_kept"), "dup_of"
     )
     return (
-        docs.select("doc_id")
-        .join(q, "doc_id")
+        dq.select("doc_id", "quality", "q_pass")
         .join(ek.select("doc_id", "exact_keep"), "doc_id", "left")
         .join(verdict, "doc_id", "left")
         .select(
@@ -238,8 +245,9 @@ def prepare_training_data_incremental(
         with open(done_marker) as f:
             return json.load(f)  # replay of a completed batch: no-op
 
-    q = tx.quality_score(batch).select("doc_id", F.col("keep").alias("q_pass"))
-    stage1 = batch.join(q.filter("q_pass").select("doc_id"), "doc_id")
+    # plain filter on the fused quality expression — not a self-join
+    # against quality_score(batch) (the r11-verdict scale trap)
+    stage1 = batch.filter(tx.quality_keep_expr())
     hashed = stage1.withColumn(
         "content_hash", F.md5(dd.normalized_text())
     ).localCheckpoint()

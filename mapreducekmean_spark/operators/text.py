@@ -124,14 +124,17 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic document-quality scoring: length band, alpha ratio,
-    type-token ratio, mean token length band — the standard pretraining
-    quality-filter shape (all ratios, rounded 6 dp)."""
-    t = tokens("text")
+def _quality_parts(text_col: str = "text"):
+    """The raw (alpha_ratio, ttr, score) expressions behind the quality
+    heuristic, parameterized by text column — shared by the DataFrame
+    surface (:func:`quality_score`) and the scan-site expressions
+    (:func:`quality_expr` / :func:`quality_keep_expr`)."""
+    t = tokens(text_col)
     n_tok = F.size(t)
-    n_chars = F.length("text")
-    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(text_col), "[^a-z]", "")
+    )
     sum_len = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
     )
@@ -146,6 +149,36 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.least(ttr, F.lit(1.0)) * 0.25
         + alpha_ratio * 0.25
     )
+    return alpha_ratio, ttr, score
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The 6-dp quality score as a bare scan-site EXPRESSION (the
+    :func:`split_col` pattern) so consumers fuse it into their OWN
+    projection. Re-attaching ``quality_score(docs)`` via a ``doc_id``
+    join is a corpus×corpus self-join — AQE broadcasts the entire
+    corpus's score projection at fixture scale, and the plan silently
+    degrades to a corpus-volume sort-merge shuffle at 100 TB (r11
+    verdict). With this expression the consumer's per-doc side stays
+    scan → project, no join anywhere."""
+    _, _, score = _quality_parts(text_col)
+    return F.round(score, 6)
+
+
+def quality_keep_expr(text_col: str = "text") -> Column:
+    """The quality-gate verdict (score ≥ 0.5, computed on the UNROUNDED
+    score, exactly as :func:`quality_score`'s ``keep`` column) as a
+    scan-site expression — the ``corpus_clean`` stage-1 gate is a plain
+    ``filter`` on this, not a join against the score table."""
+    _, _, score = _quality_parts(text_col)
+    return score >= 0.5
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality scoring: length band, alpha ratio,
+    type-token ratio, mean token length band — the standard pretraining
+    quality-filter shape (all ratios, rounded 6 dp)."""
+    alpha_ratio, ttr, score = _quality_parts("text")
     return docs.select(
         "doc_id",
         F.round(F.col("n_chars").cast("double") / 1000, 6).alias("len_kchars"),
@@ -1108,21 +1141,26 @@ def domain_quality_filter(
     table, which is bounded by the score's precision (quality is a
     6-dp ratio in [0,1]), not by corpus size; a hot domain's billions
     of rows collapse map-side into its level counts before any
-    exchange. The thresholds (one row per source) broadcast back, so
-    the per-document side is scan → broadcast-join → filter, no
-    shuffle of corpus volume at any point. Like TPC-H Q17's
-    aggregate-vs-own-average shape, the corpus is scanned twice (once
-    to build the level counts, once to emit survivors) — inherent to
-    any exact two-phase threshold filter; both passes are scan-bound
-    projections (measured: the 5M-doc probe's wall time is dominated
-    by the two quality projections, not the 20-row window).
+    exchange. The quality score is :func:`quality_expr` FUSED into the
+    per-doc projection (never re-attached via a ``doc_id`` self-join —
+    the r11-verdict scale trap this operator previously had), and the
+    thresholds (one row per source) broadcast back, so the
+    per-document side is scan → project → broadcast-join → filter, no
+    shuffle of corpus volume at any point and NO join on the per-doc
+    side other than the broadcast (plan-pinned:
+    ``tests/test_plans.py::test_domain_quality_filter_broadcasts_thresholds``).
+    Like TPC-H Q17's aggregate-vs-own-average shape, the corpus is
+    scanned twice (once to build the level counts, once to emit
+    survivors) — inherent to any exact two-phase threshold filter;
+    both passes are scan-bound projections.
     """
     from pyspark.sql import Window
 
     if not (0.0 < drop_frac < 1.0):
         raise ValueError("domain_quality_filter needs 0 < drop_frac < 1")
-    q = quality_score(docs).select("doc_id", "quality")
-    d = docs.select("doc_id", "source").join(q, "doc_id")
+    d = docs.select(
+        "doc_id", "source", quality_expr().alias("quality")
+    )
     levels = d.groupBy("source", "quality").agg(F.count("*").alias("n"))
     cum_w = (
         Window.partitionBy("source")

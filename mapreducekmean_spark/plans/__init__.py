@@ -9,6 +9,7 @@ This is the engine's scale-guardrail: the SURVEY §4 design claims
 
 from mapreducekmean_spark.plans.inspect import (
     count_exchanges,
+    count_joins,
     formatted_plan,
     has_broadcast_join,
     has_pushed_filters,
@@ -17,6 +18,7 @@ from mapreducekmean_spark.plans.inspect import (
 
 __all__ = [
     "count_exchanges",
+    "count_joins",
     "formatted_plan",
     "has_broadcast_join",
     "has_pushed_filters",

@@ -34,6 +34,24 @@ def count_exchanges(df: DataFrame) -> int:
     )
 
 
+def count_joins(df: DataFrame) -> int:
+    """Number of join operators of ANY strategy in the physical plan
+    (broadcast, sort-merge, shuffled-hash, nested-loop alike), counted
+    from the formatted-mode detail entries so each node is counted
+    exactly once. The pin for "no join on the per-doc side": asserting
+    ``has_broadcast_join`` alone cannot catch a corpus×corpus
+    self-join that AQE happens to broadcast at fixture scale (r11
+    verdict)."""
+    import re
+
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) \w*Join", line.strip())
+    )
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or (
         "BroadcastNestedLoopJoin" in formatted_plan(df)

@@ -778,10 +778,17 @@ def chunk_ingest_batch(
         out_path,
         "ingest_batch",
     )
-    # grow the hash table with the batch's first-occurrence hashes
-    # (cross-batch losers are already landed); probe for a completed
-    # prior append of THIS batch before re-appending
-    new_hashes = batch_first.select("chunk_hash", "doc_id")
+    # grow the hash table with the KEPT hashes only — the within-batch
+    # firsts not already landed by a prior batch. Appending all of
+    # batch_first would re-append every cross-batch loser's hash each
+    # batch, growing the table one duplicate row per repeated chunk
+    # per batch forever (r11 advice — set-semantic consumers stayed
+    # correct, but the table's scan cost didn't). The replay probe
+    # below keys on the SAME frame being appended, so a
+    # crash-after-append replay (kept recomputes identically: the
+    # landed anti-join filter excludes this batch's own rows) is still
+    # detected on its max-id row.
+    new_hashes = kept.select("chunk_hash", "doc_id")
     probe = (
         new_hashes.orderBy(F.col("doc_id").desc(), F.col("chunk_hash").asc())
         .take(1)

@@ -1601,6 +1601,26 @@ def test_dedup_apply_best_rejects_out_of_bound_ids(spark):
         dedup_apply_best(docs).collect()
 
 
+def test_dedup_apply_best_rejects_null_quality(spark):
+    """A zero-token document must FAIL LOUDLY, never produce a
+    NULL-doc_id row (max() silently skipping an all-NULL group — the
+    r11-advice latent divergence from the oracle's NULLS LAST rule).
+    Under ANSI mode (Spark 4 default) the quality expression's 0/0
+    division itself raises DIVIDE_BY_ZERO; under non-ANSI deployments
+    the division yields NULL and the operator's own raise_error guard
+    fires instead — either way the argmax is never corrupted."""
+    import pytest as _pytest
+
+    from mapreducekmean_spark.operators.dedup import dedup_apply_best
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "   ")],  # whitespace-only: zero tokens
+        "doc_id bigint, text string",
+    )
+    with _pytest.raises(Exception, match="NULL quality|DIVIDE_BY_ZERO"):
+        dedup_apply_best(docs).collect()
+
+
 def test_pii_scan_constructed_cases(spark):
     """pii_scan semantics on constructed text: multiple emails count,
     an email's digit-heavy local part does NOT double-count as a phone

@@ -5,6 +5,7 @@ from __future__ import annotations
 from mapreducekmean_spark.contract import registry
 from mapreducekmean_spark.plans import (
     count_exchanges,
+    count_joins,
     has_broadcast_join,
     has_pushed_filters,
     has_wholestage_codegen,
@@ -191,9 +192,16 @@ def test_q16_anti_join_and_distinct_agg(spark, sf_small):
 def test_corpus_clean_no_nested_loop(spark, sf_small):
     """The composed cleaning pipeline must stay hash-join/window shaped
     end-to-end — no nested loop or cartesian anywhere in the cascade."""
-    plan = _plan(REG["corpus_clean"].fn(spark, sf_small))
+    df = REG["corpus_clean"].fn(spark, sf_small)
+    plan = _plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+    # stage 1 is a plain filter on the fused quality expression and
+    # the audit assembly starts from the same fused projection — the
+    # two corpus×corpus quality re-attach joins the r11 verdict
+    # flagged are gone, leaving the near-dup machinery's 8 (LSH
+    # candidate pair join, verify joins, audit left-joins)
+    assert count_joins(df) == 8
 
 
 def test_capped_range_join_stays_equi_hash(spark, sf_small):
@@ -623,9 +631,15 @@ def test_doc_chunk_is_map_only(spark, sf_small):
 def test_domain_quality_filter_broadcasts_thresholds(spark, sf_small):
     """The per-source thresholds (one row per source) must broadcast
     back to the per-doc side; the ranking window runs over the distinct
-    (source, quality) level table, never corpus volume."""
+    (source, quality) level table, never corpus volume. The plan must
+    contain EXACTLY ONE join — the broadcast threshold join. A second
+    join means the quality score was re-attached via a doc_id
+    self-join (the r11-verdict scale trap: AQE broadcasts the whole
+    corpus's score projection at fixture scale, a corpus-volume
+    sort-merge shuffle at 100 TB) instead of fused via quality_expr."""
     df = REG["domain_quality_filter"].fn(spark, sf_small)
     assert has_broadcast_join(df)
+    assert count_joins(df) == 1
 
 
 def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
@@ -640,6 +654,11 @@ def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
     assert "partial_max" in plan.lower() or "partial" in plan.lower()
+    # content hash + quality come out of ONE fused projection: the
+    # whole plan is scan → project → partial agg → exchange → final
+    # agg → project, with ZERO joins (a doc_id self-join re-attaching
+    # the score is the r11-verdict 100-TB scale trap)
+    assert count_joins(df) == 0
 
 
 def test_gopher_quality_is_map_only(spark, sf_small):

@@ -632,6 +632,12 @@ def test_chunk_ingest_prefix_equals_one_shot(spark, tmp_path):
         r.chunk_id for r in landed.filter("doc_id = 11").collect()
     )
     assert d11 == [1, 2]
+    # hash-table growth regression (r11 advice): only KEPT hashes are
+    # appended — a cross-batch loser's hash must appear exactly once
+    # (its first landing), never once per batch it reappears in
+    ht = spark.table("t_chunk_a_chunk_hashes")
+    assert ht.count() == ht.select("chunk_hash").distinct().count()
+    assert ht.count() == landed.count()
 
 
 def test_chunk_ingest_replay_windows_converge(spark, tmp_path):
