@@ -121,12 +121,12 @@ def dedup_apply_best(docs: DataFrame) -> DataFrame:
     yields NULL and the ``raise_error`` guard fires. Filter empty docs
     before calling.
     """
-    from mapreducekmean_spark.operators.text import quality_expr
+    from mapreducekmean_spark.operators.text import with_quality
 
-    d = docs.select(
+    d = with_quality(docs).select(
         "doc_id",
         F.md5(normalized_text()).alias("content_hash"),
-        quality_expr().alias("quality"),
+        "quality",
     )
     id_bound = 1_000_000_000_000
     q_int = F.round(F.col("quality") * 1_000_000).cast("bigint")

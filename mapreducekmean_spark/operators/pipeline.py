@@ -46,17 +46,13 @@ def corpus_clean(
 ) -> DataFrame:
     """Run the staged cleaning pipeline; return the per-document audit
     table (doc_id, quality, q_pass, exact_keep, kept, dup_of)."""
-    # quality is FUSED into one projection over the scan
-    # (tx.quality_expr / tx.quality_keep_expr) and the stage-1 gate is
-    # a plain filter on it — never `docs.join(quality_score(docs))`,
-    # the corpus×corpus self-join shape the r11 verdict flagged (AQE
-    # broadcasts the whole corpus's score projection at fixture scale;
-    # at 100 TB it degrades to a corpus-volume sort-merge shuffle).
-    dq = docs.select(
-        *docs.columns,
-        tx.quality_expr().alias("quality"),
-        tx.quality_keep_expr().alias("q_pass"),
-    )
+    # quality is FUSED into the scan-side projection (tx.with_quality:
+    # one tokenize per row) and the stage-1 gate is a plain filter on
+    # it — never `docs.join(quality_score(docs))`, the corpus×corpus
+    # self-join shape the r11 verdict flagged (AQE broadcasts the
+    # whole corpus's score projection at fixture scale; at 100 TB it
+    # degrades to a corpus-volume sort-merge shuffle).
+    dq = tx.with_quality(docs).withColumnRenamed("q_keep", "q_pass")
     stage1 = dq.filter("q_pass").select(*docs.columns)
     # materialize the quality+exact stage once: it is referenced from
     # several downstream subtrees (the near-dup stage's shingle table,
@@ -245,9 +241,10 @@ def prepare_training_data_incremental(
         with open(done_marker) as f:
             return json.load(f)  # replay of a completed batch: no-op
 
-    # plain filter on the fused quality expression — not a self-join
-    # against quality_score(batch) (the r11-verdict scale trap)
-    stage1 = batch.filter(tx.quality_keep_expr())
+    # plain filter on the fused quality flag (one tokenize per row,
+    # tx.with_quality) — not a self-join against quality_score(batch)
+    # (the r11-verdict scale trap)
+    stage1 = tx.with_quality(batch).filter("q_keep").select(*batch.columns)
     hashed = stage1.withColumn(
         "content_hash", F.md5(dd.normalized_text())
     ).localCheckpoint()
