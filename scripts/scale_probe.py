@@ -1958,6 +1958,117 @@ def probe_r11misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
     }
 
 
+def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
+    """Round-12 audit-operator volume probes:
+
+    - split_leakage_audit at 5M docs where ONE boilerplate page recurs
+      1,000,000 times with copies landing in all three splits: the
+      claim under test is the DISTINCT (hash, split) absorption — the
+      million-copy group ships at most 3 rows into the split-pair
+      self-join, so the audit's wall time must sit in the same band as
+      a no-hot-group control (the same corpus with the hot page made
+      unique), and the reported n_docs must account for every copy.
+    - pii_scan at 5M docs with planted emails/phones: exact global
+      counts, plus the scan-bound claim — wall time within a small
+      factor of a bare md5-hash pass over the same corpus.
+    """
+    from mapreducekmean_spark.operators.dedup import split_leakage_audit
+    from mapreducekmean_spark.operators.text import pii_scan, split_col
+
+    # --- split_leakage_audit under a 1M-copy cross-split hot group ---
+    boiler = (
+        "subscribe to our newsletter for the latest updates and "
+        "exclusive offers every single week of the year"
+    )
+    unique_body = F.concat(
+        F.lit("unique page body "), F.md5(F.col("id").cast("string"))
+    )
+    hot = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler))
+        .otherwise(unique_body)
+        .alias("text"),
+    ).localCheckpoint()
+    control = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), unique_body.alias("text")
+    ).localCheckpoint()
+    # independent expectation: the hot copies' split histogram
+    hot_per_split = {
+        r.split: r.n
+        for r in hot.filter(F.col("doc_id") % 5 == 0)
+        .select(split_col().alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(hot_per_split) == 3, hot_per_split  # md5 spreads all 3
+    t0 = time.perf_counter()
+    rows = {
+        (r.split_a, r.split_b): r
+        for r in split_leakage_audit(hot).collect()
+    }
+    t_hot = time.perf_counter() - t0
+    assert len(rows) == 3, rows  # exactly the hot group's 3 pairs
+    for (sa, sb), r in rows.items():
+        assert r.n_groups == 1
+        assert r.n_docs == hot_per_split[sa] + hot_per_split[sb], r
+    t0 = time.perf_counter()
+    clean = split_leakage_audit(control).collect()
+    t_ctl = time.perf_counter() - t0
+    assert clean == [], clean
+    results["split_leakage_audit_5m"] = {
+        "docs": n_docs,
+        "hot_group_copies": n_docs // 5,
+        "leak_pairs": 3,
+        "hot_sec": round(t_hot, 2),
+        "control_sec": round(t_ctl, 2),
+        "hot_over_control": round(t_hot / t_ctl, 2),
+    }
+
+    # --- pii_scan at volume ------------------------------------------
+    pdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("plain words alpha beta gamma delta"),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("id") % 7 == 0, F.lit(" call 555-000-1234 today")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    agg = pii_scan(pdocs).agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    t_pii = time.perf_counter() - t0
+    n_email_docs = (n_docs + 2) // 3
+    n_phone_docs = (n_docs + 6) // 7
+    assert agg["e"] == n_email_docs and agg["p"] == n_phone_docs, agg
+    assert agg["n"] == n_docs
+    t0 = time.perf_counter()
+    pdocs.select(F.md5("text").alias("h")).agg(
+        F.count("h")
+    ).collect()
+    t_md5 = time.perf_counter() - t0
+    results["pii_scan_5m"] = {
+        "docs": n_docs,
+        "emails": int(agg["e"]),
+        "phones": int(agg["p"]),
+        "sec": round(t_pii, 2),
+        "md5_scan_sec": round(t_md5, 2),
+        "over_md5_scan": round(t_pii / t_md5, 2),
+    }
+
+
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4
 ) -> None:
@@ -3045,6 +3156,7 @@ def main() -> None:
         "refine",
         "refinegrid",
         "r11misc",
+        "r12misc",
         "chunkingest",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -3113,6 +3225,8 @@ def main() -> None:
         probe_refine_grid(spark, results)
     if "r11misc" in only:
         probe_r11misc(spark, results)
+    if "r12misc" in only:
+        probe_r12misc(spark, results)
     if "chunkingest" in only:
         probe_chunkingest(spark, results)
     if "r10misc" in only:
