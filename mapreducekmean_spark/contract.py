@@ -834,6 +834,96 @@ GROUP BY pr.split_a, pr.split_b
 """
 
 
+#: mirrors text.host_stats over a source-carrying synthesized-dup corpus
+#: (fixtures have zero exact-dup groups, so a plain-fixture row would
+#: pin dup_docs = 0 everywhere — the doc_grid_dhash in-query-synthesis
+#: precedent): documents unioned with same-source whitespace-PADDED
+#: copies of every 5th doc (within-source dups) and a 'mirror' source
+#: holding whitespace-COLLAPSED copies of every 10th (CROSS-source dups:
+#: a per-source-only dup count would miss the originals these mirror —
+#: the synthesized data defeats the trivial implementation). mean_quality
+#: sums the 6-dp score as a scaled bigint (integer-exact, order-free)
+#: and divides once.
+_HOST_STATS_SQL = rf"""
+WITH corpus_src AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source,
+         '  ' || text || '   ' AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, 'mirror' AS source,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+{_quality_ctes('corpus_src')},
+d AS (
+  SELECT c.source,
+         md5(trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')))
+           AS content_hash,
+         CAST(len(regexp_extract_all(lower(c.text), '[a-z0-9]+'))
+           AS BIGINT) AS n_tok,
+         CAST(round(q.quality * 1000000) AS BIGINT) AS q_int
+  FROM corpus_src c JOIN q USING (doc_id)
+),
+per AS (
+  SELECT source, content_hash,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(n_tok) AS BIGINT) AS toks,
+         CAST(sum(q_int) AS BIGINT) AS q_sum
+  FROM d GROUP BY 1, 2
+),
+ch AS (
+  SELECT content_hash, CAST(sum(cnt) AS BIGINT) AS cnt_h
+  FROM per GROUP BY 1
+),
+g AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(q_sum) AS BIGINT) AS q_sum,
+         CAST(sum(CASE WHEN cnt_h > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_docs
+  FROM per JOIN ch USING (content_hash)
+  GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS distinct_ratio,
+       round(CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0),
+             6) AS mean_quality,
+       dup_docs,
+       round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS dup_ratio
+FROM g
+"""
+
+
+def _host_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-carrying synthesized-dup corpus for host_stats —
+    mirrors _HOST_STATS_SQL's corpus_src CTE row for row."""
+    docs = tx.documents(spark, sf_dir).select("doc_id", "source", "text")
+    pad = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+    )
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("text"),
+    )
+    return docs.unionAll(pad).unionAll(mirror)
+
+
+def _host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.host_stats over the source-carrying dup corpus — see the
+    _HOST_STATS_SQL note (the mirror source makes cross-source dup
+    accounting load-bearing)."""
+    return tx.host_stats(_host_corpus(spark, sf_dir))
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(tx.documents(spark, sf_dir))
 
@@ -2013,6 +2103,12 @@ FROM documents
             _GOPHER_QUALITY_SQL,
         ),
         Query("pii_scan", _pii_scan_q, _PII_SCAN_SQL),
+        # round-12 declaration - mid-registry (the r12 window's 50
+        # slots are committed to the 8 r11 declarations + kmeans_mllib
+        # + the 41 oldest r9-vintage entries); leads the round-13
+        # window for its first driver row, pytest oracle as interim
+        # evidence.
+        Query("host_stats", _host_stats_q, _HOST_STATS_SQL),
     ]
 
 

@@ -398,6 +398,95 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def host_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus operational report — the FineWeb-style table a
+    production pretraining pipeline reads daily, one row per source
+    (host/crawl/domain): ``n_docs``, ``total_tokens``, ``n_distinct``
+    (distinct content hashes within the source), ``distinct_ratio``,
+    ``mean_quality`` (6-dp), ``dup_docs`` — documents whose content
+    recurs anywhere in the CORPUS, cross-source included (a mirror
+    site's copies count against both sources) — and ``dup_ratio``.
+
+    Arithmetic discipline (the ``corpus_stats`` rules): counts are
+    bigints; ratios are 6-dp rounds of double divisions of exact
+    integers; ``mean_quality`` sums the per-doc quality as a SCALED
+    BIGINT (``round(quality·10⁶)`` — the score is 6-dp, so the scaling
+    is integer-exact and the sum is associative in any engine/order)
+    and divides once at the end — never a float sum, whose
+    accumulation order would differ between engines.
+
+    Scale shape: ONE corpus pass — content hash, token count, and
+    quality all come out of the same staged projection (one tokenize
+    per row, the ``with_quality`` discipline) — then a partial-agg
+    group-by to the DISTINCT (source, content_hash) level. Everything
+    after is level-table arithmetic: corpus-wide content counts DERIVE
+    from the level table (no second corpus pass), and the dup
+    accounting is a level×level hash join — a page duplicated a
+    million times ships ONE level row per source it appears in.
+    Precondition (as :func:`~mapreducekmean_spark.operators.dedup.dedup_apply_best`):
+    no zero-token documents — their 0/0 quality raises under ANSI.
+    """
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    staged = docs.select(
+        "source",
+        F.md5(norm).alias("content_hash"),
+        tokens("text").alias("__q_toks"),
+        F.lower("text").alias("__q_low"),
+        F.length("text").alias("__q_len"),
+    )
+    _, _, score = _quality_parts_from(
+        F.col("__q_toks"), F.col("__q_low"), F.col("__q_len")
+    )
+    per = (
+        staged.select(
+            "source",
+            "content_hash",
+            F.size("__q_toks").cast("bigint").alias("n_tok"),
+            F.round(F.round(score, 6) * 1_000_000)
+            .cast("bigint")
+            .alias("q_int"),
+        )
+        .groupBy("source", "content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("n_tok").alias("toks"),
+            F.sum("q_int").alias("q_sum"),
+        )
+    )
+    corpus_cnt = per.groupBy("content_hash").agg(
+        F.sum("cnt").alias("cnt_h")
+    )
+    j = per.join(corpus_cnt, "content_hash")
+    out = j.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("q_sum").alias("q_sum"),
+        F.sum(
+            F.when(F.col("cnt_h") > 1, F.col("cnt")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dup_docs"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / nd, 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            F.col("q_sum").cast("double") / (nd * 1_000_000.0), 6
+        ).alias("mean_quality"),
+        "dup_docs",
+        F.round(F.col("dup_docs").cast("double") / nd, 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
 def doc_lm_coverage(docs: DataFrame) -> DataFrame:
     """Per-document language-model coverage/novelty against the corpus
     bigram table — the repetition-and-novelty quality signal a

@@ -1553,6 +1553,46 @@ def test_dedup_apply_best_quality_argmax(spark):
     assert out[30].n_copies == 1
 
 
+def test_host_stats_cross_source_dups(spark):
+    """host_stats semantics on a constructed corpus: dup_docs counts
+    CORPUS-wide content recurrence (a mirror source's copy marks the
+    original source's doc as dup too — a per-source-only count would
+    miss it), distinct/dup ratios are per-source, and mean_quality is
+    the scaled-bigint 6-dp mean."""
+    from mapreducekmean_spark.operators.text import host_stats
+
+    body_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(6))
+    body_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, "siteA", body_a),
+            (2, "siteA", body_b),            # unique within corpus
+            (3, "siteB", "  " + body_a + " "),  # cross-source copy of 1
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r.source: r for r in host_stats(docs).collect()}
+    assert set(out) == {"siteA", "siteB"}
+    a, b = out["siteA"], out["siteB"]
+    assert (a.n_docs, a.n_distinct, a.dup_docs) == (2, 2, 1)
+    assert a.dup_ratio == 0.5 and a.distinct_ratio == 1.0
+    assert (b.n_docs, b.n_distinct, b.dup_docs) == (1, 1, 1)
+    assert b.dup_ratio == 1.0
+    # scaled-bigint mean: exactly the mean of the two 6-dp scores
+    from mapreducekmean_spark.operators.text import quality_score
+
+    q = {
+        r.doc_id: r.quality
+        for r in quality_score(
+            docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        ).collect()
+    }
+    assert a.mean_quality == round(
+        (round(q[1] * 1e6) + round(q[2] * 1e6)) / 2e6, 6
+    )
+    assert a.total_tokens == 36  # 18 tokens per constructed body
+
+
 def test_gopher_quality_rules_constructed(spark):
     """Each Gopher A.1.1 rule exercised both ways on constructed docs
     (the fixture corpus trips the stopword rule universally — its

@@ -661,6 +661,20 @@ def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
     assert count_joins(df) == 0
 
 
+def test_host_stats_level_table_arithmetic(spark, sf_small):
+    """The per-source report must aggregate the corpus ONCE to the
+    (source, content_hash) level and do everything else on level
+    tables: exactly one join (level x corpus-count, both
+    distinct-content-sized — never a corpus-volume side), hash
+    aggregates throughout (partial agg absorbs hot content groups
+    map-side), no sort-based fallback."""
+    df = REG["host_stats"].fn(spark, sf_small)
+    assert count_joins(df) == 1
+    plan = _plan(df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_gopher_quality_is_map_only(spark, sf_small):
     """The Gopher rules are a pure per-row projection — no exchange."""
     df = REG["gopher_quality"].fn(spark, sf_small)
