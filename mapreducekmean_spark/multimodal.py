@@ -1602,7 +1602,7 @@ def _dhash_halves(rgb) -> tuple[int, int]:
     dependency-free), bit r,c set when luma[r,c] > luma[r,c+1]. All
     integer arithmetic: a re-encode of the SAME pixels (PNG↔PPM↔GIF)
     hashes identically, and a lossy JPEG of them lands within a few
-    bits — pinned in tests/test_multimodal.py."""
+    bits — pinned in tests/test_edge_cases.py."""
     import numpy as np
 
     h, w = rgb.shape[:2]
@@ -1862,6 +1862,59 @@ def doc_grid_dhash(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("dh_lo"),
     )
+
+
+def synthetic_p6_assets(docs: DataFrame) -> DataFrame:
+    """REAL decodable P6/PPM payloads synthesized IN-QUERY — the bridge
+    the r11 verdict asked to explore: the fixture ships no decodable
+    media, and :func:`doc_grid_dhash` oracle-checks only the planning
+    slice, leaving the decode→hash kernel pytest-pinned. This builder
+    closes the gap from the other side: a one-projection JVM expression
+    emits a VALID binary-PPM payload per document (header ``P6\\n9 8\\n
+    255\\n`` + 8×9 gray pixels, hex-assembled and ``unhex``'d), whose
+    pixel values are ARITHMETIC in doc_id — pixel i (row-major, 0..71)
+    has R=G=B = ``(doc_id·(i+1)) mod 251``, so the integer luma
+    ((299R+587G+114B)//1000) equals the pixel value exactly, and at
+    8×9 the dHash sampling grid is the identity. The decoded dHash of
+    the payload is therefore CLOSED-FORM in doc_id — computable in
+    ANSI SQL — which is what lets :func:`image_dhash_real`'s driver
+    row value-hash the real decoder end-to-end."""
+    header_hex = "P6\n9 8\n255\n".encode().hex().upper()
+    pix_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(71)),
+            lambda i: F.repeat(
+                F.lpad(
+                    F.hex((F.col("doc_id") * (i + F.lit(1))) % F.lit(251)),
+                    2,
+                    "0",
+                ),
+                3,
+            ),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(F.concat(F.lit(header_hex), pix_hex)).alias("payload"),
+    )
+
+
+def image_dhash_real(docs: DataFrame) -> DataFrame:
+    """The REAL decode→dHash kernel under a driver value-hash oracle:
+    :func:`synthetic_p6_assets` payloads (valid binary PPM, one JVM
+    projection) flow through :func:`image_dhash` — the SAME
+    Arrow-batched ``mapInPandas`` → ``_decode_image_rgb`` →
+    ``_dhash_halves`` path production images take; nothing is mocked —
+    and the DuckDB twin computes the expected halves closed-form from
+    doc_id (64 modular pixel comparisons, bit-packed exactly as
+    ``_dhash_halves``). A decoder regression (header parsing, pixel
+    offset, luma arithmetic, sampling grid, bit packing) flips hash
+    bits and fails the value-hash; ``ok=false`` rows would flip the
+    row count. Complements :func:`doc_grid_dhash`, which oracles the
+    planning slice without decoding."""
+    return image_dhash(synthetic_p6_assets(docs))
 
 
 def doc_grid_audio_fp(docs: DataFrame) -> DataFrame:

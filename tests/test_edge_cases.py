@@ -1106,6 +1106,56 @@ def test_dhash_survives_reencoding_and_bands_find_the_pairs(spark):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_image_dhash_real_payloads_decode_and_match_closed_form(spark):
+    """The in-query P6 synthesis emits VALID payloads (every row
+    decodes ok=true through the real parser) and the decoded halves
+    equal the closed-form arithmetic the DuckDB twin computes — a
+    pure-Python recomputation from doc_id alone, no decoding."""
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark import multimodal as mm
+
+    ids = [0, 1, 37, 251, 499, 12345]
+    docs = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id bigint"
+    )
+    rows = {r.asset_id: r for r in mm.image_dhash_real(docs).collect()}
+    assert set(rows) == set(ids)
+    for d in ids:
+        assert rows[d].ok
+
+        def v(i):
+            return (d * (i + 1)) % 251
+
+        hi = sum(
+            1 << ((r % 4) * 8 + c)
+            for r in range(4)
+            for c in range(8)
+            if v(r * 9 + c) > v(r * 9 + c + 1)
+        )
+        lo = sum(
+            1 << ((r % 4) * 8 + c)
+            for r in range(4, 8)
+            for c in range(8)
+            if v(r * 9 + c) > v(r * 9 + c + 1)
+        )
+        assert (rows[d].dh_hi, rows[d].dh_lo) == (hi, lo), d
+    # the payload really is the engine's own P6 format: byte-identical
+    # to _encode_ppm of the same pixel grid
+    import numpy as np
+
+    payload = bytes(
+        mm.synthetic_p6_assets(docs.filter("doc_id = 37")).collect()[0]
+        .payload
+    )
+    grid = np.array(
+        [[(37 * (r * 9 + c + 1)) % 251 for c in range(9)] for r in range(8)],
+        dtype=np.uint8,
+    )
+    rgb = np.stack([grid, grid, grid], axis=-1)
+    assert payload == mm._encode_ppm(rgb)
+
+
 def test_doc_grid_dhash_matches_python_reference(spark):
     """The oracle-facing grid dHash replays the documented arithmetic
     exactly: a pure-Python recomputation over the same tokens equals
