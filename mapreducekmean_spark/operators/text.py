@@ -53,15 +53,25 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: counts, distinct counts, mean token
-    length, type-token ratio."""
-    t = tokens("text")
-    n_tok = F.size(t)
-    sum_len = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
-    )
-    return docs.select(
+    length, type-token ratio. Staged one-tokenize-per-row projection
+    (the ``with_quality`` discipline — the token array is referenced
+    four times, and each inline reference would re-run the regex);
+    total token length is the exact ``translate`` alnum char count
+    (tokens are the maximal [a-z0-9]+ runs of the lowered text)."""
+    staged = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
+        tokens("text").alias("__toks"),
+        F.lower("text").alias("__low"),
+    )
+    t = F.col("__toks")
+    n_tok = F.size(t)
+    sum_len = F.length("__low") - F.length(
+        F.translate(F.col("__low"), _ALNUM, "")
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
         n_tok.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq_tokens"),
         F.round(sum_len.cast("double") / n_tok, 6).alias("avg_token_len"),
@@ -85,14 +95,20 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_scores(col: Column | str = "text") -> list[tuple[str, Column]]:
-    t = tokens(col)
+def lang_scores_from(t: Column) -> list[tuple[str, Column]]:
+    """Marker-hit scores per language from a PRE-STAGED token array —
+    the five per-language filters each reference the array, so staging
+    it costs one tokenize per row instead of five."""
     out = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
         score = F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
         out.append((lang, score))
     return out
+
+
+def lang_scores(col: Column | str = "text") -> list[tuple[str, Column]]:
+    return lang_scores_from(tokens(col))
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -104,7 +120,8 @@ def lang_id(docs: DataFrame) -> DataFrame:
     operator is graded on determinism + plumbing, like any heuristic
     classifier stage in a data pipeline.
     """
-    scores = lang_scores("text")
+    staged = docs.select("doc_id", tokens("text").alias("__toks"))
+    scores = lang_scores_from(F.col("__toks"))
     # struct-max trick: max of (score, negated-name-rank) structs
     structs = F.array(
         *[
@@ -117,7 +134,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ]
     )
     best = F.array_max(structs)
-    return docs.select(
+    return staged.select(
         "doc_id",
         best["lang"].alias("lang_pred"),
         best["score"].alias("lang_score"),
@@ -1383,14 +1400,39 @@ def gopher_quality(
     value-hash the arithmetic, and keep=true is exercised on
     constructed docs in pytest. Scale shape: pure per-row projection —
     no shuffle, scan-bound at 100 TB, composable as a scan-site filter
-    exactly like ``quality_score``.
+    exactly like ``quality_score``. Staged like ``with_quality``: the
+    word array and the cleaned-word array materialize once per row
+    (``cleaned`` alone is referenced once per stopword — eight
+    re-evaluations of a per-word regex transform if left inline), and
+    the word-length sum is the exact whitespace complement
+    (``length(text) −`` count of Java-``\\s`` chars — words are the
+    maximal ``\\S+`` runs, so every non-whitespace char is in exactly
+    one word).
     """
-    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    s1 = docs.select(
+        "doc_id",
+        "text",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0).alias(
+            "__words"
+        ),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "text",
+        "__words",
+        F.transform(
+            F.col("__words"),
+            lambda w: F.regexp_replace(F.lower(w), "[^a-z]", ""),
+        ).alias("__cleaned"),
+    )
+    words = F.col("__words")
+    cleaned = F.col("__cleaned")
     n_words = F.size(words).cast("bigint")
-    len_sum = F.aggregate(
-        F.transform(words, lambda w: F.length(w)),
-        F.lit(0),
-        lambda a, b: a + b,
+    # Java regex \s is exactly [ \t\n\x0B\f\r] (no Unicode classes by
+    # default) — stripping those chars leaves exactly the characters
+    # the per-word length sum counted
+    len_sum = F.length(
+        F.translate(F.col("text"), " \t\n\x0b\x0c\r", "")
     )
     mean_len = len_sum.cast("double") / n_words
     n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
@@ -1403,9 +1445,6 @@ def gopher_quality(
         F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
     ).cast("bigint")
     alpha_ratio = n_alpha.cast("double") / n_words
-    cleaned = F.transform(
-        words, lambda w: F.regexp_replace(F.lower(w), "[^a-z]", "")
-    )
     n_stop = sum(
         F.when(F.array_contains(cleaned, sw), 1).otherwise(0)
         for sw in stopwords
@@ -1419,7 +1458,7 @@ def gopher_quality(
         & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
         & (n_stop >= GOPHER_MIN_STOPWORDS)
     )
-    return docs.select(
+    return s2.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
