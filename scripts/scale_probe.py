@@ -2068,6 +2068,45 @@ def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "over_md5_scan": round(t_pii / t_md5, 2),
     }
 
+    # --- staged text projections at volume ---------------------------
+    # (r12 staging: token/word arrays materialize once per row instead
+    # of once per expression reference; translate char-count rewrites
+    # replace regex/HOF legs. The probe records the per-op corpus-pass
+    # cost next to the one-tokenize floor so regressions to the nested
+    # expression shape show as a multiple, not noise.)
+    tdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(
+                "the quick brown fox jumps over the lazy dog and runs "
+                "to the river of light with great speed 123 "
+            ),
+            F.repeat(F.lit("filler words here "), (F.col("id") % 12).cast("int")),
+        ).alias("text"),
+    ).localCheckpoint()
+    from mapreducekmean_spark.operators.text import (
+        gopher_quality,
+        lang_id,
+        text_stats,
+        tokens,
+    )
+
+    t0 = time.perf_counter()
+    tdocs.select(F.size(tokens("text")).alias("n")).groupBy("n").count().count()
+    t_floor = time.perf_counter() - t0
+    stats = {"docs": n_docs, "tokenize_floor_sec": round(t_floor, 2)}
+    for name, fn in (
+        ("text_stats", text_stats),
+        ("lang_id", lang_id),
+        ("gopher_quality", gopher_quality),
+    ):
+        t0 = time.perf_counter()
+        n_out = fn(tdocs).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        stats[f"{name}_sec"] = round(dt, 2)
+        stats[f"{name}_over_floor"] = round(dt / t_floor, 2)
+    results["staged_text_ops_5m"] = stats
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4
