@@ -966,6 +966,55 @@ FROM documents
 """
 
 
+#: mirrors text.quality_deciles: the threshold-based decile definition
+#: over the DISTINCT quality level table (never ntile — its tie
+#: behavior is engine-dependent). Exact integer threshold ranks
+#: ((d*N+9)//10), list_filter decile assignment, scaled-bigint mean.
+_QUALITY_DECILES_SQL = rf"""
+WITH {_quality_ctes('documents')},
+d0 AS (
+  SELECT q.doc_id, q.quality,
+         CAST(len(regexp_extract_all(lower(doc.text), '[a-z0-9]+'))
+           AS BIGINT) AS n_tok
+  FROM q JOIN documents doc ON q.doc_id = doc.doc_id
+),
+levels AS (
+  SELECT quality, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(n_tok) AS BIGINT) AS toks
+  FROM d0 GROUP BY 1
+),
+lv AS (
+  SELECT quality, cnt, toks,
+         CAST(sum(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM levels
+),
+ds AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS d),
+thr AS (
+  SELECT d, min(quality) AS thr
+  FROM lv CROSS JOIN ds
+  WHERE cum >= (d * n_total + 9) // 10
+  GROUP BY d
+),
+ta AS (SELECT list_sort(list(thr)) AS thrs FROM thr),
+assigned AS (
+  SELECT CAST(1 + len(list_filter(ta.thrs, t -> t < lv.quality))
+           AS BIGINT) AS decile,
+         lv.quality, lv.cnt, lv.toks,
+         CAST(round(lv.quality * 1000000) AS BIGINT) * lv.cnt AS q_sum
+  FROM lv CROSS JOIN ta
+)
+SELECT decile,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       min(quality) AS q_lo,
+       max(quality) AS q_hi,
+       round(CAST(sum(q_sum) AS DOUBLE)
+             / (CAST(sum(cnt) AS DOUBLE) * 1000000.0), 6) AS mean_quality
+FROM assigned GROUP BY decile
+"""
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(tx.documents(spark, sf_dir))
 
@@ -2152,6 +2201,13 @@ FROM documents
         # window for its first driver row, pytest oracle as interim
         # evidence.
         Query("host_stats", _host_stats_q, _HOST_STATS_SQL),
+        Query(
+            "quality_deciles",
+            lambda spark, sf_dir: tx.quality_deciles(
+                tx.documents(spark, sf_dir)
+            ),
+            _QUALITY_DECILES_SQL,
+        ),
     ]
 
 

@@ -415,6 +415,117 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_deciles(docs: DataFrame) -> DataFrame:
+    """Quality-calibration table — the report a pipeline reads before
+    picking a gate threshold: the corpus cut into ten quality deciles,
+    with per-decile document count, token volume, quality band, and
+    6-dp mean quality.
+
+    Decile DEFINITION (deterministic, engine-exact — never ``ntile``,
+    whose tie behavior is engine- and order-dependent): threshold
+    ``thr_d`` (d = 1..10) is the smallest quality LEVEL whose
+    cumulative doc count reaches ``ceil(d·N/10)`` (exact integer
+    arithmetic: ``(d·N + 9) div 10``); a document's decile is
+    ``1 + |{d : thr_d < quality}|``. Ties share a decile, so decile
+    POPULATIONS are approximate while the definition is exact — the
+    honest deterministic reading of "decile" over a discrete score.
+
+    Scale shape — ONE corpus pass, no per-doc window and no second
+    scan: every output is a function of the DISTINCT quality level
+    table (bounded by the score's 6-dp precision at ≤ ~10⁶ rows, not
+    by corpus size), so the plan is corpus → partial-agg group-by to
+    levels → one LEVEL-TABLE window (single partition, level-count
+    bounded — documented, not corpus-ordered) → 10-row threshold
+    aggregate → broadcast back onto the LEVEL table → 10-group rollup.
+    ``mean_quality`` sums scaled-bigint level subtotals (the
+    ``host_stats`` discipline). Precondition: no zero-token documents
+    (NULL/ANSI-raising quality), as ``dedup_apply_best``.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        "doc_id",
+        tokens("text").alias("__q_toks"),
+        F.lower("text").alias("__q_low"),
+        F.length("text").alias("__q_len"),
+    )
+    _, _, score = _quality_parts_from(
+        F.col("__q_toks"), F.col("__q_low"), F.col("__q_len")
+    )
+    levels = (
+        staged.select(
+            F.round(score, 6).alias("quality"),
+            F.size("__q_toks").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("quality")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("n_tok").alias("toks"),
+        )
+    )
+    cum_w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lv = levels.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "n_total", F.sum("cnt").over(tot_w)
+    )
+    thr = (
+        lv.crossJoin(
+            F.broadcast(
+                lv.sparkSession.range(1, 11).select(
+                    F.col("id").alias("d")
+                )
+            )
+        )
+        .filter(
+            F.col("cum")
+            >= F.expr("(d * n_total + 9) div 10")
+        )
+        .groupBy("d")
+        .agg(F.min("quality").alias("thr"))
+        .agg(F.sort_array(F.collect_list("thr")).alias("thrs"))
+    )
+    q_int = F.round(F.col("quality") * 1_000_000).cast("bigint")
+    assigned = lv.crossJoin(F.broadcast(thr)).select(
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("thrs"), lambda t: t < F.col("quality")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("decile"),
+        "quality",
+        "cnt",
+        "toks",
+        (q_int * F.col("cnt")).alias("q_sum"),
+    )
+    out = assigned.groupBy("decile").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.min("quality").alias("q_lo"),
+        F.max("quality").alias("q_hi"),
+        F.sum("q_sum").alias("q_sum"),
+    )
+    return out.select(
+        "decile",
+        "n_docs",
+        "total_tokens",
+        "q_lo",
+        "q_hi",
+        F.round(
+            F.col("q_sum").cast("double")
+            / (F.col("n_docs").cast("double") * 1_000_000.0),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
 def host_stats(docs: DataFrame) -> DataFrame:
     """Per-source corpus operational report — the FineWeb-style table a
     production pretraining pipeline reads daily, one row per source

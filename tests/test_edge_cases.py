@@ -1603,6 +1603,54 @@ def test_dedup_apply_best_quality_argmax(spark):
     assert out[30].n_copies == 1
 
 
+def test_quality_deciles_threshold_definition(spark):
+    """The decile definition on a constructed corpus: thresholds are
+    the smallest levels reaching ceil(d*N/10) cumulative docs, ties
+    share a decile (populations approximate, definition exact), and
+    every decile's population/means roll up from the level table."""
+    from mapreducekmean_spark.operators.text import (
+        quality_deciles,
+        quality_score,
+    )
+
+    # 20 docs over a handful of quality levels: vary token counts so
+    # levels form; duplicates of the same text share a level exactly
+    texts = []
+    for i in range(20):
+        n = 12 + (i % 4) * 6  # four distinct token counts -> >=4 levels
+        texts.append((i, " ".join(f"w{j}word{j % 3}" for j in range(n))))
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    out = {r.decile: r for r in quality_deciles(docs).collect()}
+    assert sum(r.n_docs for r in out.values()) == 20
+    # reference: recompute from quality_score + the documented rule
+    q = sorted(
+        r.quality
+        for r in quality_score(
+            docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        ).collect()
+    )
+    import math
+
+    levels = sorted(set(q))
+    cum = {}
+    run = 0
+    for lv in levels:
+        run += sum(1 for x in q if x == lv)
+        cum[lv] = run
+    thrs = sorted(
+        min(lv for lv in levels if cum[lv] >= math.ceil(d * 20 / 10))
+        for d in range(1, 11)
+    )
+    for lv in levels:
+        dec = 1 + sum(1 for t in thrs if t < lv)
+        n_at = sum(1 for x in q if x == lv)
+        assert out[dec].n_docs >= n_at  # the whole level sits in dec
+    # decile bands are disjoint and ordered
+    byd = sorted(out.values(), key=lambda r: r.decile)
+    for a, b in zip(byd, byd[1:]):
+        assert a.q_hi < b.q_lo
+
+
 def test_host_stats_cross_source_dups(spark):
     """host_stats semantics on a constructed corpus: dup_docs counts
     CORPUS-wide content recurrence (a mirror source's copy marks the

@@ -661,6 +661,20 @@ def test_dedup_apply_best_hash_agg_no_sort(spark, sf_small):
     assert count_joins(df) == 0
 
 
+def test_quality_deciles_level_table_only(spark, sf_small):
+    """The decile calibration must do ALL its work on the distinct
+    quality level table: one corpus aggregation, then only
+    level-table-sized operators — the two joins are the broadcast
+    10-row/1-row threshold attaches, never a corpus-volume side, and
+    there is no per-doc window (the single-partition window runs over
+    the level table, bounded by the score's 6-dp precision)."""
+    df = REG["quality_deciles"].fn(spark, sf_small)
+    assert count_joins(df) == 2
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_host_stats_level_table_arithmetic(spark, sf_small):
     """The per-source report must aggregate the corpus ONCE to the
     (source, content_hash) level and do everything else on level
