@@ -2107,6 +2107,66 @@ def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         stats[f"{name}_over_floor"] = round(dt / t_floor, 2)
     results["staged_text_ops_5m"] = stats
 
+    # --- host_stats + quality_deciles at volume -----------------------
+    # (both are level-table operators: the claim under test is that a
+    # million-copy page and a 4M-doc hot source collapse into level
+    # rows before any join/window, with accounting still exact.)
+    from mapreducekmean_spark.operators.text import (
+        host_stats,
+        quality_deciles,
+    )
+
+    boiler2 = (
+        "all rights reserved copyright notice terms of service apply "
+        "to every page of this website always"
+    )
+    hdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("web"))
+        .otherwise(F.concat(F.lit("src_"), (F.col("id") % 10)))
+        .alias("source"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler2))
+        .otherwise(
+            F.concat(
+                F.lit("unique body text alpha beta gamma "),
+                F.md5(F.col("id").cast("string")),
+                F.repeat(F.lit(" pad"), (F.col("id") % 7).cast("int")),
+            )
+        )
+        .alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    hs = {r.source: r for r in host_stats(hdocs).collect()}
+    t_hs = time.perf_counter() - t0
+    n_hot = n_docs // 5
+    assert sum(r.n_docs for r in hs.values()) == n_docs
+    assert sum(r.dup_docs for r in hs.values()) == n_hot, hs
+    web = hs["web"]
+    assert web.n_docs == n_docs * 8 // 10
+    # distinct content in web: uniques + the one boilerplate page
+    assert web.n_distinct == web.n_docs - web.dup_docs + 1, web
+    results["host_stats_5m"] = {
+        "docs": n_docs,
+        "sources": len(hs),
+        "hot_copies": n_hot,
+        "sec": round(t_hs, 2),
+    }
+
+    t0 = time.perf_counter()
+    qd = sorted(quality_deciles(hdocs).collect(), key=lambda r: r.decile)
+    t_qd = time.perf_counter() - t0
+    assert sum(r.n_docs for r in qd) == n_docs
+    assert all(a.q_hi < b.q_lo for a, b in zip(qd, qd[1:]))
+    # the 1M-copy page is ONE quality level: it lands whole in one
+    # decile, so some decile holds >= 1M docs
+    assert max(r.n_docs for r in qd) >= n_hot
+    results["quality_deciles_5m"] = {
+        "docs": n_docs,
+        "deciles": len(qd),
+        "max_decile_docs": int(max(r.n_docs for r in qd)),
+        "sec": round(t_qd, 2),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4
