@@ -1603,6 +1603,47 @@ def test_dedup_apply_best_quality_argmax(spark):
     assert out[30].n_copies == 1
 
 
+def test_with_quality_matches_quality_score_and_tokenizes_once(spark):
+    """with_quality is the staged spelling of quality_score: identical
+    quality/keep values (including a lowercase-length-changing Unicode
+    edge — İ lowers to two code points, so the alpha denominator must
+    stay the RAW length), and the staged plan tokenizes ONCE — the
+    whole point of the staging (a nested expression pays one regex
+    pass per reference)."""
+    from mapreducekmean_spark.operators.text import (
+        quality_score,
+        with_quality,
+    )
+    from mapreducekmean_spark.plans import formatted_plan
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog near the bank"),
+        (2, "İstanbul İzmir " + " ".join(f"w{i}" for i in range(12))),
+        (3, "short"),
+        (4, "numbers 123 456 789 mixed with words " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    staged = {
+        r.doc_id: (r.quality, r.q_keep)
+        for r in with_quality(docs).collect()
+    }
+    ref = {
+        r.doc_id: (r.quality, r.keep)
+        for r in quality_score(
+            docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        ).collect()
+    }
+    assert staged == ref
+    plan = formatted_plan(with_quality(docs).select("doc_id", "quality"))
+    # ONE tokenize in the whole physical plan — the staging survived
+    # CollapseProject. The formatted string mentions the expression at
+    # most twice (tree node + its detail entry); a collapse back to
+    # the nested form would inline it ~5x per section.
+    assert plan.count("regexp_extract_all") <= 2, plan.count(
+        "regexp_extract_all"
+    )
+
+
 def test_quality_deciles_threshold_definition(spark):
     """The decile definition on a constructed corpus: thresholds are
     the smallest levels reaching ceil(d*N/10) cumulative docs, ties
