@@ -89,7 +89,8 @@ def dedup_apply_best(docs: DataFrame) -> DataFrame:
     as the deterministic tie-break. Output
     ``(doc_id, content_hash, n_copies, quality)`` for kept docs only.
 
-    Scale shape: the quality score (``text.quality_expr``) and the
+    Scale shape: the quality score (``text.with_quality`` — one
+    tokenize per row) and the
     content hash come out of ONE map-side projection — there is NO join
     anywhere in the plan (plan-pinned:
     ``tests/test_plans.py::test_dedup_apply_best_hash_agg_no_sort``).

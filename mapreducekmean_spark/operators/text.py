@@ -1430,9 +1430,10 @@ def domain_quality_filter(
     table, which is bounded by the score's precision (quality is a
     6-dp ratio in [0,1]), not by corpus size; a hot domain's billions
     of rows collapse map-side into its level counts before any
-    exchange. The quality score is :func:`quality_expr` FUSED into the
-    per-doc projection (never re-attached via a ``doc_id`` self-join —
-    the r11-verdict scale trap this operator previously had), and the
+    exchange. The quality score is FUSED into per-doc
+    projection (:func:`with_quality`, one tokenize per row — never
+    re-attached via a ``doc_id`` self-join, the r11-verdict scale trap
+    this operator previously had), and the
     thresholds (one row per source) broadcast back, so the
     per-document side is scan → project → broadcast-join → filter, no
     shuffle of corpus volume at any point and NO join on the per-doc
