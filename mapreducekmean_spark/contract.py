@@ -966,6 +966,109 @@ FROM documents
 """
 
 
+def _audio_fp_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.audio_fp_real — the REAL WAV decode→fingerprint
+    kernel under a value-hash oracle (r12 verdict item #3, the
+    image_dhash_real precedent one medium over): valid RIFF/WAVE
+    payloads synthesized in one JVM projection (PCM-8 for even docs,
+    G.711 μ-law for odd — both production decode branches), decoded by
+    the SAME mapInPandas → _decode_audio_wav → _audio_fp_halves path
+    production audio takes; the twin computes the expected halves
+    closed-form from doc_id. A chunk-walk/companding/window-bounds/
+    bit-packing regression fails the hash."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.audio_fp_real(tx.documents(spark, sf_dir))
+
+
+def _audio_fp_real_sql() -> str:
+    """Closed-form twin of the decoded audio fingerprint: the
+    synthesized 65-sample WAV makes window w's energy the |amplitude|
+    of sample w alone (identity window bounds), so bit w is one
+    integer comparison — |byte−128| for the PCM-8 half, the ITU-T
+    G.711 μ-law segment/mantissa expansion magnitude
+    ((u%16)·8+132)·2^((u//16)%8) − 132 with u = 255−byte for the
+    μ-law half — packed exactly as ``_audio_fp_halves``. All-integer:
+    the engine's float energies are exact power-of-two quotients of
+    these integers, so the comparisons agree bit-for-bit."""
+    pcm = (
+        "list_transform(range(0, 65), i -> "
+        "CAST(abs((doc_id * (i + 1)) % 251 - 128) AS BIGINT))"
+    )
+    u = "(255 - (doc_id * (i + 1)) % 251)"
+    ulaw = (
+        "list_transform(range(0, 65), i -> "
+        f"CAST((({u} % 16) * 8 + 132) "
+        f"* (CAST(1 AS BIGINT) << (({u} // 16) % 8)) - 132 AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN {pcm}
+              ELSE {ulaw}
+         END AS en
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       TRUE AS ok,
+       CAST(list_sum(list_transform(range(0, 32),
+         w -> CASE WHEN en[w + 1] > en[w + 2]
+                   THEN (CAST(1 AS BIGINT) << w) ELSE 0 END))
+         AS BIGINT) AS dh_hi,
+       CAST(list_sum(list_transform(range(32, 64),
+         w -> CASE WHEN en[w + 1] > en[w + 2]
+                   THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END))
+         AS BIGINT) AS dh_lo
+FROM e
+"""
+
+
+def _video_dhash_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.video_dhash_real — the REAL Y4M decode→frame-dHash
+    kernel under a value-hash oracle (r12 verdict item #3): valid
+    YUV4MPEG2 C444 payloads synthesized in one JVM projection (6
+    frames, constant-128 chroma so BT.601 is exactly R=G=B=Y), decoded
+    and every-5th-sampled by the SAME mapInPandas → _decode_y4m_frames
+    → _dhash_halves path production clips take; the twin computes the
+    per-sampled-frame halves closed-form from (doc_id, frame_idx). A
+    plane-offset/chroma/YUV-arithmetic/sampling-stride regression
+    fails the hash or the frame set."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.video_dhash_real(tx.documents(spark, sf_dir))
+
+
+def _video_dhash_real_sql() -> str:
+    """Closed-form twin of the decoded per-frame dHash: the synthesized
+    9×8 C444 frame has luma[i] = (doc_id·(i+1) + 17·f) mod 251 and an
+    identity sampling grid, so bit (r,c) of sampled frame f is one
+    modular comparison — generated from the same (row, col) → weight
+    mapping ``_dhash_halves`` uses, over the sampled frame set
+    {{0, 5}} (6 synthesized frames, every-5th stride)."""
+
+    def bit(r: int, c: int) -> str:
+        i = r * 9 + c
+        w = 1 << ((r % 4) * 8 + c)
+        return (
+            f"(CASE WHEN (doc_id * {i + 1} + 17 * f) % 251 > "
+            f"(doc_id * {i + 2} + 17 * f) % 251 THEN {w} ELSE 0 END)"
+        )
+
+    hi = "\n       + ".join(bit(r, c) for r in range(4) for c in range(8))
+    lo = "\n       + ".join(
+        bit(r, c) for r in range(4, 8) for c in range(8)
+    )
+    return f"""
+SELECT doc_id AS asset_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       TRUE AS ok,
+       CAST({hi} AS BIGINT) AS dh_hi,
+       CAST({lo} AS BIGINT) AS dh_lo
+FROM documents CROSS JOIN (SELECT unnest([0, 5]) AS f) fr
+"""
+
+
 #: mirrors text.quality_deciles: the threshold-based decile definition
 #: over the DISTINCT quality level table (never ntile — its tie
 #: behavior is engine-dependent). Exact integer threshold ranks
@@ -4529,6 +4632,20 @@ FROM documents
             "image_dhash_real", _image_dhash_real_q,
             _image_dhash_real_sql(),
         ),
+        # round-13 declarations - mid-registry (the r13 window's 50
+        # slots are committed to the 8 carried r9 stragglers + the 3
+        # r12 declarations + the 39 oldest r10 entries); they lead the
+        # round-14 window for their first driver rows, pytest oracle
+        # sweep as interim evidence. These are the audio/video twins
+        # of image_dhash_real: the REAL decode kernels under
+        # value-hash oracles (r12 verdict item #3).
+        Query(
+            "audio_fp_real", _audio_fp_real_q, _audio_fp_real_sql(),
+        ),
+        Query(
+            "video_dhash_real", _video_dhash_real_q,
+            _video_dhash_real_sql(),
+        ),
         Query("audio_fp_pairs", _audio_fp_pairs_q, _audio_fp_pairs_sql()),
         Query(
             "video_near_dup_pairs", _video_near_dup_pairs_q,
@@ -5998,40 +6115,103 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-12 ROTATION. CORRECTNESS_r11.json checked the first 50 of
-    # the 157 declared queries (the r11 window: the 4 early r11
-    # declarations + the 46 r8-vintage block — 50/50 value-hash green).
-    # Remaining vintages at the r12 round start:
-    #   * 8 queries declared mid-round-11 AFTER the window filled
-    #     (doc_chunk, domain_quality_filter, gopher_quality,
-    #     dedup_apply_best, ann_refined_mcand_curve, bm25_index_stats,
-    #     pii_scan, split_leakage_audit) — pytest oracle evidence only,
-    #     never a driver row: they lead this window;
-    #   * kmeans_mllib — rows-only by design (can never satisfy
-    #     _STALE_OK's value-hash requirement); its last driver row is
-    #     r10-vintage, so it re-enters the window this round;
-    #   * 49 queries whose latest value-hash green row is
-    #     CORRECTNESS_r09.json — past the two-artifact _STALE_OK bound
-    #     (last two artifacts are r10/r11): the 41 oldest re-enter the
-    #     window (9 + 41 = 50 slots exactly); the newest 8 of the r9
-    #     block CARRY ONE MORE ROUND mid-registry (see the mid-registry
-    #     note below) and lead the round-13 window;
-    #   * 49 queries value-hash green in CORRECTNESS_r10.json — within
-    #     the bound until the r12 artifact lands, then r9-equivalent:
-    #     they fill the rest of the round-13 window;
-    #   * 50 queries value-hash green in CORRECTNESS_r11.json —
-    #     freshest evidence: _STALE_OK + _CHECK_LAST.
+    # ROUND-13 ROTATION. CORRECTNESS_r12.json checked the first 50 of
+    # the 160 declared queries (the r12 window: 8 mid-r11 declarations
+    # + kmeans_mllib's rows-only refresh + the 41 oldest r9-vintage —
+    # 49 value-hash green + kmeans_mllib's by-design no_oracle row).
+    # Stale candidates at the r13 round start: the 8 r9 stragglers
+    # carried one round per the r12 plan, the 3 queries declared
+    # mid-round-12 after the window filled (host_stats,
+    # quality_deciles, image_dhash_real — pytest oracle evidence only,
+    # never a driver row), and the 49 r10-green block = 60 candidates
+    # for 50 slots. The 8 + 3 lead; the 39 oldest r10-green entries
+    # fill the window; the 10 newest r10-green entries
+    # (dedup_semantic, decontaminate_fuzzy, pq_adc_topk,
+    # ann_ivfpq_refined, ann_ivfpq_refined_recall, hybrid_topk,
+    # rerank_topk, graph_triangles, graph_pagerank, graph_k_core)
+    # CARRY ONE MORE ROUND mid-registry and lead the round-14 window.
     # MID-REGISTRY NOTE (how the carried entries stay legal): the
     # rotation tripwire (tests/test_contract.py) truncates the stale
-    # list to its first 50 entries in registry order; because every one
-    # of the 50 window entries below lacks an r11 row, the truncated
-    # stale list IS this window, and the carried r9 stragglers + the
-    # r10-green block + any new round-12 declarations sit past the
-    # truncation horizon. They are NOT in _STALE_OK (its two-artifact
-    # bound would fail for r9/r10 vintages once r12 lands); the
-    # tripwire goes red for them — by design — the moment
-    # CORRECTNESS_r12.json lands, forcing the round-13 rotation.
-    # First driver rows needed (8 mid-r11 declarations):
+    # list to its first 50 entries in registry order; because every
+    # one of the 50 window entries below lacks a CORRECTNESS_r12 row,
+    # the truncated stale list IS this window, and the carried r10
+    # stragglers, the r11-green block, kmeans_mllib (its r12 row keeps
+    # it non-stale this round), and any new round-13 declarations sit
+    # past the truncation horizon. They are NOT in _STALE_OK (its
+    # two-artifact bound would fail for r10/r11 vintages once the r13
+    # artifact lands); the tripwire goes red for them — by design —
+    # the moment CORRECTNESS_r13.json lands, forcing the round-14
+    # rotation.
+    # r9 stragglers carried from the r12 rotation (driver rows due):
+    "tpch_q18_large_orders",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "dedup_edit_verify",
+    "ann_ivf_indexed",
+    "dedup_substring_spans",
+    "dedup_substring_apply",
+    "ann_ivfpq_indexed",
+    # first driver rows needed (3 mid-r12 declarations):
+    "host_stats",
+    "quality_deciles",
+    "image_dhash_real",
+    # r10-vintage block, oldest 39 (in their r10-window order):
+    "scan_points",
+    "text_stats",
+    "dataset_mixture",
+    "dataset_mixture_temp",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_winnow",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "text_redact",
+    "dataset_split",
+    "term_lift",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "tpch_q7_volume",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "set_ops_customers",
+    "set_ops_bag",
+    "sample_stratified",
+    "dedup_exact",
+    "dedup_apply",
+    "image_dhash_pairs",
+    "dedup_lines",
+    "dedup_lines_apply",
+    "ann_recall_curve",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared
+#: queries left past the 50-entry window whose latest green value-hash
+#: row is in one of the last TWO driver artifacts — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. This
+#: round the list is EXACTLY the value-hash-green subset of the
+#: round-12 window (49 of its 50 entries; kmeans_mllib is excluded —
+#: its no_oracle row can never satisfy the value-hash requirement, so
+#: it rides the stale-list truncation mid-registry instead): r12 stays
+#: within the bound both now (last two = r11/r12) and after the r13
+#: artifact lands (last two = r12/r13), so the suite is green across
+#: the whole round. The 10 carried r10 stragglers and the 50 r11-green
+#: queries are deliberately NOT listed (their vintage would break the
+#: bound once r13 lands); they ride the stale-list truncation — see
+#: the mid-registry note in _CHECK_FIRST.
+_STALE_OK = (
     "doc_chunk",
     "domain_quality_filter",
     "gopher_quality",
@@ -6040,9 +6220,6 @@ _CHECK_FIRST = (
     "bm25_index_stats",
     "pii_scan",
     "split_leakage_audit",
-    # rows-only row gone stale (r10-vintage — refresh the rows check):
-    "kmeans_mllib",
-    # r9-vintage block, oldest 41 (in their r9-window order):
     "dedup_semantic_delta",
     "ann_pq_recall",
     "ann_ivfpq_recall",
@@ -6086,124 +6263,59 @@ _CHECK_FIRST = (
     "tpch_q10_returns",
 )
 
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared
-#: queries left past the 50-entry window whose latest green value-hash
-#: row is in one of the last TWO driver artifacts — the bound the
-#: rotation tripwire (tests/test_contract.py) machine-checks. This
-#: round the list is EXACTLY the round-11 window (50/50 value-hash
-#: green in CORRECTNESS_r11.json): r11 stays within the bound both now
-#: (last two = r10/r11) and after the r12 artifact lands (last two =
-#: r11/r12), so the suite is green across the whole round. The 8
-#: carried r9 stragglers and the 49 r10-green queries are deliberately
-#: NOT listed (their vintage would break the bound once r12 lands);
-#: they ride the stale-list truncation instead — see the mid-registry
-#: note in _CHECK_FIRST.
-_STALE_OK = (
-    "audio_fp_pairs",
-    "video_near_dup_pairs",
-    "dedup_lines_nl",
-    "ivfpq_cell_stats",
-    "events_gapfill",
-    "quality_unpivot",
-    "data_expectations",
-    "ivf_cell_stats",
-    "dedup_delta_indexed",
-    "budget_sample",
-    "pack_sequences_bpe",
-    "shuffle_export",
-    "domain_cap",
-    "scd2_history",
-    "ann_recall",
-    "doc_classifier",
-    "dedup_containment",
-    "curriculum_order",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balance",
-    "tpch_q9_profit",
-    "tpch_q8_mkt_share",
-    "tpch_q12_late_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
-    "ann_quantized",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q1_pricing",
-    "embedding_quantize",
-    "dedup_embedding",
-    "ann_ivf",
-    "cosine_topk",
-    "ann_lsh",
-    "embedding_lsh_sig",
-    "dedup_clusters",
-    "dedup_minhash_sig",
-    "dedup_minhash",
-    "dedup_verify",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "corpus_clean",
-    "doc_lm_coverage",
-    "word_count",
-    "bigram_lm",
-)
-
 _CHECK_LAST = (
-    # the round-11 window (r11-green, freshest evidence — safest past
-    # any cutoff), in its r11 window order:
-    "audio_fp_pairs",
-    "video_near_dup_pairs",
-    "dedup_lines_nl",
-    "ivfpq_cell_stats",
-    "events_gapfill",
-    "quality_unpivot",
-    "data_expectations",
-    "ivf_cell_stats",
-    "dedup_delta_indexed",
-    "budget_sample",
-    "pack_sequences_bpe",
-    "shuffle_export",
-    "domain_cap",
-    "scd2_history",
-    "ann_recall",
-    "doc_classifier",
-    "dedup_containment",
-    "curriculum_order",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balance",
-    "tpch_q9_profit",
-    "tpch_q8_mkt_share",
-    "tpch_q12_late_priority",
-    "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
-    "ann_quantized",
-    "tpch_q3_top_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q1_pricing",
-    "embedding_quantize",
-    "dedup_embedding",
-    "ann_ivf",
-    "cosine_topk",
-    "ann_lsh",
-    "embedding_lsh_sig",
-    "dedup_clusters",
-    "dedup_minhash_sig",
-    "dedup_minhash",
-    "dedup_verify",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "corpus_clean",
-    "doc_lm_coverage",
-    "word_count",
-    "bigram_lm",
+    # the value-hash-green subset of the round-12 window (r12-green,
+    # freshest evidence — safest past any cutoff), in its r12 window
+    # order:
+    "doc_chunk",
+    "domain_quality_filter",
+    "gopher_quality",
+    "dedup_apply_best",
+    "ann_refined_mcand_curve",
+    "bm25_index_stats",
+    "pii_scan",
+    "split_leakage_audit",
+    "dedup_semantic_delta",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
+    "events_anomaly_seasonal",
+    "agg_delta_maintenance",
+    "doc_top_terms",
+    "events_quantile_sketch",
+    "cdc_merge",
+    "bpe_token_stats",
+    "dedup_minhash_pairs",
+    "events_anomaly",
+    "assign_nearest",
+    "centroid_update",
+    "cluster_sizes",
+    "wssse",
+    "convergence_delta",
+    "sample_init_det",
+    "kmeans_full",
+    "kmeans_mllib_verdict",
+    "filter_valid",
+    "points_csv_scan",
+    "multimodal_checksums",
+    "sketch_cms",
+    "tpch_q15_top_supplier",
+    "sql_nation_balance",
+    "sql_above_nation_avg",
+    "orders_list_per_customer",
+    "running_spend",
+    "customer_rank_stats",
+    "events_asof_purchase",
+    "user_funnel",
+    "events_hourly",
+    "events_sessionize",
+    "corpus_stats",
+    "events_cube",
+    "events_time_rollup",
+    "events_pivot",
+    "events_hll_users",
+    "user_retention_cohorts",
+    "events_json_stats",
+    "tpch_q10_returns",
 )
 
 

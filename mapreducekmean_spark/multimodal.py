@@ -2324,3 +2324,146 @@ def video_near_dup_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
         .filter(F.col("n_matched") >= int(min_shared))
     )
+
+
+def synthetic_wav_assets(docs: DataFrame) -> DataFrame:
+    """REAL decodable RIFF/WAVE payloads synthesized IN-QUERY — the
+    audio application of the :func:`synthetic_p6_assets` bridge (r12
+    verdict item #3): one JVM projection emits a VALID 109-byte WAV per
+    document whose 65 data bytes are ARITHMETIC in doc_id (byte i =
+    ``(doc_id·(i+1)) mod 251``), alternating the codec by parity so the
+    driver row exercises BOTH production decode branches — even docs
+    carry linear PCM-8 (format 1), odd docs carry G.711 μ-law
+    (format 7, ITU-T G.711). With exactly ``FP_WINDOWS`` = 65 samples,
+    :func:`_audio_fp_halves`' window bounds ``(w·n)//65`` collapse to
+    the identity, so window w's energy is the |amplitude| of sample w
+    alone and the fingerprint bits are CLOSED-FORM in doc_id:
+    PCM-8 |amplitude| is monotone in ``|byte−128|`` and the μ-law
+    expansion magnitude is the textbook segment/mantissa integer
+    ``((u%16)·8+132)·2^((u//16)%8) − 132`` with ``u = 255−byte`` —
+    both exact integer comparisons ANSI SQL can replay. Floats stay
+    exact end-to-end: the decoders divide int16/uint8 values by powers
+    of two (128, 32768) and a 1-sample window mean is the identity, so
+    the engine's float comparisons equal the twin's integer ones."""
+    import struct
+
+    def hdr(fmt_code: int) -> str:
+        fmt_body = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 101) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt_body
+            + b"data" + struct.pack("<I", FP_WINDOWS)
+        ).hex().upper()
+
+    data_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(FP_WINDOWS - 1)),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * (i + F.lit(1))) % F.lit(251)),
+                2,
+                "0",
+            ),
+        ),
+    )
+    header = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(hdr(1))
+    ).otherwise(F.lit(hdr(7)))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(F.concat(header, data_hex)).alias("payload"),
+    )
+
+
+def audio_fp_real(docs: DataFrame) -> DataFrame:
+    """The REAL WAV decode→fingerprint kernel under a driver value-hash
+    oracle: :func:`synthetic_wav_assets` payloads (valid RIFF/WAVE,
+    PCM-8 and G.711 μ-law by doc parity, one JVM projection) flow
+    through :func:`audio_fingerprint` — the SAME Arrow-batched
+    ``mapInPandas`` → ``_decode_audio_wav`` → ``_audio_fp_halves`` path
+    production audio takes; nothing is mocked — and the DuckDB twin
+    computes the expected halves closed-form from doc_id (64 integer
+    energy comparisons, bit-packed exactly as ``_audio_fp_halves``).
+    A decoder regression (chunk walk, companding table, channel
+    averaging, window bounds, bit packing) flips fingerprint bits and
+    fails the value-hash; ``ok=false`` rows flip the row count.
+    Complements :func:`doc_grid_audio_fp`, which oracles the planning
+    slice without decoding. Scale shape: one projection + one Arrow
+    pass, zero shuffles — identical to production ingest."""
+    return audio_fingerprint(synthetic_wav_assets(docs))
+
+
+#: Frames synthesized per Y4M asset: with video_dhash's default
+#: every-5th sampling, 6 frames yield sampled rows at frame_idx 0 and
+#: 5, so the per-asset explode (one input row → several output rows)
+#: is exercised, not just a 1:1 map.
+Y4M_FRAMES = 6
+
+
+def synthetic_y4m_assets(docs: DataFrame) -> DataFrame:
+    """REAL decodable YUV4MPEG2 payloads synthesized IN-QUERY — the
+    video application of the :func:`synthetic_p6_assets` bridge: one
+    JVM projection emits a VALID Y4M stream per document (header
+    ``YUV4MPEG2 W9 H8 C444``, then ``Y4M_FRAMES`` frames of raw
+    planes). C444 at 9×8 makes the decode closed-form: chroma planes
+    are constant 128 so BT.601 reduces to R=G=B=Y exactly (the float
+    rint/clip are no-ops on integer luma), the integer luma
+    ``(299Y+587Y+114Y)//1000`` equals Y, and at 9×8 the dHash sampling
+    grid is the identity — bit (r,c) of frame f is one modular
+    comparison of ``Y(i) = (doc_id·(i+1) + 17·f) mod 251`` at
+    ``i = r·9+c`` vs ``i+1``. The +17·f frame salt makes frames of one
+    clip differ, so a frame-index regression changes values, not just
+    counts."""
+    header_hex = b"YUV4MPEG2 W9 H8 C444\n".hex().upper()
+    frame_marker_hex = b"FRAME\n".hex().upper()
+    uv_hex = ("80" * 144).upper()  # constant U+V planes (72 bytes each)
+    frames_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(Y4M_FRAMES - 1)),
+            lambda f: F.concat(
+                F.lit(frame_marker_hex),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(71)),
+                        lambda i: F.lpad(
+                            F.hex(
+                                (
+                                    F.col("doc_id") * (i + F.lit(1))
+                                    + f * F.lit(17)
+                                )
+                                % F.lit(251)
+                            ),
+                            2,
+                            "0",
+                        ),
+                    ),
+                ),
+                F.lit(uv_hex),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.unhex(F.concat(F.lit(header_hex), frames_hex)).alias("payload"),
+    )
+
+
+def video_dhash_real(docs: DataFrame) -> DataFrame:
+    """The REAL Y4M decode→frame-dHash kernel under a driver value-hash
+    oracle: :func:`synthetic_y4m_assets` payloads (valid YUV4MPEG2
+    C444, one JVM projection) flow through :func:`video_dhash` — the
+    SAME Arrow-batched ``mapInPandas`` → ``_decode_y4m_frames`` →
+    every-5th sampling → ``_dhash_halves`` path production clips take;
+    nothing is mocked — and the DuckDB twin computes the expected
+    per-sampled-frame halves closed-form from (doc_id, frame_idx).
+    A decoder regression (header parse, plane offsets, chroma
+    handling, YUV→RGB arithmetic, frame sampling stride, bit packing)
+    flips hash bits or the emitted frame set and fails the value-hash.
+    Complements :func:`doc_grid_video_dhash`, which oracles the
+    clip-level planning slice without decoding. Scale shape: one
+    projection + one Arrow pass, zero shuffles."""
+    return video_dhash(synthetic_y4m_assets(docs))

@@ -36,9 +36,12 @@ def count_exchanges(df: DataFrame) -> int:
 
 def count_joins(df: DataFrame) -> int:
     """Number of join operators of ANY strategy in the physical plan
-    (broadcast, sort-merge, shuffled-hash, nested-loop alike), counted
-    from the formatted-mode detail entries so each node is counted
-    exactly once. The pin for "no join on the per-doc side": asserting
+    (broadcast, sort-merge, shuffled-hash, nested-loop, AND cartesian —
+    Spark's cross-join node is named ``CartesianProduct``, no "Join" in
+    the name, so a ``\\w*Join`` match alone would let a cartesian plan
+    pass a ``count_joins == 0`` pin; r12 advice), counted from the
+    formatted-mode detail entries so each node is counted exactly once.
+    The pin for "no join on the per-doc side": asserting
     ``has_broadcast_join`` alone cannot catch a corpus×corpus
     self-join that AQE happens to broadcast at fixture scale (r11
     verdict)."""
@@ -48,7 +51,7 @@ def count_joins(df: DataFrame) -> int:
     return sum(
         1
         for line in plan.splitlines()
-        if re.match(r"^\(\d+\) \w*Join", line.strip())
+        if re.match(r"^\(\d+\) (\w*Join|CartesianProduct)", line.strip())
     )
 
 

@@ -1857,3 +1857,108 @@ def test_split_leakage_audit_semantics(spark):
     assert {r.split_a, r.split_b} == {splits[a], splits[b]}
     assert r.split_a < r.split_b
     assert r.n_groups == 1 and r.n_docs == 2
+
+
+def test_audio_fp_real_payloads_decode_and_match_closed_form(spark):
+    """The in-query WAV synthesis emits VALID payloads on BOTH codec
+    branches (PCM-8 even docs, G.711 μ-law odd docs — the fmt code is
+    asserted from the raw bytes), every row decodes ok=true through
+    the real RIFF parser, and the decoded fingerprint halves equal the
+    closed-form arithmetic the DuckDB twin computes — a pure-Python
+    recomputation from doc_id alone, no decoding. Cross-checks the
+    μ-law magnitude formula against the production expansion table."""
+    import struct
+
+    from mapreducekmean_spark import multimodal as mm
+
+    ids = [0, 1, 37, 250, 499, 12345]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    payloads = {
+        r.asset_id: bytes(r.payload)
+        for r in mm.synthetic_wav_assets(docs).collect()
+    }
+    table = mm._g711_expand_table(7)
+    for d in ids:
+        fmt_code = struct.unpack_from("<H", payloads[d], 20)[0]
+        assert fmt_code == (1 if d % 2 == 0 else 7)
+        dec = mm._decode_audio_wav(payloads[d])
+        assert dec is not None and len(dec[0]) == mm.FP_WINDOWS
+
+    def energy(d, i):
+        v = (d * (i + 1)) % 251
+        if d % 2 == 0:
+            return abs(v - 128)
+        u = 255 - v
+        t = ((u % 16) * 8 + 132) << ((u // 16) % 8)
+        # the closed form IS the production table's magnitude
+        assert t - 132 == abs(int(table[v])), (d, i, v)
+        return t - 132
+
+    rows = {r.asset_id: r for r in mm.audio_fp_real(docs).collect()}
+    assert set(rows) == set(ids)
+    for d in ids:
+        assert rows[d].ok
+        bits = [
+            1 if energy(d, w) > energy(d, w + 1) else 0
+            for w in range(mm.FP_WINDOWS - 1)
+        ]
+        hi = sum(b << w for w, b in enumerate(bits[:32]))
+        lo = sum(b << w for w, b in enumerate(bits[32:]))
+        assert (rows[d].dh_hi, rows[d].dh_lo) == (hi, lo), d
+
+
+def test_video_dhash_real_payloads_decode_and_match_closed_form(spark):
+    """The in-query Y4M synthesis emits VALID C444 streams (6 frames,
+    all decoding through the real parser with R=G=B=Y exactly — the
+    constant-128 chroma collapses BT.601), video_dhash samples frames
+    {0, 5}, and the per-frame halves equal the closed-form arithmetic
+    the DuckDB twin computes from (doc_id, frame_idx)."""
+    import numpy as np
+
+    from mapreducekmean_spark import multimodal as mm
+
+    ids = [0, 1, 37, 499, 12345]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    payload = bytes(
+        mm.synthetic_y4m_assets(docs.filter("doc_id = 37")).collect()[0]
+        .payload
+    )
+    frames = mm._decode_y4m_frames(payload)
+    assert frames is not None and len(frames) == mm.Y4M_FRAMES
+    for f, rgb in enumerate(frames):
+        assert rgb.shape == (8, 9, 3)
+        y = np.array(
+            [[(37 * (r * 9 + c + 1) + 17 * f) % 251 for c in range(9)]
+             for r in range(8)],
+            dtype=np.uint8,
+        )
+        assert (rgb == np.stack([y, y, y], axis=-1)).all(), f
+
+    rows = {
+        (r.asset_id, r.frame_idx): r
+        for r in mm.video_dhash_real(docs).collect()
+    }
+    assert set(rows) == {(d, f) for d in ids for f in (0, 5)}
+    for d in ids:
+        for f in (0, 5):
+            row = rows[(d, f)]
+            assert row.ok
+
+            def v(i):
+                return (d * (i + 1) + 17 * f) % 251
+
+            hi = sum(
+                1 << ((r % 4) * 8 + c)
+                for r in range(4)
+                for c in range(8)
+                if v(r * 9 + c) > v(r * 9 + c + 1)
+            )
+            lo = sum(
+                1 << ((r % 4) * 8 + c)
+                for r in range(4, 8)
+                for c in range(8)
+                if v(r * 9 + c) > v(r * 9 + c + 1)
+            )
+            assert (row.dh_hi, row.dh_lo) == (hi, lo), (d, f)

@@ -704,3 +704,47 @@ def test_bm25_index_stats_distributed_topk(spark, sf_small):
     df = REG["bm25_index_stats"].fn(spark, sf_small)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_deciles_window_over_level_table(spark, sf_small):
+    """Structural pin for the bounded-window claim (r12 verdict item
+    #8): every Window node's input subtree must pass through a
+    HashAggregate before reaching the parquet scan — the
+    single-partition window runs over the post-aggregate quality LEVEL
+    table (6-dp-precision bounded), never over corpus rows. A refactor
+    that moved the window onto the per-doc side would plan
+    Window → Sort/Exchange → Project → Scan with no aggregate between
+    and fail here."""
+    from mapreducekmean_spark.plans import formatted_plan
+
+    plan = formatted_plan(REG["quality_deciles"].fn(spark, sf_small))
+    tree = plan.split("\n\n")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    assert win_rows, "plan lost its Window node"
+    for i in win_rows:
+        below = []
+        for ln in tree[i + 1:]:
+            below.append(ln)
+            if "Scan parquet" in ln:
+                break
+        assert any("HashAggregate" in ln for ln in below), (
+            "Window input reaches the scan without an aggregate — the "
+            "decile window is running over corpus rows:\n" + "\n".join(tree)
+        )
+
+
+def test_audio_fp_real_is_map_only(spark, sf_small):
+    """The real WAV decode→fingerprint row is one JVM projection
+    (payload synthesis) + one Arrow pass (decode kernel): no exchange,
+    no join anywhere — identical shape to production audio ingest."""
+    df = REG["audio_fp_real"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert count_joins(df) == 0
+
+
+def test_video_dhash_real_is_map_only(spark, sf_small):
+    """The real Y4M decode→frame-dHash row is one JVM projection + one
+    Arrow pass emitting several rows per asset: no exchange, no join."""
+    df = REG["video_dhash_real"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert count_joins(df) == 0
