@@ -924,6 +924,110 @@ def _host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.host_stats(_host_corpus(spark, sf_dir))
 
 
+def _host_stats_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.host_stats_land/apply_delta/from_snapshot — the
+    INCREMENTALLY MAINTAINED daily report (r12 verdict item #4): the
+    same synthesized-dup corpus as host_stats, split three ways by
+    doc_id mod 3; the first third lands the bucketed (source,
+    content_hash) level snapshot (bid 0), the other two fold in as
+    delta batches (bids 1, 2) rewriting only touched ``kb=`` buckets,
+    and the report off the snapshot must equal the one-shot
+    host_stats over the union — which is exactly what the twin
+    (_HOST_STATS_SQL, shared verbatim) states. All maintained state is
+    integer/scaled-bigint, so the maintained report is EXACT.
+    Re-running in-process re-applies bids 1-2 and the per-key
+    ``last_bid`` watermark makes them no-ops (the replay-idempotence
+    contract, pinned in tests/test_cdc.py)."""
+    import hashlib
+    import os
+
+    corpus = _host_corpus(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"hostd_{tag}")
+    if not os.path.exists(os.path.join(path, "_agg_meta.json")):
+        tx.host_stats_land(corpus.filter(F.col("doc_id") % 3 == 0), path)
+    tx.host_stats_apply_delta(
+        spark, corpus.filter(F.col("doc_id") % 3 == 1), path, batch_id=1
+    )
+    tx.host_stats_apply_delta(
+        spark, corpus.filter(F.col("doc_id") % 3 == 2), path, batch_id=2
+    )
+    return tx.host_stats_from_snapshot(spark, path)
+
+
+def _dsir_pivot_cols() -> tuple[str, str]:
+    """The fixed-order weight chain shared by the oracle: (pivot
+    column list, product expression) for DSIR_K = 8 positions."""
+    from mapreducekmean_spark.operators.text import DSIR_K
+
+    cols = ",\n         ".join(
+        f"max(CASE WHEN pos = {i} THEN ratio END) AS r{i}"
+        for i in range(DSIR_K)
+    )
+    prod = " * ".join(f"coalesce(r{i}, 1.0)" for i in range(DSIR_K))
+    return cols, prod
+
+
+def _dataset_importance_sql() -> str:
+    """Twin of text.dataset_importance: same bigram stream (empty for
+    <2-token docs), same 2-hex-char md5 buckets, same Laplace-smoothed
+    single-division ratios, the SAME fixed-order 8-term IEEE multiply
+    chain (never an engine-ordered float aggregate), and the shared
+    md5 keep-coin with the rate-1.0 branch. All divisions/multiplies
+    are correctly-rounded IEEE doubles of exact integers, so the
+    weights are bit-identical cross-engine."""
+    from mapreducekmean_spark.operators.text import DSIR_K, DSIR_TARGET_MOD
+
+    pivot_cols, prod = _dsir_pivot_cols()
+    mod = DSIR_TARGET_MOD
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks))) - 1 AS pos,
+         unnest(list_transform(range(1, len(toks)),
+                i -> substr(md5(toks[i] || ' ' || toks[i+1]), 1, 2))) AS b
+  FROM t
+),
+c AS (
+  SELECT b,
+         CAST(sum(CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN doc_id % {mod} = 0 THEN 0 ELSE 1 END)
+           AS BIGINT) AS c_r
+  FROM g GROUP BY b
+),
+r AS (
+  SELECT b, CAST(c_t + 1 AS DOUBLE) / CAST(c_r + 1 AS DOUBLE) AS ratio
+  FROM c
+),
+p AS (
+  SELECT doc_id,
+         {pivot_cols}
+  FROM g JOIN r USING (b)
+  WHERE pos < {DSIR_K}
+  GROUP BY doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         d.doc_id % {mod} = 0 AS is_target,
+         {prod} AS wt
+  FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+)
+SELECT doc_id,
+       is_target,
+       round(wt, 6) AS weight,
+       (is_target OR wt >= 1.0
+        OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           < lpad(lower(hex(CAST(floor(least(wt, 1.0) * 4294967296.0)
+                                 AS BIGINT))), 8, '0')) AS kept
+FROM w
+"""
+
+
 def _image_dhash_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal.image_dhash_real — the REAL decode→dHash kernel under
     a value-hash oracle (r11 verdict item #7): valid binary-PPM
@@ -2310,6 +2414,18 @@ FROM documents
                 tx.documents(spark, sf_dir)
             ),
             _QUALITY_DECILES_SQL,
+        ),
+        # round-13 declarations - mid-registry (see the audio_fp_real
+        # rotation note); they lead the round-14 window.
+        Query(
+            "host_stats_delta", _host_stats_delta_q, _HOST_STATS_SQL
+        ),
+        Query(
+            "dataset_importance",
+            lambda spark, sf_dir: tx.dataset_importance(
+                tx.documents(spark, sf_dir)
+            ),
+            _dataset_importance_sql(),
         ),
     ]
 

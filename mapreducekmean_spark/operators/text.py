@@ -554,6 +554,22 @@ def host_stats(docs: DataFrame) -> DataFrame:
     Precondition (as :func:`~mapreducekmean_spark.operators.dedup.dedup_apply_best`):
     no zero-token documents — their 0/0 quality raises under ANSI.
     """
+    per = (
+        _host_level_rows(docs)
+        .groupBy("source", "content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("n_tok").alias("toks"),
+            F.sum("q_int").alias("q_sum"),
+        )
+    )
+    return _host_report_from_levels(per)
+
+
+def _host_level_rows(docs: DataFrame) -> DataFrame:
+    """The per-row level inputs every host_stats variant aggregates:
+    ONE fused projection (one tokenize per row, the ``with_quality``
+    discipline) to ``(source, content_hash, n_tok, q_int)``."""
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     staged = docs.select(
         "source",
@@ -565,22 +581,22 @@ def host_stats(docs: DataFrame) -> DataFrame:
     _, _, score = _quality_parts_from(
         F.col("__q_toks"), F.col("__q_low"), F.col("__q_len")
     )
-    per = (
-        staged.select(
-            "source",
-            "content_hash",
-            F.size("__q_toks").cast("bigint").alias("n_tok"),
-            F.round(F.round(score, 6) * 1_000_000)
-            .cast("bigint")
-            .alias("q_int"),
-        )
-        .groupBy("source", "content_hash")
-        .agg(
-            F.count("*").cast("bigint").alias("cnt"),
-            F.sum("n_tok").alias("toks"),
-            F.sum("q_int").alias("q_sum"),
-        )
+    return staged.select(
+        "source",
+        "content_hash",
+        F.size("__q_toks").cast("bigint").alias("n_tok"),
+        F.round(F.round(score, 6) * 1_000_000)
+        .cast("bigint")
+        .alias("q_int"),
     )
+
+
+def _host_report_from_levels(per: DataFrame) -> DataFrame:
+    """The report tail shared by the one-shot and delta-maintained
+    host_stats: from the (source, content_hash) LEVEL table
+    ``(source, content_hash, cnt, toks, q_sum)``, derive corpus-wide
+    content counts (no second corpus pass — level-table arithmetic
+    only) and fold to one row per source."""
     corpus_cnt = per.groupBy("content_hash").agg(
         F.sum("cnt").alias("cnt_h")
     )
@@ -613,6 +629,91 @@ def host_stats(docs: DataFrame) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+#: Separator for the composite (source, content_hash) snapshot key —
+#: the content hash is a fixed 32-hex suffix, so the split back is
+#: positional and any source string (even one containing the
+#: separator) round-trips.
+_HOST_KEY_SEP = "|"
+
+
+def _host_key_rows(docs: DataFrame) -> DataFrame:
+    """Level inputs keyed for the maintained snapshot: the composite
+    (source, content_hash) level key packed into one ``skey`` column
+    (the ``land_agg_snapshot`` machinery is single-key; the 32-hex
+    hash suffix makes the unpack positional, see ``_HOST_KEY_SEP``)."""
+    return _host_level_rows(docs).select(
+        F.concat_ws(
+            _HOST_KEY_SEP, "source", "content_hash"
+        ).alias("skey"),
+        "n_tok",
+        "q_int",
+    )
+
+
+def host_stats_land(docs: DataFrame, path: str) -> None:
+    """Land the INCREMENTALLY MAINTAINED host_stats state — the r12
+    verdict's "daily operational report" gap: at 100 TB the per-source
+    report cannot re-scan the corpus, so the (source, content_hash)
+    level table lands once as a mergeable bucketed aggregate snapshot
+    (``cdc.land_agg_snapshot`` discipline: per-key ``(n, Σn_tok,
+    Σq_int, last_bid)``, md5-bucketed ``kb=`` dirs, per-key
+    applied-batch watermark for replay idempotence) and each delta
+    batch folds in by touched bucket. Everything host_stats reports is
+    DERIVABLE from this state — counts, token sums, scaled-bigint
+    quality sums are all additive, and the cross-source dup accounting
+    is level-table arithmetic at read time — so the maintained report
+    is EXACT, not approximate (pinned batch-prefix ≡ one-shot in
+    tests/test_incremental.py)."""
+    from mapreducekmean_spark.operators.cdc import land_agg_snapshot
+
+    land_agg_snapshot(
+        _host_key_rows(docs), path, key="skey", sums=["n_tok", "q_int"]
+    )
+
+
+def host_stats_apply_delta(
+    spark: SparkSession, docs: DataFrame, path: str, batch_id: int
+) -> dict[str, int]:
+    """Fold one batch of new documents into the landed host_stats
+    state: one fused projection to the keyed level inputs, then
+    ``cdc.apply_agg_delta`` (partial-agg per key, touched-bucket
+    copy-on-write, ``last_bid`` watermark). Per-batch cost scales with
+    the batch's (source, content_hash) spread, never the corpus."""
+    from mapreducekmean_spark.operators.cdc import apply_agg_delta
+
+    return apply_agg_delta(
+        spark, _host_key_rows(docs), path, batch_id=batch_id
+    )
+
+
+def host_stats_from_snapshot(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """The daily per-source report off the maintained snapshot — pure
+    level-table arithmetic, ZERO corpus scans: unpack the composite
+    key positionally (32-hex hash suffix), rename the mergeable state
+    to the level-table shape, and run the SAME report tail the
+    one-shot :func:`host_stats` uses. At 100 TB this reads the
+    snapshot's level rows (distinct contents per source — orders of
+    magnitude below corpus volume) and nothing else."""
+    from mapreducekmean_spark.operators.cdc import read_agg_snapshot
+
+    snap = read_agg_snapshot(spark, path)
+    hash_len = 32
+    per = snap.select(
+        F.expr(
+            f"substring(skey, 1, length(skey) - {hash_len + 1})"
+        ).alias("source"),
+        F.expr(f"substring(skey, -{hash_len}, {hash_len})").alias(
+            "content_hash"
+        ),
+        F.col("n").alias("cnt"),
+        F.col("n_tok").alias("toks"),
+        F.col("q_int").alias("q_sum"),
+    )
+    return _host_report_from_levels(per)
 
 
 def doc_lm_coverage(docs: DataFrame) -> DataFrame:
@@ -1180,6 +1281,110 @@ def dataset_mixture_temp(docs: DataFrame) -> DataFrame:
         F.round("rate", 6).alias("target_frac"),
         _coin_kept(
             F.col("rate"), F.col("n_source") == F.col("n_min")
+        ).alias("kept"),
+    )
+
+
+#: DSIR importance resampling: word-bigram features hashed into 256
+#: buckets (the 2-hex-char md5 slice — the count-min sketch's bucket
+#: discipline), target slice = doc_id % DSIR_TARGET_MOD == 0 (the
+#: decontaminate split convention), per-doc weight bounded to the
+#: first DSIR_K gram positions.
+DSIR_NGRAM = 2
+DSIR_K = 8
+DSIR_TARGET_MOD = 20
+
+
+def dataset_importance(
+    docs: DataFrame,
+    n: int = DSIR_NGRAM,
+    k: int = DSIR_K,
+    target_mod: int = DSIR_TARGET_MOD,
+) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — the standard mixture operator that upsamples raw
+    documents resembling a target domain: hashed n-gram bag-of-words
+    features, per-bucket target/raw probability ratios, per-document
+    importance weight, deterministic keep coin against the weight.
+
+    Determinism contract (what makes the twin EXACT, no
+    transcendentals): bucket counts are integers; each bucket's ratio
+    is ONE IEEE division of Laplace-smoothed integers
+    ``(c_target+1)/(c_raw+1)`` — correctly rounded, identical in any
+    engine; the per-doc weight multiplies the ratios of the doc's
+    first ``k`` gram positions in FIXED position order (an explicit
+    ``r0·r1·…·r{k-1}`` chain, never a float sum/product over an
+    engine-ordered group), so both engines execute the same IEEE
+    multiply sequence and the weight is bit-identical. Bounding to
+    ``k`` positions is the log-free form the full gram product cannot
+    have (hundreds of IEEE multiplies would still be order-stable, but
+    the bounded pivot keeps the weight a plain 8-term expression; the
+    docstring states the deviation from the paper's full product).
+    Docs with no grams weigh 1.0. The keep coin is the shared
+    :func:`_coin_kept` md5 threshold against ``min(1, weight)``;
+    target-slice docs are the reference sample and keep by definition.
+
+    Scale shape: ONE gram pass (the codegen'd ``gram_rows`` stream,
+    materialized once for its two consumers), a 256-row bucket table
+    broadcast back onto the first-``k`` gram rows, one per-doc pivot
+    aggregate on the doc_id partitioning the gram window already
+    established, and a broadcast-able weight attach onto the doc base
+    — no corpus-volume join (the per-doc side joins on doc_id against
+    a per-doc aggregate, the one shuffle both sides already share).
+    Output: ``(doc_id, is_target, weight, kept)``."""
+    from mapreducekmean_spark.operators.dedup import gram_rows
+
+    grams = (
+        gram_rows(docs, n=n, with_pos=True)
+        .select(
+            "doc_id", "pos", F.substring(F.md5("sh"), 1, 2).alias("b")
+        )
+        # two consumers (bucket counts, first-k rows): build once
+        .localCheckpoint()
+    )
+    is_t = F.col("doc_id") % target_mod == 0
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("c_t"),
+        F.sum(F.when(is_t, 0).otherwise(1)).cast("bigint").alias("c_r"),
+    )
+    rates = counts.select(
+        "b",
+        (
+            (F.col("c_t") + 1).cast("double")
+            / (F.col("c_r") + 1).cast("double")
+        ).alias("ratio"),
+    )
+    pivot = (
+        grams.filter(F.col("pos") < k)
+        .join(F.broadcast(rates), "b")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("pos") == i, F.col("ratio"))
+                ).alias(f"r{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    weight = F.lit(1.0)
+    for i in range(k):
+        weight = weight * F.coalesce(F.col(f"r{i}"), F.lit(1.0))
+    out = docs.select("doc_id", is_t.alias("is_target")).join(
+        pivot, "doc_id", "left"
+    )
+    return out.select(
+        "doc_id", "is_target", weight.alias("_w")
+    ).select(
+        "doc_id",
+        "is_target",
+        F.round(F.col("_w"), 6).alias("weight"),
+        (
+            F.col("is_target")
+            | _coin_kept(
+                F.least(F.col("_w"), F.lit(1.0)), F.col("_w") >= 1.0
+            )
         ).alias("kept"),
     )
 

@@ -2095,6 +2095,18 @@ def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
     tdocs.select(F.size(tokens("text")).alias("n")).groupBy("n").count().count()
     t_floor = time.perf_counter() - t0
     stats = {"docs": n_docs, "tokenize_floor_sec": round(t_floor, 2)}
+    # standing floor-multiple asserts (r12 verdict item #7): the r12
+    # staged-projection rewrite is load-bearing for every quality
+    # consumer; a regression to the nested expression shape costs a
+    # MULTIPLE of the one-tokenize floor (nested text_stats measured
+    # ~3.5x, nested gopher ~19x at this probe), so these bounds —
+    # observed r12 ratios (0.91 / 1.42 / 4.8) plus ambient headroom —
+    # fail loudly on the shape regression while tolerating host noise.
+    floor_bounds = {
+        "text_stats": 2.0,
+        "lang_id": 2.5,
+        "gopher_quality": 8.0,
+    }
     for name, fn in (
         ("text_stats", text_stats),
         ("lang_id", lang_id),
@@ -2105,6 +2117,11 @@ def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         dt = time.perf_counter() - t0
         stats[f"{name}_sec"] = round(dt, 2)
         stats[f"{name}_over_floor"] = round(dt / t_floor, 2)
+        assert dt / t_floor <= floor_bounds[name], (
+            f"{name} at {round(dt / t_floor, 2)}x the one-tokenize "
+            f"floor (bound {floor_bounds[name]}x) — the staged "
+            "projection likely regressed to the nested expression shape"
+        )
     results["staged_text_ops_5m"] = stats
 
     # --- host_stats + quality_deciles at volume -----------------------
@@ -2165,6 +2182,127 @@ def probe_r12misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "deciles": len(qd),
         "max_decile_docs": int(max(r.n_docs for r in qd)),
         "sec": round(t_qd, 2),
+    }
+
+
+def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
+    """Round-13 volume probes:
+
+    - image_dhash_real at 5M docs: the claim under test (r12 verdict
+      item #6) is that in-query payload synthesis + the REAL PPM
+      decode stays Arrow-batch-bound — throughput within a small
+      factor of the pure-JVM grid-dHash kernel (doc_grid_dhash, the
+      image_dhash_pairs kernel) over the same ids — with the decoded
+      halves still exactly the closed form (spot-asserted on an
+      aggregate, not a sample: the SUM of dh_hi over all 5M rows must
+      equal the closed-form sum computed engine-side without any
+      decoding).
+    - host_stats_delta at 5M: fold a 1M-doc delta batch into a landed
+      4M-doc snapshot; the claim is the incremental report costs the
+      DELTA's level spread (touched buckets), not a corpus re-scan —
+      wall time well under the one-shot 5M host_stats pass — and the
+      maintained report equals the one-shot report exactly.
+    """
+    from mapreducekmean_spark import multimodal as mm
+    from mapreducekmean_spark.operators.text import (
+        host_stats,
+        host_stats_apply_delta,
+        host_stats_from_snapshot,
+        host_stats_land,
+    )
+
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    ids = ids.localCheckpoint()
+
+    # closed-form expected sum of dh_hi, computed WITHOUT decoding:
+    # the same modular-comparison arithmetic the DuckDB twin uses.
+    def bit_expr(r, c):
+        i = r * 9 + c
+        w = 1 << ((r % 4) * 8 + c)
+        return F.when(
+            (F.col("doc_id") * (i + 1)) % 251
+            > (F.col("doc_id") * (i + 2)) % 251,
+            F.lit(w),
+        ).otherwise(F.lit(0))
+
+    hi_expr = sum(
+        [bit_expr(r, c) for r in range(4) for c in range(8)],
+        F.lit(0),
+    ).cast("bigint")
+    expect_hi = ids.agg(F.sum(hi_expr)).collect()[0][0]
+
+    t0 = time.perf_counter()
+    got = mm.image_dhash_real(ids).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("bigint")).alias("ok_n"),
+        F.sum("dh_hi").alias("hi"),
+    ).collect()[0]
+    t_real = time.perf_counter() - t0
+    assert got["n"] == n_docs and got["ok_n"] == n_docs, got
+    assert got["hi"] == expect_hi, (got["hi"], expect_hi)
+
+    t0 = time.perf_counter()
+    docs_txt = ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("grid kernel body "), F.md5(F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    mm.doc_grid_dhash(docs_txt).agg(F.count("*")).collect()
+    t_grid = time.perf_counter() - t0
+    results["image_dhash_real_5m"] = {
+        "docs": n_docs,
+        "sec": round(t_real, 2),
+        "docs_per_sec": int(n_docs / t_real),
+        "grid_kernel_sec": round(t_grid, 2),
+        "over_grid_kernel": round(t_real / t_grid, 2),
+    }
+
+    # --- host_stats_delta at volume -----------------------------------
+    boiler = (
+        "all rights reserved copyright notice terms of service apply "
+        "to every page of this website always"
+    )
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("web"))
+        .otherwise(F.concat(F.lit("src_"), (F.col("id") % 10)))
+        .alias("source"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler))
+        .otherwise(
+            F.concat(
+                F.lit("unique body text alpha beta gamma "),
+                F.md5(F.col("id").cast("string")),
+            )
+        )
+        .alias("text"),
+    ).localCheckpoint()
+    base = corpus.filter(F.col("doc_id") < n_docs * 4 // 5)
+    delta = corpus.filter(F.col("doc_id") >= n_docs * 4 // 5)
+    path = probe_tmpdir("hostsnap")
+    t0 = time.perf_counter()
+    host_stats_land(base, path)
+    t_land = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = host_stats_apply_delta(spark, delta, path, batch_id=1)
+    t_delta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    snap_report = sorted(
+        tuple(r) for r in host_stats_from_snapshot(spark, path).collect()
+    )
+    t_report = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    one_shot = sorted(tuple(r) for r in host_stats(corpus).collect())
+    t_full = time.perf_counter() - t0
+    assert snap_report == one_shot
+    results["host_stats_delta_5m"] = {
+        "docs": n_docs,
+        "delta_docs": n_docs // 5,
+        "land_sec": round(t_land, 2),
+        "delta_sec": round(t_delta, 2),
+        "report_sec": round(t_report, 2),
+        "one_shot_sec": round(t_full, 2),
+        "touched_buckets": stats["touched_buckets"],
     }
 
 
@@ -3256,6 +3394,7 @@ def main() -> None:
         "refinegrid",
         "r11misc",
         "r12misc",
+        "r13misc",
         "chunkingest",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -3326,6 +3465,8 @@ def main() -> None:
         probe_r11misc(spark, results)
     if "r12misc" in only:
         probe_r12misc(spark, results)
+    if "r13misc" in only:
+        probe_r13misc(spark, results)
     if "chunkingest" in only:
         probe_chunkingest(spark, results)
     if "r10misc" in only:

@@ -267,3 +267,50 @@ def test_compact_dedup_index_keeps_verdicts_and_exchange_free_join(
         assert "Bucketed: true" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_host_stats_snapshot_batch_prefix_equals_one_shot(
+    spark, sf_small, tmp_path
+):
+    """The delta-maintained host_stats report must equal the one-shot
+    host_stats over the union after EVERY batch prefix (not just the
+    final state) and over an arbitrary monotone split — the
+    agg_delta_maintenance discipline applied to the daily report. Also
+    pins replay idempotence: re-applying the last batch (same bid)
+    must not change a single row."""
+    from mapreducekmean_spark.operators import text as tx
+
+    docs = documents(spark, sf_small).select("doc_id", "source", "text")
+    # mirror host_stats' synthesized-dup shape: pad copies + a mirror
+    # source so the cross-source dup accounting is load-bearing
+    pad = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit(" "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionAll(pad)
+    qs = corpus.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    c1, c2 = int(qs[0]), int(qs[1])
+    b1 = corpus.filter(F.col("doc_id") < c1)
+    b2 = corpus.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    b3 = corpus.filter(F.col("doc_id") >= c2)
+    assert b1.count() and b2.count() and b3.count()
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    path = str(tmp_path / "host_snap")
+    tx.host_stats_land(b1, path)
+    assert report(tx.host_stats_from_snapshot(spark, path)) == report(
+        tx.host_stats(b1)
+    )
+    tx.host_stats_apply_delta(spark, b2, path, batch_id=1)
+    assert report(tx.host_stats_from_snapshot(spark, path)) == report(
+        tx.host_stats(b1.unionAll(b2))
+    )
+    tx.host_stats_apply_delta(spark, b3, path, batch_id=2)
+    full = report(tx.host_stats(corpus))
+    assert report(tx.host_stats_from_snapshot(spark, path)) == full
+    # replay the last batch at the same bid: per-key watermark no-op
+    tx.host_stats_apply_delta(spark, b3, path, batch_id=2)
+    assert report(tx.host_stats_from_snapshot(spark, path)) == full

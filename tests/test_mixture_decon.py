@@ -357,3 +357,58 @@ def test_framed_line_rows_partitions_the_token_stream(spark):
     ).collect()[0]
     assert (out.n_lines, out.n_removed) == (3, 0)
     assert out.clean_text == "a b c d e f g h i j k"
+
+
+def test_dataset_importance_edges_and_coin(spark):
+    """Edge semantics of the DSIR resampler: a doc with <2 tokens has
+    no grams, weighs exactly 1.0, and keeps by the rate-1.0 branch; a
+    target-slice doc keeps by definition; weights reproduce the
+    fixed-order 8-term product computed independently in Python from
+    the same bucket counts."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreducekmean_spark.operators.text import (
+        DSIR_K,
+        DSIR_TARGET_MOD,
+        dataset_importance,
+    )
+
+    rows = [
+        (0, "alpha beta alpha beta gamma"),       # target (0 % 20 == 0)
+        (1, "alpha beta gamma delta alpha beta"),  # raw
+        (2, "solo"),                               # raw, no grams
+        (3, "zz yy xx ww vv uu tt ss rr qq pp"),   # raw, >8 grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dataset_importance(docs).collect()}
+    assert got[0].is_target and got[0].kept
+    assert not got[2].is_target
+    assert got[2].weight == 1.0 and got[2].kept  # rate-1.0 branch
+
+    # independent python replay of the weight arithmetic
+    def toks(t):
+        import re
+
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    def grams(t):
+        ts = toks(t)
+        return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:2]
+
+    c_t, c_r = {}, {}
+    for did, t in rows:
+        tgt = did % DSIR_TARGET_MOD == 0
+        for g in grams(t):
+            b = bucket(g)
+            (c_t if tgt else c_r)[b] = (c_t if tgt else c_r).get(b, 0) + 1
+    for did, t in rows:
+        w = 1.0
+        for g in grams(t)[:DSIR_K]:
+            b = bucket(g)
+            w = w * ((c_t.get(b, 0) + 1) / (c_r.get(b, 0) + 1))
+        assert got[did].weight == round(w, 6), (did, got[did].weight, w)

@@ -748,3 +748,26 @@ def test_video_dhash_real_is_map_only(spark, sf_small):
     df = REG["video_dhash_real"].fn(spark, sf_small)
     assert count_exchanges(df) == 0
     assert count_joins(df) == 0
+
+
+def test_host_stats_delta_report_is_level_table_only(spark, sf_small):
+    """The maintained report must read the landed snapshot (level
+    rows), never a corpus: exactly one join (the level x level dup
+    accounting), hash aggregates throughout — the host_stats pin
+    applied to the snapshot-backed variant."""
+    df = REG["host_stats_delta"].fn(spark, sf_small)
+    assert count_joins(df) == 1
+    plan = _plan(df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dataset_importance_broadcasts_bucket_ratios(spark, sf_small):
+    """DSIR importance weights: the 256-row bucket-ratio table must
+    BROADCAST onto the first-k gram rows, and the only other join is
+    the per-doc weight attach onto the doc base (doc_id keyed, both
+    sides sharing the aggregation partitioning) — exactly two joins,
+    no corpus-volume re-score join, no cartesian."""
+    df = REG["dataset_importance"].fn(spark, sf_small)
+    assert has_broadcast_join(df)
+    assert count_joins(df) == 2
