@@ -2295,6 +2295,30 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
     one_shot = sorted(tuple(r) for r in host_stats(corpus).collect())
     t_full = time.perf_counter() - t0
     assert snap_report == one_shot
+    # the touched-bucket claim, demonstrated directly: a delta whose
+    # LEVEL spread is tiny (1M copies of ONE page — the hot-page flood
+    # a crawl re-ingest produces) must touch ~1 bucket and fold in for
+    # a fraction of the full-spread delta's cost, because per-batch
+    # merge I/O scales with the batch's distinct (source, content)
+    # keys, never the snapshot's size.
+    flood = spark.range(n_docs // 5).select(
+        (F.col("id") + 2 * n_docs).alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.lit(boiler).alias("text"),
+    )
+    t0 = time.perf_counter()
+    stats2 = host_stats_apply_delta(spark, flood, path, batch_id=2)
+    t_flood = time.perf_counter() - t0
+    assert stats2["touched_buckets"] == 1, stats2
+    flood_report = {
+        r.source: r
+        for r in host_stats_from_snapshot(spark, path).collect()
+    }
+    web_before = next(t for t in one_shot if t[0] == "web")
+    # columns: source, n_docs, total_tokens, n_distinct, ...(6)=dup_docs
+    assert flood_report["web"].n_docs == web_before[1] + n_docs // 5
+    assert flood_report["web"].n_distinct == web_before[3]  # no new level
+    assert flood_report["web"].dup_docs == web_before[6] + n_docs // 5
     results["host_stats_delta_5m"] = {
         "docs": n_docs,
         "delta_docs": n_docs // 5,
@@ -2303,6 +2327,9 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "report_sec": round(t_report, 2),
         "one_shot_sec": round(t_full, 2),
         "touched_buckets": stats["touched_buckets"],
+        "flood_delta_docs": n_docs // 5,
+        "flood_touched_buckets": stats2["touched_buckets"],
+        "flood_delta_sec": round(t_flood, 2),
     }
 
 
