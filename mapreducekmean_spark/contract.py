@@ -955,6 +955,37 @@ def _host_stats_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.host_stats_from_snapshot(spark, path)
 
 
+def _quality_deciles_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.quality_deciles_land/apply_delta/from_snapshot — the decile
+    calibration table delta-maintained, the host_stats_delta sibling:
+    documents split three ways by doc_id mod 3, first third lands the
+    scaled-bigint quality LEVEL snapshot (bid 0), the other two fold in
+    as delta batches (bids 1, 2), and the report off the snapshot must
+    equal the one-shot quality_deciles — the twin
+    (_QUALITY_DECILES_SQL, shared verbatim) states exactly that. The
+    snapshot keys are exact integers and `q_int/10⁶` is the correctly-
+    rounded double of the 6-dp decimal (== the one-shot `round(score,
+    6)`), so the maintained report is EXACT. Replays are per-key
+    no-ops under the last_bid watermark."""
+    import hashlib
+    import os
+
+    docs = tx.documents(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"qdecd_{tag}")
+    if not os.path.exists(os.path.join(path, "_agg_meta.json")):
+        tx.quality_deciles_land(
+            docs.filter(F.col("doc_id") % 3 == 0), path
+        )
+    tx.quality_deciles_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), path, batch_id=1
+    )
+    tx.quality_deciles_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), path, batch_id=2
+    )
+    return tx.quality_deciles_from_snapshot(spark, path)
+
+
 def _dsir_pivot_cols() -> tuple[str, str]:
     """The fixed-order weight chain shared by the oracle: (pivot
     column list, product expression) for DSIR_K = 8 positions."""
@@ -970,12 +1001,13 @@ def _dsir_pivot_cols() -> tuple[str, str]:
 
 def _dataset_importance_sql() -> str:
     """Twin of text.dataset_importance: same bigram stream (empty for
-    <2-token docs), same 2-hex-char md5 buckets, same Laplace-smoothed
-    single-division ratios, the SAME fixed-order 8-term IEEE multiply
-    chain (never an engine-ordered float aggregate), and the shared
-    md5 keep-coin with the rate-1.0 branch. All divisions/multiplies
-    are correctly-rounded IEEE doubles of exact integers, so the
-    weights are bit-identical cross-engine."""
+    <2-token docs), same 2-hex-char md5 buckets, same normalized
+    add-one-smoothed probability ratios in the SAME fixed two-division
+    expression, the SAME fixed-order 8-term IEEE multiply chain (never
+    an engine-ordered float aggregate), and the shared md5 keep-coin
+    with the rate-1.0 branch. All divisions/multiplies are
+    correctly-rounded IEEE doubles of exact integers in a fixed order,
+    so the weights are bit-identical cross-engine."""
     from mapreducekmean_spark.operators.text import DSIR_K, DSIR_TARGET_MOD
 
     pivot_cols, prod = _dsir_pivot_cols()
@@ -1000,9 +1032,17 @@ c AS (
            AS BIGINT) AS c_r
   FROM g GROUP BY b
 ),
-r AS (
-  SELECT b, CAST(c_t + 1 AS DOUBLE) / CAST(c_r + 1 AS DOUBLE) AS ratio
+tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS t_total,
+         CAST(sum(c_r) AS BIGINT) AS r_total
   FROM c
+),
+r AS (
+  SELECT b,
+         (CAST(c_t + 1 AS DOUBLE) / CAST(t_total + 256 AS DOUBLE))
+         * (CAST(r_total + 256 AS DOUBLE) / CAST(c_r + 1 AS DOUBLE))
+           AS ratio
+  FROM c CROSS JOIN tot
 ),
 p AS (
   SELECT doc_id,
@@ -2426,6 +2466,11 @@ FROM documents
                 tx.documents(spark, sf_dir)
             ),
             _dataset_importance_sql(),
+        ),
+        Query(
+            "quality_deciles_delta",
+            _quality_deciles_delta_q,
+            _QUALITY_DECILES_SQL,
         ),
     ]
 

@@ -463,6 +463,17 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
             F.sum("n_tok").alias("toks"),
         )
     )
+    return _deciles_from_levels(levels)
+
+
+def _deciles_from_levels(levels: DataFrame) -> DataFrame:
+    """The decile-report tail shared by the one-shot and the
+    delta-maintained :func:`quality_deciles`: from the DISTINCT
+    quality LEVEL table ``(quality, cnt, toks)``, derive thresholds
+    (exact integer ranks), assign deciles, and roll up — all
+    level-table-sized work."""
+    from pyspark.sql import Window
+
     cum_w = Window.orderBy("quality").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -524,6 +535,77 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
             6,
         ).alias("mean_quality"),
     )
+
+
+def _quality_level_rows(docs: DataFrame) -> DataFrame:
+    """Keyed level inputs for the maintained decile snapshot: ONE fused
+    projection to ``(q_int, n_tok)`` where ``q_int`` is the scaled
+    6-dp quality level (exact bigint — the level KEY, so the snapshot
+    groups on integers, never doubles)."""
+    staged = docs.select(
+        tokens("text").alias("__q_toks"),
+        F.lower("text").alias("__q_low"),
+        F.length("text").alias("__q_len"),
+    )
+    _, _, score = _quality_parts_from(
+        F.col("__q_toks"), F.col("__q_low"), F.col("__q_len")
+    )
+    return staged.select(
+        F.round(F.round(score, 6) * 1_000_000)
+        .cast("bigint")
+        .alias("q_int"),
+        F.size("__q_toks").cast("bigint").alias("n_tok"),
+    )
+
+
+def quality_deciles_land(docs: DataFrame, path: str) -> None:
+    """Land the INCREMENTALLY MAINTAINED quality-decile state — the
+    sibling of :func:`host_stats_land` (the r12 verdict's plural
+    "daily operational reports"): the quality LEVEL table (≤ ~10⁶ rows
+    by the score's 6-dp precision) lands as a mergeable bucketed
+    aggregate snapshot keyed on the scaled-bigint level, and each
+    delta batch folds in by touched bucket, so gate re-calibration
+    never re-scans the corpus. Counts and token sums are integers —
+    the maintained report is EXACT (batch-prefix ≡ one-shot pinned in
+    tests/test_incremental.py)."""
+    from mapreducekmean_spark.operators.cdc import land_agg_snapshot
+
+    land_agg_snapshot(
+        _quality_level_rows(docs), path, key="q_int", sums=["n_tok"]
+    )
+
+
+def quality_deciles_apply_delta(
+    spark: SparkSession, docs: DataFrame, path: str, batch_id: int
+) -> dict[str, int]:
+    """Fold one batch of new documents into the landed decile state
+    (``cdc.apply_agg_delta``: partial-agg per level, touched-bucket
+    copy-on-write, ``last_bid`` watermark)."""
+    from mapreducekmean_spark.operators.cdc import apply_agg_delta
+
+    return apply_agg_delta(
+        spark, _quality_level_rows(docs), path, batch_id=batch_id
+    )
+
+
+def quality_deciles_from_snapshot(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """The decile calibration table off the maintained snapshot — pure
+    level-table arithmetic, ZERO corpus scans. ``quality`` is rebuilt
+    as ``q_int / 10⁶``: an exact-integer IEEE division by a
+    representable constant, which is the correctly-rounded double
+    nearest the 6-dp decimal — bit-identical to the one-shot path's
+    ``round(score, 6)``, so the reports agree exactly."""
+    from mapreducekmean_spark.operators.cdc import read_agg_snapshot
+
+    snap = read_agg_snapshot(spark, path)
+    levels = snap.select(
+        (F.col("q_int").cast("double") / 1_000_000.0).alias("quality"),
+        F.col("n").alias("cnt"),
+        F.col("n_tok").alias("toks"),
+    )
+    return _deciles_from_levels(levels)
 
 
 def host_stats(docs: DataFrame) -> DataFrame:
@@ -1310,9 +1392,15 @@ def dataset_importance(
 
     Determinism contract (what makes the twin EXACT, no
     transcendentals): bucket counts are integers; each bucket's ratio
-    is ONE IEEE division of Laplace-smoothed integers
-    ``(c_target+1)/(c_raw+1)`` — correctly rounded, identical in any
-    engine; the per-doc weight multiplies the ratios of the doc's
+    is the NORMALIZED smoothed probability ratio
+    ``p̂_target(b)/p̂_raw(b)`` with add-one smoothing over the 256
+    buckets, computed as the FIXED two-division expression
+    ``((c_t+1)/(T+256)) · ((R+256)/(c_r+1))`` (T, R the global gram
+    totals per slice — integer exact; each division and the one
+    multiply are correctly-rounded IEEE ops in a fixed order, so any
+    engine reproduces the double bit-for-bit; an unnormalized count
+    ratio would scale every weight by ~(T/R)^k and starve the keep
+    coin); the per-doc weight multiplies the ratios of the doc's
     first ``k`` gram positions in FIXED position order (an explicit
     ``r0·r1·…·r{k-1}`` chain, never a float sum/product over an
     engine-ordered group), so both engines execute the same IEEE
@@ -1347,12 +1435,21 @@ def dataset_importance(
     counts = grams.groupBy("b").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("c_t"),
         F.sum(F.when(is_t, 0).otherwise(1)).cast("bigint").alias("c_r"),
+    ).localCheckpoint()  # 256-row table, two consumers (totals + rates)
+    totals = counts.agg(
+        F.sum("c_t").alias("t_total"), F.sum("c_r").alias("r_total")
     )
-    rates = counts.select(
+    rates = counts.crossJoin(F.broadcast(totals)).select(
         "b",
         (
-            (F.col("c_t") + 1).cast("double")
-            / (F.col("c_r") + 1).cast("double")
+            (
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("t_total") + 256).cast("double")
+            )
+            * (
+                (F.col("r_total") + 256).cast("double")
+                / (F.col("c_r") + 1).cast("double")
+            )
         ).alias("ratio"),
     )
     pivot = (

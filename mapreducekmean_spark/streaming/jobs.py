@@ -1179,3 +1179,41 @@ class StreamingBottomK:
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def stream_host_stats_maintenance(
+    docs_stream: DataFrame,
+    snap_path: str,
+) -> None:
+    """Streamed maintenance of the host_stats level snapshot — the
+    daily-report pipeline as a continuous ingest: each micro-batch of
+    raw documents projects to the keyed (source, content_hash) level
+    inputs (ONE fused tokenize/quality/hash projection,
+    ``text._host_key_rows``) and folds into the landed aggregate
+    snapshot via :func:`operators.cdc.agg_stream_batch` — touched-
+    bucket copy-on-write, batch-id marker, per-key ``last_bid``
+    watermark (partial-crash replay converges; documented there). The
+    report (:func:`operators.text.host_stats_from_snapshot`) stays
+    level-table arithmetic at any moment of the stream, exact after
+    every batch prefix (pinned in tests/test_cdc.py). Synchronous
+    local-harness form like the other runners."""
+    from mapreducekmean_spark.operators.cdc import agg_stream_batch
+    from mapreducekmean_spark.operators.text import _host_key_rows
+
+    spark = docs_stream.sparkSession
+    q = (
+        docs_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(snap_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: agg_stream_batch(
+                spark, _host_key_rows(df), bid, snap_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

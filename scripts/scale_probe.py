@@ -2332,6 +2332,52 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "flood_delta_sec": round(t_flood, 2),
     }
 
+    # --- dataset_importance at volume ---------------------------------
+    # (the claim: DSIR resampling is one gram pass + level-table
+    # arithmetic, so wall time tracks the decontaminate-class gram
+    # stream; and the WEIGHTS carry the planted signal — raw docs
+    # written in the target's vocabulary must be upsampled relative to
+    # raw docs written in a disjoint vocabulary.)
+    from mapreducekmean_spark.operators.text import dataset_importance
+
+    n_dsir = 2_000_000
+    # target slice (doc_id % 20 == 0) and half the raw docs speak
+    # vocabulary A; the other raw half speaks disjoint vocabulary B.
+    body_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_b = "one two three four five six seven eight nine ten"
+    ddocs = spark.range(n_dsir).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 20 == 0) | (F.col("id") % 2 == 1),
+            F.lit(body_a),
+        )
+        .otherwise(F.lit(body_b))
+        .alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    agg = (
+        dataset_importance(ddocs)
+        .filter(~F.col("is_target"))
+        .groupBy((F.col("doc_id") % 2 == 1).alias("vocab_a"))
+        .agg(
+            F.avg("weight").alias("mean_w"),
+            F.avg(F.col("kept").cast("double")).alias("keep_rate"),
+            F.count("*").alias("n"),
+        )
+    )
+    rows = {r.vocab_a: r for r in agg.collect()}
+    t_dsir = time.perf_counter() - t0
+    assert rows[True].mean_w > rows[False].mean_w, rows
+    assert rows[True].keep_rate > rows[False].keep_rate, rows
+    results["dataset_importance_2m"] = {
+        "docs": n_dsir,
+        "sec": round(t_dsir, 2),
+        "mean_w_target_vocab": round(rows[True].mean_w, 4),
+        "mean_w_other_vocab": round(rows[False].mean_w, 4),
+        "keep_rate_target_vocab": round(rows[True].keep_rate, 4),
+        "keep_rate_other_vocab": round(rows[False].keep_rate, 4),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4

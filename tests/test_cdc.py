@@ -708,3 +708,57 @@ def test_purge_partition_keys_keeps_null_ids_and_counts_real_dirs(
     )
     assert left == [(None, 0), (None, 1)]
     assert os.path.isdir(os.path.join(path, "cell=0"))
+
+
+def test_stream_host_stats_maintenance_end_to_end(spark, tmp_path):
+    """The daily report as a continuous ingest: land the snapshot on a
+    first slice of documents, stream two more slices as micro-batch
+    files, and the report off the maintained snapshot must equal the
+    one-shot host_stats over everything; a second stream run with a
+    third file resumes from the checkpoint without double-counting."""
+    from mapreducekmean_spark.operators.text import (
+        host_stats,
+        host_stats_from_snapshot,
+        host_stats_land,
+    )
+    from mapreducekmean_spark.streaming.jobs import (
+        stream_host_stats_maintenance,
+    )
+
+    rows = [
+        (i, f"src_{i % 3}", f"body text alpha beta gamma doc {i % 7}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    path = str(tmp_path / "hsnap")
+    host_stats_land(docs.filter("doc_id < 20"), path)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id bigint, source string, text string"
+    for lo, hi, name in ((20, 40, "b1"), (40, 55, "b2")):
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(
+            1
+        ).write.json(str(src / name))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src / "*"))
+    stream_host_stats_maintenance(stream, path)
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert report(host_stats_from_snapshot(spark, path)) == report(
+        host_stats(docs.filter("doc_id < 55"))
+    )
+
+    docs.filter("doc_id >= 55").coalesce(1).write.json(str(src / "b3"))
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src / "*"))
+    stream_host_stats_maintenance(stream2, path)
+    assert report(host_stats_from_snapshot(spark, path)) == report(
+        host_stats(docs)
+    )

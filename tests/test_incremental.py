@@ -314,3 +314,40 @@ def test_host_stats_snapshot_batch_prefix_equals_one_shot(
     # replay the last batch at the same bid: per-key watermark no-op
     tx.host_stats_apply_delta(spark, b3, path, batch_id=2)
     assert report(tx.host_stats_from_snapshot(spark, path)) == full
+
+
+def test_quality_deciles_snapshot_batch_prefix_equals_one_shot(
+    spark, sf_small, tmp_path
+):
+    """The delta-maintained decile calibration must equal the one-shot
+    quality_deciles after every batch prefix, and replaying the last
+    batch at the same bid must change nothing — the host_stats_delta
+    discipline on the quality level snapshot (exact: integer level
+    keys; q_int/1e6 is bit-identical to round(score, 6))."""
+    from mapreducekmean_spark.operators import text as tx
+
+    docs = documents(spark, sf_small).select("doc_id", "text")
+    qs = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    c1, c2 = int(qs[0]), int(qs[1])
+    b1 = docs.filter(F.col("doc_id") < c1)
+    b2 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    b3 = docs.filter(F.col("doc_id") >= c2)
+    assert b1.count() and b2.count() and b3.count()
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    path = str(tmp_path / "qdec_snap")
+    tx.quality_deciles_land(b1, path)
+    assert report(
+        tx.quality_deciles_from_snapshot(spark, path)
+    ) == report(tx.quality_deciles(b1))
+    tx.quality_deciles_apply_delta(spark, b2, path, batch_id=1)
+    assert report(
+        tx.quality_deciles_from_snapshot(spark, path)
+    ) == report(tx.quality_deciles(b1.unionAll(b2)))
+    tx.quality_deciles_apply_delta(spark, b3, path, batch_id=2)
+    full = report(tx.quality_deciles(docs))
+    assert report(tx.quality_deciles_from_snapshot(spark, path)) == full
+    tx.quality_deciles_apply_delta(spark, b3, path, batch_id=2)  # replay
+    assert report(tx.quality_deciles_from_snapshot(spark, path)) == full

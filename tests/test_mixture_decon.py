@@ -406,9 +406,13 @@ def test_dataset_importance_edges_and_coin(spark):
         for g in grams(t):
             b = bucket(g)
             (c_t if tgt else c_r)[b] = (c_t if tgt else c_r).get(b, 0) + 1
+    t_total, r_total = sum(c_t.values()), sum(c_r.values())
     for did, t in rows:
         w = 1.0
         for g in grams(t)[:DSIR_K]:
             b = bucket(g)
-            w = w * ((c_t.get(b, 0) + 1) / (c_r.get(b, 0) + 1))
+            ratio = ((c_t.get(b, 0) + 1) / (t_total + 256)) * (
+                (r_total + 256) / (c_r.get(b, 0) + 1)
+            )
+            w = w * ratio
         assert got[did].weight == round(w, 6), (did, got[did].weight, w)

@@ -764,10 +764,24 @@ def test_host_stats_delta_report_is_level_table_only(spark, sf_small):
 
 def test_dataset_importance_broadcasts_bucket_ratios(spark, sf_small):
     """DSIR importance weights: the 256-row bucket-ratio table must
-    BROADCAST onto the first-k gram rows, and the only other join is
-    the per-doc weight attach onto the doc base (doc_id keyed, both
-    sides sharing the aggregation partitioning) — exactly two joins,
-    no corpus-volume re-score join, no cartesian."""
+    BROADCAST onto the first-k gram rows; the other two joins are both
+    bounded-side attaches — the 1-row gram-totals broadcast onto the
+    256-row count table (normalization) and the per-doc weight attach
+    onto the doc base (doc_id keyed, both sides sharing the
+    aggregation partitioning). Exactly three joins, none of them a
+    corpus-volume re-score join, no cartesian (count_joins counts
+    CartesianProduct nodes too)."""
     df = REG["dataset_importance"].fn(spark, sf_small)
     assert has_broadcast_join(df)
+    assert count_joins(df) == 3
+
+
+def test_quality_deciles_delta_report_is_level_table_only(spark, sf_small):
+    """The maintained decile report must read the landed LEVEL
+    snapshot, never a corpus — same join budget as the one-shot
+    (the two broadcast threshold attaches) with its window over the
+    snapshot levels."""
+    df = REG["quality_deciles_delta"].fn(spark, sf_small)
     assert count_joins(df) == 2
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
