@@ -2258,6 +2258,78 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "over_grid_kernel": round(t_real / t_grid, 2),
     }
 
+    # --- audio_fp_real / video_dhash_real at volume --------------------
+    # (same aggregate-closed-form discipline as the image probe: the
+    # sum of fingerprint halves over every decoded row must equal the
+    # modular/companding arithmetic computed engine-side without any
+    # decoding — a decoder drift shifts the sum.)
+    def audio_energy(i):
+        v = (F.col("doc_id") * (i + 1)) % 251
+        u = F.lit(255) - v
+        seg = (F.floor(u / 16) % 8).cast("double")
+        t = ((u % 16) * 8 + 132) * F.pow(F.lit(2.0), seg).cast("bigint")
+        pcm = F.abs(v - 128).cast("bigint")
+        return F.when(F.col("doc_id") % 2 == 0, pcm).otherwise(
+            (t - 132).cast("bigint")
+        )
+
+    a_hi = sum(
+        [
+            F.when(audio_energy(w) > audio_energy(w + 1), F.lit(1 << w))
+            .otherwise(F.lit(0))
+            for w in range(32)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    expect_a_hi = ids.agg(F.sum(a_hi)).collect()[0][0]
+    t0 = time.perf_counter()
+    got_a = mm.audio_fp_real(ids).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("bigint")).alias("ok_n"),
+        F.sum("dh_hi").alias("hi"),
+    ).collect()[0]
+    t_audio = time.perf_counter() - t0
+    assert got_a["n"] == n_docs and got_a["ok_n"] == n_docs, got_a
+    assert got_a["hi"] == expect_a_hi, (got_a["hi"], expect_a_hi)
+    results["audio_fp_real_5m"] = {
+        "docs": n_docs,
+        "sec": round(t_audio, 2),
+        "docs_per_sec": int(n_docs / t_audio),
+    }
+
+    n_vid = n_docs // 5  # 1M clips x ~1.4 KB payloads x 6 frames
+    vids = spark.range(n_vid).select(F.col("id").alias("doc_id"))
+
+    def vid_bit(r, c, f):
+        i = r * 9 + c
+        w = 1 << ((r % 4) * 8 + c)
+        return F.when(
+            (F.col("doc_id") * (i + 1) + 17 * f) % 251
+            > (F.col("doc_id") * (i + 2) + 17 * f) % 251,
+            F.lit(w),
+        ).otherwise(F.lit(0))
+
+    v_hi = sum(
+        [vid_bit(r, c, f) for f in (0, 5) for r in range(4) for c in range(8)],
+        F.lit(0),
+    ).cast("bigint")
+    expect_v_hi = vids.agg(F.sum(v_hi)).collect()[0][0]
+    t0 = time.perf_counter()
+    got_v = mm.video_dhash_real(vids).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("bigint")).alias("ok_n"),
+        F.sum("dh_hi").alias("hi"),
+    ).collect()[0]
+    t_video = time.perf_counter() - t0
+    assert got_v["n"] == 2 * n_vid and got_v["ok_n"] == 2 * n_vid, got_v
+    assert got_v["hi"] == expect_v_hi, (got_v["hi"], expect_v_hi)
+    results["video_dhash_real_1m"] = {
+        "clips": n_vid,
+        "frames_hashed": 2 * n_vid,
+        "sec": round(t_video, 2),
+        "clips_per_sec": int(n_vid / t_video),
+    }
+
     # --- host_stats_delta at volume -----------------------------------
     boiler = (
         "all rights reserved copyright notice terms of service apply "
