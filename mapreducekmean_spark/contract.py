@@ -955,6 +955,118 @@ def _host_stats_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.host_stats_from_snapshot(spark, path)
 
 
+def _corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.corpus_diff — the version-over-version content diff,
+    driven by a deterministic synthesized old/new pair (the
+    dedup_apply_best twin-corpus precedent): new = the fixture
+    corpus; old = the corpus minus every doc_id % 7 == 0 document
+    (those contents read as ADDED) with doc_id % 5 == 0 texts
+    carrying a ' legacy' suffix (each such content reads as one
+    REMOVED old level + one ADDED new level). Identity is the
+    normalized content hash, so the diff is level×level, never
+    corpus-volume."""
+    docs = tx.documents(spark, sf_dir).select("doc_id", "source", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" legacy")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.corpus_diff(old, docs.select("source", "text"))
+
+
+_CORPUS_DIFF_SQL = r"""
+WITH newd AS (SELECT source, text FROM documents),
+old AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+lo AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS BIGINT) AS toks
+  FROM old GROUP BY 1, 2
+),
+ln AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS BIGINT) AS toks
+  FROM newd GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(lo.source, ln.source) AS source,
+         lo.toks AS o_toks, ln.toks AS n_toks
+  FROM lo FULL JOIN ln ON lo.source = ln.source AND lo.h = ln.h
+)
+SELECT source,
+       CAST(sum(CASE WHEN o_toks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN n_toks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN o_toks IS NOT NULL AND n_toks IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN o_toks IS NULL THEN n_toks ELSE 0 END)
+         AS BIGINT) AS toks_added,
+       CAST(sum(CASE WHEN n_toks IS NULL THEN o_toks ELSE 0 END)
+         AS BIGINT) AS toks_removed
+FROM j GROUP BY source
+"""
+
+
+_SEQ_LEN_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT source, n_tok,
+         CASE WHEN n_tok = 0 THEN 0
+              ELSE CAST(length(bin(n_tok)) AS BIGINT) END AS bucket
+  FROM t
+)
+SELECT source, bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE pow(2, bucket - 1) END AS BIGINT) AS lo_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
+_EMBEDDING_STATS_SQL = """
+WITH cells AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+)
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       min(x) AS x_min,
+       max(x) AS x_max,
+       round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_x
+FROM cells GROUP BY 1
+"""
+
+
+def _embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.embedding_stats over the raw embeddings table (float32
+    vectors widened losslessly to double; scaled-bigint means, exact
+    min/max — the drift-monitoring row an ANN deployment reads)."""
+    from mapreducekmean_spark.sources import load_table
+
+    return tx.embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def _quality_deciles_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.quality_deciles_land/apply_delta/from_snapshot — the decile
     calibration table delta-maintained, the host_stats_delta sibling:
@@ -2471,6 +2583,17 @@ FROM documents
             "quality_deciles_delta",
             _quality_deciles_delta_q,
             _QUALITY_DECILES_SQL,
+        ),
+        Query("corpus_diff", _corpus_diff_q, _CORPUS_DIFF_SQL),
+        Query(
+            "seq_len_histogram",
+            lambda spark, sf_dir: tx.seq_len_histogram(
+                tx.documents(spark, sf_dir)
+            ),
+            _SEQ_LEN_HISTOGRAM_SQL,
+        ),
+        Query(
+            "embedding_stats", _embedding_stats_q, _EMBEDDING_STATS_SQL
         ),
     ]
 

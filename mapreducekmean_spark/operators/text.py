@@ -798,6 +798,153 @@ def host_stats_from_snapshot(
     return _host_report_from_levels(per)
 
 
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Version-over-version corpus diff at the CONTENT level — the
+    release report a pipeline reads when a crawl refresh lands: per
+    source, how many distinct contents were added / removed /
+    retained, and the token mass that moved. Identity is the
+    normalized content hash (the ``host_stats`` normalization), so a
+    re-crawled page with identical text is "retained" regardless of
+    doc_id churn, and a 1M-copy boilerplate page is ONE level row.
+
+    Scale shape: each side collapses to its (source, content_hash)
+    LEVEL table in one pass (partial-agg absorbs dup floods map-side),
+    then the diff is a level×level FULL OUTER hash join on
+    (source, content_hash) and a per-source rollup — never a
+    corpus-volume join. Counts and token sums are bigints, so the
+    report is engine-exact. Output per source: ``n_added``,
+    ``n_removed``, ``n_retained``, ``toks_added``, ``toks_removed``
+    (token mass uses each side's OWN level token sums; a retained
+    content contributes to neither).
+    """
+    def levels(df: DataFrame) -> DataFrame:
+        norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        return (
+            df.select(
+                "source",
+                F.md5(norm).alias("content_hash"),
+                F.size(tokens("text")).cast("bigint").alias("n_tok"),
+            )
+            .groupBy("source", "content_hash")
+            .agg(F.sum("n_tok").alias("toks"))
+        )
+    o = levels(old).alias("o")
+    n = levels(new).alias("n")
+    j = o.join(
+        n,
+        on=[
+            F.col("o.source") == F.col("n.source"),
+            F.col("o.content_hash") == F.col("n.content_hash"),
+        ],
+        how="full",
+    ).select(
+        F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+        F.col("o.toks").alias("o_toks"),
+        F.col("n.toks").alias("n_toks"),
+    )
+    added = F.col("o_toks").isNull()
+    removed = F.col("n_toks").isNull()
+    return j.groupBy("source").agg(
+        F.sum(added.cast("bigint")).alias("n_added"),
+        F.sum(removed.cast("bigint")).alias("n_removed"),
+        F.sum((~added & ~removed).cast("bigint")).alias("n_retained"),
+        F.sum(F.when(added, F.col("n_toks")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("toks_added"),
+        F.sum(F.when(removed, F.col("o_toks")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("toks_removed"),
+    )
+
+
+def seq_len_histogram(docs: DataFrame) -> DataFrame:
+    """Per-source sequence-length distribution — the report that
+    drives context-window and packing-budget choices: documents and
+    token mass per power-of-two length bucket. The bucket is the BIT
+    LENGTH of the token count (``floor(log2(n))+1``) computed EXACTLY
+    as the length of the base-2 string — never a float ``log2``,
+    whose boundary behavior (``log2(8) = 2.999…``) is not
+    engine-portable. Zero-token documents land in bucket 0 with the
+    empty binary string convention handled explicitly.
+
+    Scale shape: one fused projection (one tokenize per row) →
+    partial-agg groupBy on (source, bucket) — ≤ sources × ~40
+    buckets, map-side combinable; no joins, no windows. Output:
+    ``(source, bucket, lo_tokens, n_docs, total_tokens)`` where
+    ``lo_tokens = 2^(bucket-1)`` is the bucket's inclusive lower
+    bound (0 for bucket 0)."""
+    n_tok = F.size(tokens("text")).cast("bigint")
+    bucket = F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("n_tok").cast("string"), 10, 2))
+    ).cast("bigint")
+    staged = docs.select("source", n_tok.alias("n_tok")).select(
+        "source", "n_tok", bucket.alias("bucket")
+    )
+    return (
+        staged.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("cast(pow(2, bucket - 1) as bigint)"))
+            .alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+def embedding_stats(embs: DataFrame) -> DataFrame:
+    """Per-dimension embedding drift report — the monitoring table an
+    ANN/semantic-dedup deployment reads when a new encoder version or
+    data source lands: for every dimension, the value range and a
+    6-dp mean. Means are SCALED-BIGINT sums (``round(x·10⁶)`` per
+    cell, summed as integers, divided once) — a float sum's
+    accumulation order differs between engines and run-to-run, the
+    integer sum is associative and exact (the ``host_stats``
+    discipline); min/max are order-independent float reductions, so
+    the whole row is engine-exact. Values pass through DOUBLE
+    (float32 widens losslessly).
+
+    Scale shape: one ``posexplode`` of the vector column →
+    partial-agg groupBy on the dimension index — d output groups
+    regardless of corpus size, map-side combinable, no joins. At
+    100 TB the exploded stream is cells = rows × d, the partial
+    aggregate collapses it to d rows per task before the one
+    d-row shuffle."""
+    cells = embs.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return (
+        cells.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.sum(F.round(F.col("x") * 1_000_000).cast("bigint")).alias(
+                "s_int"
+            ),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n",
+            "x_min",
+            "x_max",
+            F.round(
+                F.col("s_int").cast("double")
+                / (F.col("n").cast("double") * 1_000_000.0),
+                6,
+            ).alias("mean_x"),
+        )
+    )
+
+
 def doc_lm_coverage(docs: DataFrame) -> DataFrame:
     """Per-document language-model coverage/novelty against the corpus
     bigram table — the repetition-and-novelty quality signal a

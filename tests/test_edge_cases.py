@@ -1962,3 +1962,95 @@ def test_video_dhash_real_payloads_decode_and_match_closed_form(spark):
                 if v(r * 9 + c) > v(r * 9 + c + 1)
             )
             assert (row.dh_hi, row.dh_lo) == (hi, lo), (d, f)
+
+
+def test_corpus_diff_semantics(spark):
+    """Content-level diff semantics: added/removed/retained count
+    LEVELS (two same-content docs collapse to one level), whitespace
+    re-normalization reads as retained, and token mass moves only
+    with added/removed levels."""
+    from mapreducekmean_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            ("a", "alpha beta"),          # retained (normalized match)
+            ("a", "gone now"),            # removed
+            ("b", "dup page"),            # retained; dup collapses
+            ("b", "dup page"),
+        ],
+        "source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "  alpha   beta "),     # same normalized content
+            ("a", "fresh content here"),  # added (3 tokens)
+            ("b", "dup page"),
+            ("b", "brand new"),           # added (2 tokens)
+        ],
+        "source string, text string",
+    )
+    got = {r.source: r for r in corpus_diff(old, new).collect()}
+    assert (got["a"].n_added, got["a"].n_removed, got["a"].n_retained) == (
+        1, 1, 1,
+    )
+    assert got["a"].toks_added == 3 and got["a"].toks_removed == 2
+    assert (got["b"].n_added, got["b"].n_removed, got["b"].n_retained) == (
+        1, 0, 1,
+    )
+    assert got["b"].toks_added == 2 and got["b"].toks_removed == 0
+
+
+def test_seq_len_histogram_bucket_edges(spark):
+    """Bit-length buckets are exact at the power-of-two boundaries
+    (log2-float would misplace them) and zero-token docs land in
+    bucket 0."""
+    from mapreducekmean_spark.operators.text import seq_len_histogram
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        ("s", "!!!"),          # 0 tokens -> bucket 0, lo 0
+        ("s", words(1)),       # bucket 1, lo 1
+        ("s", words(2)),       # bucket 2, lo 2
+        ("s", words(3)),       # bucket 2
+        ("s", words(4)),       # bucket 3, lo 4
+        ("s", words(7)),       # bucket 3
+        ("s", words(8)),       # bucket 4, lo 8
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.bucket: (r.lo_tokens, r.n_docs, r.total_tokens)
+        for r in seq_len_histogram(docs).collect()
+    }
+    assert got == {
+        0: (0, 1, 0),
+        1: (1, 1, 1),
+        2: (2, 2, 5),
+        3: (4, 2, 11),
+        4: (8, 1, 8),
+    }
+
+
+def test_embedding_stats_exact_arithmetic(spark):
+    """Per-dim stats: scaled-bigint mean (order-independent), exact
+    min/max, float32 widened losslessly."""
+    from pyspark.sql import Row
+
+    from mapreducekmean_spark.operators.text import embedding_stats
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, -2.0], label=0),
+        Row(vec_id=2, embedding=[2.0, 4.5], label=0),
+        Row(vec_id=3, embedding=[3.0, 0.25], label=1),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    got = {r.dim: r for r in embedding_stats(df).collect()}
+    assert got[0].n == 3 and got[1].n == 3
+    assert (got[0].x_min, got[0].x_max) == (1.0, 3.0)
+    assert (got[1].x_min, got[1].x_max) == (-2.0, 4.5)
+    assert got[0].mean_x == 2.0
+    assert got[1].mean_x == round((-2.0 + 4.5 + 0.25) / 3, 6)

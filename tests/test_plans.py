@@ -785,3 +785,32 @@ def test_quality_deciles_delta_report_is_level_table_only(spark, sf_small):
     assert count_joins(df) == 2
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_diff_is_level_table_join(spark, sf_small):
+    """The version diff must collapse both sides to (source, hash)
+    levels BEFORE the one full-outer join — never a corpus-volume
+    join — with hash aggregates throughout."""
+    df = REG["corpus_diff"].fn(spark, sf_small)
+    assert count_joins(df) == 1
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+    assert "Cartesian" not in plan
+
+
+def test_seq_len_histogram_single_agg_no_joins(spark, sf_small):
+    """The length histogram is one fused projection + one partial-agg
+    group-by: exactly one exchange, zero joins."""
+    df = REG["seq_len_histogram"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+    assert count_joins(df) == 0
+
+
+def test_embedding_stats_partial_agg_no_joins(spark, sf_small):
+    """The drift report is posexplode + partial-agg group-by on the
+    dimension index: one exchange (d rows per task cross the wire),
+    zero joins, no sort-based aggregate fallback."""
+    df = REG["embedding_stats"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+    assert count_joins(df) == 0
+    assert "SortAggregate" not in _plan(df)
