@@ -1020,6 +1020,46 @@ FROM j GROUP BY source
 """
 
 
+def _corpus_diff_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.corpus_diff_from_snapshots — the version diff off TWO
+    maintained host_stats level snapshots, zero corpus scans: the same
+    synthesized old/new pair as corpus_diff, but OLD lands as a plain
+    snapshot while NEW lands incrementally (first third at bid 0, the
+    rest as delta batches 1-2 through the touched-bucket fold), so the
+    row proves the maintained state FEEDS the diff. Must equal the
+    one-shot corpus_diff — the twin (_CORPUS_DIFF_SQL, shared
+    verbatim) states exactly that; replays no-op under the per-key
+    watermark."""
+    import hashlib
+    import os
+
+    docs = tx.documents(spark, sf_dir).select("doc_id", "source", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" legacy")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_path = _contract_index_dir(f"diffo_{tag}")
+    n_path = _contract_index_dir(f"diffn_{tag}")
+    if not os.path.exists(os.path.join(o_path, "_agg_meta.json")):
+        tx.host_stats_land(old, o_path)
+    if not os.path.exists(os.path.join(n_path, "_agg_meta.json")):
+        tx.host_stats_land(docs.filter(F.col("doc_id") % 3 == 0), n_path)
+    tx.host_stats_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), n_path, batch_id=1
+    )
+    tx.host_stats_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), n_path, batch_id=2
+    )
+    return tx.corpus_diff_from_snapshots(spark, o_path, n_path)
+
+
 _SEQ_LEN_HISTOGRAM_SQL = """
 WITH t AS (
   SELECT source,
@@ -2585,6 +2625,9 @@ FROM documents
             _QUALITY_DECILES_SQL,
         ),
         Query("corpus_diff", _corpus_diff_q, _CORPUS_DIFF_SQL),
+        Query(
+            "corpus_diff_delta", _corpus_diff_delta_q, _CORPUS_DIFF_SQL
+        ),
         Query(
             "seq_len_histogram",
             lambda spark, sf_dir: tx.seq_len_histogram(

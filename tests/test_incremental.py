@@ -351,3 +351,41 @@ def test_quality_deciles_snapshot_batch_prefix_equals_one_shot(
     assert report(tx.quality_deciles_from_snapshot(spark, path)) == full
     tx.quality_deciles_apply_delta(spark, b3, path, batch_id=2)  # replay
     assert report(tx.quality_deciles_from_snapshot(spark, path)) == full
+
+
+def test_corpus_diff_from_snapshots_equals_one_shot(
+    spark, sf_small, tmp_path
+):
+    """The snapshot-backed version diff must equal corpus_diff over
+    the raw corpora, including when the NEW snapshot was built
+    incrementally (land + delta fold) — the maintained level state
+    carries everything the diff needs."""
+    from mapreducekmean_spark.operators import text as tx
+
+    docs = documents(spark, sf_small).select("doc_id", "source", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new_a = docs.filter(F.col("doc_id") % 3 != 0)
+    new_b = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", F.concat("text", F.lit(" v2")).alias("text")
+    )
+    new = new_a.unionAll(new_b)
+
+    o_path = str(tmp_path / "snap_old")
+    n_path = str(tmp_path / "snap_new")
+    tx.host_stats_land(old, o_path)
+    tx.host_stats_land(new_a, n_path)
+    tx.host_stats_apply_delta(spark, new_b, n_path, batch_id=1)
+
+    got = sorted(
+        tuple(r)
+        for r in tx.corpus_diff_from_snapshots(
+            spark, o_path, n_path
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in tx.corpus_diff(
+            old.select("source", "text"), new.select("source", "text")
+        ).collect()
+    )
+    assert got == want

@@ -814,3 +814,14 @@ def test_embedding_stats_partial_agg_no_joins(spark, sf_small):
     assert count_exchanges(df) == 1
     assert count_joins(df) == 0
     assert "SortAggregate" not in _plan(df)
+
+
+def test_corpus_diff_delta_reads_only_snapshots(spark, sf_small):
+    """The snapshot-backed diff must be pure level-table work: one
+    full-outer level join, hash aggregates, and NO tokenize/Generate
+    anywhere — the corpus is never re-read."""
+    df = REG["corpus_diff_delta"].fn(spark, sf_small)
+    assert count_joins(df) == 1
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+    assert "Generate" not in plan  # no explode = no re-tokenization
