@@ -2404,6 +2404,47 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "flood_delta_sec": round(t_flood, 2),
     }
 
+    # --- corpus_diff_from_snapshots at volume --------------------------
+    # (the claim: the version diff off two maintained snapshots costs
+    # level-table work, while the one-shot corpus_diff re-tokenizes
+    # BOTH corpora — the gap is the whole point of landing the state.)
+    from mapreducekmean_spark.operators.text import (
+        corpus_diff,
+        corpus_diff_from_snapshots,
+    )
+
+    old_path = probe_tmpdir("hostsnap_old")
+    t0 = time.perf_counter()
+    host_stats_land(base, old_path)
+    t_land_old = time.perf_counter() - t0
+    new_corpus = corpus.unionAll(flood)
+    t0 = time.perf_counter()
+    diff_snap = sorted(
+        tuple(r)
+        for r in corpus_diff_from_snapshots(
+            spark, old_path, path
+        ).collect()
+    )
+    t_diff_snap = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    diff_raw = sorted(
+        tuple(r)
+        for r in corpus_diff(
+            base.select("source", "text"),
+            new_corpus.select("source", "text"),
+        ).collect()
+    )
+    t_diff_raw = time.perf_counter() - t0
+    assert diff_snap == diff_raw
+    results["corpus_diff_snapshots_5m"] = {
+        "old_docs": n_docs * 4 // 5,
+        "new_docs": n_docs + n_docs // 5,
+        "snap_diff_sec": round(t_diff_snap, 2),
+        "raw_diff_sec": round(t_diff_raw, 2),
+        "raw_over_snap": round(t_diff_raw / t_diff_snap, 2),
+        "old_land_sec": round(t_land_old, 2),
+    }
+
     # --- dataset_importance at volume ---------------------------------
     # (the claim: DSIR resampling is one gram pass + level-table
     # arithmetic, so wall time tracks the decontaminate-class gram
