@@ -367,7 +367,13 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
     out = mm._decode_jpeg_rgb(mm._encode_jpeg(img, subsample=subsample, q=1))
     assert out is not None and out.shape == img.shape
     if not subsample:
-        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+        # three independent rounding stages chain through the 4:4:4
+        # round trip — YCbCr forward round, q=1 coefficient-quantizer
+        # round, YCbCr inverse round — each worth up to ~1 count, so
+        # the tight bound is 3, not 2 (hypothesis found a max-error-3
+        # example at h=8 w=28 seed=22881 in round 13; the r12 bound of
+        # 2 was empirical over the examples seen until then)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
         return
     # 4:2:0 reference: the decode of a q=1 stream is analytically the
     # original luma + 2x2-mean chroma, upsampled by replication,
