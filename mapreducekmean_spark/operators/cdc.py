@@ -509,6 +509,22 @@ def apply_agg_delta(
         r.kb for r in delta.select("kb").distinct().collect()
     )  # bounded: ≤ n_buckets driver rows
     landed = spark.read.parquet(path).filter(F.col("kb").isin(touched))
+    # replay fast path: when EVERY delta key already sits at
+    # last_bid >= batch_id, the merge below is the identity — skip the
+    # touched-bucket rewrite entirely and make the replay READ-ONLY
+    # (the r13 change: a crash-recovery or at-least-once re-delivery of
+    # a fully-applied batch previously re-wrote every touched bucket
+    # with byte-identical content). A PARTIALLY applied batch (some
+    # keys below the watermark — the mid-swap crash case) fails this
+    # probe and takes the full merge, which the per-key watermark
+    # makes converge; pinned in tests/test_cdc.py.
+    unapplied = delta.join(
+        landed.filter(F.col("last_bid") >= int(batch_id)).select(key),
+        on=key,
+        how="left_anti",
+    )
+    if not unapplied.take(1):
+        return {"touched_buckets": len(touched), "rows_written": 0}
     l = landed.alias("l")
     d = delta.alias("d")
     bid = F.lit(int(batch_id)).cast("bigint")

@@ -762,3 +762,59 @@ def test_stream_host_stats_maintenance_end_to_end(spark, tmp_path):
     assert report(host_stats_from_snapshot(spark, path)) == report(
         host_stats(docs)
     )
+
+
+def test_agg_delta_full_replay_is_read_only(spark, tmp_path):
+    """Replaying a FULLY applied batch must not rewrite a single
+    snapshot file (rows_written 0, every parquet file byte-for-byte
+    untouched by path+mtime+size) — the r13 fast path; a PARTIALLY
+    applied batch must still take the full merge and rewrite."""
+    import os
+
+    from mapreducekmean_spark.operators.cdc import (
+        apply_agg_delta,
+        key_bucket,
+        land_agg_snapshot,
+    )
+
+    rows = spark.range(200).select(
+        (F.col("id") % 23).alias("k"), F.lit(1).alias("v"),
+        F.col("id").alias("seq_id"),
+    )
+    base = rows.filter(F.col("seq_id") < 100).drop("seq_id")
+    delta = rows.filter(F.col("seq_id") >= 100).drop("seq_id")
+    path = str(tmp_path / "agg")
+    land_agg_snapshot(base, path, key="k", sums=["v"])
+    first = apply_agg_delta(spark, delta, path, batch_id=1)
+    assert first["rows_written"] > 0
+
+    def file_state():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = file_state()
+    once = _agg_rows(spark, path)
+    replay = apply_agg_delta(spark, delta, path, batch_id=1)
+    assert replay["rows_written"] == 0
+    assert file_state() == before
+    assert _agg_rows(spark, path) == once
+
+    # a partial application (one bucket's keys already at the
+    # watermark) must NOT take the fast path
+    path2 = str(tmp_path / "agg2")
+    land_agg_snapshot(base, path2, key="k", sums=["v"])
+    one_kb = delta.select(
+        key_bucket("k").alias("kb")
+    ).distinct().take(1)[0]["kb"]
+    apply_agg_delta(
+        spark, delta.filter(key_bucket("k") == one_kb), path2, batch_id=1
+    )
+    full = apply_agg_delta(spark, delta, path2, batch_id=1)
+    assert full["rows_written"] > 0
+    assert _agg_rows(spark, path2) == once
