@@ -6442,34 +6442,92 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-13 ROTATION. CORRECTNESS_r12.json checked the first 50 of
-    # the 160 declared queries (the r12 window: 8 mid-r11 declarations
-    # + kmeans_mllib's rows-only refresh + the 41 oldest r9-vintage —
-    # 49 value-hash green + kmeans_mllib's by-design no_oracle row).
-    # Stale candidates at the r13 round start: the 8 r9 stragglers
-    # carried one round per the r12 plan, the 3 queries declared
-    # mid-round-12 after the window filled (host_stats,
-    # quality_deciles, image_dhash_real — pytest oracle evidence only,
-    # never a driver row), and the 49 r10-green block = 60 candidates
-    # for 50 slots. The 8 + 3 lead; the 39 oldest r10-green entries
-    # fill the window; the 10 newest r10-green entries
-    # (dedup_semantic, decontaminate_fuzzy, pq_adc_topk,
-    # ann_ivfpq_refined, ann_ivfpq_refined_recall, hybrid_topk,
-    # rerank_topk, graph_triangles, graph_pagerank, graph_k_core)
-    # CARRY ONE MORE ROUND mid-registry and lead the round-14 window.
-    # MID-REGISTRY NOTE (how the carried entries stay legal): the
-    # rotation tripwire (tests/test_contract.py) truncates the stale
-    # list to its first 50 entries in registry order; because every
-    # one of the 50 window entries below lacks a CORRECTNESS_r12 row,
-    # the truncated stale list IS this window, and the carried r10
-    # stragglers, the r11-green block, kmeans_mllib (its r12 row keeps
-    # it non-stale this round), and any new round-13 declarations sit
-    # past the truncation horizon. They are NOT in _STALE_OK (its
-    # two-artifact bound would fail for r10/r11 vintages once the r13
-    # artifact lands); the tripwire goes red for them — by design —
-    # the moment CORRECTNESS_r13.json lands, forcing the round-14
-    # rotation.
-    # r9 stragglers carried from the r12 rotation (driver rows due):
+    # ROUND-14 ROTATION — GENERATED by scripts/rotate_window.py from
+    # CORRECTNESS_r01..r13 (run it with --check to verify; the pytest
+    # twin is tests/test_contract.py::test_rotation_matches_generator).
+    # CORRECTNESS_r13.json checked the first 50 of the 169 declared
+    # queries (the r13 window) 50/50 value-hash green. Candidates =
+    # queries with no r13 row, worst evidence first: kmeans_mllib
+    # (rows-only by design; its r12 any-row check aged out) + the 9
+    # never-checked mid-r13 declarations lead, then the 10 r10-vintage
+    # stragglers carried from the r13 plan, then the r11-green block in
+    # its r11-artifact order — 30 of the 50 fit; the 20 newest
+    # r11-greens (word_count .. ann_quantized) and the 48 r12-greens
+    # CARRY mid-registry one more round and lead the round-15 window.
+    # MID-REGISTRY NOTE (how carried entries stay legal): the rotation
+    # tripwire truncates the stale list to its first 50 entries in
+    # registry order; every window entry below lacks a CORRECTNESS_r13
+    # row, so the truncated stale list IS this window, and the carried
+    # blocks plus any new round-14 declarations sit past the truncation
+    # horizon. They are NOT in _STALE_OK (the two-artifact bound would
+    # fail for r11 vintages once the r14 artifact lands); the tripwire
+    # goes red for them — by design — the moment CORRECTNESS_r14.json
+    # lands, forcing the round-15 rotation.
+    "kmeans_mllib",
+    "host_stats_delta",
+    "dataset_importance",
+    "quality_deciles_delta",
+    "corpus_diff",
+    "corpus_diff_delta",
+    "seq_len_histogram",
+    "embedding_stats",
+    "audio_fp_real",
+    "video_dhash_real",
+    "ann_ivfpq_refined",
+    "ann_ivfpq_refined_recall",
+    "dedup_semantic",
+    "decontaminate_fuzzy",
+    "pq_adc_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_k_core",
+    "audio_fp_pairs",
+    "video_near_dup_pairs",
+    "dedup_lines_nl",
+    "ivfpq_cell_stats",
+    "events_gapfill",
+    "quality_unpivot",
+    "data_expectations",
+    "ivf_cell_stats",
+    "dedup_delta_indexed",
+    "budget_sample",
+    "pack_sequences_bpe",
+    "shuffle_export",
+    "domain_cap",
+    "scd2_history",
+    "ann_recall",
+    "doc_classifier",
+    "dedup_containment",
+    "curriculum_order",
+    "tpch_q17_small_qty",
+    "tpch_q22_idle_balance",
+    "tpch_q9_profit",
+    "tpch_q8_mkt_share",
+    "tpch_q12_late_priority",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_part_value",
+    "tpch_q2_best_supplier",
+    "tpch_q20_excess_volume",
+    "multimodal_resize_plan",
+    "multimodal_frame_plan",
+    "decontaminate",
+)
+
+#: The deliberate cap-trade (see _CHECK_FIRST comment): declared
+#: queries left past the 50-entry window whose latest green value-hash
+#: row is in one of the last TWO driver artifacts — the bound the
+#: rotation tripwire (tests/test_contract.py) machine-checks. This
+#: round the list is EXACTLY the value-hash-green subset of the
+#: round-13 window (all 50 entries — the r13 window had no rows-only
+#: member): r13 stays within the bound both now (last two = r12/r13)
+#: and after the r14 artifact lands (last two = r13/r14), so the suite
+#: is green across the whole round. The carried r11/r12-green blocks
+#: are deliberately NOT listed (the r11 vintage would break the bound
+#: once r14 lands); they ride the stale-list truncation — see the
+#: mid-registry note in _CHECK_FIRST.
+_STALE_OK = (
     "tpch_q18_large_orders",
     "tpch_q13_custdist",
     "tpch_q16_supplier_cnt",
@@ -6478,11 +6536,9 @@ _CHECK_FIRST = (
     "dedup_substring_spans",
     "dedup_substring_apply",
     "ann_ivfpq_indexed",
-    # first driver rows needed (3 mid-r12 declarations):
     "host_stats",
     "quality_deciles",
     "image_dhash_real",
-    # r10-vintage block, oldest 39 (in their r10-window order):
     "scan_points",
     "text_stats",
     "dataset_mixture",
@@ -6524,125 +6580,60 @@ _CHECK_FIRST = (
     "ann_recall_curve",
 )
 
-#: The deliberate cap-trade (see _CHECK_FIRST comment): declared
-#: queries left past the 50-entry window whose latest green value-hash
-#: row is in one of the last TWO driver artifacts — the bound the
-#: rotation tripwire (tests/test_contract.py) machine-checks. This
-#: round the list is EXACTLY the value-hash-green subset of the
-#: round-12 window (49 of its 50 entries; kmeans_mllib is excluded —
-#: its no_oracle row can never satisfy the value-hash requirement, so
-#: it rides the stale-list truncation mid-registry instead): r12 stays
-#: within the bound both now (last two = r11/r12) and after the r13
-#: artifact lands (last two = r12/r13), so the suite is green across
-#: the whole round. The 10 carried r10 stragglers and the 50 r11-green
-#: queries are deliberately NOT listed (their vintage would break the
-#: bound once r13 lands); they ride the stale-list truncation — see
-#: the mid-registry note in _CHECK_FIRST.
-_STALE_OK = (
-    "doc_chunk",
-    "domain_quality_filter",
-    "gopher_quality",
-    "dedup_apply_best",
-    "ann_refined_mcand_curve",
-    "bm25_index_stats",
-    "pii_scan",
-    "split_leakage_audit",
-    "dedup_semantic_delta",
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
-    "events_anomaly_seasonal",
-    "agg_delta_maintenance",
-    "doc_top_terms",
-    "events_quantile_sketch",
-    "cdc_merge",
-    "bpe_token_stats",
-    "dedup_minhash_pairs",
-    "events_anomaly",
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "sample_init_det",
-    "kmeans_full",
-    "kmeans_mllib_verdict",
-    "filter_valid",
-    "points_csv_scan",
-    "multimodal_checksums",
-    "sketch_cms",
-    "tpch_q15_top_supplier",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    "running_spend",
-    "customer_rank_stats",
-    "events_asof_purchase",
-    "user_funnel",
-    "events_hourly",
-    "events_sessionize",
-    "corpus_stats",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
-)
-
 _CHECK_LAST = (
-    # the value-hash-green subset of the round-12 window (r12-green,
-    # freshest evidence — safest past any cutoff), in its r12 window
+    # the value-hash-green subset of the round-13 window (r13-green,
+    # freshest evidence — safest past any cutoff), in its r13 window
     # order:
-    "doc_chunk",
-    "domain_quality_filter",
-    "gopher_quality",
-    "dedup_apply_best",
-    "ann_refined_mcand_curve",
-    "bm25_index_stats",
-    "pii_scan",
-    "split_leakage_audit",
-    "dedup_semantic_delta",
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
-    "events_anomaly_seasonal",
-    "agg_delta_maintenance",
-    "doc_top_terms",
-    "events_quantile_sketch",
-    "cdc_merge",
-    "bpe_token_stats",
-    "dedup_minhash_pairs",
-    "events_anomaly",
-    "assign_nearest",
-    "centroid_update",
-    "cluster_sizes",
-    "wssse",
-    "convergence_delta",
-    "sample_init_det",
-    "kmeans_full",
-    "kmeans_mllib_verdict",
-    "filter_valid",
-    "points_csv_scan",
-    "multimodal_checksums",
-    "sketch_cms",
-    "tpch_q15_top_supplier",
-    "sql_nation_balance",
-    "sql_above_nation_avg",
-    "orders_list_per_customer",
-    "running_spend",
-    "customer_rank_stats",
-    "events_asof_purchase",
-    "user_funnel",
-    "events_hourly",
-    "events_sessionize",
-    "corpus_stats",
-    "events_cube",
-    "events_time_rollup",
-    "events_pivot",
-    "events_hll_users",
-    "user_retention_cohorts",
-    "events_json_stats",
-    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "dedup_edit_verify",
+    "ann_ivf_indexed",
+    "dedup_substring_spans",
+    "dedup_substring_apply",
+    "ann_ivfpq_indexed",
+    "host_stats",
+    "quality_deciles",
+    "image_dhash_real",
+    "scan_points",
+    "text_stats",
+    "dataset_mixture",
+    "dataset_mixture_temp",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_winnow",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "text_redact",
+    "dataset_split",
+    "term_lift",
+    "stream_sessions_closed",
+    "stream_attribution",
+    "events_range_join",
+    "events_range_join_capped",
+    "events_histogram",
+    "events_quantiles",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q19_brackets",
+    "tpch_q7_volume",
+    "topk_per_group",
+    "semi_anti_coverage",
+    "revenue_7d_window",
+    "top_customer_per_nation",
+    "orders_rollup",
+    "set_ops_customers",
+    "set_ops_bag",
+    "sample_stratified",
+    "dedup_exact",
+    "dedup_apply",
+    "image_dhash_pairs",
+    "dedup_lines",
+    "dedup_lines_apply",
+    "ann_recall_curve",
 )
 
 

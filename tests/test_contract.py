@@ -241,3 +241,37 @@ def test_rotation_covers_stale_queries():
             f"row for it — its evidence is older than the two-round "
             f"bound the exemption is defined by; rotate it in"
         )
+
+
+def test_rotation_matches_generator():
+    """The committed _CHECK_FIRST/_STALE_OK/_CHECK_LAST tuples must be
+    exactly what scripts/rotate_window.py derives from the checked-in
+    CORRECTNESS artifacts — the rotation is a generated diff, not a
+    hand edit (r13 verdict #2). Queries declared mid-round (no driver
+    row yet, not in the window) legitimately sit mid-registry until the
+    next round-start rotation adopts them, so the comparison is
+    restricted to queries the artifacts (or the window itself) know."""
+    import importlib.util
+    import os
+
+    from mapreducekmean_spark import contract as c
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(repo, "scripts", "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    artifacts = rw.load_artifacts(repo)
+    if not artifacts:
+        return
+    seen = {n for art in artifacts.values() for n in art}
+    known = seen | set(c._CHECK_FIRST)
+    declared = [n for n in registry() if n in known]
+    first, stale_ok, last = rw.rotate(declared, artifacts)
+    assert list(c._CHECK_FIRST) == first, (
+        "rotation drift: regenerate with `python scripts/rotate_window.py`"
+    )
+    assert list(c._STALE_OK) == stale_ok
+    assert list(c._CHECK_LAST) == last
