@@ -1107,6 +1107,70 @@ def _embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.embedding_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+def _seq_len_histogram_delta_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """text.seq_len_histogram_land/apply_delta/from_snapshot — the
+    length histogram delta-maintained (r13 verdict item #3): documents
+    split three ways by doc_id mod 3, first third lands the (source,
+    bucket) count/token-sum snapshot (bid 0), the other two fold in as
+    delta batches (bids 1, 2), and the report off the snapshot must
+    equal the one-shot seq_len_histogram — the twin
+    (_SEQ_LEN_HISTOGRAM_SQL, shared verbatim) states exactly that. All
+    maintained state is additive bigints, so the maintained report is
+    EXACT; replays no-op under the per-key last_bid watermark."""
+    import hashlib
+    import os
+
+    docs = tx.documents(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"slhd_{tag}")
+    if not os.path.exists(os.path.join(path, "_agg_meta.json")):
+        tx.seq_len_histogram_land(
+            docs.filter(F.col("doc_id") % 3 == 0), path
+        )
+    tx.seq_len_histogram_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), path, batch_id=1
+    )
+    tx.seq_len_histogram_apply_delta(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), path, batch_id=2
+    )
+    return tx.seq_len_histogram_from_snapshot(spark, path)
+
+
+def _embedding_stats_delta_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """text.embedding_stats_land/apply_delta/from_snapshot — the
+    per-dimension drift report delta-maintained (r13 verdict item #3,
+    and the row that exercises the cdc mins/maxs extension): vectors
+    split three ways by vec_id mod 3, first third lands the d-row
+    (n, Σ scaled-int, min, max) snapshot (bid 0), the other two fold
+    in as delta batches (bids 1, 2) — min/max merge by
+    least/greatest, sums add under the watermark — and the report off
+    the snapshot must equal the one-shot embedding_stats (twin
+    _EMBEDDING_STATS_SQL shared verbatim). Replays no-op per key."""
+    import hashlib
+    import os
+
+    from mapreducekmean_spark.sources import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _contract_index_dir(f"embd_{tag}")
+    if not os.path.exists(os.path.join(path, "_agg_meta.json")):
+        tx.embedding_stats_land(
+            embs.filter(F.col("vec_id") % 3 == 0), path
+        )
+    tx.embedding_stats_apply_delta(
+        spark, embs.filter(F.col("vec_id") % 3 == 1), path, batch_id=1
+    )
+    tx.embedding_stats_apply_delta(
+        spark, embs.filter(F.col("vec_id") % 3 == 2), path, batch_id=2
+    )
+    return tx.embedding_stats_from_snapshot(spark, path)
+
+
 def _quality_deciles_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.quality_deciles_land/apply_delta/from_snapshot — the decile
     calibration table delta-maintained, the host_stats_delta sibling:
@@ -2637,6 +2701,20 @@ FROM documents
         ),
         Query(
             "embedding_stats", _embedding_stats_q, _EMBEDDING_STATS_SQL
+        ),
+        # round-14 declarations - mid-registry (the r14 window's 50
+        # slots are committed to the generated rotation — see the
+        # ROUND-14 ROTATION note); they lead the round-15 window,
+        # pytest oracle as interim evidence.
+        Query(
+            "seq_len_histogram_delta",
+            _seq_len_histogram_delta_q,
+            _SEQ_LEN_HISTOGRAM_SQL,
+        ),
+        Query(
+            "embedding_stats_delta",
+            _embedding_stats_delta_q,
+            _EMBEDDING_STATS_SQL,
         ),
     ]
 

@@ -428,6 +428,8 @@ def land_agg_snapshot(
     path: str,
     key: str,
     sums: list[str],
+    mins: list[str] = (),
+    maxs: list[str] = (),
     n_buckets: int = MERGE_N_BUCKETS,
 ) -> None:
     """Initial land of an INCREMENTALLY MAINTAINED AGGREGATE — the
@@ -448,6 +450,15 @@ def land_agg_snapshot(
     id, so any partially-committed state converges to the same final
     rows (pinned in tests/test_cdc.py). The land carries bid 0.
 
+    Besides additive ``sums`` (bigint, watermark-guarded adds), the
+    state can carry ``mins``/``maxs`` columns — order-independent
+    reductions that merge by ``least``/``greatest`` under the same
+    per-key freshness guard (min/max re-application is naturally
+    idempotent, but the shared guard keeps every column's replay story
+    identical). That is exactly the mergeable state a per-dimension
+    drift report needs (n, Σ scaled-int, min, max — see
+    ``text.embedding_stats_land``).
+
     Layout parameters land beside the data (``_agg_meta.json``) — the
     :func:`land_snapshot` discipline."""
     import json
@@ -455,6 +466,8 @@ def land_agg_snapshot(
     agg = df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(c).cast("bigint").alias(c) for c in sums],
+        *[F.min(c).alias(c) for c in mins],
+        *[F.max(c).alias(c) for c in maxs],
     )
     (
         agg.withColumn("last_bid", F.lit(0).cast("bigint"))
@@ -465,7 +478,13 @@ def land_agg_snapshot(
     )
     with open(os.path.join(path, "_agg_meta.json"), "w") as f:
         json.dump(
-            {"key": key, "sums": list(sums), "n_buckets": int(n_buckets)},
+            {
+                "key": key,
+                "sums": list(sums),
+                "mins": list(mins),
+                "maxs": list(maxs),
+                "n_buckets": int(n_buckets),
+            },
             f,
         )
 
@@ -496,11 +515,15 @@ def apply_agg_delta(
     with open(os.path.join(path, "_agg_meta.json")) as f:
         meta = json.load(f)
     key, sums, n_buckets = meta["key"], meta["sums"], meta["n_buckets"]
+    mins = meta.get("mins", [])
+    maxs = meta.get("maxs", [])
     delta = (
         batch.groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(c).cast("bigint").alias(c) for c in sums],
+            *[F.min(c).alias(c) for c in mins],
+            *[F.max(c).alias(c) for c in maxs],
         )
         .withColumn("kb", key_bucket(key, n_buckets))
         .localCheckpoint()
@@ -547,6 +570,34 @@ def apply_agg_delta(
                     ).otherwise(F.lit(0))
                 ).alias(c)
                 for c in sums
+            ],
+            # min/max merge under the same freshness guard: a landed
+            # key untouched by the batch (d null) or already at the
+            # watermark keeps its state; a fresh delta folds by
+            # least/greatest (null-safe via coalesce both ways).
+            *[
+                F.when(
+                    fresh,
+                    F.least(
+                        F.coalesce(F.col(f"l.{c}"), F.col(f"d.{c}")),
+                        F.coalesce(F.col(f"d.{c}"), F.col(f"l.{c}")),
+                    ),
+                )
+                .otherwise(F.col(f"l.{c}"))
+                .alias(c)
+                for c in mins
+            ],
+            *[
+                F.when(
+                    fresh,
+                    F.greatest(
+                        F.coalesce(F.col(f"l.{c}"), F.col(f"d.{c}")),
+                        F.coalesce(F.col(f"d.{c}"), F.col(f"l.{c}")),
+                    ),
+                )
+                .otherwise(F.col(f"l.{c}"))
+                .alias(c)
+                for c in maxs
             ],
             F.when(
                 fresh & F.col(f"d.{key}").isNotNull(), bid

@@ -918,29 +918,112 @@ def seq_len_histogram(docs: DataFrame) -> DataFrame:
     ``(source, bucket, lo_tokens, n_docs, total_tokens)`` where
     ``lo_tokens = 2^(bucket-1)`` is the bucket's inclusive lower
     bound (0 for bucket 0)."""
+    per = _seqlen_level_rows(docs).groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    return _seqlen_report_from_levels(per)
+
+
+def _seqlen_level_rows(docs: DataFrame) -> DataFrame:
+    """Per-row level inputs for the length histogram: one fused
+    projection to ``(source, bucket, n_tok)`` — bucket is the exact
+    base-2-string bit length, never a float log2."""
     n_tok = F.size(tokens("text")).cast("bigint")
-    bucket = F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
-        F.length(F.conv(F.col("n_tok").cast("string"), 10, 2))
-    ).cast("bigint")
-    staged = docs.select("source", n_tok.alias("n_tok")).select(
-        "source", "n_tok", bucket.alias("bucket")
-    )
-    return (
-        staged.groupBy("source", "bucket")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
+    bucket = (
+        F.when(F.col("n_tok") == 0, F.lit(0))
+        .otherwise(
+            F.length(F.conv(F.col("n_tok").cast("string"), 10, 2))
         )
-        .select(
-            "source",
-            "bucket",
-            F.when(F.col("bucket") == 0, F.lit(0))
-            .otherwise(F.expr("cast(pow(2, bucket - 1) as bigint)"))
-            .alias("lo_tokens"),
-            "n_docs",
-            "total_tokens",
-        )
+        .cast("bigint")
     )
+    return docs.select("source", n_tok.alias("n_tok")).select(
+        "source", bucket.alias("bucket"), "n_tok"
+    )
+
+
+def _seqlen_report_from_levels(per: DataFrame) -> DataFrame:
+    """Report tail shared by the one-shot and delta-maintained
+    histogram: attach the bucket's inclusive lower bound to the
+    ``(source, bucket, n_docs, total_tokens)`` level table."""
+    return per.select(
+        "source",
+        "bucket",
+        F.when(F.col("bucket") == 0, F.lit(0))
+        .otherwise(F.expr("cast(pow(2, bucket - 1) as bigint)"))
+        .alias("lo_tokens"),
+        "n_docs",
+        "total_tokens",
+    )
+
+
+#: Fixed-width bucket suffix for the packed (source, bucket) snapshot
+#: key: 2 digits cover bit lengths to 99 (= token counts to 2^98), so
+#: the split back is positional and any source string round-trips —
+#: the ``_HOST_KEY_SEP`` discipline.
+_SEQLEN_KEY_SEP = "|"
+
+
+def _seqlen_key_rows(docs: DataFrame) -> DataFrame:
+    """Level inputs keyed for the maintained snapshot: the composite
+    (source, bucket) key packed into one ``skey`` column with a
+    fixed-2-digit bucket suffix (positional unpack)."""
+    return _seqlen_level_rows(docs).select(
+        F.concat(
+            F.col("source"),
+            F.lit(_SEQLEN_KEY_SEP),
+            F.lpad(F.col("bucket").cast("string"), 2, "0"),
+        ).alias("skey"),
+        "n_tok",
+    )
+
+
+def seq_len_histogram_land(docs: DataFrame, path: str) -> None:
+    """Land the INCREMENTALLY MAINTAINED length-histogram state — the
+    third maintained operational report (r13 verdict item #3, after
+    ``host_stats_land``/``quality_deciles_land``): (source, bucket)
+    doc counts and token sums are both additive bigints, so the state
+    is a plain mergeable aggregate snapshot (≤ sources × ~40 bucket
+    rows) and each delta batch folds in by touched ``kb=`` bucket.
+    The maintained report is EXACT (batch-prefix ≡ one-shot pinned in
+    tests/test_incremental.py)."""
+    from mapreducekmean_spark.operators.cdc import land_agg_snapshot
+
+    land_agg_snapshot(
+        _seqlen_key_rows(docs), path, key="skey", sums=["n_tok"]
+    )
+
+
+def seq_len_histogram_apply_delta(
+    spark: SparkSession, docs: DataFrame, path: str, batch_id: int
+) -> dict[str, int]:
+    """Fold one batch of new documents into the landed histogram state
+    (``cdc.apply_agg_delta``: partial-agg per key, touched-bucket
+    copy-on-write, ``last_bid`` watermark)."""
+    from mapreducekmean_spark.operators.cdc import apply_agg_delta
+
+    return apply_agg_delta(
+        spark, _seqlen_key_rows(docs), path, batch_id=batch_id
+    )
+
+
+def seq_len_histogram_from_snapshot(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """The length histogram off the maintained snapshot — pure
+    level-table arithmetic, ZERO corpus scans: unpack the fixed-width
+    bucket suffix positionally and run the SAME report tail the
+    one-shot uses."""
+    from mapreducekmean_spark.operators.cdc import read_agg_snapshot
+
+    snap = read_agg_snapshot(spark, path)
+    per = snap.select(
+        F.expr("substring(skey, 1, length(skey) - 3)").alias("source"),
+        F.expr("substring(skey, -2, 2)").cast("bigint").alias("bucket"),
+        F.col("n").alias("n_docs"),
+        F.col("n_tok").alias("total_tokens"),
+    )
+    return _seqlen_report_from_levels(per)
 
 
 def embedding_stats(embs: DataFrame) -> DataFrame:
@@ -961,32 +1044,97 @@ def embedding_stats(embs: DataFrame) -> DataFrame:
     100 TB the exploded stream is cells = rows × d, the partial
     aggregate collapses it to d rows per task before the one
     d-row shuffle."""
-    cells = embs.select(
+    per = _embedding_cell_rows(embs).groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("x_min").alias("x_min"),
+        F.max("x_max").alias("x_max"),
+        F.sum("s_int").alias("s_int"),
+    )
+    return _embedding_report_from_levels(per)
+
+
+def _embedding_cell_rows(embs: DataFrame) -> DataFrame:
+    """Per-cell level inputs for the drift report: one posexplode to
+    ``(dim, s_int, x_min, x_max)`` — the scaled-bigint summand plus
+    the raw double carried twice so the min and max reductions each
+    have a named column (the mergeable-state shape
+    ``cdc.land_agg_snapshot`` aggregates)."""
+    return embs.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "x"
         )
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x") * 1_000_000).cast("bigint").alias("s_int"),
+        F.col("x").alias("x_min"),
+        F.col("x").alias("x_max"),
     )
-    return (
-        cells.groupBy("dim")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.min("x").alias("x_min"),
-            F.max("x").alias("x_max"),
-            F.sum(F.round(F.col("x") * 1_000_000).cast("bigint")).alias(
-                "s_int"
-            ),
-        )
-        .select(
-            F.col("dim").cast("bigint").alias("dim"),
-            "n",
-            "x_min",
-            "x_max",
-            F.round(
-                F.col("s_int").cast("double")
-                / (F.col("n").cast("double") * 1_000_000.0),
-                6,
-            ).alias("mean_x"),
-        )
+
+
+def _embedding_report_from_levels(per: DataFrame) -> DataFrame:
+    """Report tail shared by the one-shot and delta-maintained drift
+    report: 6-dp mean off the scaled-bigint sum, per
+    ``(dim, n, x_min, x_max, s_int)`` level row."""
+    return per.select(
+        "dim",
+        "n",
+        "x_min",
+        "x_max",
+        F.round(
+            F.col("s_int").cast("double")
+            / (F.col("n").cast("double") * 1_000_000.0),
+            6,
+        ).alias("mean_x"),
+    )
+
+
+def embedding_stats_land(embs: DataFrame, path: str) -> None:
+    """Land the INCREMENTALLY MAINTAINED embedding-drift state — the
+    fourth maintained operational report (r13 verdict item #3): the
+    per-dimension state ``(n, Σ scaled-int, min, max)`` is mergeable
+    (sums add under the watermark, min/max fold by least/greatest —
+    the ``cdc.land_agg_snapshot`` mins/maxs extension this report
+    motivated), d rows total, so a new encoder batch folds in without
+    ever re-exploding the landed corpus. Means stay scaled-bigint
+    exact; min/max are order-independent double reductions — the
+    maintained report is EXACT (batch-prefix ≡ one-shot pinned in
+    tests/test_incremental.py)."""
+    from mapreducekmean_spark.operators.cdc import land_agg_snapshot
+
+    land_agg_snapshot(
+        _embedding_cell_rows(embs),
+        path,
+        key="dim",
+        sums=["s_int"],
+        mins=["x_min"],
+        maxs=["x_max"],
+    )
+
+
+def embedding_stats_apply_delta(
+    spark: SparkSession, embs: DataFrame, path: str, batch_id: int
+) -> dict[str, int]:
+    """Fold one batch of new embeddings into the landed drift state
+    (``cdc.apply_agg_delta``: partial-agg per dim, touched-bucket
+    copy-on-write, ``last_bid`` watermark guarding the sums; min/max
+    re-application is naturally idempotent)."""
+    from mapreducekmean_spark.operators.cdc import apply_agg_delta
+
+    return apply_agg_delta(
+        spark, _embedding_cell_rows(embs), path, batch_id=batch_id
+    )
+
+
+def embedding_stats_from_snapshot(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """The drift report off the maintained snapshot — d level rows
+    read, ZERO corpus scans, same report tail as the one-shot."""
+    from mapreducekmean_spark.operators.cdc import read_agg_snapshot
+
+    snap = read_agg_snapshot(spark, path)
+    return _embedding_report_from_levels(
+        snap.select("dim", "n", "x_min", "x_max", "s_int")
     )
 
 

@@ -2492,6 +2492,121 @@ def probe_r13misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
     }
 
 
+def probe_r14misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
+    """Round-14 volume probes — the two one-shot monitoring reports the
+    r13 verdict flagged as missing volume rows, plus their maintained
+    variants:
+
+    - seq_len_histogram at 5M docs: one fused projection + a
+      (source, bucket) partial agg — wall time tracks the tokenize
+      pass; the maintained snapshot folds a 1M-doc delta for
+      level-spread cost and reports equal to the one-shot exactly.
+    - embedding_stats at 2M x 64-d vectors (128M cells): posexplode +
+      d-group partial agg; the maintained d-row snapshot (sums + the
+      cdc mins/maxs extension) folds a 400k-vector delta and reports
+      equal to the one-shot exactly.
+    """
+    from mapreducekmean_spark.operators.text import (
+        embedding_stats,
+        embedding_stats_apply_delta,
+        embedding_stats_from_snapshot,
+        embedding_stats_land,
+        seq_len_histogram,
+        seq_len_histogram_apply_delta,
+        seq_len_histogram_from_snapshot,
+        seq_len_histogram_land,
+    )
+
+    # --- seq_len_histogram at 5M ---------------------------------------
+    # length varies by doc: 1..64 repeated words -> buckets 1..7 per
+    # source, so the bucket table is load-bearing, not degenerate.
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src_"), (F.col("id") % 8)).alias("source"),
+        F.concat(
+            F.lit("tok "),
+            F.repeat(F.lit("word "), (F.col("id") % 64).cast("int")),
+        ).alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    one_shot = sorted(
+        tuple(r) for r in seq_len_histogram(corpus).collect()
+    )
+    t_full = time.perf_counter() - t0
+    base = corpus.filter(F.col("doc_id") < n_docs * 4 // 5)
+    delta = corpus.filter(F.col("doc_id") >= n_docs * 4 // 5)
+    path = probe_tmpdir("slhsnap")
+    t0 = time.perf_counter()
+    seq_len_histogram_land(base, path)
+    t_land = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = seq_len_histogram_apply_delta(spark, delta, path, batch_id=1)
+    t_delta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    snap_report = sorted(
+        tuple(r)
+        for r in seq_len_histogram_from_snapshot(spark, path).collect()
+    )
+    t_report = time.perf_counter() - t0
+    assert snap_report == one_shot
+    results["seq_len_histogram_5m"] = {
+        "docs": n_docs,
+        "one_shot_sec": round(t_full, 2),
+        "docs_per_sec": int(n_docs / t_full),
+        "land_sec": round(t_land, 2),
+        "delta_docs": n_docs // 5,
+        "delta_sec": round(t_delta, 2),
+        "report_sec": round(t_report, 2),
+        "touched_buckets": stats["touched_buckets"],
+    }
+
+    # --- embedding_stats at 2M x 64 ------------------------------------
+    n_vec, d = 2_000_000, 64
+    embs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: (
+                ((F.col("id") * (i + 7)) % 1000).cast("double") / 500.0
+                - 1.0
+            ),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    one_shot_e = sorted(
+        tuple(r) for r in embedding_stats(embs).collect()
+    )
+    t_full_e = time.perf_counter() - t0
+    assert len(one_shot_e) == d
+    e_base = embs.filter(F.col("vec_id") < n_vec * 4 // 5)
+    e_delta = embs.filter(F.col("vec_id") >= n_vec * 4 // 5)
+    e_path = probe_tmpdir("embsnap")
+    t0 = time.perf_counter()
+    embedding_stats_land(e_base, e_path)
+    t_land_e = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    embedding_stats_apply_delta(spark, e_delta, e_path, batch_id=1)
+    t_delta_e = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    snap_e = sorted(
+        tuple(r)
+        for r in embedding_stats_from_snapshot(spark, e_path).collect()
+    )
+    t_report_e = time.perf_counter() - t0
+    assert snap_e == one_shot_e
+    results["embedding_stats_2m_x64"] = {
+        "vectors": n_vec,
+        "dims": d,
+        "cells": n_vec * d,
+        "one_shot_sec": round(t_full_e, 2),
+        "cells_per_sec": int(n_vec * d / t_full_e),
+        "land_sec": round(t_land_e, 2),
+        "delta_vectors": n_vec // 5,
+        "delta_sec": round(t_delta_e, 2),
+        "report_sec": round(t_report_e, 2),
+    }
+
+
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4
 ) -> None:
@@ -3581,6 +3696,7 @@ def main() -> None:
         "r11misc",
         "r12misc",
         "r13misc",
+        "r14misc",
         "chunkingest",
     }
     only = set(args.only.split(",")) if args.only else groups
@@ -3653,6 +3769,8 @@ def main() -> None:
         probe_r12misc(spark, results)
     if "r13misc" in only:
         probe_r13misc(spark, results)
+    if "r14misc" in only:
+        probe_r14misc(spark, results)
     if "chunkingest" in only:
         probe_chunkingest(spark, results)
     if "r10misc" in only:

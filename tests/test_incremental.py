@@ -389,3 +389,112 @@ def test_corpus_diff_from_snapshots_equals_one_shot(
         ).collect()
     )
     assert got == want
+
+
+def test_seq_len_histogram_snapshot_batch_prefix_equals_one_shot(
+    spark, sf_small, tmp_path
+):
+    """The delta-maintained length histogram must equal the one-shot
+    seq_len_histogram after every batch prefix, and replaying the last
+    batch at the same bid must change nothing — the host_stats_delta
+    discipline on the (source, bucket) count/token-sum snapshot (all
+    state additive bigints, so exactness is trivial)."""
+    from mapreducekmean_spark.operators import text as tx
+
+    docs = documents(spark, sf_small).select("doc_id", "source", "text")
+    qs = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    c1, c2 = int(qs[0]), int(qs[1])
+    b1 = docs.filter(F.col("doc_id") < c1)
+    b2 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    b3 = docs.filter(F.col("doc_id") >= c2)
+    assert b1.count() and b2.count() and b3.count()
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    path = str(tmp_path / "slh_snap")
+    tx.seq_len_histogram_land(b1, path)
+    assert report(
+        tx.seq_len_histogram_from_snapshot(spark, path)
+    ) == report(tx.seq_len_histogram(b1))
+    tx.seq_len_histogram_apply_delta(spark, b2, path, batch_id=1)
+    assert report(
+        tx.seq_len_histogram_from_snapshot(spark, path)
+    ) == report(tx.seq_len_histogram(b1.unionAll(b2)))
+    tx.seq_len_histogram_apply_delta(spark, b3, path, batch_id=2)
+    full = report(tx.seq_len_histogram(docs))
+    assert (
+        report(tx.seq_len_histogram_from_snapshot(spark, path)) == full
+    )
+    tx.seq_len_histogram_apply_delta(spark, b3, path, batch_id=2)
+    assert (
+        report(tx.seq_len_histogram_from_snapshot(spark, path)) == full
+    )
+
+
+def test_seq_len_snapshot_source_with_separator_roundtrips(
+    spark, tmp_path
+):
+    """The packed (source, bucket) key splits back POSITIONALLY (fixed
+    2-digit suffix), so a source containing the separator itself must
+    round-trip — the _HOST_KEY_SEP discipline."""
+    from mapreducekmean_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [("a|b|c", "one two three"), ("plain", "x " * 40)],
+        "source string, text string",
+    )
+    path = str(tmp_path / "slh_sep")
+    tx.seq_len_histogram_land(docs, path)
+    got = sorted(
+        tuple(r)
+        for r in tx.seq_len_histogram_from_snapshot(
+            spark, path
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tx.seq_len_histogram(docs).collect()
+    )
+    assert got == want
+    assert {r[0] for r in got} == {"a|b|c", "plain"}
+
+
+def test_embedding_stats_snapshot_batch_prefix_equals_one_shot(
+    spark, sf_small, tmp_path
+):
+    """The delta-maintained drift report must equal the one-shot
+    embedding_stats after every batch prefix — the row exercising the
+    cdc mins/maxs extension: sums add under the per-key watermark,
+    min/max fold by least/greatest. Replaying the last batch at the
+    same bid must change nothing (min/max are naturally idempotent,
+    the sums are watermark-guarded)."""
+    from mapreducekmean_spark.operators import text as tx
+    from mapreducekmean_spark.sources import load_table
+
+    embs = load_table(spark, sf_small, "embeddings")
+    b1 = embs.filter(F.col("vec_id") % 3 == 0)
+    b2 = embs.filter(F.col("vec_id") % 3 == 1)
+    b3 = embs.filter(F.col("vec_id") % 3 == 2)
+    assert b1.count() and b2.count() and b3.count()
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    path = str(tmp_path / "emb_snap")
+    tx.embedding_stats_land(b1, path)
+    assert report(
+        tx.embedding_stats_from_snapshot(spark, path)
+    ) == report(tx.embedding_stats(b1))
+    tx.embedding_stats_apply_delta(spark, b2, path, batch_id=1)
+    assert report(
+        tx.embedding_stats_from_snapshot(spark, path)
+    ) == report(tx.embedding_stats(b1.unionAll(b2)))
+    tx.embedding_stats_apply_delta(spark, b3, path, batch_id=2)
+    full = report(tx.embedding_stats(embs))
+    assert (
+        report(tx.embedding_stats_from_snapshot(spark, path)) == full
+    )
+    tx.embedding_stats_apply_delta(spark, b3, path, batch_id=2)
+    assert (
+        report(tx.embedding_stats_from_snapshot(spark, path)) == full
+    )

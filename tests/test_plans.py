@@ -825,3 +825,23 @@ def test_corpus_diff_delta_reads_only_snapshots(spark, sf_small):
     plan = _plan(df)
     assert "HashAggregate" in plan
     assert "Generate" not in plan  # no explode = no re-tokenization
+
+
+def test_seq_len_histogram_delta_reads_only_snapshot(spark, sf_small):
+    """The maintained histogram report must be pure level-table work
+    off the landed snapshot: zero joins, no tokenize (no regexp split
+    Generate) — the corpus is never re-read."""
+    df = REG["seq_len_histogram_delta"].fn(spark, sf_small)
+    assert count_joins(df) == 0
+    plan = _plan(df)
+    assert "Generate" not in plan  # no explode = no re-tokenization
+
+
+def test_embedding_stats_delta_reads_only_snapshot(spark, sf_small):
+    """The maintained drift report must read the d-row snapshot only:
+    zero joins, no posexplode Generate — the vectors are never
+    re-exploded."""
+    df = REG["embedding_stats_delta"].fn(spark, sf_small)
+    assert count_joins(df) == 0
+    plan = _plan(df)
+    assert "Generate" not in plan
