@@ -1202,31 +1202,20 @@ def _quality_deciles_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_deciles_from_snapshot(spark, path)
 
 
-def _dsir_pivot_cols() -> tuple[str, str]:
-    """The fixed-order weight chain shared by the oracle: (pivot
-    column list, product expression) for DSIR_K = 8 positions."""
-    from mapreducekmean_spark.operators.text import DSIR_K
-
-    cols = ",\n         ".join(
-        f"max(CASE WHEN pos = {i} THEN ratio END) AS r{i}"
-        for i in range(DSIR_K)
-    )
-    prod = " * ".join(f"coalesce(r{i}, 1.0)" for i in range(DSIR_K))
-    return cols, prod
-
-
 def _dataset_importance_sql() -> str:
     """Twin of text.dataset_importance: same bigram stream (empty for
     <2-token docs), same 2-hex-char md5 buckets, same normalized
     add-one-smoothed probability ratios in the SAME fixed two-division
-    expression, the SAME fixed-order 8-term IEEE multiply chain (never
-    an engine-ordered float aggregate), and the shared md5 keep-coin
-    with the rate-1.0 branch. All divisions/multiplies are
+    expression, the SAME full-product weight as a sequential left fold
+    over the position-sorted ratio list with an explicit 1.0 seed
+    (DuckDB ``list_reduce(list_prepend(1.0, …))`` mirrors Spark's
+    ``aggregate(…, 1.0, acc·x)`` — identical IEEE multiply chain,
+    never an engine-ordered float aggregate), and the shared md5
+    keep-coin with the rate-1.0 branch. All divisions/multiplies are
     correctly-rounded IEEE doubles of exact integers in a fixed order,
     so the weights are bit-identical cross-engine."""
-    from mapreducekmean_spark.operators.text import DSIR_K, DSIR_TARGET_MOD
+    from mapreducekmean_spark.operators.text import DSIR_TARGET_MOD
 
-    pivot_cols, prod = _dsir_pivot_cols()
     mod = DSIR_TARGET_MOD
     return f"""
 WITH t AS (
@@ -1262,15 +1251,23 @@ r AS (
 ),
 p AS (
   SELECT doc_id,
-         {pivot_cols}
+         list_reduce(
+           list_prepend(
+             CAST(1.0 AS DOUBLE),
+             list_transform(
+               list_sort(list({{'pos': pos, 'ratio': ratio}})),
+               s -> s.ratio
+             )
+           ),
+           (a, x) -> a * x
+         ) AS w
   FROM g JOIN r USING (b)
-  WHERE pos < {DSIR_K}
   GROUP BY doc_id
 ),
 w AS (
   SELECT d.doc_id,
          d.doc_id % {mod} = 0 AS is_target,
-         {prod} AS wt
+         coalesce(p.w, CAST(1.0 AS DOUBLE)) AS wt
   FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 )
 SELECT doc_id,

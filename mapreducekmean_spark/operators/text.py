@@ -1710,17 +1710,16 @@ def dataset_mixture_temp(docs: DataFrame) -> DataFrame:
 #: DSIR importance resampling: word-bigram features hashed into 256
 #: buckets (the 2-hex-char md5 slice — the count-min sketch's bucket
 #: discipline), target slice = doc_id % DSIR_TARGET_MOD == 0 (the
-#: decontaminate split convention), per-doc weight bounded to the
-#: first DSIR_K gram positions.
+#: decontaminate split convention), per-doc weight = the paper's full
+#: gram product as a fixed-order sorted fold (pass k to bound it).
 DSIR_NGRAM = 2
-DSIR_K = 8
 DSIR_TARGET_MOD = 20
 
 
 def dataset_importance(
     docs: DataFrame,
     n: int = DSIR_NGRAM,
-    k: int = DSIR_K,
+    k: int | None = None,
     target_mod: int = DSIR_TARGET_MOD,
 ) -> DataFrame:
     """DSIR-style data selection with importance resampling (Xie et
@@ -1740,26 +1739,29 @@ def dataset_importance(
     multiply are correctly-rounded IEEE ops in a fixed order, so any
     engine reproduces the double bit-for-bit; an unnormalized count
     ratio would scale every weight by ~(T/R)^k and starve the keep
-    coin); the per-doc weight multiplies the ratios of the doc's
-    first ``k`` gram positions in FIXED position order (an explicit
-    ``r0·r1·…·r{k-1}`` chain, never a float sum/product over an
-    engine-ordered group), so both engines execute the same IEEE
-    multiply sequence and the weight is bit-identical. Bounding to
-    ``k`` positions is the log-free form the full gram product cannot
-    have (hundreds of IEEE multiplies would still be order-stable, but
-    the bounded pivot keeps the weight a plain 8-term expression; the
-    docstring states the deviation from the paper's full product).
-    Docs with no grams weigh 1.0. The keep coin is the shared
-    :func:`_coin_kept` md5 threshold against ``min(1, weight)``;
-    target-slice docs are the reference sample and keep by definition.
+    coin); the per-doc weight is the paper's FULL product over every
+    gram of the document, executed as a sequential left fold over the
+    ratio list SORTED BY GRAM POSITION (collect → array_sort on the
+    (pos, ratio) struct → fold with an explicit 1.0 seed) — never a
+    float product over an engine-ordered group, so both engines
+    execute the identical IEEE multiply chain ``((1·r_0)·r_1)·…`` and
+    the weight is bit-identical however many grams the doc has (the
+    r13 k=8 pivot bound is LIFTED — a doc whose domain signal sits
+    past position 8 now weighs correctly; pass ``k`` to reproduce the
+    bounded prefix for sensitivity probes). Docs with no grams weigh
+    1.0. The keep coin is the shared :func:`_coin_kept` md5 threshold
+    against ``min(1, weight)``; target-slice docs are the reference
+    sample and keep by definition.
 
     Scale shape: ONE gram pass (the codegen'd ``gram_rows`` stream,
     materialized once for its two consumers), a 256-row bucket table
-    broadcast back onto the first-``k`` gram rows, one per-doc pivot
+    broadcast back onto the gram rows, one per-doc collect-sort-fold
     aggregate on the doc_id partitioning the gram window already
-    established, and a broadcast-able weight attach onto the doc base
-    — no corpus-volume join (the per-doc side joins on doc_id against
-    a per-doc aggregate, the one shuffle both sides already share).
+    established (state per doc = its gram count — the same order as
+    the doc's own text, so no blow-up), and a broadcast-able weight
+    attach onto the doc base — no corpus-volume join (the per-doc
+    side joins on doc_id against a per-doc aggregate, the one shuffle
+    both sides already share).
     Output: ``(doc_id, is_target, weight, kept)``."""
     from mapreducekmean_spark.operators.dedup import gram_rows
 
@@ -1792,27 +1794,30 @@ def dataset_importance(
             )
         ).alias("ratio"),
     )
-    pivot = (
-        grams.filter(F.col("pos") < k)
-        .join(F.broadcast(rates), "b")
+    doc_grams = grams if k is None else grams.filter(F.col("pos") < k)
+    folded = (
+        doc_grams.join(F.broadcast(rates), "b")
         .groupBy("doc_id")
         .agg(
-            *[
-                F.max(
-                    F.when(F.col("pos") == i, F.col("ratio"))
-                ).alias(f"r{i}")
-                for i in range(k)
-            ]
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ratio"))
+                    ),
+                    lambda s: s["ratio"],
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ).alias("w")
         )
     )
-    weight = F.lit(1.0)
-    for i in range(k):
-        weight = weight * F.coalesce(F.col(f"r{i}"), F.lit(1.0))
     out = docs.select("doc_id", is_t.alias("is_target")).join(
-        pivot, "doc_id", "left"
+        folded, "doc_id", "left"
     )
     return out.select(
-        "doc_id", "is_target", weight.alias("_w")
+        "doc_id",
+        "is_target",
+        F.coalesce(F.col("w"), F.lit(1.0)).alias("_w"),
     ).select(
         "doc_id",
         "is_target",

@@ -363,14 +363,15 @@ def test_dataset_importance_edges_and_coin(spark):
     """Edge semantics of the DSIR resampler: a doc with <2 tokens has
     no grams, weighs exactly 1.0, and keeps by the rate-1.0 branch; a
     target-slice doc keeps by definition; weights reproduce the
-    fixed-order 8-term product computed independently in Python from
-    the same bucket counts."""
+    paper's FULL gram product computed independently in Python as the
+    same position-ordered IEEE multiply chain from the same bucket
+    counts (the r13 k=8 pivot bound is lifted — doc 3 has 10 grams
+    and every one of them participates)."""
     import hashlib
 
     from pyspark.sql import functions as F
 
     from mapreducekmean_spark.operators.text import (
-        DSIR_K,
         DSIR_TARGET_MOD,
         dataset_importance,
     )
@@ -409,10 +410,49 @@ def test_dataset_importance_edges_and_coin(spark):
     t_total, r_total = sum(c_t.values()), sum(c_r.values())
     for did, t in rows:
         w = 1.0
-        for g in grams(t)[:DSIR_K]:
+        for g in grams(t):
             b = bucket(g)
             ratio = ((c_t.get(b, 0) + 1) / (t_total + 256)) * (
                 (r_total + 256) / (c_r.get(b, 0) + 1)
             )
             w = w * ratio
         assert got[did].weight == round(w, 6), (did, got[did].weight, w)
+
+
+def test_dataset_importance_sees_signal_past_position_8(spark):
+    """The fidelity gap the r13 verdict flagged: a raw document whose
+    domain signal sits ONLY past gram position 8 (front-loaded
+    off-domain preamble) must be upsampled by the full product — the
+    old k=8 pivot (still reachable via the ``k`` parameter) is blind
+    to it. Target docs speak vocabulary A; the late-signal raw doc
+    opens with 9 neutral preamble tokens (8 grams) and then speaks A;
+    the control raw doc has the same preamble and then speaks a
+    disjoint vocabulary B."""
+    from mapreducekmean_spark.operators.text import dataset_importance
+
+    body_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_b = "one two three four five six seven eight nine ten"
+    pre = "p0 p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = (
+        # target slice (doc_id % 20 == 0): vocabulary A, replicated so
+        # the A-gram buckets dominate the target distribution
+        [(20 * i, body_a) for i in range(1, 9)]
+        # raw controls: vocabulary B bulk
+        + [(20 * i + 1, body_b) for i in range(1, 9)]
+        # the two probes: identical preamble, divergent tail
+        + [(1001, f"{pre} {body_a}"), (1003, f"{pre} {body_b}")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = {r.doc_id: r.weight for r in dataset_importance(docs).collect()}
+    # full product separates the tails: the late A-signal doc must
+    # outweigh the late B-signal doc decisively
+    assert full[1001] > full[1003] * 10, (full[1001], full[1003])
+
+    bounded = {
+        r.doc_id: r.weight
+        for r in dataset_importance(docs, k=8).collect()
+    }
+    # the k=8 pivot sees only the shared preamble: both probes get the
+    # SAME weight — the blindness the full product fixes
+    assert bounded[1001] == bounded[1003], (bounded[1001], bounded[1003])
