@@ -642,10 +642,13 @@ FROM m
 
 def _pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.pii_scan over a deterministically PII-injected corpus (the
-    fixture has no emails or phone numbers — every doc gets a contact
-    line derived from its id, so both patterns fire on every row and
-    the counting + sequential-redaction arithmetic is fully
-    exercised; the doc_grid_dhash in-query-synthesis precedent)."""
+    fixture has no PII — every doc gets a contact line derived from
+    its id carrying ALL FIVE classes, so every pattern fires on every
+    row and the pinned sequential-redaction order is fully exercised:
+    the SSN's 3-2-4 dash run and the IBAN's spaced digit groups are
+    both phone-shaped, so a precedence regression double-counts and
+    fails the hash; the doc_grid_dhash in-query-synthesis
+    precedent)."""
     docs = tx.documents(spark, sf_dir).select("doc_id", "text")
     injected = docs.select(
         "doc_id",
@@ -655,38 +658,98 @@ def _pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com or +1 (555) 010-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" pay de"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
         ).alias("text"),
     )
     return tx.pii_scan(injected)
 
 
 #: mirrors text.pii_scan over the injected corpus; patterns are the
-#: alternation-free class/count subset where Java regex and RE2 agree.
+#: alternation-free class/count subset where Java regex and RE2 agree,
+#: applied in the SAME pinned sequential-redaction order (email → ip →
+#: ssn → iban → phone — the later classes would double-count the
+#: earlier ones' digits otherwise).
 _PII_SCAN_SQL = r"""
 WITH inj AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or +1 (555) 010-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' pay de' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' ' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              || ' end' AS text
   FROM documents
 ),
 lo AS (SELECT doc_id, lower(text) AS t FROM inj),
-ne AS (
+s1 AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(
            t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
            AS n_emails,
          regexp_replace(
            t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
-           AS t2
+           AS t
   FROM lo
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(
+           t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS BIGINT) AS n_ips,
+         regexp_replace(
+           t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(
+           t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
+         regexp_replace(
+           t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_emails, n_ips, n_ssns,
+         CAST(len(regexp_extract_all(
+           t, '\b[a-z]{2}[0-9]{2}(?: ?[0-9a-z]{4}){3,7}\b'))
+           AS BIGINT) AS n_ibans,
+         regexp_replace(
+           t, '\b[a-z]{2}[0-9]{2}(?: ?[0-9a-z]{4}){3,7}\b',
+           '<IBAN>', 'g') AS t
+  FROM s3
 )
-SELECT doc_id, n_emails,
-       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+SELECT doc_id, n_emails, n_ips, n_ssns, n_ibans,
+       CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
             AS BIGINT) AS n_phones,
-       md5(regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>',
+       md5(regexp_replace(t, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>',
                           'g')) AS redacted_hash
-FROM ne
+FROM s4
 """
 
 

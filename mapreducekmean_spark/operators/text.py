@@ -2233,36 +2233,57 @@ def gopher_quality(
 #: no alternation, no lookaround (the text_redact contract, widened).
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+#: dotted-quad shape (the class/count subset — no 0-255 range check,
+#: which would need alternation RE2 and Java disagree on anchoring).
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+#: IBAN shape over lowercased text: country code + 2 check digits +
+#: 3..7 space-optional 4-char alphanumeric groups.
+PII_IBAN_RE = r"\b[a-z]{2}[0-9]{2}(?: ?[0-9a-z]{4}){3,7}\b"
 
 
 def pii_scan(docs: DataFrame) -> DataFrame:
     """PII detection + scrubbing — the cleaning stage next to
     :func:`redact`'s digit masking that a distributable corpus
-    actually requires: count and replace email addresses and
-    phone-shaped digit runs. Phones are counted and replaced AFTER
-    email redaction — an email's digit-bearing local part
-    (``user123456789@…``) would otherwise double-count as a phone.
-    The scan runs over lowercased text (the email pattern's class is
-    lowercase; case variants normalize instead of escaping).
+    actually requires: count and replace email addresses, IPv4
+    dotted quads, SSN-shaped ids, IBAN-shaped account ids, and
+    phone-shaped digit runs. The classes are redacted SEQUENTIALLY
+    in a pinned order — email → ip → ssn → iban → phone — so no
+    class can double-count another's digits: an email's
+    digit-bearing local part (``user123456789@…``), an SSN's
+    ``3-2-4`` dash run, and an IBAN's spaced digit groups would
+    each otherwise also match the phone pattern (every replacement
+    token ``<CLASS>`` contains no class characters, so later
+    patterns cannot span one). The scan runs over lowercased text
+    (the email/IBAN classes are lowercase; case variants normalize
+    instead of escaping). All five patterns sit in the
+    alternation-free class/count subset where Java regex and RE2
+    agree, so the counts and the scrub hash stay value-hash-able.
 
-    Output per doc: ``n_emails``, ``n_phones``, and
-    ``redacted_hash`` — md5 of the scrubbed text (the full scrubbed
-    column is corpus-sized; the hash is what the oracle needs and
-    what a provenance log stores). Pure per-row projection, no
-    shuffle, scan-bound at 100 TB.
+    Output per doc: ``n_emails``, ``n_ips``, ``n_ssns``,
+    ``n_ibans``, ``n_phones``, and ``redacted_hash`` — md5 of the
+    scrubbed text (the full scrubbed column is corpus-sized; the
+    hash is what the oracle needs and what a provenance log
+    stores). Pure per-row projection, no shuffle, scan-bound at
+    100 TB.
     """
-    t = F.lower(F.col("text"))
-    n_emails = F.size(
-        F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)
-    ).cast("bigint")
-    no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    n_phones = F.size(
-        F.regexp_extract_all(no_email, F.lit(PII_PHONE_RE), 0)
-    ).cast("bigint")
-    red = F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+    cur = F.lower(F.col("text"))
+    out_counts = []
+    for name, pat, token in (
+        ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+        ("n_ips", PII_IP_RE, "<IP>"),
+        ("n_ssns", PII_SSN_RE, "<SSN>"),
+        ("n_ibans", PII_IBAN_RE, "<IBAN>"),
+        ("n_phones", PII_PHONE_RE, "<PHONE>"),
+    ):
+        out_counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, token)
     return docs.select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_phones.alias("n_phones"),
-        F.md5(red).alias("redacted_hash"),
+        *out_counts,
+        F.md5(cur).alias("redacted_hash"),
     )

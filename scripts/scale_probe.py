@@ -2606,6 +2606,59 @@ def probe_r14misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "report_sec": round(t_report_e, 2),
     }
 
+    # --- pii_scan at 5M with planted exact counts ----------------------
+    # (the r14 five-class scanner: every doc carries exactly one email,
+    # one IPv4, one SSN-shaped id, one IBAN-shaped id, and one phone —
+    # the totals must come out exactly 5M PER CLASS, which a precedence
+    # regression (phone eating the SSN dash run or the IBAN digit
+    # groups) or a boundary regression breaks immediately.)
+    from mapreducekmean_spark.operators.text import pii_scan
+
+    pdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("body words here contact user"),
+            F.col("id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10."),
+            (F.col("id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("id") % 100).cast("string"),
+            F.lit(" ssn "),
+            F.lpad((F.col("id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("id") % 10000).cast("string"), 4, "0"),
+            F.lit(" pay de"),
+            F.lpad((F.col("id") % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+            F.lpad((F.col("id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.lpad(((F.col("id") * 13) % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    tot = pii_scan(pdocs).agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_ssns").alias("s"),
+        F.sum("n_ibans").alias("b"),
+        F.sum("n_phones").alias("p"),
+    ).collect()[0]
+    t_pii = time.perf_counter() - t0
+    assert tuple(tot) == (n_docs,) * 5, tuple(tot)
+    results["pii_scan_5m"] = {
+        "docs": n_docs,
+        "classes": 5,
+        "sec": round(t_pii, 2),
+        "docs_per_sec": int(n_docs / t_pii),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4

@@ -1825,6 +1825,52 @@ def test_pii_scan_constructed_cases(spark):
     assert out[5].n_emails == 1
 
 
+def test_pii_scan_class_precedence_and_new_classes(spark):
+    """The r14 classes (IPv4 / SSN-shaped / IBAN-shaped) and the
+    pinned sequential-redaction order: an SSN's 3-2-4 dash run and an
+    IBAN's spaced digit groups are both phone-shaped, so each must be
+    claimed by ITS class and contribute zero phones; an IP must not
+    leave digit fragments that count as anything else; clean text
+    scans zero across all five columns."""
+    from mapreducekmean_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "server at 10.2.0.71 and 192.168.1.1 responded"),
+            (2, "ssn 123-45-6789 on file"),           # NOT a phone
+            (3, "pay DE44 5001 0517 5407 3249 31 now"),  # NOT a phone
+            (4, "call +1 (555) 010-4242 now"),         # a real phone
+            (5, "totally clean text with words only"),
+            # version string: only a 4-segment dotted quad is an IP
+            (6, "upgraded to release 6.18.5 yesterday"),
+            # all five classes in one doc
+            (
+                7,
+                "a@b.co at 8.8.8.8 ssn 987-65-4321 iban "
+                "gb29 nwbk 6016 1331 9268 19 tel 020 7946 0958",
+            ),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert out[1].n_ips == 2 and out[1].n_phones == 0
+    assert out[2].n_ssns == 1 and out[2].n_phones == 0
+    assert out[3].n_ibans == 1 and out[3].n_phones == 0
+    assert out[4].n_phones == 1 and out[4].n_ssns == 0
+    assert all(
+        getattr(out[5], c) == 0
+        for c in ("n_emails", "n_ips", "n_ssns", "n_ibans", "n_phones")
+    )
+    assert out[6].n_ips == 0
+    assert (
+        out[7].n_emails,
+        out[7].n_ips,
+        out[7].n_ssns,
+        out[7].n_ibans,
+        out[7].n_phones,
+    ) == (1, 1, 1, 1, 1)
+
+
 def test_split_leakage_audit_semantics(spark):
     """A clean (dup-free) corpus audits to zero rows; planting the same
     content under ids that hash into different splits surfaces exactly
