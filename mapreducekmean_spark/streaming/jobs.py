@@ -1217,3 +1217,102 @@ def stream_host_stats_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_quality_deciles_maintenance(
+    docs_stream: DataFrame,
+    snap_path: str,
+) -> None:
+    """Streamed maintenance of the quality-decile level snapshot — the
+    gate-calibration table as a continuous ingest (r13 verdict item
+    #7, completing the maintained-report family): each micro-batch of
+    raw documents projects to the scaled-bigint quality level inputs
+    (ONE fused projection, ``text._quality_level_rows``) and folds
+    into the landed aggregate snapshot via
+    :func:`operators.cdc.agg_stream_batch` — touched-bucket
+    copy-on-write, batch-id marker, per-key ``last_bid`` watermark
+    (partial-crash replay converges). The decile report
+    (:func:`operators.text.quality_deciles_from_snapshot`) stays
+    level-table arithmetic at any moment of the stream, exact after
+    every batch prefix. Synchronous local-harness form like the other
+    runners."""
+    from mapreducekmean_spark.operators.cdc import agg_stream_batch
+    from mapreducekmean_spark.operators.text import _quality_level_rows
+
+    spark = docs_stream.sparkSession
+    q = (
+        docs_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(snap_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: agg_stream_batch(
+                spark, _quality_level_rows(df), bid, snap_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_seq_len_histogram_maintenance(
+    docs_stream: DataFrame,
+    snap_path: str,
+) -> None:
+    """Streamed maintenance of the (source, bucket) length-histogram
+    snapshot — same agg_stream_batch discipline over
+    ``text._seqlen_key_rows``; the report off the snapshot stays
+    exact after every batch prefix."""
+    from mapreducekmean_spark.operators.cdc import agg_stream_batch
+    from mapreducekmean_spark.operators.text import _seqlen_key_rows
+
+    spark = docs_stream.sparkSession
+    q = (
+        docs_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(snap_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: agg_stream_batch(
+                spark, _seqlen_key_rows(df), bid, snap_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_embedding_stats_maintenance(
+    embs_stream: DataFrame,
+    snap_path: str,
+) -> None:
+    """Streamed maintenance of the per-dimension drift snapshot — the
+    agg_stream_batch discipline over ``text._embedding_cell_rows``
+    (sums add under the watermark, min/max fold by least/greatest);
+    the d-row report stays exact after every batch prefix."""
+    from mapreducekmean_spark.operators.cdc import agg_stream_batch
+    from mapreducekmean_spark.operators.text import _embedding_cell_rows
+
+    spark = embs_stream.sparkSession
+    q = (
+        embs_stream.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(snap_path, "_checkpoint")
+        )
+        .foreachBatch(
+            lambda df, bid: agg_stream_batch(
+                spark, _embedding_cell_rows(df), bid, snap_path
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

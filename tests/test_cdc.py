@@ -818,3 +818,123 @@ def test_agg_delta_full_replay_is_read_only(spark, tmp_path):
     full = apply_agg_delta(spark, delta, path2, batch_id=1)
     assert full["rows_written"] > 0
     assert _agg_rows(spark, path2) == once
+
+
+def test_stream_quality_deciles_maintenance_end_to_end(spark, tmp_path):
+    """The decile calibration as a continuous ingest (r13 verdict item
+    #7): land the q_int level snapshot on a first slice, stream two
+    more slices as micro-batch files, and the report off the
+    maintained snapshot must equal the one-shot quality_deciles over
+    everything; a second stream run with a third file resumes from the
+    checkpoint without double-counting."""
+    from mapreducekmean_spark.operators.text import (
+        quality_deciles,
+        quality_deciles_from_snapshot,
+        quality_deciles_land,
+    )
+    from mapreducekmean_spark.streaming.jobs import (
+        stream_quality_deciles_maintenance,
+    )
+
+    rows = [
+        (
+            i,
+            "the quick brown fox jumps over lazy dogs near banks of "
+            + " ".join(f"w{j}" for j in range(i % 9)),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "qsnap")
+    quality_deciles_land(docs.filter("doc_id < 20"), path)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id bigint, text string"
+    for lo, hi, name in ((20, 40, "b1"), (40, 55, "b2")):
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(
+            1
+        ).write.json(str(src / name))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src / "*"))
+    stream_quality_deciles_maintenance(stream, path)
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert report(quality_deciles_from_snapshot(spark, path)) == report(
+        quality_deciles(docs.filter("doc_id < 55"))
+    )
+
+    docs.filter("doc_id >= 55").coalesce(1).write.json(str(src / "b3"))
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src / "*"))
+    stream_quality_deciles_maintenance(stream2, path)
+    assert report(quality_deciles_from_snapshot(spark, path)) == report(
+        quality_deciles(docs)
+    )
+
+
+def test_stream_seqlen_and_embedding_maintenance(spark, tmp_path):
+    """The remaining two maintained reports as continuous ingests:
+    the (source, bucket) histogram over a document file stream and
+    the per-dim drift snapshot over an embedding file stream — both
+    reports must equal their one-shots after the stream drains
+    (min/max folding through agg_stream_batch included)."""
+    from mapreducekmean_spark.operators.text import (
+        embedding_stats,
+        embedding_stats_from_snapshot,
+        embedding_stats_land,
+        seq_len_histogram,
+        seq_len_histogram_from_snapshot,
+        seq_len_histogram_land,
+    )
+    from mapreducekmean_spark.streaming.jobs import (
+        stream_embedding_stats_maintenance,
+        stream_seq_len_histogram_maintenance,
+    )
+
+    def report(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 2}", "tok " * (1 + i % 17))
+            for i in range(40)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    s_path = str(tmp_path / "slsnap")
+    seq_len_histogram_land(docs.filter("doc_id < 15"), s_path)
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs.filter("doc_id >= 15").coalesce(1).write.json(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "doc_id bigint, source string, text string"
+    ).json(str(src / "*"))
+    stream_seq_len_histogram_maintenance(stream, s_path)
+    assert report(
+        seq_len_histogram_from_snapshot(spark, s_path)
+    ) == report(seq_len_histogram(docs))
+
+    embs = spark.createDataFrame(
+        [
+            (i, [float(i % 7) - 3.0, float(i % 5) / 2.0, -float(i % 3)])
+            for i in range(40)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    e_path = str(tmp_path / "esnap")
+    embedding_stats_land(embs.filter("vec_id < 15"), e_path)
+    esrc = tmp_path / "embs"
+    esrc.mkdir()
+    embs.filter("vec_id >= 15").coalesce(1).write.json(str(esrc / "b1"))
+    estream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).json(str(esrc / "*"))
+    stream_embedding_stats_maintenance(estream, e_path)
+    assert report(
+        embedding_stats_from_snapshot(spark, e_path)
+    ) == report(embedding_stats(embs))
