@@ -110,12 +110,19 @@ def ivf_topk(
 
 
 def _probe_cells(
-    qs: DataFrame, cents: list[list[float]], ncells: int, nprobe: int
+    qs: DataFrame,
+    cents: list[list[float]],
+    ncells: int,
+    nprobe: int,
+    with_rank: bool = False,
 ) -> DataFrame:
     """query → its ``nprobe`` nearest cells (same distance kernel as the
     corpus assignment, tiny side): (q_id, q_emb, cell). Shared by the
     in-session IVF path and the landed-index path — one copy of the
-    probe logic, same lesson as ``dedup.score_candidate_pairs``."""
+    probe logic, same lesson as ``dedup.score_candidate_pairs``.
+    ``with_rank=True`` additionally carries the 0-based probe rank
+    (how-manyth-nearest cell this is for the query), which makes an
+    nprobe curve a set of PREFIX CUTS over one max-nprobe pass."""
     return (
         km.assign(
             qs.select(
@@ -143,7 +150,62 @@ def _probe_cells(
                 )
             ).alias("probe_rank", "cell_struct"),
         )
-        .select("q_id", "q_emb", F.col("cell_struct.cell").alias("cell"))
+        .select(
+            "q_id",
+            "q_emb",
+            F.col("cell_struct.cell").alias("cell"),
+            *(
+                [F.col("probe_rank").cast("bigint").alias("probe_rank")]
+                if with_rank
+                else []
+            ),
+        )
+    )
+
+
+def _score_candidates(cands: DataFrame, extra: tuple = ()) -> DataFrame:
+    """The vectorized exact-cosine scoring kernel shared by the probed
+    IVF paths: Arrow-batched numpy, accumulating dot and both squared
+    norms SEQUENTIALLY over dimensions (one fused multiply-add per dim
+    across the batch) so every pair performs the identical IEEE
+    operation sequence as the ``functions/vector.py`` fold —
+    bit-identical results, ~2 orders of magnitude faster than the
+    interpreted HOF on a hot cell (measured in _score_probed_cells'
+    docstring). ``extra`` names bigint columns carried through
+    untouched (e.g. the probe rank for prefix-cut recall curves) —
+    per-row results are independent of batching, so passthrough
+    columns cannot perturb the arithmetic."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["q_emb"].to_numpy())
+            E = np.vstack(pdf["emb"].to_numpy())
+            dots = np.zeros(len(pdf))
+            qss = np.zeros(len(pdf))
+            ess = np.zeros(len(pdf))
+            for d in range(Q.shape[1]):
+                dots = dots + Q[:, d] * E[:, d]
+                qss = qss + Q[:, d] * Q[:, d]
+                ess = ess + E[:, d] * E[:, d]
+            sims = dots / (np.sqrt(qss) * np.sqrt(ess))
+            out = {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["sim_raw"] = sims
+            yield pd.DataFrame(out)
+
+    schema = (
+        "q_id bigint, vec_id bigint"
+        + "".join(f", {c} bigint" for c in extra)
+        + ", sim_raw double"
+    )
+    return cands.select("q_id", "vec_id", *extra, "q_emb", "emb").mapInPandas(
+        score, schema
     )
 
 
@@ -165,37 +227,10 @@ def _score_probed_cells(
     ``embedding_near_dup`` discipline), ~2 orders of magnitude faster.
     """
 
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.vstack(pdf["q_emb"].to_numpy())
-            E = np.vstack(pdf["emb"].to_numpy())
-            dots = np.zeros(len(pdf))
-            qss = np.zeros(len(pdf))
-            ess = np.zeros(len(pdf))
-            for d in range(Q.shape[1]):
-                dots = dots + Q[:, d] * E[:, d]
-                qss = qss + Q[:, d] * Q[:, d]
-                ess = ess + E[:, d] * E[:, d]
-            sims = dots / (np.sqrt(qss) * np.sqrt(ess))
-            yield pd.DataFrame(
-                {
-                    "q_id": pdf["q_id"],
-                    "vec_id": pdf["vec_id"],
-                    "sim_raw": sims,
-                }
-            )
-
     cands = cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    scored = cands.select("q_id", "vec_id", "q_emb", "emb").mapInPandas(
-        score, "q_id bigint, vec_id bigint, sim_raw double"
-    )
+    scored = _score_candidates(cands)
     w = Window.partitionBy("q_id").orderBy(
         F.col("sim_raw").desc(), F.col("vec_id").asc()
     )
@@ -1471,9 +1506,20 @@ def ann_recall_curve(
     (probing every cell IS the brute-force pass) — both pinned in
     tests/test_similarity_indexed.py.
 
-    Scale shape: the exact baseline is computed ONCE (checkpointed,
-    k·|queries| rows) and each level adds only its probe-bounded IVF
-    pass; everything after is driver-scale joins."""
+    Scale shape (r14: the levels are TRUE PREFIX CUTS — the r13 form
+    re-ran a full ivf_topk per level, paying the centroid init, the
+    corpus cell assignment, and the Arrow scoring pass three times):
+    the exact baseline is computed ONCE (checkpointed, k·|queries|
+    rows); the centroids, the corpus cell assignment, and the scored
+    candidate set are each computed ONCE at max(nprobes) with the
+    0-based probe rank carried through the scoring kernel
+    (``_probe_cells(with_rank=True)`` → ``_score_candidates``); each
+    level is then a rank-window top-k over the checkpointed candidates
+    with ``probe_rank < nprobe`` — candidate-scale work, no corpus
+    pass. Equivalence with per-level ivf_topk is structural (the
+    level-np candidate set IS the probe_rank-prefix of the max-np set;
+    scoring per pair is batch-independent) and pinned in
+    tests/test_similarity_indexed.py."""
     exact = (
         cosine_topk(spark, sf_dir, k=k)
         .select("q_id", "neighbor_id")
@@ -1482,11 +1528,30 @@ def ann_recall_curve(
     n_q = exact.select("q_id").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries")
     )
+    qs, pts = _queries_and_points(spark, sf_dir)
+    cents = km.collect_centroids(
+        km.deterministic_init(km.embeddings(spark, sf_dir), ncells)
+    )
+    bucketed = km.assign(pts, cents).select(
+        "vec_id", "emb", F.col("cluster_id").alias("cell")
+    )
+    max_np = max(int(x) for x in nprobes)
+    q_cells = _probe_cells(qs, cents, ncells, max_np, with_rank=True)
+    cands = bucketed.join(F.broadcast(q_cells), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = _score_candidates(cands, extra=("probe_rank",)).localCheckpoint()
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    )
     out = None
     for np_ in nprobes:
-        approx = ivf_topk(
-            spark, sf_dir, k=k, nprobe=int(np_), ncells=ncells
-        ).select("q_id", "neighbor_id")
+        approx = (
+            scored.filter(F.col("probe_rank") < int(np_))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
         hits = approx.join(exact, ["q_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hit")
         )
