@@ -1170,6 +1170,34 @@ def _embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.embedding_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+#: mirrors text.blocklist_filter (C4 blocklist rule, Raffel 2020):
+#: occurrence-counting hits over the shared token stream against the
+#: same literal list, 6-dp density, keep = zero hits. The default list
+#: is fixture-active ("slow"/"dup"/"stale" all occur), so both keep
+#: outcomes appear and the density arithmetic is load-bearing.
+_BLOCKLIST_FILTER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks,
+           x -> x IN ('slow', 'dup', 'stale'))) AS BIGINT) AS n_blocked
+  FROM t
+)
+SELECT doc_id, n_tokens, n_blocked,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(CAST(n_blocked AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE), 6) END
+         AS blocked_density,
+       n_blocked = 0 AS keep
+FROM c
+"""
+
+
 def _seq_len_histogram_delta_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2775,6 +2803,13 @@ FROM documents
             "embedding_stats_delta",
             _embedding_stats_delta_q,
             _EMBEDDING_STATS_SQL,
+        ),
+        Query(
+            "blocklist_filter",
+            lambda spark, sf_dir: tx.blocklist_filter(
+                tx.documents(spark, sf_dir)
+            ),
+            _BLOCKLIST_FILTER_SQL,
         ),
     ]
 

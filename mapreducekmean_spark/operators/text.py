@@ -2242,6 +2242,72 @@ PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 PII_IBAN_RE = r"\b[a-z]{2}[0-9]{2}(?: ?[0-9a-z]{4}){3,7}\b"
 
 
+#: C4-style blocklist (Raffel et al. 2020 §2.2 drop any page containing
+#: a listed word; the production list is the "List of Dirty, Naughty …"
+#: corpus — configurable here, defaulted to fixture-active tokens so
+#: the declared row exercises BOTH outcomes).
+BLOCKLIST = ("slow", "dup", "stale")
+
+
+def blocklist_filter(
+    docs: DataFrame, blocked: tuple = BLOCKLIST
+) -> DataFrame:
+    """Blocklist document filter — the C4 curation rule (Raffel et al.
+    2020: drop any page containing a blocklisted word) with the counts
+    a pipeline operator wants for threshold tuning: per doc, total
+    tokens, blocklist HITS (occurrences, duplicates counted — a page
+    that repeats one slur 50 times is informative), the 6-dp hit
+    density, and the C4 keep verdict (zero hits). Matching is exact
+    post-tokenization (the same ``tokens`` stream every other text
+    operator uses), so a blocked word inside another word does NOT
+    fire — the documented C4 false-positive tradeoff, stated rather
+    than hidden.
+
+    Scale shape: pure per-row projection — the token array is
+    materialized ONCE (the two-stage ``with_quality`` discipline) and
+    the hit count is a single filter-size over it against a
+    literal array (tiny, constant-folded); no shuffle, scan-bound at
+    100 TB. The blocklist itself is a parameter: a production-sized
+    list (~2k terms) still rides the literal array; past that, switch
+    to a broadcast join on exploded tokens (the ``decontaminate``
+    shape).
+    """
+    blocked_arr = F.array(*[F.lit(w) for w in blocked])
+    # two-stage projection (the with_quality discipline): the filter
+    # HOF is interpreted, so n_blocked must be MATERIALIZED once — a
+    # single select referencing it three times would copy the subtree
+    # and pay three passes per row (the r12 expression-tree trap).
+    staged = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.col("__toks"),
+                lambda t: F.array_contains(blocked_arr, t),
+            )
+        )
+        .cast("bigint")
+        .alias("n_blocked"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_blocked",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_blocked").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            )
+        )
+        .alias("blocked_density"),
+        (F.col("n_blocked") == 0).alias("keep"),
+    )
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """PII detection + scrubbing — the cleaning stage next to
     :func:`redact`'s digit masking that a distributable corpus

@@ -2659,6 +2659,34 @@ def probe_r14misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "docs_per_sec": int(n_docs / t_pii),
     }
 
+    # --- blocklist_filter at 5M with planted exact counts --------------
+    # (every doc_id % 3 == 0 carries exactly two blocklist hits, the
+    # rest zero: total hits and blocked-doc count are closed-form.)
+    from mapreducekmean_spark.operators.text import blocklist_filter
+
+    bdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.lit("clean words then slow path and a dup row here"),
+        )
+        .otherwise(F.lit("perfectly ordinary body text with safe words"))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    btot = blocklist_filter(bdocs).agg(
+        F.sum("n_blocked").alias("hits"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("dropped"),
+    ).collect()[0]
+    t_bl = time.perf_counter() - t0
+    n_flag = (n_docs + 2) // 3
+    assert (btot["hits"], btot["dropped"]) == (2 * n_flag, n_flag), btot
+    results["blocklist_filter_5m"] = {
+        "docs": n_docs,
+        "sec": round(t_bl, 2),
+        "docs_per_sec": int(n_docs / t_bl),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4

@@ -2100,3 +2100,31 @@ def test_embedding_stats_exact_arithmetic(spark):
     assert (got[1].x_min, got[1].x_max) == (-2.0, 4.5)
     assert got[0].mean_x == 2.0
     assert got[1].mean_x == round((-2.0 + 4.5 + 0.25) / 3, 6)
+
+
+def test_blocklist_filter_semantics(spark):
+    """blocklist_filter edge semantics: occurrences count (not
+    distinct hits), matching is post-tokenization exact (a blocked
+    word inside another word does not fire — the documented C4
+    tradeoff), zero-token docs keep with density 0.0, and keep is
+    exactly n_blocked == 0."""
+    from mapreducekmean_spark.operators.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow query slow join slow scan"),   # 3 hits of one word
+            (2, "slowly duplicated stalemate"),      # substrings: clean
+            (3, "a dup and a stale row"),            # 2 distinct hits
+            (4, "perfectly clean text"),
+            (5, "??? !!!"),                          # zero tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in blocklist_filter(docs).collect()}
+    assert out[1].n_blocked == 3 and not out[1].keep
+    assert out[1].blocked_density == round(3 / 6, 6)
+    assert out[2].n_blocked == 0 and out[2].keep
+    assert out[3].n_blocked == 2 and not out[3].keep
+    assert out[4].keep
+    assert out[5].n_tokens == 0 and out[5].blocked_density == 0.0
+    assert out[5].keep

@@ -845,3 +845,11 @@ def test_embedding_stats_delta_reads_only_snapshot(spark, sf_small):
     assert count_joins(df) == 0
     plan = _plan(df)
     assert "Generate" not in plan
+
+
+def test_blocklist_filter_is_map_only(spark, sf_small):
+    """The C4 blocklist rule is a per-row projection: zero exchanges,
+    zero joins — the literal-array membership never becomes a join."""
+    df = REG["blocklist_filter"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert count_joins(df) == 0
