@@ -1487,6 +1487,70 @@ def _video_dhash_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_dhash_real(tx.documents(spark, sf_dir))
 
 
+def _video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.video_scene_cuts over the REAL decode path (round-14
+    declaration): the same synthesized Y4M clips as video_dhash_real,
+    decoded frame-by-frame (every_n=1 — all 6 frames), then the
+    consecutive-frame Hamming window. The +17·f frame salt gives the
+    transitions a real distance distribution (empirically ~31% at or
+    above the threshold 10), so BOTH cut outcomes appear and the
+    whole profile — distances included — is value-hashed. A decoder,
+    sampling-order, or bit_count regression fails the hash."""
+    from mapreducekmean_spark import multimodal as mm
+
+    frames = mm.video_dhash(
+        mm.synthetic_y4m_assets(tx.documents(spark, sf_dir)), every_n=1
+    )
+    return mm.video_scene_cuts(frames)
+
+
+def _video_scene_cuts_sql() -> str:
+    """Closed-form twin of the scene-cut profile: per-frame halves from
+    the same (doc_id, frame_idx) modular arithmetic as the
+    video_dhash_real twin (all 6 frames), then DuckDB's lag window +
+    bit_count(xor) — the identical Hamming integers, threshold 10."""
+    from mapreducekmean_spark.multimodal import SCENE_CUT_HAMMING
+
+    def bit(r: int, c: int) -> str:
+        i = r * 9 + c
+        w = 1 << ((r % 4) * 8 + c)
+        return (
+            f"(CASE WHEN (doc_id * {i + 1} + 17 * f) % 251 > "
+            f"(doc_id * {i + 2} + 17 * f) % 251 THEN {w} ELSE 0 END)"
+        )
+
+    hi = "\n       + ".join(bit(r, c) for r in range(4) for c in range(8))
+    lo = "\n       + ".join(
+        bit(r, c) for r in range(4, 8) for c in range(8)
+    )
+    return f"""
+WITH fh AS (
+  SELECT doc_id AS asset_id,
+         CAST(f AS BIGINT) AS frame_idx,
+         CAST({hi} AS BIGINT) AS dh_hi,
+         CAST({lo} AS BIGINT) AS dh_lo
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS f) fr
+),
+lagged AS (
+  SELECT asset_id, frame_idx, dh_hi, dh_lo,
+         lag(dh_hi) OVER w AS p_hi,
+         lag(dh_lo) OVER w AS p_lo,
+         lag(frame_idx) OVER w AS prev_idx
+  FROM fh
+  WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)
+),
+ham AS (
+  SELECT asset_id, prev_idx, frame_idx,
+         CAST(bit_count(xor(dh_hi, p_hi))
+              + bit_count(xor(dh_lo, p_lo)) AS BIGINT) AS hamming
+  FROM lagged WHERE p_hi IS NOT NULL
+)
+SELECT asset_id, prev_idx, frame_idx, hamming,
+       hamming >= {int(SCENE_CUT_HAMMING)} AS is_cut
+FROM ham
+"""
+
+
 def _video_dhash_real_sql() -> str:
     """Closed-form twin of the decoded per-frame dHash: the synthesized
     9×8 C444 frame has luma[i] = (doc_id·(i+1) + 17·f) mod 251 and an
@@ -2810,6 +2874,11 @@ FROM documents
                 tx.documents(spark, sf_dir)
             ),
             _BLOCKLIST_FILTER_SQL,
+        ),
+        Query(
+            "video_scene_cuts",
+            _video_scene_cuts_q,
+            _video_scene_cuts_sql(),
         ),
     ]
 

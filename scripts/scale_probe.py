@@ -2687,6 +2687,70 @@ def probe_r14misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "docs_per_sec": int(n_docs / t_bl),
     }
 
+    # --- video_scene_cuts at 1M clips (6M frames decoded) --------------
+    # (aggregate-closed-form discipline: the hamming SUM over every
+    # transition must equal the engine-side modular arithmetic with no
+    # decoding — decoder, sampling-order, or window regressions shift
+    # it; every clip yields exactly 5 transitions.)
+    from mapreducekmean_spark import multimodal as mm
+
+    n_vid = 1_000_000
+    vids = spark.range(n_vid).select(F.col("id").alias("doc_id"))
+
+    def fr_bit(i, f):
+        w = 1 << (((i // 9) % 4) * 8 + (i % 9))
+        return F.when(
+            (F.col("doc_id") * (i + 1) + 17 * f) % 251
+            > (F.col("doc_id") * (i + 2) + 17 * f) % 251,
+            F.lit(w),
+        ).otherwise(F.lit(0))
+
+    def fr_halves(f):
+        hi = sum(
+            [fr_bit(r * 9 + c, f) for r in range(4) for c in range(8)],
+            F.lit(0),
+        ).cast("bigint")
+        lo = sum(
+            [fr_bit(r * 9 + c, f) for r in range(4, 8) for c in range(8)],
+            F.lit(0),
+        ).cast("bigint")
+        return hi, lo
+
+    ham_sum = F.lit(0)
+    prev = fr_halves(0)
+    for f in range(1, 6):
+        cur = fr_halves(f)
+        ham_sum = (
+            ham_sum
+            + F.bit_count(prev[0].bitwiseXOR(cur[0]))
+            + F.bit_count(prev[1].bitwiseXOR(cur[1]))
+        )
+        prev = cur
+    expect_ham = vids.agg(
+        F.sum(ham_sum.cast("bigint"))
+    ).collect()[0][0]
+
+    t0 = time.perf_counter()
+    cuts = mm.video_scene_cuts(
+        mm.video_dhash(mm.synthetic_y4m_assets(vids), every_n=1)
+    )
+    got_c = cuts.agg(
+        F.count("*").alias("n"),
+        F.sum("hamming").alias("h"),
+        F.sum(F.col("is_cut").cast("bigint")).alias("cuts"),
+    ).collect()[0]
+    t_cuts = time.perf_counter() - t0
+    assert got_c["n"] == 5 * n_vid, got_c
+    assert got_c["h"] == expect_ham, (got_c["h"], expect_ham)
+    results["video_scene_cuts_1m"] = {
+        "clips": n_vid,
+        "frames_decoded": 6 * n_vid,
+        "transitions": 5 * n_vid,
+        "cut_rate": round(got_c["cuts"] / (5 * n_vid), 4),
+        "sec": round(t_cuts, 2),
+        "clips_per_sec": int(n_vid / t_cuts),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4

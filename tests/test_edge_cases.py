@@ -2128,3 +2128,41 @@ def test_blocklist_filter_semantics(spark):
     assert out[4].keep
     assert out[5].n_tokens == 0 and out[5].blocked_density == 0.0
     assert out[5].keep
+
+
+def test_video_scene_cuts_semantics(spark):
+    """Scene-cut edges on constructed frame hashes: identical
+    consecutive hashes are hamming-0 non-cuts, a 64-bit flip is a cut,
+    the lag window must NOT cross assets (each clip's first frame
+    produces no transition row), undecodable ok=false rows are
+    excluded, and a single-frame clip yields zero transitions."""
+    from mapreducekmean_spark.multimodal import video_scene_cuts
+
+    rows = [
+        # clip 1: static frame, then a hard cut, then static again
+        (1, 0, True, 0xFF, 0x00),
+        (1, 1, True, 0xFF, 0x00),            # identical -> hamming 0
+        (1, 2, True, 0xFF00, 0xFFFF),        # cut: many bits flip
+        (1, 3, True, 0xFF00, 0xFFFF),        # identical again
+        # clip 2: one frame only
+        (2, 0, True, 0x01, 0x01),
+        # clip 3: decode failure row must be ignored
+        (3, None, False, None, None),
+        (3, 0, True, 0x0F, 0x00),
+        (3, 1, True, 0x1F, 0x00),            # 1 bit flips: no cut
+    ]
+    frames = spark.createDataFrame(
+        rows,
+        "asset_id bigint, frame_idx bigint, ok boolean,"
+        " dh_hi bigint, dh_lo bigint",
+    )
+    got = {
+        (r.asset_id, r.frame_idx): r
+        for r in video_scene_cuts(frames).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (1, 3), (3, 1)}
+    assert got[(1, 1)].hamming == 0 and not got[(1, 1)].is_cut
+    assert got[(1, 2)].hamming == 32 and got[(1, 2)].is_cut
+    assert got[(1, 3)].hamming == 0 and not got[(1, 3)].is_cut
+    assert got[(3, 1)].hamming == 1 and not got[(3, 1)].is_cut
+    assert got[(1, 2)].prev_idx == 1

@@ -853,3 +853,11 @@ def test_blocklist_filter_is_map_only(spark, sf_small):
     df = REG["blocklist_filter"].fn(spark, sf_small)
     assert count_exchanges(df) == 0
     assert count_joins(df) == 0
+
+
+def test_video_scene_cuts_one_window_no_joins(spark, sf_small):
+    """The scene-cut profile is the decode pass + ONE per-clip window
+    lag: a single exchange (asset-keyed), zero joins."""
+    df = REG["video_scene_cuts"].fn(spark, sf_small)
+    assert count_exchanges(df) == 1
+    assert count_joins(df) == 0
