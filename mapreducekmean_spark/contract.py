@@ -1487,6 +1487,74 @@ def _video_dhash_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_dhash_real(tx.documents(spark, sf_dir))
 
 
+def _audio_segments_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.audio_activity_segments over the REAL WAV decode path
+    (round-14 declaration): the same synthesized RIFF/WAVE payloads as
+    audio_fp_real (PCM-8 even docs, G.711 μ-law odd docs — both
+    production decode branches under one row), segmented by the shared
+    energy envelope at the dyadic 0.5 threshold. The per-parity active
+    rates differ (~50% PCM, ~12.5% μ-law), so runs of both kinds and
+    lengths appear; the twin replays the activity flags as exact
+    integer comparisons and the run-length encoding as gaps-and-
+    islands. A decoder, envelope, threshold, or segmentation
+    regression changes the segment rows and fails the value-hash."""
+    from mapreducekmean_spark import multimodal as mm
+
+    return mm.audio_activity_segments(
+        mm.synthetic_wav_assets(tx.documents(spark, sf_dir))
+    )
+
+
+def _audio_segments_real_sql() -> str:
+    """Closed-form twin of the activity segmentation: with exactly 65
+    samples the window bounds collapse to the identity, so window w's
+    energy is |amplitude(sample w)| — PCM-8 ``|v−128|/128`` (active ⇔
+    ``|v−128| ≥ 64``), μ-law magnitude ``((u%16)·8+132)·2^((u//16)%8)
+    − 132`` over 32768 (active ⇔ ``t ≥ 16384``; 16384/32768 = 0.5
+    exactly, so the boundary agrees with the float comparison) — then
+    gaps-and-islands (w − row_number per (asset, active)) rebuilds the
+    maximal runs."""
+    from mapreducekmean_spark.multimodal import FP_WINDOWS
+
+    return f"""
+WITH w AS (
+  SELECT doc_id AS asset_id,
+         unnest(range(0, {FP_WINDOWS})) AS w
+  FROM documents
+),
+amp AS (
+  SELECT asset_id, w,
+         (doc_id * (w + 1)) % 251 AS v
+  FROM w JOIN documents ON doc_id = asset_id
+),
+act AS (
+  SELECT asset_id, w,
+         CASE WHEN asset_id % 2 = 0
+              THEN abs(v - 128) >= 64
+              ELSE (((255 - v) % 16) * 8 + 132)
+                   * CAST(pow(2, ((255 - v) // 16) % 8) AS BIGINT)
+                   - 132 >= 16384
+         END AS active
+  FROM amp
+),
+isl AS (
+  SELECT asset_id, w, active,
+         w - row_number() OVER (
+           PARTITION BY asset_id, active ORDER BY w
+         ) AS grp
+  FROM act
+)
+SELECT asset_id,
+       CAST(min(w) AS BIGINT) AS seg_start,
+       CAST(max(w) AS BIGINT) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       active,
+       TRUE AS ok
+FROM isl
+GROUP BY asset_id, active, grp
+"""
+
+
 def _video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal.video_scene_cuts over the REAL decode path (round-14
     declaration): the same synthesized Y4M clips as video_dhash_real,
@@ -2879,6 +2947,11 @@ FROM documents
             "video_scene_cuts",
             _video_scene_cuts_q,
             _video_scene_cuts_sql(),
+        ),
+        Query(
+            "audio_segments_real",
+            _audio_segments_real_q,
+            _audio_segments_real_sql(),
         ),
     ]
 

@@ -2091,6 +2091,24 @@ def doc_grid_video_dhash(
 FP_WINDOWS = 65
 
 
+def _audio_window_energies(samples):
+    """Mean absolute amplitude of ``FP_WINDOWS`` equal time windows —
+    the shared energy envelope under the fingerprint AND the
+    activity segmentation (one definition, two consumers)."""
+    import numpy as np
+
+    n = len(samples)
+    bounds = (np.arange(FP_WINDOWS + 1) * n) // FP_WINDOWS
+    return np.array(
+        [
+            np.abs(samples[bounds[w] : bounds[w + 1]]).mean()
+            if bounds[w + 1] > bounds[w]
+            else 0.0
+            for w in range(FP_WINDOWS)
+        ]
+    )
+
+
 def _audio_fp_halves(samples) -> tuple[int, int]:
     """(fp_hi, fp_lo) of a mono sample array: the energy-envelope
     twin of the image dHash — FP_WINDOWS equal time windows, mean
@@ -2101,16 +2119,7 @@ def _audio_fp_halves(samples) -> tuple[int, int]:
     tests/test_edge_cases.py."""
     import numpy as np
 
-    n = len(samples)
-    bounds = (np.arange(FP_WINDOWS + 1) * n) // FP_WINDOWS
-    energies = np.array(
-        [
-            np.abs(samples[bounds[w] : bounds[w + 1]]).mean()
-            if bounds[w + 1] > bounds[w]
-            else 0.0
-            for w in range(FP_WINDOWS)
-        ]
-    )
+    energies = _audio_window_energies(samples)
     bits = (energies[:-1] > energies[1:]).astype(np.int64)
     weights = 1 << np.arange(32, dtype=np.int64)
     hi = int((bits[:32] * weights).sum())
@@ -2148,6 +2157,76 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     ship_package(assets.sparkSession)
     return assets.filter(F.col("modality") == "audio").mapInPandas(
         op, schema=_DHASH_SCHEMA
+    )
+
+
+#: mean-|amplitude| at or above this marks a window ACTIVE (0.5 is a
+#: dyadic double, so the float comparison is exactly replayable as an
+#: integer comparison in the closed-form twins).
+AUDIO_ACTIVE_THRESHOLD = 0.5
+
+_AUDIO_SEG_SCHEMA = (
+    "asset_id bigint, seg_start bigint, seg_end bigint, "
+    "n_windows bigint, active boolean, ok boolean"
+)
+
+
+def audio_activity_segments(
+    assets: DataFrame, threshold: float = AUDIO_ACTIVE_THRESHOLD
+) -> DataFrame:
+    """Activity/silence segmentation over the REAL WAV decoders — the
+    VAD-shaped step an audio curation pipeline runs before per-segment
+    transcription or silence trimming: the clip's ``FP_WINDOWS``
+    energy windows (the SAME envelope the fingerprint uses —
+    :func:`_audio_window_energies`, one definition) are classified
+    active/silent against ``threshold`` and run-length encoded into
+    maximal segments. One row per segment:
+    ``(asset_id, seg_start, seg_end, n_windows, active, ok)``
+    (window indices, inclusive); undecodable payloads emit one
+    ``ok=false`` row (per-asset accounting, the ``frame_sample``
+    discipline).
+
+    Scale shape: one Arrow-batched pass, segmentation is a per-clip
+    in-memory run-length walk (≤ FP_WINDOWS rows out per clip) — no
+    shuffle, map-only like the fingerprint; production decode cost is
+    shared when both run (same decode, same envelope)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "seg_start": [], "seg_end": [],
+                "n_windows": [], "active": [], "ok": [],
+            }
+
+            def emit(aid, s, e, n, act, ok):
+                out["asset_id"].append(aid)
+                out["seg_start"].append(s)
+                out["seg_end"].append(e)
+                out["n_windows"].append(n)
+                out["active"].append(act)
+                out["ok"].append(ok)
+
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = _decode_audio_wav(bytes(payload or b""))
+                if dec is None or len(dec[0]) == 0:
+                    emit(aid, None, None, None, None, False)
+                    continue
+                flags = _audio_window_energies(dec[0]) >= threshold
+                start = 0
+                for w in range(1, FP_WINDOWS + 1):
+                    if w == FP_WINDOWS or flags[w] != flags[start]:
+                        emit(
+                            aid, start, w - 1, w - start,
+                            bool(flags[start]), True,
+                        )
+                        start = w
+            yield pd.DataFrame(out)
+
+    from mapreducekmean_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        op, schema=_AUDIO_SEG_SCHEMA
     )
 
 

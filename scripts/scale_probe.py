@@ -2751,6 +2751,53 @@ def probe_r14misc(spark, results: dict, n_docs: int = 5_000_000) -> None:
         "clips_per_sec": int(n_vid / t_cuts),
     }
 
+    # --- audio_activity_segments at 5M clips ---------------------------
+    # (aggregate-closed-form: total segment count = clips + boundary
+    # count, computed engine-side from the activity flags WITHOUT
+    # decoding — decoder/envelope/threshold/segmentation regressions
+    # shift it.)
+    from mapreducekmean_spark.multimodal import FP_WINDOWS
+
+    a_ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+
+    def act(w):
+        v = (F.col("doc_id") * (w + 1)) % 251
+        u = F.lit(255) - v
+        t = ((u % 16) * 8 + 132) * F.pow(
+            F.lit(2.0), ((u / 16).cast("bigint") % 8).cast("double")
+        ).cast("bigint") - 132
+        return F.when(
+            F.col("doc_id") % 2 == 0, F.abs(v - 128) >= 64
+        ).otherwise(t >= 16384)
+
+    n_bound = sum(
+        [
+            (act(w) != act(w - 1)).cast("bigint")
+            for w in range(1, FP_WINDOWS)
+        ],
+        F.lit(0),
+    )
+    expect_segs = a_ids.agg(
+        F.sum(n_bound + 1).cast("bigint")
+    ).collect()[0][0]
+
+    t0 = time.perf_counter()
+    segs = mm.audio_activity_segments(mm.synthetic_wav_assets(a_ids))
+    got_s = segs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok").cast("bigint")).alias("ok_rows"),
+    ).collect()[0]
+    t_segs = time.perf_counter() - t0
+    assert got_s["n"] == expect_segs, (got_s["n"], expect_segs)
+    assert got_s["ok_rows"] == got_s["n"]
+    results["audio_segments_5m"] = {
+        "clips": n_docs,
+        "segments": int(expect_segs),
+        "segments_per_clip": round(expect_segs / n_docs, 2),
+        "sec": round(t_segs, 2),
+        "clips_per_sec": int(n_docs / t_segs),
+    }
+
 
 def probe_chunkingest(
     spark, results: dict, n_docs: int = 1_000_000, batches: int = 4

@@ -2166,3 +2166,52 @@ def test_video_scene_cuts_semantics(spark):
     assert got[(1, 3)].hamming == 0 and not got[(1, 3)].is_cut
     assert got[(3, 1)].hamming == 1 and not got[(3, 1)].is_cut
     assert got[(1, 2)].prev_idx == 1
+
+
+def test_audio_activity_segments_constructed(spark):
+    """Activity segmentation on a hand-built PCM-8 WAV: 30 near-zero
+    samples then 35 loud ones yield exactly two maximal segments with
+    the right bounds; an all-silent clip yields one segment; a
+    malformed payload yields one ok=false row."""
+    import struct
+
+    from mapreducekmean_spark.multimodal import (
+        FP_WINDOWS,
+        audio_activity_segments,
+    )
+
+    def wav(data: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    quiet, loud = 130, 250          # |130-128|/128 < 0.5 <= |250-128|/128
+    two_seg = wav(bytes([quiet] * 30 + [loud] * (FP_WINDOWS - 30)))
+    all_quiet = wav(bytes([quiet] * FP_WINDOWS))
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", two_seg),
+            (2, "audio", all_quiet),
+            (3, "audio", b"not a wav"),
+        ],
+        "asset_id bigint, modality string, payload binary",
+    )
+    rows = audio_activity_segments(assets).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    segs1 = sorted(
+        (r.seg_start, r.seg_end, r.n_windows, r.active)
+        for r in by_asset[1]
+    )
+    assert segs1 == [
+        (0, 29, 30, False),
+        (30, FP_WINDOWS - 1, FP_WINDOWS - 30, True),
+    ]
+    assert [
+        (r.seg_start, r.seg_end, r.active) for r in by_asset[2]
+    ] == [(0, FP_WINDOWS - 1, False)]
+    assert len(by_asset[3]) == 1 and not by_asset[3][0].ok

@@ -861,3 +861,12 @@ def test_video_scene_cuts_one_window_no_joins(spark, sf_small):
     df = REG["video_scene_cuts"].fn(spark, sf_small)
     assert count_exchanges(df) == 1
     assert count_joins(df) == 0
+
+
+def test_audio_segments_real_is_map_only(spark, sf_small):
+    """The activity segmentation is synthesis + one Arrow pass emitting
+    run-length rows: no exchange, no join — identical plan class to
+    the fingerprint it shares its decode with."""
+    df = REG["audio_segments_real"].fn(spark, sf_small)
+    assert count_exchanges(df) == 0
+    assert count_joins(df) == 0
