@@ -507,10 +507,34 @@ def apply_agg_delta(
     aggregate's size; ``batch_id`` must increase across batches (the
     foreachBatch contract — :func:`agg_stream_batch` wires it).
 
+    Replay is O(1), not just read-only (r14): a ``_agg_applied``
+    batch-id marker (atomic temp + ``os.replace``, the
+    ``_cdc_high_water`` discipline) advances only AFTER the fold
+    commits, so an at-least-once re-delivery of an applied batch
+    skips before even computing the batch's delta aggregate — at
+    volume that aggregate is the expensive part of a replay. The
+    marker is an optimization layered ON the per-key ``last_bid``
+    watermark, never a substitute: a crash anywhere before the marker
+    write (including mid-bucket-swap) leaves the marker behind, the
+    replay takes the full merge, and the watermark makes it converge
+    (pinned in tests/test_cdc.py). Under the foreachBatch contract a
+    batch id always names the same content, which is what makes the
+    skip sound.
+
     Returns ``{"touched_buckets": …, "rows_written": …}``."""
     import json
 
     from mapreducekmean_spark.sources.bucketing import upsert_partitions
+
+    marker = os.path.join(path, "_agg_applied")
+    if batch_id <= _read_high_water(marker):
+        return {"touched_buckets": 0, "rows_written": 0}
+
+    def _advance_marker() -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(batch_id)))
+        os.replace(tmp, marker)
 
     with open(os.path.join(path, "_agg_meta.json")) as f:
         meta = json.load(f)
@@ -547,6 +571,10 @@ def apply_agg_delta(
         how="left_anti",
     )
     if not unapplied.take(1):
+        # fully applied but the marker lagged (e.g. crash after the
+        # swap, before the marker write): advance it so the NEXT
+        # replay is O(1) instead of re-probing.
+        _advance_marker()
         return {"touched_buckets": len(touched), "rows_written": 0}
     l = landed.alias("l")
     d = delta.alias("d")
@@ -611,9 +639,11 @@ def apply_agg_delta(
         .localCheckpoint()
     )
     upsert_partitions(merged, path, "kb")
+    n_written = merged.count()
+    _advance_marker()
     return {
         "touched_buckets": len(touched),
-        "rows_written": merged.count(),
+        "rows_written": n_written,
     }
 
 

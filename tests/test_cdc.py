@@ -579,6 +579,12 @@ def test_agg_delta_replay_and_partial_commit_converge(spark, tmp_path):
     apply_agg_delta(
         spark, delta.filter(key_bucket("k") == one_kb), path2, batch_id=1
     )
+    # a crash mid-swap never reaches the r14 _agg_applied marker
+    # write — remove the marker the completed partial call wrote so
+    # the replay exercises the per-key watermark, not the skip
+    import os
+
+    os.remove(os.path.join(path2, "_agg_applied"))
     apply_agg_delta(spark, delta, path2, batch_id=1)
     assert _agg_rows(spark, path2) == once
 
@@ -806,7 +812,12 @@ def test_agg_delta_full_replay_is_read_only(spark, tmp_path):
     assert _agg_rows(spark, path) == once
 
     # a partial application (one bucket's keys already at the
-    # watermark) must NOT take the fast path
+    # watermark, marker NOT yet advanced — the mid-commit crash
+    # window: the r14 _agg_applied marker is written only after the
+    # fold completes, so a crash leaves it behind) must NOT take
+    # either fast path: delete the marker the completed partial call
+    # wrote to simulate the crash, then the full replay must merge
+    # and converge under the per-key watermark.
     path2 = str(tmp_path / "agg2")
     land_agg_snapshot(base, path2, key="k", sums=["v"])
     one_kb = delta.select(
@@ -815,9 +826,49 @@ def test_agg_delta_full_replay_is_read_only(spark, tmp_path):
     apply_agg_delta(
         spark, delta.filter(key_bucket("k") == one_kb), path2, batch_id=1
     )
+    os.remove(os.path.join(path2, "_agg_applied"))  # crash before marker
     full = apply_agg_delta(spark, delta, path2, batch_id=1)
     assert full["rows_written"] > 0
     assert _agg_rows(spark, path2) == once
+
+
+def test_agg_delta_marker_makes_replay_o1(spark, tmp_path):
+    """The r14 batch-id marker: replaying a fully applied batch skips
+    BEFORE computing the batch's delta aggregate (touched_buckets 0 —
+    the read-only probe path reports the real touched count, the
+    marker path reports zero work), and a marker deleted after a
+    completed fold (the crash-after-swap window) falls back to the
+    read-only probe, which re-advances it so the NEXT replay is O(1)
+    again."""
+    import os
+
+    from mapreducekmean_spark.operators.cdc import (
+        apply_agg_delta,
+        land_agg_snapshot,
+    )
+
+    rows = spark.range(100).select(
+        (F.col("id") % 11).alias("k"), F.lit(1).alias("v")
+    )
+    path = str(tmp_path / "agg")
+    land_agg_snapshot(rows, path, key="k", sums=["v"])
+    first = apply_agg_delta(spark, rows, path, batch_id=1)
+    assert first["rows_written"] > 0
+    # marker skip: zero touched buckets reported
+    assert apply_agg_delta(spark, rows, path, batch_id=1) == {
+        "touched_buckets": 0,
+        "rows_written": 0,
+    }
+    # crash-after-swap: marker gone, probe path finds nothing fresh,
+    # re-advances the marker
+    os.remove(os.path.join(path, "_agg_applied"))
+    probe = apply_agg_delta(spark, rows, path, batch_id=1)
+    assert probe["rows_written"] == 0 and probe["touched_buckets"] > 0
+    assert os.path.exists(os.path.join(path, "_agg_applied"))
+    assert apply_agg_delta(spark, rows, path, batch_id=1) == {
+        "touched_buckets": 0,
+        "rows_written": 0,
+    }
 
 
 def test_stream_quality_deciles_maintenance_end_to_end(spark, tmp_path):
