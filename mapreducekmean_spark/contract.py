@@ -2922,10 +2922,14 @@ FROM documents
         Query(
             "embedding_stats", _embedding_stats_q, _EMBEDDING_STATS_SQL
         ),
-        # round-14 declarations - mid-registry (the r14 window's 50
-        # slots are committed to the generated rotation — see the
-        # ROUND-14 ROTATION note); they lead the round-15 window,
-        # pytest oracle as interim evidence.
+        # round-14 declarations. Declared here mid-round, then pulled
+        # INTO the r14 check window by re-running
+        # `scripts/rotate_window.py --write` (never-checked queries
+        # rank first): with the rotation generated, a mid-round
+        # re-rotation is one command, so new declarations get driver
+        # rows in their OWN round instead of waiting one (the r13
+        # verdict's recurring gap #1). The five displaced r11-vintage
+        # entries carry mid-registry and lead the round-15 window.
         Query(
             "seq_len_histogram_delta",
             _seq_len_histogram_delta_q,
@@ -6757,27 +6761,13 @@ def _queries_core() -> list[Query]:
 #: (tests/test_contract.py) are safest to land past any cutoff, so they go
 #: last.
 _CHECK_FIRST = (
-    # ROUND-14 ROTATION — GENERATED by scripts/rotate_window.py from
-    # CORRECTNESS_r01..r13 (run it with --check to verify; the pytest
-    # twin is tests/test_contract.py::test_rotation_matches_generator).
-    # CORRECTNESS_r13.json checked the first 50 of the 169 declared
-    # queries (the r13 window) 50/50 value-hash green. Candidates =
-    # queries with no r13 row, worst evidence first: kmeans_mllib
-    # (rows-only by design; its r12 any-row check aged out) + the 9
-    # never-checked mid-r13 declarations lead, then the 10 r10-vintage
-    # stragglers carried from the r13 plan, then the r11-green block in
-    # its r11-artifact order — 30 of the 50 fit; the 20 newest
-    # r11-greens (word_count .. ann_quantized) and the 48 r12-greens
-    # CARRY mid-registry one more round and lead the round-15 window.
-    # MID-REGISTRY NOTE (how carried entries stay legal): the rotation
-    # tripwire truncates the stale list to its first 50 entries in
-    # registry order; every window entry below lacks a CORRECTNESS_r13
-    # row, so the truncated stale list IS this window, and the carried
-    # blocks plus any new round-14 declarations sit past the truncation
-    # horizon. They are NOT in _STALE_OK (the two-artifact bound would
-    # fail for r11 vintages once the r14 artifact lands); the tripwire
-    # goes red for them — by design — the moment CORRECTNESS_r14.json
-    # lands, forcing the round-15 rotation.
+    # ROUND-14 ROTATION — GENERATED by
+    # scripts/rotate_window.py --write from
+    # CORRECTNESS_r01..r13 (verify with --check; pytest twin:
+    # tests/test_contract.py::test_rotation_matches_generator). Rules in the
+    # script docstring; carried overflow rides the
+    # stale-list truncation mid-registry and leads the
+    # round-15 window.
     "kmeans_mllib",
     "host_stats_delta",
     "dataset_importance",
@@ -6788,6 +6778,11 @@ _CHECK_FIRST = (
     "embedding_stats",
     "audio_fp_real",
     "video_dhash_real",
+    "seq_len_histogram_delta",
+    "embedding_stats_delta",
+    "blocklist_filter",
+    "video_scene_cuts",
+    "audio_segments_real",
     "ann_ivfpq_refined",
     "ann_ivfpq_refined_recall",
     "dedup_semantic",
@@ -6823,11 +6818,6 @@ _CHECK_FIRST = (
     "tpch_q12_late_priority",
     "tpch_q21_waiting_supplier",
     "tpch_q11_part_value",
-    "tpch_q2_best_supplier",
-    "tpch_q20_excess_volume",
-    "multimodal_resize_plan",
-    "multimodal_frame_plan",
-    "decontaminate",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared
@@ -6896,9 +6886,6 @@ _STALE_OK = (
 )
 
 _CHECK_LAST = (
-    # the value-hash-green subset of the round-13 window (r13-green,
-    # freshest evidence — safest past any cutoff), in its r13 window
-    # order:
     "tpch_q18_large_orders",
     "tpch_q13_custdist",
     "tpch_q16_supplier_cnt",

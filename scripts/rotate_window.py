@@ -152,6 +152,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--check", action="store_true", help="verify contract.py matches")
     ap.add_argument(
+        "--write",
+        action="store_true",
+        help="rewrite the three tuples in contract.py in place (the "
+        "round-start rotation as a generated diff)",
+    )
+    ap.add_argument(
         "--max-carry-age",
         type=int,
         default=4,
@@ -186,6 +192,53 @@ def main() -> int:
             ok = False
         print("rotation matches generator" if ok else "ROTATION DRIFT")
         return 0 if ok else 1
+
+    if args.write:
+        contract_path = os.path.join(
+            _REPO, "mapreducekmean_spark", "contract.py"
+        )
+        with open(contract_path) as f:
+            src = f.read()
+
+        def tuple_block(name: str, names: list[str], comment: str) -> str:
+            body = "".join(f'    "{n}",\n' for n in names)
+            return f"{name} = (\n{comment}{body})\n"
+
+        gen_note = (
+            f"    # ROUND-{latest_round + 1} ROTATION — GENERATED by\n"
+            f"    # scripts/rotate_window.py --write from\n"
+            f"    # CORRECTNESS_r01..r{latest_round:02d} (verify with "
+            f"--check; pytest twin:\n"
+            f"    # tests/test_contract.py::"
+            f"test_rotation_matches_generator). Rules in the\n"
+            f"    # script docstring; carried overflow rides the\n"
+            f"    # stale-list truncation mid-registry and leads the\n"
+            f"    # round-{latest_round + 2} window.\n"
+        )
+        for name, names_list, comment in (
+            ("_CHECK_FIRST", check_first, gen_note),
+            ("_STALE_OK", stale_ok, ""),
+            ("_CHECK_LAST", check_last, ""),
+        ):
+            pat = re.compile(rf"^{name} = \(\n.*?^\)\n", re.S | re.M)
+            if not pat.search(src):
+                print(f"cannot find {name} block in contract.py")
+                return 1
+            src = pat.sub(
+                tuple_block(name, names_list, comment).replace(
+                    "\\", "\\\\"
+                ),
+                src,
+                count=1,
+            )
+        with open(contract_path, "w") as f:
+            f.write(src)
+        print(
+            f"wrote ROUND-{latest_round + 1} rotation into contract.py "
+            f"({len(check_first)} window / {len(stale_ok)} stale-ok / "
+            f"{len(carry)} carried)"
+        )
+        return 0
 
     print(f"# ROUND-{latest_round + 1} ROTATION (generated by scripts/rotate_window.py")
     print(f"# from CORRECTNESS_r01..r{latest_round:02d}; window={WINDOW}).")
