@@ -557,3 +557,58 @@ def test_chunk_documents_matches_python_reference(spark, words, size, stride):
     # alphabet above makes each hypothesis word one token already
     want = sorted(_ref_chunks(words, size, stride))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=65, max_size=65
+    ),
+    st.sampled_from([1, 7]),
+)
+@settings(max_examples=8, deadline=None)
+def test_audio_segments_partition_windows_property(spark, data, fmt):
+    """Activity segmentation invariants over arbitrary 65-sample WAV
+    payloads (both codec branches): the emitted segments PARTITION
+    [0, FP_WINDOWS) exactly (contiguous, non-overlapping, covering),
+    consecutive segments alternate active flags (maximality), and
+    every window's flag equals the decoder-side reference computed
+    directly from the shared energy envelope."""
+    import struct
+
+    from mapreducekmean_spark.multimodal import (
+        AUDIO_ACTIVE_THRESHOLD,
+        FP_WINDOWS,
+        _audio_window_energies,
+        _decode_audio_wav,
+        audio_activity_segments,
+    )
+
+    body = bytes(data)
+    fmt_body = struct.pack("<HHIIHH", fmt, 1, 8000, 8000, 1, 8)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    assets = spark.createDataFrame(
+        [(1, "audio", payload)],
+        "asset_id bigint, modality string, payload binary",
+    )
+    segs = sorted(
+        (r.seg_start, r.seg_end, r.n_windows, r.active)
+        for r in audio_activity_segments(assets).collect()
+    )
+    # partition of [0, FP_WINDOWS): contiguous and covering
+    assert segs[0][0] == 0 and segs[-1][1] == FP_WINDOWS - 1
+    for (s, e, n, _a), (s2, _e2, _n2, _a2) in zip(segs, segs[1:]):
+        assert e + 1 == s2 and n == e - s + 1
+    # maximality: flags alternate
+    for (_s, _e, _n, a), (_s2, _e2, _n2, a2) in zip(segs, segs[1:]):
+        assert a != a2
+    # reference flags from the shared envelope
+    ref = (
+        _audio_window_energies(_decode_audio_wav(payload)[0])
+        >= AUDIO_ACTIVE_THRESHOLD
+    )
+    for s, e, _n, a in segs:
+        assert all(bool(ref[w]) == a for w in range(s, e + 1))
