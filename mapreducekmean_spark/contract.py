@@ -2472,6 +2472,47 @@ FROM documents d LEFT JOIN perdoc USING (doc_id)
 """
 
 
+def _bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.py:bpe_fertility_by_source — tokenizer fertility
+    (BPE tokens per word, chars per token) per source off the same
+    corpus-trained merge table as bpe_token_stats; the twin replays
+    training via _bpe_dict_parts and groups by source."""
+    from mapreducekmean_spark.operators.bpe import bpe_fertility_by_source
+
+    return bpe_fertility_by_source(tx.documents(spark, sf_dir))
+
+
+def _bpe_fertility_sql(n_merges: int | None = None) -> str:
+    """``bpe.bpe_fertility_by_source`` as one DuckDB statement: the
+    bpe_token_stats training replay, grouped by source with
+    word/token/char integer totals and two 6-dp single-division
+    ratios."""
+    from mapreducekmean_spark.operators.bpe import BPE_MERGES
+
+    n = int(BPE_MERGES if n_merges is None else n_merges)
+    parts, final, _used = _bpe_dict_parts(n)
+    return f"""
+WITH {",".join(parts)},
+enc AS (
+  SELECT word, len(syms) AS tpw, length(word) AS cpw FROM {final}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(tpw) AS BIGINT) AS n_tokens,
+       CAST(sum(cpw) AS BIGINT) AS n_chars,
+       round(CAST(sum(tpw) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(cpw) AS DOUBLE) / CAST(sum(tpw) AS DOUBLE), 6)
+         AS chars_per_token
+FROM (SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents) w
+JOIN enc USING (word)
+GROUP BY source
+"""
+
+
 def _pack_sequences_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bpe.py:pack_sequences_bpe — sequence packing measured
     in REAL BPE tokenizer tokens (train on the corpus, count per doc,
@@ -2754,6 +2795,13 @@ def _queries_text() -> list[Query]:
             "bpe_token_stats",
             lambda spark, sf_dir: _bpe_token_stats_q(spark, sf_dir),
             _bpe_token_stats_sql(),
+        ),
+        # round-14 declaration (rotated into the r14 window by
+        # rotate_window --write, the new-declaration policy):
+        Query(
+            "bpe_fertility",
+            _bpe_fertility_q,
+            _bpe_fertility_sql(),
         ),
         Query(
             "word_count",
@@ -6783,6 +6831,7 @@ _CHECK_FIRST = (
     "blocklist_filter",
     "video_scene_cuts",
     "audio_segments_real",
+    "bpe_fertility",
     "ann_ivfpq_refined",
     "ann_ivfpq_refined_recall",
     "dedup_semantic",
@@ -6817,7 +6866,6 @@ _CHECK_FIRST = (
     "tpch_q8_mkt_share",
     "tpch_q12_late_priority",
     "tpch_q21_waiting_supplier",
-    "tpch_q11_part_value",
 )
 
 #: The deliberate cap-trade (see _CHECK_FIRST comment): declared

@@ -251,6 +251,63 @@ def bpe_token_stats(
     )
 
 
+def bpe_fertility_by_source(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Tokenizer fertility report by source — the mixture diagnostic a
+    pretraining pipeline reads when a tokenizer is trained or a new
+    source lands: per source, word/token/char totals plus
+    ``fertility`` (BPE tokens per word) and ``chars_per_token``, both
+    6-dp rounds of ONE IEEE division of exact integer totals. High
+    fertility flags sources the tokenizer serves poorly (wrong
+    script, code, noise) — exactly what drives mixture and tokenizer
+    re-training decisions.
+
+    Chars are counted over the tokenized words (alphanumeric runs),
+    so all three totals share one definition with
+    :func:`bpe_token_stats` and the twin. A source whose documents
+    contain no tokens contributes no row (GROUP BY semantics, both
+    engines).
+
+    Scale shape: the training replay is corpus-size-independent
+    (rounds over the distinct-word dict — the ``bpe_train`` note);
+    the report is one token-keyed explode joined against the
+    broadcast vocabulary-sized dict, partial-agg'd to one row per
+    source."""
+    _merges, d = bpe_train(docs, n_merges)
+    enc = d.select(
+        "word",
+        F.size("syms").alias("toks_per_word"),
+        F.length("word").alias("chars_per_word"),
+    )
+    per_src = (
+        docs.select("source", F.explode(tokens("text")).alias("word"))
+        .join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("toks_per_word").cast("bigint").alias("n_tokens"),
+            F.sum("chars_per_word").cast("bigint").alias("n_chars"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 def pack_sequences_bpe(
     docs: DataFrame, budget: int | None = None, n_merges: int = BPE_MERGES
 ) -> DataFrame:

@@ -2215,3 +2215,37 @@ def test_audio_activity_segments_constructed(spark):
         (r.seg_start, r.seg_end, r.active) for r in by_asset[2]
     ] == [(0, FP_WINDOWS - 1, False)]
     assert len(by_asset[3]) == 1 and not by_asset[3][0].ok
+
+
+def test_bpe_fertility_totals_consistent_with_token_stats(spark):
+    """The fertility report's totals must reconcile with the per-doc
+    bpe_token_stats over the same corpus (same trained merges, same
+    definition of words/tokens), and the ratios must be the 6-dp
+    single divisions of those integer totals."""
+    from mapreducekmean_spark.operators.bpe import (
+        bpe_fertility_by_source,
+        bpe_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "lower lower newer newest low low low"),
+            (2, "s1", "wider wide widest new newer"),
+            (3, "s2", "low lower lowest"),
+            (4, "s2", "???"),                     # token-free
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    fert = {r.source: r for r in bpe_fertility_by_source(docs).collect()}
+    per_doc = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    assert fert["s1"].n_words == (
+        per_doc[1].n_words + per_doc[2].n_words
+    )
+    assert fert["s1"].n_tokens == (
+        per_doc[1].n_tokens + per_doc[2].n_tokens
+    )
+    assert fert["s2"].n_words == per_doc[3].n_words  # doc 4 contributes 0
+    for r in fert.values():
+        assert r.fertility == round(r.n_tokens / r.n_words, 6)
+        assert r.chars_per_token == round(r.n_chars / r.n_tokens, 6)
+        assert r.fertility >= 1.0  # a word is at least one token
