@@ -86,22 +86,31 @@ def centroid_literal_sql(centroids: Sequence[Sequence[float]]) -> str:
     round-trips doubles exactly and the SQL parser reads them back
     correctly rounded, so values are bit-identical to ``F.lit``.
     """
-    def lit(v: float) -> str:
-        v = float(v)
-        # repr(inf/nan) would emit `infD` → unresolved-column error; use
-        # the parseable cast forms (same values F.lit would produce).
-        if v != v:
-            return "CAST('NaN' AS DOUBLE)"
-        if v == float("inf"):
-            return "CAST('Infinity' AS DOUBLE)"
-        if v == float("-inf"):
-            return "CAST('-Infinity' AS DOUBLE)"
-        return f"{v!r}D"
-
-    inner = ",".join(
-        "array(" + ",".join(lit(v) for v in c) + ")" for c in centroids
-    )
+    inner = ",".join(double_array_literal_sql(c) for c in centroids)
     return f"array({inner})"
+
+
+def double_literal_sql(v: float) -> str:
+    """One double as a parseable SQL literal, bit-identical to ``F.lit``.
+
+    ``repr()`` round-trips doubles exactly and the SQL parser reads them
+    back correctly rounded; ``repr(inf/nan)`` would emit ``infD`` → an
+    unresolved-column error, so those use the parseable cast forms."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def double_array_literal_sql(values: Sequence[float]) -> str:
+    """A 1-D double array as one parseable SQL literal (the
+    ``centroid_literal_sql`` discipline for flat vectors): one parsed
+    string instead of one py4j ``F.lit`` round trip per element."""
+    return "array(" + ",".join(double_literal_sql(v) for v in values) + ")"
 
 
 def argmin_index(dists: Column) -> Column:

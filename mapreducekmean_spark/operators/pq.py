@@ -557,16 +557,19 @@ def _residual_col(cents: list[list[float]], dim: int) -> Column:
     centroid table folds in as a literal indexed by the row's cell —
     ncells×dim literal doubles, far below the expression sizes that
     break janino (the per-CODE unroll _codes_np replaced was m×k×ds
-    DISTANCES, not one subtraction)."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
-    cellcent = F.element_at(cent_lit, (F.col("cell") + 1).cast("int"))
-    return F.array(
-        *[
-            F.element_at(F.col("emb"), i + 1) - F.element_at(cellcent, i + 1)
-            for i in range(dim)
-        ]
+    DISTANCES, not one subtraction).
+
+    Optimization r14 (guide §3.3/§5): one parsed ``zip_with`` over a
+    single centroid literal instead of ``dim`` unrolled element_at
+    subtractions each re-embedding the ncells×dim literal — the tree
+    shrinks ~dim×, plan construction is one py4j call, and the
+    elementwise subtraction (no fold) stays bit-identical."""
+    from mapreducekmean_spark.functions.vector import centroid_literal_sql
+
+    del dim  # width is carried by the arrays themselves
+    return F.expr(
+        f"zip_with(emb, element_at({centroid_literal_sql(cents)}, "
+        "CAST(cell + 1 AS INT)), (x, y) -> x - y)"
     )
 
 

@@ -1287,18 +1287,26 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = {r.pos: r.mn for r in stats}
     mx = {r.pos: r.mx for r in stats}
     dims = sorted(mn)
-    mn_arr = F.array(*[F.lit(mn[i]) for i in dims])
-    mx_arr = F.array(*[F.lit(mx[i]) for i in dims])
-    qvec = F.transform(
-        "emb",
-        lambda x, i: F.when(
-            F.element_at(mx_arr, i + 1) > F.element_at(mn_arr, i + 1),
-            F.floor(
-                (x - F.element_at(mn_arr, i + 1))
-                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
-                * QUANT_LEVELS
-            ).cast("int"),
-        ).otherwise(F.lit(0)),
+    # One parsed expression zipping against a SINGLE (mn, mx) struct-
+    # array literal (optimization r14, guide §3.3/§5): the F.transform
+    # lambda form re-embedded the two 64-literal arrays at each of its
+    # five element_at references — a ~640-literal tree rebuilt through
+    # py4j F.lit calls and re-analyzed by every downstream
+    # transformation. zip_with references the literal once, so the tree
+    # shrinks ~5× and construction is one parse. Same arithmetic, same
+    # IEEE op order — codes are bit-identical (zip_with pairs
+    # emb[i] with the i-th struct exactly as element_at(arr, i+1) did).
+    from mapreducekmean_spark.functions.vector import double_literal_sql
+
+    mm_sql = "array(" + ",".join(
+        f"named_struct('mn',{double_literal_sql(mn[i])},"
+        f"'mx',{double_literal_sql(mx[i])})"
+        for i in dims
+    ) + ")"
+    qvec = F.expr(
+        f"zip_with(emb, {mm_sql}, (x, s) -> CASE WHEN s.mx > s.mn THEN "
+        f"CAST(floor((x - s.mn) / (s.mx - s.mn) * {QUANT_LEVELS}) AS INT) "
+        "ELSE 0 END)"
     )
     out = pts.select("vec_id", qvec.alias("qvec"))
     norm2 = F.aggregate(
