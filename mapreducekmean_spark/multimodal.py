@@ -67,6 +67,11 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a deterministic multimodal fixture: document text encoded as
     the binary payload (stand-in for real image/audio bytes), modality
     round-robined, metadata synthesized."""
+    # NOT widened (cf. the synthetic_* builders): this source feeds the
+    # fake-codec/planning-slice queries whose per-row kernel is a cheap
+    # md5 — measured, the widening exchange costs more than the serial
+    # kernel saves (multimodal_checksums 0.33 s → 0.61 s); the real
+    # decode paths use the synthetic builders, which do widen.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -1879,6 +1884,12 @@ def synthetic_p6_assets(docs: DataFrame) -> DataFrame:
     the payload is therefore CLOSED-FORM in doc_id — computable in
     ANSI SQL — which is what lets :func:`image_dhash_real`'s driver
     row value-hash the real decoder end-to-end."""
+    from mapreducekmean_spark.functions.skew import widen_narrow_scan
+
+    # keep only the driving column, then widen a narrow scan so the
+    # synthesis HOF and the downstream Arrow decode kernel parallelize
+    # (optimization r14; identity on well-partitioned inputs)
+    docs = widen_narrow_scan(docs.select("doc_id"))
     header_hex = "P6\n9 8\n255\n".encode().hex().upper()
     pix_hex = F.concat_ws(
         "",
@@ -2426,6 +2437,13 @@ def synthetic_wav_assets(docs: DataFrame) -> DataFrame:
     the engine's float comparisons equal the twin's integer ones."""
     import struct
 
+    from mapreducekmean_spark.functions.skew import widen_narrow_scan
+
+    # keep only the driving column, then widen a narrow scan so the
+    # synthesis HOF and the downstream Arrow decode kernel parallelize
+    # (optimization r14; identity on well-partitioned inputs)
+    docs = widen_narrow_scan(docs.select("doc_id"))
+
     def hdr(fmt_code: int) -> str:
         fmt_body = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
         return (
@@ -2494,6 +2512,12 @@ def synthetic_y4m_assets(docs: DataFrame) -> DataFrame:
     ``i = r·9+c`` vs ``i+1``. The +17·f frame salt makes frames of one
     clip differ, so a frame-index regression changes values, not just
     counts."""
+    from mapreducekmean_spark.functions.skew import widen_narrow_scan
+
+    # keep only the driving column, then widen a narrow scan so the
+    # synthesis HOF and the downstream Arrow decode kernel parallelize
+    # (optimization r14; identity on well-partitioned inputs)
+    docs = widen_narrow_scan(docs.select("doc_id"))
     header_hex = b"YUV4MPEG2 W9 H8 C444\n".hex().upper()
     frame_marker_hex = b"FRAME\n".hex().upper()
     uv_hex = ("80" * 144).upper()  # constant U+V planes (72 bytes each)
