@@ -297,13 +297,19 @@ def lloyd(
             f"k={k} exceeds the {len(cents)} distinct input points; "
             f"reduce k or supply more points"
         )
-    blocks = _numpy_blocks(points).cache()
+    blocks = _numpy_blocks(points)
+    # Caching pays off only when the loop re-reads the blocks across
+    # per-iteration jobs; the one-partition path runs exactly one job.
+    cache = blocks.getNumPartitions() > 1
+    if cache:
+        blocks = blocks.cache()
     try:
         cents, history, converged, it = _iterate(
             blocks, cents, k, max_iter, tol
         )
     finally:
-        blocks.unpersist()
+        if cache:
+            blocks.unpersist()
     return LloydResult(cents, it, converged, history)
 
 
@@ -366,6 +372,80 @@ def _numpy_blocks(points: DataFrame):
     return packed.rdd.map(unpack)
 
 
+def _block_partials(X, C):
+    """Per-block Lloyd partials: (k×d sums, k counts) of the nearest-
+    centroid assignment of ``X`` against ``C``. The ONE copy of the
+    iteration math — both the distributed per-iteration jobs and the
+    single-task loop call this, so their arithmetic is identical by
+    construction.
+
+    Exactness: squared-L2 accumulates per-dimension (``acc += d*d`` one
+    dimension at a time), bit-identical to the sequential HOF fold in
+    ``functions/vector.py``; ``argmin`` is first-wins like the strict
+    ``<`` compare at ``PointsMapper.java:70-74``.
+    """
+    import numpy as np
+
+    k_, dim = C.shape
+    n_loc = X.shape[0]
+    dists = np.empty((n_loc, k_))
+    for j in range(k_):
+        acc = np.zeros(n_loc)
+        for d in range(dim):
+            diff = X[:, d] - C[j, d]
+            acc += diff * diff
+        dists[:, j] = acc
+    a = np.argmin(dists, axis=1)
+    sums = np.zeros((k_, dim))
+    counts = np.zeros(k_, dtype=np.int64)
+    for j in range(k_):
+        m = a == j
+        counts[j] = int(m.sum())
+        if counts[j]:
+            sums[j] = X[m].sum(axis=0)
+    return sums, counts
+
+
+def _advance(C, sums, counts, tol):
+    """One centroid update step: empty clusters keep the previous
+    centroid (``KMeans.java:129-144``); movement is the max per-coordinate
+    abs delta (``KMeans.java:102-111``). Shared by both loop drivers."""
+    import numpy as np
+
+    new = C.copy()  # empty clusters keep the previous centroid
+    nz = counts > 0
+    new[nz] = sums[nz] / counts[nz, None]
+    move = float(np.max(np.abs(new - C))) if C.shape[0] else 0.0
+    return new, move, move < tol
+
+
+def _loop_over_blocks(blks, C, max_iter, tol):
+    """The Lloyd loop over an in-memory list of (ids, X) blocks — the
+    single-partition body. Partials fold left in block order, exactly the
+    order a one-partition ``treeReduce`` folds its per-block results, so
+    the centroids are bit-identical to the distributed path's."""
+    history: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        sums = counts = None
+        for _ids, X in blks:
+            s, c = _block_partials(X, C)
+            if sums is None:
+                sums, counts = s, c
+            else:
+                sums = sums + s
+                counts = counts + c
+        if sums is None:
+            raise ValueError("empty input: no blocks to iterate over")
+        C, move, done = _advance(C, sums, counts, tol)
+        history.append(move)
+        if done:
+            converged = True
+            break
+    return C, history, converged, it
+
+
 def _iterate(blocks, cents, k, max_iter, tol):
     """The per-iteration engine: broadcast C, one ``treeReduce`` of
     (k×d sums, k counts) per iteration — the map→combine→shuffle→reduce
@@ -383,10 +463,15 @@ def _iterate(blocks, cents, k, max_iter, tol):
     iteration planning: ≈0.21 s/iter measured, same assignments
     (0 mismatches over 20 iterations at sf0.1).
 
-    Exactness: squared-L2 accumulates per-dimension (``acc += d*d`` one
-    dimension at a time), bit-identical to the sequential HOF fold in
-    ``functions/vector.py``; ``argmin`` is first-wins like the strict
-    ``<`` compare at ``PointsMapper.java:70-74``.
+    Adaptive single-task fold: when ``blocks`` has ONE partition, every
+    per-iteration job is a one-task job whose reduce is just that
+    partition's left fold — so the whole loop runs inside a single task
+    (``mapPartitions`` over the same blocks, same ``_block_partials`` /
+    ``_advance`` math, same fold order → bit-identical centroids),
+    turning up-to-20 jobs into 1. This build's Python-task floor is
+    ~150 ms/job regardless of work, so the collapse is worth ~3 s at
+    fixture scale; on production inputs (many partitions) the
+    distributed per-iteration loop below runs unchanged.
     """
     import numpy as np
 
@@ -396,6 +481,14 @@ def _iterate(blocks, cents, k, max_iter, tol):
     history: list[float] = []
     converged = False
     it = 0
+    if blocks.getNumPartitions() == 1:
+        max_iter_, tol_ = max_iter, tol
+
+        def run(parts_iter):
+            yield _loop_over_blocks(list(parts_iter), C, max_iter_, tol_)
+
+        C, history, converged, it = blocks.mapPartitions(run).collect()[0]
+        return [list(map(float, c)) for c in C], history, converged, it
     # tree depth scales with partition count like MLlib's treeAggregate:
     # a depth-2 merge bounds driver fan-in at ~sqrt(P) for the
     # 1000-executor case; below ~64 partitions a single reduce suffices
@@ -406,37 +499,16 @@ def _iterate(blocks, cents, k, max_iter, tol):
         bc = sc.broadcast(C)
 
         def part(block):
-            ids, X = block
-            Cl = bc.value
-            n_loc = X.shape[0]
-            dists = np.empty((n_loc, k_))
-            for j in range(k_):
-                acc = np.zeros(n_loc)
-                for d in range(dim):
-                    diff = X[:, d] - Cl[j, d]
-                    acc += diff * diff
-                dists[:, j] = acc
-            a = np.argmin(dists, axis=1)
-            sums = np.zeros((k_, dim))
-            counts = np.zeros(k_, dtype=np.int64)
-            for j in range(k_):
-                m = a == j
-                counts[j] = int(m.sum())
-                if counts[j]:
-                    sums[j] = X[m].sum(axis=0)
-            return sums, counts
+            _ids, X = block
+            return _block_partials(X, bc.value)
 
         sums, counts = blocks.map(part).treeReduce(
             lambda x, y: (x[0] + y[0], x[1] + y[1]), depth=depth
         )
         bc.unpersist()
-        new = C.copy()  # empty clusters keep the previous centroid
-        nz = counts > 0
-        new[nz] = sums[nz] / counts[nz, None]
-        move = float(np.max(np.abs(new - C))) if k_ else 0.0
+        C, move, done = _advance(C, sums, counts, tol)
         history.append(move)
-        C = new
-        if move < tol:
+        if done:
             converged = True
             break
     return [list(map(float, c)) for c in C], history, converged, it
