@@ -224,6 +224,13 @@ def gram_rows(
     ``with_pos=True`` additionally carries the gram's 0-based token
     position (for positional consumers like winnowing).
 
+    NOT widened (optimization r14): a paired interleaved A/B of
+    ``widen_narrow_scan`` on the (doc_id, text) projection measured a
+    net LOSS across the gram consumers (bigram_lm +0.31 s,
+    decontaminate +0.11 s, corpus_clean +0.17 s vs ~-0.1 s on the two
+    heaviest) — the tokenizer is too cheap to pay the extra exchange,
+    unlike the multimodal Arrow decode kernels where widening won 2-3x.
+
     PRECONDITION: ``doc_id`` uniquely identifies a row of ``docs``. The
     window stitches grams from consecutive rows of one doc_id
     partition; two DIFFERENT documents sharing an id would interleave
@@ -1033,12 +1040,16 @@ def apply_substring_dedup(
             ),
         ).alias("clean_text"),
     )
-    totals = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens")
+    # n_tokens == the exploded row count per doc == size(tokens(text)):
+    # a scan-site projection, replacing a whole second tokenize →
+    # posexplode → aggregate branch (and its exchange) for the same
+    # value (size() is 0 exactly when posexplode emits no rows)
+    totals = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
     return (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
+        totals
         .join(reassembled, "doc_id", "left")
         .select(
             "doc_id",

@@ -188,7 +188,15 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
-    r = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    # The loop state ``r`` is referenced exactly ONCE per iteration (the
+    # contribution join), so the unrolled plan is a linear chain — no
+    # subtree duplication — and the whole fixed-iteration loop compiles
+    # into ONE job with ``iters`` chained exchanges instead of one
+    # materialization job per iteration (optimization r14, guide §2.4:
+    # this build's per-job floor is ~150 ms; k_core/CC keep their
+    # checkpoints because their state is referenced 2-3x per pass).
+    # Expressions are unchanged, so ranks stay bit-identical.
+    r = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = (
             adj.join(r, adj.src == r.node)
@@ -210,7 +218,7 @@ def pagerank(
         r = summed.select(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
-        ).localCheckpoint()
+        )
     return r
 
 

@@ -344,8 +344,14 @@ def dedup_delta(
     idx_sizes = read_bucketed(spark, f"{name}_sizes")
     # the sizes table is the full landed-id roster (one row per doc,
     # short docs included), so this max is the true landed ceiling.
-    max_landed = idx_sizes.agg(F.max("doc_id")).collect()[0][0]
-    min_new = new_docs.agg(F.min("doc_id")).collect()[0][0]
+    # one job for both 1-row bounds (a crossJoin of two single-row
+    # aggregates), not two sequential collects
+    (bounds_row,) = (
+        idx_sizes.agg(F.max("doc_id").alias("_mx"))
+        .crossJoin(new_docs.agg(F.min("doc_id").alias("_mn")))
+        .collect()
+    )
+    max_landed, min_new = bounds_row["_mx"], bounds_row["_mn"]
     if max_landed is not None and min_new is not None and (
         min_new <= max_landed
     ):

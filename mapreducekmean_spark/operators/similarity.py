@@ -1051,64 +1051,91 @@ def semantic_dedup_delta(
         int(r.cell) for r in b.select("cell").distinct().collect()
     )  # bounded: ≤ ncells driver rows
     landed_raw = _landed_cells_scan(spark, path, touched)
-    # landed copies of batch ids are a crashed-append replay ONLY if
-    # the payload matches bit-for-bit; the same id carrying a different
-    # embedding is an id collision the verdict orientation cannot
-    # survive, so it refuses instead of silently dropping a landed row
-    collision = (
-        landed_raw.join(
-            F.broadcast(b.select("vec_id", F.col("emb").alias("b_emb"))),
-            "vec_id",
-        )
-        .filter(F.col("emb") != F.col("b_emb"))
-        .limit(1)
-        .collect()
-    )
-    if collision:
-        raise ValueError(
-            f"semantic_dedup_delta id collision: landed vec_id "
-            f"{collision[0]['vec_id']} carries a different embedding "
-            f"than the batch row with the same id — not a replay. "
-            f"Re-id the batch above the landed ceiling."
-        )
     landed = (
         # drop landed copies of batch ids (crashed-append replay)
         landed_raw.join(F.broadcast(b.select("vec_id")), "vec_id",
                         "left_anti")
     ).localCheckpoint()
-    # monotone-id contract, per the cells that actually interact: a
+    # THREE guard probes, ONE job: each probe is a limit(1) subtree and
+    # they touch already-materialized frames, so running them as a
+    # 3-way union collect costs one job instead of three (the probes
+    # fire never on a healthy index — this is pure job-count savings;
+    # identical error semantics, checked per kind below).
+    # (a) landed copies of batch ids are a crashed-append replay ONLY
+    # if the payload matches bit-for-bit; the same id carrying a
+    # different embedding is an id collision the verdict orientation
+    # cannot survive, so it refuses instead of silently dropping a row
+    collision_p = (
+        landed_raw.join(
+            F.broadcast(b.select("vec_id", F.col("emb").alias("b_emb"))),
+            "vec_id",
+        )
+        .filter(F.col("emb") != F.col("b_emb"))
+        .select(
+            F.lit("collision").alias("kind"),
+            F.col("vec_id").cast("bigint").alias("k1"),
+            F.lit(0).cast("bigint").alias("k2"),
+            F.lit(0).cast("bigint").alias("k3"),
+        )
+        .limit(1)
+    )
+    # (b) monotone-id contract, per the cells that actually interact: a
     # landed id ABOVE a batch id in a shared cell would have needed
     # this batch as a dup candidate when ITS verdict was emitted
-    bounds = (
+    bounds_p = (
         landed.groupBy("cell").agg(F.max("vec_id").alias("max_landed"))
         .join(b.groupBy("cell").agg(F.min("vec_id").alias("min_new")),
               "cell")
         .filter(F.col("min_new") <= F.col("max_landed"))
-        .limit(1)
-        .collect()
-    )
-    if bounds:
-        r = bounds[0]
-        raise ValueError(
-            f"semantic_dedup_delta requires append-only monotone ids: "
-            f"cell {r['cell']} has batch min vec_id {r['min_new']} <= "
-            f"landed max {r['max_landed']}. The keep-lowest policy "
-            f"orients every cross pair as landed < new; re-id the "
-            f"batch above the landed ceiling."
+        .select(
+            F.lit("bounds").alias("kind"),
+            F.col("cell").cast("bigint").alias("k1"),
+            F.col("min_new").cast("bigint").alias("k2"),
+            F.col("max_landed").cast("bigint").alias("k3"),
         )
+        .limit(1)
+    )
+    # (c) per-cell occupancy bound (the sigma-n_cell^2 contract)
     combined = landed.select("cell").unionByName(b.select("cell"))
-    oversized = (
+    oversized_p = (
         combined.groupBy("cell")
         .count()
         .filter(F.col("count") > max_cell_rows)
         .orderBy(F.col("count").desc())
+        .select(
+            F.lit("oversized").alias("kind"),
+            F.col("cell").cast("bigint").alias("k1"),
+            F.col("count").cast("bigint").alias("k2"),
+            F.lit(0).cast("bigint").alias("k3"),
+        )
         .limit(1)
-        .collect()
     )
-    if oversized:
-        r = oversized[0]
+    guards = {
+        r["kind"]: r
+        for r in collision_p.unionByName(bounds_p)
+        .unionByName(oversized_p)
+        .collect()
+    }
+    if "collision" in guards:
         raise ValueError(
-            f"semantic_dedup_delta cell {r['cell']} holds {r['count']} "
+            f"semantic_dedup_delta id collision: landed vec_id "
+            f"{guards['collision']['k1']} carries a different embedding "
+            f"than the batch row with the same id — not a replay. "
+            f"Re-id the batch above the landed ceiling."
+        )
+    if "bounds" in guards:
+        r = guards["bounds"]
+        raise ValueError(
+            f"semantic_dedup_delta requires append-only monotone ids: "
+            f"cell {r['k1']} has batch min vec_id {r['k2']} <= "
+            f"landed max {r['k3']}. The keep-lowest policy "
+            f"orients every cross pair as landed < new; re-id the "
+            f"batch above the landed ceiling."
+        )
+    if "oversized" in guards:
+        r = guards["oversized"]
+        raise ValueError(
+            f"semantic_dedup_delta cell {r['k1']} holds {r['k2']} "
             f"rows (landed + batch), over the {max_cell_rows}-row "
             f"per-cell bound — the same sigma-n_cell^2 contract as "
             f"semantic_dedup. Run rebalance_ivf_cells on the index "

@@ -41,6 +41,15 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (minPartitionSize) stays at Spark's 1m
+        # default: a 16k floor was tried for the CPU-heavy small-byte
+        # tokenize/md5 stages (isolated dedup_verify -22%) but the full
+        # suite REGRESSED 174->207 s — every iterative loop and
+        # snapshot-writing query paid more tasks and more output files
+        # than the signature stages saved (OPTIMIZATION_r14.md). The
+        # parallelism fix that survived measurement is the conditional
+        # scan widening (functions/skew.widen_narrow_scan) at the heavy
+        # map-side kernels instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
