@@ -201,6 +201,19 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
+def _shuffle_width(df: DataFrame) -> int:
+    """The session's configured shuffle width — the partition count an
+    un-coalesced exchange would use. Explicitly repartitioning a
+    CPU-bound stage to this width opts it out of AQE's byte-based
+    coalescing (which packs small-byte/heavy-CPU stages into 1-2
+    tasks) while staying exactly as scale-adaptive as the config the
+    cluster already carries."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some builds
+        return int(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def gram_rows(
     docs: DataFrame, n: int = 3, col: str = "text", with_pos: bool = False
 ) -> DataFrame:
@@ -231,6 +244,20 @@ def gram_rows(
     heaviest) — the tokenizer is too cheap to pay the extra exchange,
     unlike the multimodal Arrow decode kernels where widening won 2-3x.
 
+    The window exchange itself, however, is pinned at the session's
+    configured shuffle width (an explicit ``repartition(W, doc_id)`` —
+    the same hash partitioning the window would demand, so no second
+    exchange and identical values): everything above it (lead-stitch,
+    concat, the consumers' md5+min aggregates that reuse the
+    partitioning) is CPU-bound per-gram work, exactly the case where
+    AQE's byte-based coalescing misallocates (it packed the whole gram
+    stream into 1-2 tasks at fixture scale). Paired interleaved A/B at
+    sf0.1: dedup_minhash_sig 1.12→0.45 s, dedup_verify 2.22→1.52 s,
+    corpus_clean 3.94→2.94 s, dedup_containment 2.21→1.49 s,
+    ngram_jaccard −0.27 s, dedup_clusters ±0.1 s. At cluster scale the
+    width IS spark.sql.shuffle.partitions — the ops-configured value —
+    so nothing here is tuned to the local core count.
+
     PRECONDITION: ``doc_id`` uniquely identifies a row of ``docs``. The
     window stitches grams from consecutive rows of one doc_id
     partition; two DIFFERENT documents sharing an id would interleave
@@ -242,7 +269,7 @@ def gram_rows(
     lacks one, as ``text.bigram_lm`` does."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
-    )
+    ).repartition(_shuffle_width(docs), "doc_id")
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     g = tok.select(
