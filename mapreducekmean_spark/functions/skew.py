@@ -51,6 +51,20 @@ def salted_join(
     return out.drop(_SALT)
 
 
+def shuffle_width(df: DataFrame) -> int:
+    """The session's configured shuffle width — the partition count an
+    un-coalesced exchange would use. Explicitly repartitioning a
+    CPU-bound stage to this width (on the keys the downstream stages
+    cluster by) opts that one exchange out of AQE's byte-based
+    coalescing — which packs small-byte/CPU-heavy stages into 1-2
+    tasks — while staying exactly as scale-adaptive as the config the
+    cluster already carries (optimization r14, guide §2.2/§7.3)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some builds
+        return int(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition a NARROW input whose plan has fewer
     partitions than the session's parallelism, so a downstream per-row

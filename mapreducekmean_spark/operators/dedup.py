@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducekmean_spark.functions.skew import shuffle_width
 from mapreducekmean_spark.operators.text import documents, tokens
 
 #: MinHash configuration: 8 permutations → 4 bands × 2 rows.
@@ -201,19 +202,6 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
-def _shuffle_width(df: DataFrame) -> int:
-    """The session's configured shuffle width — the partition count an
-    un-coalesced exchange would use. Explicitly repartitioning a
-    CPU-bound stage to this width opts it out of AQE's byte-based
-    coalescing (which packs small-byte/heavy-CPU stages into 1-2
-    tasks) while staying exactly as scale-adaptive as the config the
-    cluster already carries."""
-    try:
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # e.g. "auto" on some builds
-        return int(df.sparkSession.sparkContext.defaultParallelism)
-
-
 def gram_rows(
     docs: DataFrame, n: int = 3, col: str = "text", with_pos: bool = False
 ) -> DataFrame:
@@ -269,7 +257,7 @@ def gram_rows(
     lacks one, as ``text.bigram_lm`` does."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
-    ).repartition(_shuffle_width(docs), "doc_id")
+    ).repartition(shuffle_width(docs), "doc_id")
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     g = tok.select(

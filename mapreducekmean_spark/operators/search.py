@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducekmean_spark.functions.skew import shuffle_width
 from mapreducekmean_spark.operators.text import tokens
 
 from mapreducekmean_spark.session import local_rows_df
@@ -44,8 +45,20 @@ BM25_B = 0.75
 
 
 def term_frequencies(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) + per-doc length — the materializable index."""
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    """(doc_id, term, tf) + per-doc length — the materializable index.
+
+    The token stream is explicitly repartitioned ONCE on doc_id at the
+    configured shuffle width: HashPartitioning(doc_id) satisfies the
+    clustering of BOTH groupBys (doc_id ⊆ {doc_id, term}) and the
+    tf⋈dl join, so the whole index build pays exactly one exchange —
+    and, being user-specified, it opts out of AQE's byte-based
+    coalescing that packed these CPU-heavy stages into 1-2 tasks
+    (optimization r14; same pattern as dedup.gram_rows, paired A/B:
+    bm25_index_stats 0.33→0.22 s, rerank_topk/hybrid_topk −0.1 s,
+    values identical)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).repartition(shuffle_width(docs), "doc_id")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return tf.join(dl, "doc_id")
