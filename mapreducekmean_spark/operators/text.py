@@ -1245,7 +1245,16 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    # the window exchange pinned at configured shuffle width (the
+    # dedup.gram_rows pattern — AQE packed this CPU-bound stitch into
+    # 1-2 tasks; paired A/B 1.50→1.29 s, values identical). The same
+    # pin on term_lift/doc_top_terms measured a LOSS (+0.7/+0.3 s —
+    # their downstream is term-keyed, not doc-keyed) and is not applied.
+    from mapreducekmean_spark.functions.skew import shuffle_width
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).repartition(shuffle_width(docs), "doc_id")
     wo = Window.partitionBy("doc_id").orderBy("pos")
     base = tok.select(
         "doc_id",
