@@ -135,33 +135,87 @@ def train_pq_codebooks(
     # cached once, then one treeReduce of (m×k×ds sums, m×k counts)
     # per iteration — M codebooks' worth of centroid_update's bounded
     # combine, with ZERO per-iteration planning (the per-iteration
-    # state is a broadcast numpy array, never a new Catalyst plan)
-    blocks = km._numpy_blocks(points.select("vec_id", "emb")).cache()
+    # state is a broadcast numpy array, never a new Catalyst plan).
+    # Adaptive single-task fold (optimization r14 — the kmeans._iterate
+    # pattern): with ONE partition each per-iteration treeReduce is
+    # that partition's left fold, so the whole ``iters``-pass loop
+    # runs inside a single mapPartitions task — same _pq_block_partials
+    # kernel, same _pq_advance update, same block fold order →
+    # bit-identical codebooks; multi-partition (production) inputs run
+    # the distributed per-iteration loop unchanged.
+    blocks = km._numpy_blocks(points.select("vec_id", "emb"))
+    if blocks.getNumPartitions() == 1:
+        iters_, m_, k_, ds_ = iters, m, k, ds
+        cb0 = codebooks
+
+        def run(parts_iter):
+            yield _pq_loop_over_blocks(
+                list(parts_iter), cb0, iters_, m_, k_, ds_
+            )
+
+        return blocks.mapPartitions(run).collect()[0]
+    blocks = blocks.cache()
     try:
         for _ in range(iters):
             cb = np.asarray(codebooks)  # (m, k, ds)
 
             def part(block, cb=cb, m=m, k=k, ds=ds):
-                _ids, X = block
-                codes = _codes_np(X, cb)
-                sums = np.zeros((m, k, ds))
-                counts = np.zeros((m, k), dtype=np.int64)
-                for s in range(m):
-                    np.add.at(sums[s], codes[:, s], X[:, s * ds : (s + 1) * ds])
-                    np.add.at(counts[s], codes[:, s], 1)
-                return sums, counts
+                return _pq_block_partials(block[1], cb, m, k, ds)
 
             sums, counts = blocks.map(part).treeReduce(
                 lambda a, b: (a[0] + b[0], a[1] + b[1])
             )
-            for s in range(m):  # empty cells keep their previous centroid
-                for c in range(k):
-                    if counts[s, c]:
-                        codebooks[s][c] = (
-                            sums[s, c] / counts[s, c]
-                        ).tolist()
+            codebooks = _pq_advance(codebooks, sums, counts, m, k)
     finally:
         blocks.unpersist()
+    return codebooks
+
+
+def _pq_block_partials(X, cb, m, k, ds):
+    """Per-block PQ-training partials: (m×k×ds sums, m×k counts) of
+    the per-subspace nearest-code assignment. The ONE copy of the
+    iteration math — shared by the distributed per-iteration jobs and
+    the single-task loop, so their arithmetic is identical."""
+    import numpy as np
+
+    codes = _codes_np(X, cb)
+    sums = np.zeros((m, k, ds))
+    counts = np.zeros((m, k), dtype=np.int64)
+    for s in range(m):
+        np.add.at(sums[s], codes[:, s], X[:, s * ds : (s + 1) * ds])
+        np.add.at(counts[s], codes[:, s], 1)
+    return sums, counts
+
+
+def _pq_advance(codebooks, sums, counts, m, k):
+    """One codebook update: empty cells keep their previous centroid.
+    Shared by both loop drivers."""
+    for s in range(m):
+        for c in range(k):
+            if counts[s, c]:
+                codebooks[s][c] = (sums[s, c] / counts[s, c]).tolist()
+    return codebooks
+
+
+def _pq_loop_over_blocks(blks, codebooks, iters, m, k, ds):
+    """The PQ training loop over an in-memory block list — the
+    single-partition body; partials fold left in block order, exactly
+    the order a one-partition treeReduce folds its per-block results."""
+    import numpy as np
+
+    for _ in range(iters):
+        cb = np.asarray(codebooks)
+        sums = counts = None
+        for _ids, X in blks:
+            s_, c_ = _pq_block_partials(X, cb, m, k, ds)
+            if sums is None:
+                sums, counts = s_, c_
+            else:
+                sums = sums + s_
+                counts = counts + c_
+        if sums is None:
+            raise ValueError("empty input: no blocks to train over")
+        codebooks = _pq_advance(codebooks, sums, counts, m, k)
     return codebooks
 
 
@@ -229,7 +283,9 @@ def pq_adc_topk(
     4-byte code arrays. Output ranks ascending by approximate distance
     (squared L2), ties by neighbor id."""
     pts = km.embeddings(spark, sf_dir).select("vec_id", "emb")
-    dim = len(pts.select("emb").first()["emb"])
+    # dim from the memoized deterministic-init rows (same table) — the
+    # separate .first() probe job it replaces ran every invocation
+    dim = len(km.init_rows(spark, sf_dir)[0][2])
     codebooks = train_pq_codebooks(pts, dim, m, codes_k, iters)
     encoded = pq_encode(pts, codebooks).localCheckpoint()
     return pq_adc_score(spark, pts, encoded, codebooks, k)
