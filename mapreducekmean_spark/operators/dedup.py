@@ -203,7 +203,11 @@ def shingles(col: str = "text", n: int = 3) -> Column:
 
 
 def gram_rows(
-    docs: DataFrame, n: int = 3, col: str = "text", with_pos: bool = False
+    docs: DataFrame,
+    n: int = 3,
+    col: str = "text",
+    with_pos: bool = False,
+    wide: bool = True,
 ) -> DataFrame:
     """Token ``n``-gram stream as ROWS — ``(doc_id, sh)``, one row per
     gram position (duplicates preserved; ``.distinct()`` downstream
@@ -246,6 +250,13 @@ def gram_rows(
     width IS spark.sql.shuffle.partitions — the ops-configured value —
     so nothing here is tuned to the local core count.
 
+    ``wide=False`` keeps the AQE-coalesced width: for a consumer whose
+    downstream is GRAM-keyed and cheap (bigram_lm: one groupBy(bg) off
+    the stream, nothing reuses the doc_id partitioning) the pin
+    measured +0.24 s paired — the one measured exception among the 14
+    gram consumers (decontaminate_fuzzy/doc_lm_coverage measured WINS,
+    −0.14/−0.15, so only bigram_lm opts out).
+
     PRECONDITION: ``doc_id`` uniquely identifies a row of ``docs``. The
     window stitches grams from consecutive rows of one doc_id
     partition; two DIFFERENT documents sharing an id would interleave
@@ -257,7 +268,9 @@ def gram_rows(
     lacks one, as ``text.bigram_lm`` does."""
     tok = docs.select(
         "doc_id", F.posexplode(tokens(col)).alias("pos", "w")
-    ).repartition(shuffle_width(docs), "doc_id")
+    )
+    if wide:
+        tok = tok.repartition(shuffle_width(docs), "doc_id")
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     g = tok.select(

@@ -365,7 +365,11 @@ def bigram_lm(docs: DataFrame) -> DataFrame:
         if "doc_id" in docs.columns
         else docs.withColumn("doc_id", F.monotonically_increasing_id())
     )
-    bg = gram_rows(d, n=2).select(F.col("sh").alias("bg"))
+    # wide=False: this consumer is gram-keyed (one groupBy(bg) off the
+    # stream, nothing reuses the doc_id partitioning) — the width pin
+    # measured +0.24 s paired here, the one exception among the gram
+    # consumers (see gram_rows' docstring)
+    bg = gram_rows(d, n=2, wide=False).select(F.col("sh").alias("bg"))
     counts = bg.groupBy("bg").agg(F.count("*").alias("n")).select(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
