@@ -899,8 +899,12 @@ def ivfpq_refined_topk(
     # the centroid check above catches table-level drift, this catches
     # row-level drift) and silently refining the covered subset would
     # quietly degrade the result. Both counts read the checkpoints.
-    n_cand = cand.count()
-    n_cov = pairs.count()
+    (cov_row,) = (
+        cand.agg(F.count(F.lit(1)).alias("_cand"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("_cov")))
+        .collect()
+    )  # ONE job for both coverage counts (crossJoin of 1-row aggregates)
+    n_cand, n_cov = int(cov_row["_cand"]), int(cov_row["_cov"])
     if n_cov != n_cand:
         raise ValueError(
             f"ivfpq_refined_topk: only {n_cov} of {n_cand} preselected "
@@ -1026,8 +1030,12 @@ def ivfpq_refined_mcand_curve(
         .select("q_id", "neighbor_id", "pre_rank", "dist")
         .localCheckpoint()
     )
-    n_cand = cand.count()
-    n_cov = pairs.count()
+    (cov_row,) = (
+        cand.agg(F.count(F.lit(1)).alias("_cand"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("_cov")))
+        .collect()
+    )  # ONE job for both coverage counts (crossJoin of 1-row aggregates)
+    n_cand, n_cov = int(cov_row["_cand"]), int(cov_row["_cov"])
     if n_cov != n_cand:
         raise ValueError(
             f"ivfpq_refined_mcand_curve: only {n_cov} of {n_cand} "
