@@ -1,11 +1,11 @@
-"""Dump ``explain("formatted")`` for declared queries to plans/r14/.
+"""Dump ``explain("formatted")`` for declared queries to plans/r15/.
 
 Usage:
     python scripts/dump_plans.py before [query ...]
     python scripts/dump_plans.py after  [query ...]
 
 With no query names, dumps every declared query. The suffix names the
-file: ``plans/r14/<query>_<suffix>.txt``. Building a query's DataFrame
+file: ``plans/r15/<query>_<suffix>.txt``. Building a query's DataFrame
 may execute its eager prologue (iterative loops, index landing) — this
 is a measurement tool, not a bench.
 """
@@ -29,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
