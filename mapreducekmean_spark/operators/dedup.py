@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.functions.skew import shuffle_width
@@ -722,13 +722,19 @@ def connected_components(
         )
         # pointer jump: rep -> rep[rep]. Labels are always node ids, so
         # every rep has a row in the label table; least() keeps the jump
-        # monotone. The new label and a did-it-drop flag ride the same
-        # localCheckpoint, so the fixpoint test is a filter over already-
-        # materialized rows, not a second join job.
+        # monotone. The fixpoint probe rides the checkpoint job itself:
+        # an ``observe`` metric (CollectMetrics) counts the dropped
+        # labels while the round's localCheckpoint materializes, so each
+        # round is ONE job — the former ``filter(chg).limit(1).count()``
+        # was a second ~150 ms scheduling-floor job per round over
+        # already-materialized blocks (optimization r15, guide §2.4
+        # fewer jobs; localCheckpoint fires QueryExecutionListener, so
+        # ``Observation.get`` returns as soon as the checkpoint commits).
         jump = labels.select(
             F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
         )
         before = persistent_rdd_ids(spark)
+        obs = Observation(f"cc_round_{rounds}")
         stepped = (
             dropped.join(jump, "rep", "left")
             .select(
@@ -743,10 +749,13 @@ def connected_components(
                 "rep",
                 (F.col("rep") < F.col("orig")).alias("chg"),
             )
+            .observe(
+                obs, F.sum(F.col("chg").cast("long")).alias("n_chg")
+            )
             .localCheckpoint()
         )
         new_ids = persistent_rdd_ids(spark) - before
-        changed = stepped.filter("chg").limit(1).count()
+        changed = int(obs.get["n_chg"] or 0)
         # previous round's label blocks are superseded -> free them now
         unpersist_rdd_ids(spark, prev_ids)
         prev_ids = new_ids

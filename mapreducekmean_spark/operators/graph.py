@@ -37,7 +37,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 #: fixed iteration count for the declared PageRank query (the oracle
@@ -163,8 +163,12 @@ def pagerank(
 
     In a symmetrized graph every node has in- and out-edges, so there
     are no dangling nodes and rank mass is conserved. State per
-    iteration is one (node, rank) row per node, localCheckpoint-ed so
-    the plan stays one-iteration deep (the ``kmeans`` loop stance).
+    iteration is one (node, rank) row per node, referenced exactly ONCE
+    per iteration (the contribution join), so the fixed-iteration loop
+    compiles into ONE job whose plan is a linear chain of exchanges —
+    no per-iteration localCheckpoint and no subtree duplication
+    (optimization r14; k_core/connected_components keep their
+    checkpoints because their state is referenced 2-3× per pass).
 
     Output: (node, rank) with rank UNROUNDED (callers round for
     display/oracles)."""
@@ -286,17 +290,29 @@ def k_core(
     chain pathology ``connected_components`` dodges with pointer
     jumping and a peel cannot; for adversarial chain graphs run with
     ``require_converged=False`` and iterate externally."""
-    e = canonical_edges(edges).localCheckpoint()
+    # Every fixpoint/convergence probe in this loop rides the job that
+    # materializes its localCheckpoint via an ``observe`` metric
+    # (CollectMetrics aggregates while the checkpoint's partitions
+    # compute; localCheckpoint fires the QueryExecutionListener that
+    # publishes them) — the former separate ``count()`` per probe was a
+    # ~150 ms scheduling-floor job over already-materialized blocks
+    # (optimization r15, guide §2.4 fewer jobs; the r14 early-exit
+    # comment below explains why the COUNT itself is the right probe).
+    obs0 = Observation("k_core_edges_init")
+    e = (
+        canonical_edges(edges)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     # Early exit (optimization r14, guide §2.4 "do fewer passes"): the
     # peel is monotone — the edge set only shrinks, and a pass that
     # removes nothing is the identity for every later pass — so once the
     # edge COUNT is unchanged the remaining fixed passes compute exactly
-    # the committed result. The count runs over the just-checkpointed
-    # blocks (no recompute); measured fixture peel depth is 3 at sf0.1
+    # the committed result. Measured fixture peel depth is 3 at sf0.1
     # vs the 12-pass unroll, so this drops ~9 checkpoint+join jobs while
     # the convergence check below still certifies the fixpoint.
-    n_edges = e.count()
-    for _ in range(passes):
+    n_edges = int(obs0.get["n"])
+    for i in range(passes):
         deg = (
             e.select(F.col("u").alias("x"))
             .unionAll(e.select(F.col("v").alias("x")))
@@ -304,24 +320,31 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
         strong = deg.filter(F.col("deg") >= int(k)).select("x")
+        obs_i = Observation(f"k_core_pass_{i}")
         e = (
             e.join(strong.withColumnRenamed("x", "u"), "u", "leftsemi")
             .join(strong.withColumnRenamed("x", "v"), "v", "leftsemi")
             .select("u", "v")
+            .observe(obs_i, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_after = e.count()
+        n_after = int(obs_i.get["n"])
         if n_after == n_edges:
             break
         n_edges = n_after
+    obs_w = Observation("k_core_weak")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("deg"))
+        .observe(
+            obs_w,
+            F.sum((F.col("deg") < int(k)).cast("long")).alias("weak"),
+        )
     ).localCheckpoint()
     if require_converged:
-        weak = deg.filter(F.col("deg") < int(k)).count()
+        weak = int(obs_w.get["weak"] or 0)
         if weak:
             raise ValueError(
                 f"k_core did not converge in {passes} passes "

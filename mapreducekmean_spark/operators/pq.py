@@ -1051,31 +1051,19 @@ def ivfpq_refined_mcand_curve(
     n_q = exact.select("q_id").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries")
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
+    from mapreducekmean_spark.operators.similarity import _prefix_cut_curve
+
+    return _prefix_cut_curve(
+        pairs,
+        exact,
+        n_q,
+        level_col="m_cand",
+        levels=[int(m) for m in m_cands],
+        in_level=lambda mc: F.col("pre_rank") <= mc,
+        order=[F.col("dist").asc(), F.col("neighbor_id").asc()],
+        id_col="neighbor_id",
+        k=k,
     )
-    out = None
-    for mc in m_cands:
-        lvl = (
-            pairs.filter(F.col("pre_rank") <= int(mc))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "neighbor_id")
-        )
-        hits = lvl.join(exact, ["q_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit")
-        )
-        row = n_q.crossJoin(hits).select(
-            F.lit(int(mc)).cast("bigint").alias("m_cand"),
-            "n_queries",
-            "n_hit",
-            F.lit(int(k)).cast("bigint").alias("k"),
-            F.round(
-                F.col("n_hit") / (F.lit(int(k)) * F.col("n_queries")), 6
-            ).alias("recall"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
 
 
 def rebalance_ivfpq_cells(

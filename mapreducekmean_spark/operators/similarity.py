@@ -1578,33 +1578,112 @@ def ann_recall_curve(
         F.col("vec_id") != F.col("q_id")
     )
     scored = _score_candidates(cands, extra=("probe_rank",)).localCheckpoint()
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("sim_raw").desc(), F.col("vec_id").asc()
+    return _prefix_cut_curve(
+        scored,
+        exact,
+        n_q,
+        level_col="nprobe",
+        levels=[int(x) for x in nprobes],
+        in_level=lambda np_: F.col("probe_rank") < np_,
+        order=[F.col("sim_raw").desc(), F.col("vec_id").asc()],
+        id_col="vec_id",
+        k=k,
     )
-    out = None
-    for np_ in nprobes:
-        approx = (
-            scored.filter(F.col("probe_rank") < int(np_))
-            .withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k)
-            .select("q_id", F.col("vec_id").alias("neighbor_id"))
-        )
-        hits = approx.join(exact, ["q_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit")
-        )
-        row = (
-            n_q.crossJoin(hits)
-            .select(
-                F.lit(int(np_)).cast("bigint").alias("nprobe"),
-                "n_queries",
-                "n_hit",
-                F.lit(int(k)).cast("bigint").alias("k"),
-                F.round(
-                    F.col("n_hit")
-                    / (F.lit(int(k)) * F.col("n_queries")),
-                    6,
-                ).alias("recall"),
+
+
+def _prefix_cut_curve(
+    scored: DataFrame,
+    exact: DataFrame,
+    n_q: DataFrame,
+    level_col: str,
+    levels: list[int],
+    in_level,
+    order: list,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared one-window-pass tail of the sizing-curve queries
+    (``ann_recall_curve``'s nprobe levels, ``pq.ivfpq_refined_mcand_
+    curve``'s m_cand levels): every level's top-k is a rank cut of the
+    SAME ordering restricted to a level predicate, so all levels rank
+    in ONE window pass instead of one Sort+Window(+join+aggregate) per
+    level (optimization r15, guide §2.4 — the r14 plan carried three
+    full window chains, three hash joins against the exact baseline and
+    three n_q aggregates under a 3-branch Union).
+
+    Mechanics: with the level sets nested (prefix cuts) and the
+    ordering total within a query (unique ``id_col`` tie-break), the
+    row_number a row would get at level L equals the running count of
+    level-L rows up to and including itself in the shared order — so
+    one Window node computes every level's rank as a conditional
+    running sum, a row joins level L's top-k iff it satisfies the level
+    predicate with running count ≤ k (bit-identical membership to the
+    per-level ``row_number() <= k`` filter), and ONE broadcast hash
+    join + ONE per-level aggregate count the exact-baseline hits for
+    every level. Levels must be distinct (asserted — a duplicate level
+    would double-count its hits in the grouped aggregate where the
+    per-level loop emitted two identical rows)."""
+    if len(set(levels)) != len(levels):
+        raise ValueError(f"curve levels must be distinct, got {levels}")
+    w = Window.partitionBy("q_id").orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # two-step projection: the conditional running sums live in a plain
+    # Project over ONE Window node (same window spec for every level);
+    # the generator below then only touches materialized columns (a
+    # window expression inside a Generate is not allowed by analysis).
+    cums = scored.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        *[in_level(lvl).alias(f"__in_{i}") for i, lvl in enumerate(levels)],
+        *[
+            F.sum(in_level(lvl).cast("int"))
+            .over(cum)
+            .alias(f"__rk_{i}")
+            for i, lvl in enumerate(levels)
+        ],
+    )
+    ranked = cums.select(
+        "q_id",
+        "neighbor_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(f"__in_{i}")
+                            & (F.col(f"__rk_{i}") <= int(k)),
+                            F.lit(int(lvl)).cast("bigint"),
+                        )
+                        for i, lvl in enumerate(levels)
+                    ]
+                )
             )
+        ).alias(level_col),
+    )
+    hits = (
+        ranked.join(F.broadcast(exact), ["q_id", "neighbor_id"])
+        .groupBy(level_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    lvl_df = local_rows_df(
+        scored.sparkSession,
+        [(int(lvl),) for lvl in levels],
+        f"{level_col} bigint",
+    )
+    return (
+        lvl_df.crossJoin(F.broadcast(n_q))
+        .join(F.broadcast(hits), level_col, "left")
+        .select(
+            level_col,
+            "n_queries",
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / (F.lit(int(k)) * F.col("n_queries")),
+                6,
+            ).alias("recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )

@@ -18,7 +18,7 @@ aggregation absorbing stopword-style skew.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducekmean_spark.sources import load_table
@@ -473,9 +473,22 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
 def _deciles_from_levels(levels: DataFrame) -> DataFrame:
     """The decile-report tail shared by the one-shot and the
     delta-maintained :func:`quality_deciles`: from the DISTINCT
-    quality LEVEL table ``(quality, cnt, toks)``, derive thresholds
-    (exact integer ranks), assign deciles, and roll up — all
-    level-table-sized work."""
+    quality LEVEL table ``(quality, cnt, toks)``, assign deciles and
+    roll up — all level-table-sized work, in ONE pass over the level
+    table.
+
+    The decile assignment is closed-form per level row (optimization
+    r15, guide §2.4 — the r14 tail derived an explicit 10-row
+    threshold table from a SECOND reference to the level frame, so the
+    one-shot re-aggregated the corpus twice and the snapshot variant
+    scanned the snapshot twice): with ``C = cum - cnt`` the cumulative
+    count strictly BELOW a level, ``thr_d < quality`` holds iff the
+    smallest level reaching rank ``(d·N+9) div 10`` lies below this
+    level, i.e. iff ``C ≥ (d·N+9) div 10``, and over integers
+    ``(d·N+9) div 10 ≤ C  ⟺  d·N ≤ 10·C`` (floor: ``d·N+9 ≤ 10·C+9``).
+    So ``|{d : thr_d < quality}| = min(9, (10·C) div N)`` (the top
+    level has ``C ≤ N-1`` so the div is ≤ 9 already; the bound is
+    belt)."""
     from pyspark.sql import Window
 
     cum_w = Window.orderBy("quality").rowsBetween(
@@ -487,30 +500,13 @@ def _deciles_from_levels(levels: DataFrame) -> DataFrame:
     lv = levels.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
         "n_total", F.sum("cnt").over(tot_w)
     )
-    thr = (
-        lv.crossJoin(
-            F.broadcast(
-                lv.sparkSession.range(1, 11).select(
-                    F.col("id").alias("d")
-                )
-            )
-        )
-        .filter(
-            F.col("cum")
-            >= F.expr("(d * n_total + 9) div 10")
-        )
-        .groupBy("d")
-        .agg(F.min("quality").alias("thr"))
-        .agg(F.sort_array(F.collect_list("thr")).alias("thrs"))
-    )
     q_int = F.round(F.col("quality") * 1_000_000).cast("bigint")
-    assigned = lv.crossJoin(F.broadcast(thr)).select(
+    assigned = lv.select(
         (
             1
-            + F.size(
-                F.filter(
-                    F.col("thrs"), lambda t: t < F.col("quality")
-                )
+            + F.least(
+                F.lit(9).cast("bigint"),
+                F.expr("(10 * (cum - cnt)) div n_total"),
             )
         )
         .cast("bigint")
@@ -682,11 +678,21 @@ def _host_report_from_levels(per: DataFrame) -> DataFrame:
     host_stats: from the (source, content_hash) LEVEL table
     ``(source, content_hash, cnt, toks, q_sum)``, derive corpus-wide
     content counts (no second corpus pass — level-table arithmetic
-    only) and fold to one row per source."""
-    corpus_cnt = per.groupBy("content_hash").agg(
-        F.sum("cnt").alias("cnt_h")
+    only) and fold to one row per source.
+
+    The corpus-wide count per content attaches as a WINDOW sum over
+    ``content_hash`` (optimization r15, guide §2.4): the r14 tail
+    derived it as ``per.groupBy(content_hash)`` joined back onto
+    ``per``, which referenced the level frame twice — the one-shot
+    scanned+tokenized the corpus twice and the snapshot variant
+    scanned the snapshot twice. One partition-by-key window sum over
+    the level table is the same exact integer per row (all rows of a
+    ``content_hash`` see the sum over that hash) off ONE scan and ONE
+    exchange."""
+    j = per.withColumn(
+        "cnt_h",
+        F.sum("cnt").over(Window.partitionBy("content_hash")),
     )
-    j = per.join(corpus_cnt, "content_hash")
     out = j.groupBy("source").agg(
         F.sum("cnt").alias("n_docs"),
         F.sum("toks").alias("total_tokens"),

@@ -18,6 +18,7 @@ Scale notes (100 TB / 1000-executor design intent):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -67,10 +68,19 @@ def get_spark(app_name: str = "mapreducekmean_spark") -> SparkSession:
     # Measurement/ops hook (guide §1): extra session confs from the
     # environment, ``k=v;k=v`` — used by the profiling scripts to turn
     # on the event log for offline per-job analysis without changing
-    # any default the bench or driver sees.
+    # any default the bench or driver sees. Every applied override is
+    # printed to stderr so a stray/leftover env var can never SILENTLY
+    # displace a correctness-relevant default (session timezone, AQE
+    # flags) in a bench or driver run — conf drift is visible in the
+    # run's own capture.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in filter(None, (s.strip() for s in extra.split(";"))):
         key, _, val = kv.partition("=")
+        print(
+            f"[session] SPARK_GRAFT_EXTRA_CONF override: "
+            f"{key.strip()}={val.strip()}",
+            file=sys.stderr,
+        )
         builder = builder.config(key.strip(), val.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

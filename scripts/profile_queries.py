@@ -88,39 +88,38 @@ def main() -> None:
                 with open(path, encoding="utf-8") as fh:
                     yield from fh
 
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            et = ev.get("Event")
-            if et == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                desc = ev.get("Properties", {}).get(
-                    "spark.job.description", ""
+    for line in _lines():
+        ev = json.loads(line)
+        et = ev.get("Event")
+        if et == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            desc = ev.get("Properties", {}).get(
+                "spark.job.description", ""
+            )
+            jobs[jid] = {
+                "desc": desc,
+                "t0": ev["Submission Time"],
+                "task_ms": 0,
+                "n_tasks": 0,
+                "stages": len(ev.get("Stage Infos", [])),
+            }
+            for sid in ev.get("Stage IDs", []):
+                stage_to_job[sid] = jid
+        elif et == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["wall_ms"] = (
+                    ev["Completion Time"] - jobs[jid]["t0"]
                 )
-                jobs[jid] = {
-                    "desc": desc,
-                    "t0": ev["Submission Time"],
-                    "task_ms": 0,
-                    "n_tasks": 0,
-                    "stages": len(ev.get("Stage Infos", [])),
-                }
-                for sid in ev.get("Stage IDs", []):
-                    stage_to_job[sid] = jid
-            elif et == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["wall_ms"] = (
-                        ev["Completion Time"] - jobs[jid]["t0"]
-                    )
-            elif et == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                jid = stage_to_job.get(sid)
-                if jid is not None and jid in jobs:
-                    ti = ev.get("Task Info", {})
-                    jobs[jid]["task_ms"] += ti.get("Finish Time", 0) - ti.get(
-                        "Launch Time", 0
-                    )
-                    jobs[jid]["n_tasks"] += 1
+        elif et == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            jid = stage_to_job.get(sid)
+            if jid is not None and jid in jobs:
+                ti = ev.get("Task Info", {})
+                jobs[jid]["task_ms"] += ti.get("Finish Time", 0) - ti.get(
+                    "Launch Time", 0
+                )
+                jobs[jid]["n_tasks"] += 1
 
     for name in names:
         tag = f"timed:{name}"

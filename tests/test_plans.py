@@ -734,35 +734,48 @@ def test_quality_deciles_window_over_level_table(spark, sf_small):
 
 
 def _only_widening_exchanges(df):
-    """True when every shuffle Exchange in the plan is the adaptive
+    """True when every shuffle Exchange in the plan IS the adaptive
     round-robin scan widening (functions/skew.widen_narrow_scan) — the
     r14 optimization that parallelizes the Arrow decode kernels over
     narrow single-split fixture scans. At production scale the widening
     is the identity (the scan already has >= parallelism splits), so
-    the production plan stays map-only; any key-partitioned exchange
-    here would be a real regression."""
-    return _keyed_exchange_count(df) == 0
+    the production plan stays map-only; any other exchange flavor
+    (hash/range keyed, or a SinglePartition collapse from e.g. a global
+    limit) would be a real regression, so each Exchange's Arguments
+    line must name RoundRobinPartitioning explicitly."""
+    counts = _exchange_partitioning_counts(df)
+    return sum(counts.values()) == counts.get("roundrobinpartitioning", 0)
 
 
 def _keyed_exchange_count(df) -> int:
     """Number of key-partitioned (hash/range) shuffle Exchanges in the
-    formatted plan. Formatted mode prints each detail node's
-    partitioning on the Arguments line that follows it, so the count
-    pairs every ``(n) Exchange`` entry with its next Arguments line."""
+    formatted plan."""
+    counts = _exchange_partitioning_counts(df)
+    return counts.get("hashpartitioning", 0) + counts.get(
+        "rangepartitioning", 0
+    )
+
+
+def _exchange_partitioning_counts(df) -> dict:
+    """Exchange count per partitioning flavor in the formatted plan.
+    Formatted mode prints each detail node's partitioning on the
+    Arguments line that follows it, so the tally pairs every
+    ``(n) Exchange`` entry with its next Arguments line."""
     import re
 
     lines = _plan(df).splitlines()
-    n = 0
+    counts: dict = {}
     for i, line in enumerate(lines):
         if not re.match(r"^\(\d+\) Exchange", line.strip()):
             continue
         for follow in lines[i + 1 : i + 4]:
             fs = follow.strip().lower()
             if fs.startswith("arguments:"):
-                if "hashpartitioning" in fs or "rangepartitioning" in fs:
-                    n += 1
+                m = re.search(r"(\w*partitioning|singlepartition)", fs)
+                kind = m.group(1) if m else "unknown"
+                counts[kind] = counts.get(kind, 0) + 1
                 break
-    return n
+    return counts
 
 
 def test_audio_fp_real_is_map_only(spark, sf_small):
